@@ -1,0 +1,94 @@
+"""Table registry: a tables.conf-compatible parser.
+
+Reference format (conf/tables.conf:60-258; parser
+lib/LINZ/BdeUpload.pm:125-200):
+
+    TABLE crs_parcel_bndry key=audit_id row_tol=0.20,0.95 files pab1
+    TABLE cbe_title_parcel_association l5_is_full key=id files ...
+    TABLE <name> [level0] [level5] [l5_is_full] [key=<col>]
+          [row_tol=<err>,<warn>] [column <name> <type>]* files <tag>...
+
+Key column must be a unique, non-composite, NOT NULL integer/bigint
+column (`bde_TableKeyIsValid`,
+sql/02-bde_control_functions.sql.in:2839-2877).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TableDef:
+    name: str
+    key: str | None = None
+    files: list[str] = field(default_factory=list)
+    row_tol_error: float | None = None
+    row_tol_warning: float | None = None
+    levels: set[str] = field(default_factory=lambda: {"0", "5"})
+    l5_is_full: bool = False
+    l5_change_table: bool = False
+    column_overrides: list[tuple[str, str]] = field(default_factory=list)
+
+
+def parse_tables_conf(text: str) -> list[TableDef]:
+    tables: list[TableDef] = []
+    cur: TableDef | None = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        toks = line.split()
+        kw = toks[0].upper()
+        if kw == "TABLE":
+            cur = TableDef(name=toks[1].lower())
+            tables.append(cur)
+            _parse_attrs(cur, toks[2:])
+        elif cur is not None and kw == "COLUMN" and len(toks) >= 3:
+            # explicit column override ("use with care", conf/tables.conf:50-53)
+            cur.column_overrides.append((toks[1], toks[2]))
+        elif cur is not None:
+            _parse_attrs(cur, toks)
+    return tables
+
+
+def _parse_attrs(t: TableDef, toks: list[str]) -> None:
+    i = 0
+    explicit_levels: set[str] = set()
+    while i < len(toks):
+        tok = toks[i]
+        low = tok.lower()
+        if low.startswith("key="):
+            t.key = tok.split("=", 1)[1].lower()
+        elif low.startswith("row_tol="):
+            parts = tok.split("=", 1)[1].split(",")
+            t.row_tol_error = float(parts[0]) if parts[0] else None
+            if len(parts) > 1 and parts[1]:
+                t.row_tol_warning = float(parts[1])
+        elif low == "files":
+            t.files = [x.lower() for x in toks[i + 1:]]
+            break
+        elif low == "l5_is_full":
+            t.l5_is_full = True
+        elif low == "l5_change_table":
+            t.l5_change_table = True
+        elif low == "level0":
+            explicit_levels.add("0")
+        elif low == "level5":
+            explicit_levels.add("5")
+        i += 1
+    if explicit_levels:
+        t.levels = explicit_levels
+
+
+def validate_key(t: TableDef, schema_fields: dict[str, str]) -> None:
+    """`bde_TableKeyIsValid` semantics
+    (sql/02-bde_control_functions.sql.in:2839-2877): key must exist and
+    be an integer/bigint column."""
+    if t.key is None:
+        raise ValueError(f"{t.name}: no key column configured")
+    typ = schema_fields.get(t.key.lower())
+    if typ is None:
+        raise ValueError(f"{t.name}: key column {t.key} not in schema")
+    if typ.lower().split("(")[0] not in ("int", "integer", "bigint", "serial", "smallint"):
+        raise ValueError(f"{t.name}: key column {t.key} has non-integer type {typ}")

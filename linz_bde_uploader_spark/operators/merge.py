@@ -1,0 +1,318 @@
+"""Keyed CDC merge — the core operators of the reference engine.
+
+Reference semantics (linz-bde-uploader, /root/reference):
+
+- J1 delete detection   `_bde_CreateIncDeletes`
+  sql/02-bde_control_functions.sql.in:2228-2262
+- J2 insert detection   `_bde_CreateIncInserts`  :2264-2298
+- J3 update classify    `_bde_CreateIncUpdates`  :2300-2373
+- J4 key-swap repair    `_bde_FixChangedIncKeyRecords` :2146-2226
+- J5 full-table diff    via table_version.ver_apply_table_differences,
+  called at :1914-1928
+- J6 change application via table_version._ver_apply_changes, :1759-1765
+- A7 row tolerance      `_bde_CheckTableCount` :2006-2085
+- P1 valid columns      `bde_SelectValidColumns` :1336-1375
+
+All joins are equi-joins on a single integer surrogate key. The change
+list is tiny relative to the table, so it is broadcast; the staged
+snapshot and current table join on the key (sort-merge / shuffled-hash
+chosen by Catalyst+AQE; with a bucketed store both sides co-locate and
+the shuffle disappears).
+
+Scale notes (100 TB design):
+- ``classify_actions`` computes the whole I/U/D/0/X action set in ONE
+  pass: broadcast the change keys, full-outer join staged vs current
+  restricted to changed keys. No per-action re-scan of the big table.
+- ``apply_actions`` rewrites only rows whose key appears in the action
+  set (left_anti + union) — with a hash-bucketed store this is a
+  partition-pruned rewrite, not a full-table rewrite.
+- the row comparison is a null-safe column expression (whole-stage
+  codegen), never a Python UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Action codes, matching the reference exactly
+# (sql/02-bde_control_functions.sql.in:1750-1765):
+#   I insert, U update, D delete, 0 null update (row identical),
+#   X update touching a unique-constraint column (reference applies as
+#   delete+insert to dodge transient unique violations; Spark has no
+#   unique constraints so X is applied like U but kept distinct for
+#   stats parity).
+ACTION_INSERT = "I"
+ACTION_UPDATE = "U"
+ACTION_DELETE = "D"
+ACTION_NULL_UPDATE = "0"
+ACTION_KEY_CHANGE = "X"
+
+
+@dataclass
+class MergeStats:
+    """Per-load counts, mirroring bde_control.upload_stats
+    (sql/01-bde_control_tables.sql:177-217)."""
+
+    ninsert: int = 0
+    nupdate: int = 0
+    nnullupdate: int = 0
+    ndelete: int = 0
+
+
+def select_valid_columns(file_columns: list[str], table_columns: list[str]) -> list[str]:
+    """P1: ordered intersection of file fields with target table columns.
+
+    Order follows the *file* header; extra file fields are dropped;
+    zero overlap is a hard error (lib/LINZ/BdeUpload.pm:1030-1033).
+    """
+    target = {c.lower() for c in table_columns}
+    valid = [c for c in file_columns if c.lower() in target]
+    if not valid:
+        raise ValueError(
+            "no columns of the source file match the target table "
+            f"(file={file_columns!r}, table={table_columns!r})"
+        )
+    return valid
+
+
+def rows_equal_expr(left: str, right: str, columns: list[str]) -> Column:
+    """Null-safe all-columns-equal comparison (the reference generates
+    per-column null-safe compare SQL via table_version
+    `_ver_get_compare_sql`; here it is one codegen-friendly conjunction).
+    """
+    cond = F.lit(True)
+    for c in columns:
+        cond = cond & F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+    return cond
+
+
+def any_differs_expr(left: str, right: str, columns: list[str]) -> Column:
+    cond = F.lit(False)
+    for c in columns:
+        cond = cond | ~F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+    return cond
+
+
+def prepare_change_table(changes: DataFrame, table_name: str,
+                         tablename_col: str = "tablename",
+                         key_col: str = "tablekeyvalue") -> DataFrame:
+    """P4+P5: normalize case, keep this table's keys, project + dedup.
+
+    Reference: `_bde_PrepareChangeTable` lowercases table names
+    (sql/02-bde_control_functions.sql.in:1479-1480) and the per-table
+    extraction filters `tablename = lower(<t>)` projecting the key
+    (:1695-1708).
+    """
+    return (
+        changes
+        .filter(F.lower(F.col(tablename_col)) == table_name.lower())
+        .select(F.col(key_col).alias("key"))
+        .distinct()
+    )
+
+
+def fix_key_swaps(staged: DataFrame, current: DataFrame, change_keys: DataFrame,
+                  key: str, unique_cols: list[str]) -> DataFrame:
+    """J4: key-swap repair.
+
+    Landonline sometimes swaps primary values between rows: a staged row
+    carries a *unique-constraint* value that currently belongs to a row
+    with a DIFFERENT key. The displaced current key must join the change
+    set (as a delete/update candidate) or the merge would leave a
+    phantom duplicate of the unique value.
+
+    Reference: `_bde_FixChangedIncKeyRecords`
+    (sql/02-bde_control_functions.sql.in:2146-2226) — θ-join
+    `NEW.u = CUR.u AND NEW.key <> CUR.key`, NOT EXISTS dedup against the
+    change list.
+
+    Returns the augmented change-key DataFrame (column ``key``).
+    """
+    if not unique_cols:
+        return change_keys
+    extra = None
+    stg = staged.select(key, *unique_cols).alias("n")
+    cur = current.select(key, *unique_cols).alias("c")
+    for u in unique_cols:
+        displaced = (
+            stg.join(
+                cur,
+                F.col(f"n.{u}").eqNullSafe(F.col(f"c.{u}"))
+                & (F.col(f"n.{key}") != F.col(f"c.{key}")),
+                "inner",
+            )
+            .select(F.col(f"c.{key}").alias("key"))
+        )
+        extra = displaced if extra is None else extra.unionByName(displaced)
+    missing = extra.distinct().join(change_keys, "key", "left_anti")
+    return change_keys.unionByName(missing)
+
+
+def classify_actions(current: DataFrame, staged: DataFrame, change_keys: DataFrame,
+                     key: str, compare_cols: list[str],
+                     unique_cols: list[str] | None = None) -> DataFrame:
+    """J1+J2+J3 in one pass: produce the action DataFrame
+    ``(key, action ∈ {I,U,D,0,X})`` for keys named in the change list.
+
+    Semantics (reference `_bde_CreateIncDeletes/Inserts/Updates`):
+      - key in change ∧ in current ∧ not in staged          -> D
+      - key in change ∧ in staged  ∧ not in current         -> I
+      - key in change ∧ in both:
+          all compare columns null-safe equal               -> 0
+          a unique-constraint column changed                -> X
+          otherwise                                         -> U
+      - key in change ∧ in neither                          -> (no row)
+
+    Physical plan: the change-key list is broadcast into BOTH big-table
+    scans (semi-join reduces each side to changed keys only — at 100 TB
+    this is the difference between scanning millions vs billions of
+    rows), then a key-partitioned full-outer join of the two small
+    residues. With a bucketed store the residue join is shuffle-free.
+    """
+    unique_cols = unique_cols or []
+    chg = F.broadcast(change_keys.select(F.col("key").cast("long")).distinct())
+
+    cur = (
+        current.join(chg, current[key] == chg["key"], "left_semi")
+        .select(F.col(key).alias("key"), *compare_cols)
+        .alias("cur")
+    )
+    stg = (
+        staged.join(chg, staged[key] == chg["key"], "left_semi")
+        .select(F.col(key).alias("key"), *compare_cols)
+        .alias("stg")
+    )
+
+    joined = cur.join(stg, F.col("cur.key") == F.col("stg.key"), "full_outer")
+
+    non_key_cols = [c for c in compare_cols if c != key]
+    equal = rows_equal_expr("cur", "stg", non_key_cols)
+    unique_changed = any_differs_expr("cur", "stg", [c for c in unique_cols if c != key])
+
+    action = (
+        F.when(F.col("stg.key").isNull(), F.lit(ACTION_DELETE))
+        .when(F.col("cur.key").isNull(), F.lit(ACTION_INSERT))
+        .when(equal, F.lit(ACTION_NULL_UPDATE))
+        .when(unique_changed if unique_cols else F.lit(False), F.lit(ACTION_KEY_CHANGE))
+        .otherwise(F.lit(ACTION_UPDATE))
+    )
+    return joined.select(
+        F.coalesce(F.col("cur.key"), F.col("stg.key")).alias("key"),
+        action.alias("action"),
+    )
+
+
+def apply_actions(current: DataFrame, staged: DataFrame, actions: DataFrame,
+                  key: str) -> DataFrame:
+    """J6: apply the action set to the current table.
+
+    Reference applies via table_version `_ver_apply_changes`
+    (delete/update/insert loops); X rows are applied as delete+insert
+    (:2335-2352). In Spark the equivalent relational rewrite is:
+
+        kept    = current  ANTI JOIN touched-keys(D,U,X)
+        upserts = staged  SEMI JOIN  upsert-keys(I,U,X)
+        result  = kept ∪ upserts
+
+    Rows with action '0' are untouched by construction. On a
+    hash-bucketed store only buckets containing touched keys need
+    rewriting (partition-pruned merge).
+    """
+    touched = F.broadcast(
+        actions.filter(F.col("action").isin(ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select("key")
+    )
+    upserted = F.broadcast(
+        actions.filter(F.col("action").isin(ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select("key")
+    )
+    kept = current.join(touched, current[key] == touched["key"], "left_anti")
+    ups = staged.join(upserted, staged[key] == upserted["key"], "left_semi")
+    return kept.unionByName(ups.select(*current.columns))
+
+
+def merge_stats(actions: DataFrame) -> MergeStats:
+    """A3: I/U/0/D counts for the stats ledger. X counts as BOTH an
+    insert and a delete for stats parity (the reference applies X as
+    delete+insert; see FIXTURES.md F2 golden stats: the re-keyed row
+    lands as +1 insert +1 delete)."""
+    counts = {r["action"]: r["n"] for r in
+              actions.groupBy("action").agg(F.count("*").alias("n")).collect()}
+    x = counts.get(ACTION_KEY_CHANGE, 0)
+    return MergeStats(
+        ninsert=counts.get(ACTION_INSERT, 0) + x,
+        nupdate=counts.get(ACTION_UPDATE, 0),
+        nnullupdate=counts.get(ACTION_NULL_UPDATE, 0),
+        ndelete=counts.get(ACTION_DELETE, 0) + x,
+    )
+
+
+def full_diff(current: DataFrame, staged: DataFrame, key: str,
+              compare_cols: list[str]) -> DataFrame:
+    """J5: full-table diff for `-full-incremental` loads.
+
+    Reference: table_version.ver_apply_table_differences (called at
+    sql/02-bde_control_functions.sql.in:1914-1928) computes I/U/D
+    between the current table and a complete new snapshot by key;
+    identical rows produce no action.
+
+    One key-partitioned full-outer join; no change list exists here so
+    both sides scan fully — this is the sort-merge-join path, and the
+    place where a bucketed/co-partitioned store pays off most.
+    """
+    non_key_cols = [c for c in compare_cols if c != key]
+    cur = current.select(F.col(key).alias("key"), *non_key_cols).alias("cur")
+    stg = staged.select(F.col(key).alias("key"), *non_key_cols).alias("stg")
+    joined = cur.join(stg, F.col("cur.key") == F.col("stg.key"), "full_outer")
+    equal = rows_equal_expr("cur", "stg", non_key_cols)
+    action = (
+        F.when(F.col("stg.key").isNull(), F.lit(ACTION_DELETE))
+        .when(F.col("cur.key").isNull(), F.lit(ACTION_INSERT))
+        .when(equal, F.lit(None).cast("string"))
+        .otherwise(F.lit(ACTION_UPDATE))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("cur.key"), F.col("stg.key")).alias("key"),
+            action.alias("action"),
+        )
+        .filter(F.col("action").isNotNull())
+    )
+
+
+def level0_replace(staged: DataFrame) -> DataFrame:
+    """EP1 apply step: level-0 snapshot replace. The reference does
+    DELETE + INSERT (not swap) to keep triggers/versioning intact
+    (sql/02-bde_control_functions.sql.in:1949-1973); in Spark the
+    equivalent is an overwrite of the table's current snapshot — the
+    staged DataFrame IS the new table."""
+    return staged
+
+
+def check_tolerance(new_count: int, prev_count: int,
+                    tol_error: float | None, tol_warning: float | None) -> str:
+    """A7: row-count tolerance gate (`_bde_CheckTableCount`,
+    sql/02-bde_control_functions.sql.in:2006-2085; config
+    conf/tables.conf:44-46).
+
+    expected = ceil(prev_count * tol); fail if new < expected(error),
+    warn if new < expected(warning). Returns 'ok' | 'warning' | 'error'.
+
+    NOTE the reference's early-return fires when
+    `row_tol_error IS NOT NULL AND row_tol_warning IS NULL` (:2054),
+    contradicting its own comment; we implement the *intended*
+    semantics (skip only when both are NULL) — divergence documented in
+    SURVEY.md §2.4 A7.
+    """
+    import math
+
+    if tol_error is None and tol_warning is None:
+        return "ok"
+    if tol_error is not None and new_count < math.ceil(prev_count * tol_error):
+        return "error"
+    if tol_warning is not None and new_count < math.ceil(prev_count * tol_warning):
+        return "warning"
+    return "ok"

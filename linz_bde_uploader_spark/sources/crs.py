@@ -1,0 +1,343 @@
+"""BDE ``.crs`` file source: self-describing header -> StructType,
+pipe-delimited data -> DataFrame, plus the bde_copy cleanse stage.
+
+Format (reference fixtures /root/reference/t/data/pab1.crs:1-19,
+xaud.crs, utf8.crs; written inline at
+/root/reference/t/linz_bde_uploader.t:1464-1481):
+
+    HEDR     2.0.0
+    SOFTWARE ...
+    SCHEMA   ...
+    USER     ...
+    START    2016-06-01 17:12:25
+    END      2016-06-01 17:12:25
+    SQL      SELECT * FROM crs_parcel_bndry
+    TABLE    crs_parcel_bndry
+    COLUMN   pri_id    integer NULL
+    COLUMN   audit_id  integer NOT NULL
+    DESC
+    SIZE     562
+    {CRS-DATA}
+    4457328|1|29694591|Y|80401148|
+
+Data rows are pipe-delimited with a TRAILING pipe; empty field = NULL
+(COPY ``NULL AS ''``, lib/LINZ/BdeDatabase.pm:542). Header lines never
+end with '|', so the distributed read filters on that instead of
+pulling data to the driver. ``.crs.gz`` reads transparently (Spark
+handles gzip; reference uses IO::Zlib, README.md:25).
+
+Cleansing re-expresses the bde_copy C++ cleanser's semantics
+(conf/linz_bde_uploader.conf:349-1245): character replacement map,
+date floor to a sentinel, WKT SRID prefix + longitude offset, and a
+malformed-row error budget.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Header type name -> Spark type
+# (types observed across reference fixtures + tables.conf overrides;
+#  SURVEY.md §1.2)
+_TYPE_MAP = {
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "smallint": T.IntegerType(),
+    "char": T.StringType(),
+    "varchar": T.StringType(),
+    "text": T.StringType(),
+    "datetime": T.TimestampNTZType(),
+    "date": T.DateType(),
+    "decimal": T.DecimalType(24, 10),
+    "numeric": T.DecimalType(24, 10),
+    "number": T.DecimalType(24, 10),
+    "double": T.DoubleType(),
+    "float": T.DoubleType(),
+    "serial": T.IntegerType(),
+    "geometry": T.StringType(),  # WKT stays text (SURVEY.md §1.2)
+}
+
+_GEOM_TYPES = {"geometry"}
+
+
+@dataclass
+class CrsColumn:
+    name: str
+    type_name: str
+    nullable: bool
+
+    @property
+    def spark_type(self) -> T.DataType:
+        base = self.type_name.lower().split("(")[0]
+        return _TYPE_MAP.get(base, T.StringType())
+
+
+@dataclass
+class CrsHeader:
+    table: str
+    columns: list[CrsColumn]
+    start_time: str | None = None
+    end_time: str | None = None
+    size: int | None = None
+    n_header_lines: int = 0
+
+    @property
+    def field_names(self) -> list[str]:
+        return [c.name for c in self.columns]
+
+    def schema(self, subset: list[str] | None = None) -> T.StructType:
+        cols = self.columns
+        if subset is not None:
+            wanted = {c.lower() for c in subset}
+            cols = [c for c in cols if c.name.lower() in wanted]
+        return T.StructType([T.StructField(c.name, c.spark_type, True) for c in cols])
+
+
+_COLUMN_RE = re.compile(r"^COLUMN\s+(\S+)\s+(\S+)\s+(NULL|NOT NULL)\s*$")
+
+
+def parse_header(path: str) -> CrsHeader:
+    """S4: driver-side parse of the head of a .crs[.gz] file up to the
+    ``{CRS-DATA}`` marker (call sites lib/LINZ/BdeUpload.pm:1020-1037)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    table = None
+    columns: list[CrsColumn] = []
+    start = end = None
+    size = None
+    n = 0
+    with opener(path, "rb") as raw:
+        fh = io.TextIOWrapper(raw, encoding="utf-8", errors="replace")
+        for line in fh:
+            n += 1
+            line = line.rstrip("\n").rstrip("\r")
+            if line.strip() == "{CRS-DATA}":
+                break
+            stripped = re.sub(r"\s+", " ", line).strip()
+            if stripped.startswith("TABLE "):
+                table = stripped.split(" ", 1)[1].strip()
+            elif stripped.startswith("START "):
+                start = stripped.split(" ", 1)[1].strip()
+            elif stripped.startswith("END "):
+                end = stripped.split(" ", 1)[1].strip()
+            elif stripped.startswith("SIZE "):
+                try:
+                    size = int(stripped.split(" ", 1)[1].strip())
+                except ValueError:
+                    size = None
+            else:
+                m = _COLUMN_RE.match(stripped)
+                if m:
+                    columns.append(CrsColumn(m.group(1), m.group(2), m.group(3) == "NULL"))
+            if n > 10000:
+                raise ValueError(f"{path}: no {{CRS-DATA}} marker in first 10000 lines")
+    if table is None or not columns:
+        raise ValueError(f"{path}: invalid .crs header (table={table}, {len(columns)} columns)")
+    return CrsHeader(table=table, columns=columns, start_time=start, end_time=end,
+                     size=size, n_header_lines=n)
+
+
+@dataclass
+class CleanseConfig:
+    """Subset of the bde_copy configuration the reference ships
+    (conf/linz_bde_uploader.conf:349-1245)."""
+
+    minimum_year: int = 0
+    invalid_datetime: str = "1800-01-01 00:00:00"
+    invalid_date: str = "1800-01-01"
+    wkt_prefix: str = "SRID=4167;"
+    longitude_offset: float = 160.0
+    # replace map: char -> replacement ('' = delete). Defaults mirror
+    # conf/linz_bde_uploader.conf replace rules (| and \ -> space,
+    # newline/CR -> literal \n \r).
+    char_map: dict[str, str] = field(default_factory=lambda: {
+        "|": " ", "\\": " ", "\n": "\\n", "\r": "\\r",
+    })
+    max_errors: int = 0  # conf/linz_bde_uploader.conf:376
+
+    @classmethod
+    def from_conf_block(cls, text: str) -> "CleanseConfig":
+        """Parse a ``bde_copy_configuration`` block (the reference's
+        heredoc format)."""
+        cfg = cls(char_map={})
+
+        def unescape(tok: str) -> str:
+            out, i = [], 0
+            while i < len(tok):
+                if tok[i] == "\\" and i + 1 < len(tok):
+                    if tok[i + 1] == "x" and i + 3 < len(tok) + 1:
+                        hexpart = tok[i + 2:i + 4]
+                        try:
+                            out.append(chr(int(hexpart, 16)))
+                            i += 4
+                            continue
+                        except ValueError:
+                            pass
+                    out.append(tok[i + 1])
+                    i += 2
+                    continue
+                out.append(tok[i])
+                i += 1
+            return "".join(out)
+
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(None, 2)
+            kw = parts[0]
+            if kw == "minimum_year" and len(parts) > 1:
+                cfg.minimum_year = int(parts[1])
+            elif kw == "invalid_datetime_string" and len(parts) > 1:
+                cfg.invalid_datetime = line.split(None, 1)[1]
+            elif kw == "invalid_date_string" and len(parts) > 1:
+                cfg.invalid_date = line.split(None, 1)[1]
+            elif kw == "wkt_prefix" and len(parts) > 1:
+                cfg.wkt_prefix = parts[1]
+            elif kw == "longitude_offset" and len(parts) > 1:
+                cfg.longitude_offset = float(parts[1])
+            elif kw == "replace" and len(parts) >= 2:
+                src = unescape(parts[1])
+                dst = unescape(parts[2]) if len(parts) > 2 else ""
+                if dst.lower() in ("delete", "none"):
+                    dst = ""
+                cfg.char_map[src] = dst
+            elif kw == "max_errors" and len(parts) > 1:
+                cfg.max_errors = int(parts[1])
+        return cfg
+
+
+class CrsReadError(RuntimeError):
+    """Raised when malformed rows exceed the configured error budget
+    (bde_copy ``max_errors``/``column_count error`` semantics)."""
+
+
+def read_crs(spark: SparkSession, path: str, header: CrsHeader | None = None,
+             valid_columns: list[str] | None = None,
+             cleanse: CleanseConfig | None = None,
+             enforce_budget: bool = True) -> DataFrame:
+    """S5: distributed read of a .crs[.gz] file.
+
+    Plan shape: one ``spark.read.text`` scan -> filter (data rows end
+    with '|') -> split -> per-column cast, all whole-stage-codegen
+    column expressions. ``valid_columns`` applies P1 column
+    intersection (projection happens before casting, so pruned columns
+    cost nothing).
+    """
+    header = header or parse_header(path)
+    lines = spark.read.text(path)
+    # Data rows carry a trailing '|'; header lines never do.
+    data = lines.filter(F.col("value").endswith("|"))
+
+    ncols = len(header.columns)
+    parts = F.split(F.col("value"), r"\|", -1)
+    # trailing '|' => len == ncols + 1 with empty last element
+    ok = F.size(parts) == ncols + 1
+    data = data.select(parts.alias("_p"), ok.alias("_ok"))
+
+    if enforce_budget:
+        bad = data.filter(~F.col("_ok")).count()
+        budget = (cleanse.max_errors if cleanse else 0)
+        if bad > budget:
+            sample = [r["_p"] for r in data.filter(~F.col("_ok")).limit(16).collect()]
+            raise CrsReadError(
+                f"{path}: {bad} malformed rows exceed max_errors={budget}; "
+                f"sample={sample[:3]!r}"
+            )
+
+    cols = header.columns
+    if valid_columns is not None:
+        wanted = {c.lower() for c in valid_columns}
+        keep = [(i, c) for i, c in enumerate(cols) if c.name.lower() in wanted]
+    else:
+        keep = list(enumerate(cols))
+
+    exprs = []
+    for i, c in keep:
+        raw = F.element_at(F.col("_p"), i + 1)
+        val = F.when(raw == "", F.lit(None)).otherwise(raw)  # empty = NULL
+        exprs.append(_cast_and_cleanse(val, c, cleanse).alias(c.name))
+    return data.filter(F.col("_ok")).select(*exprs)
+
+
+def _cast_and_cleanse(col, c: CrsColumn, cleanse: CleanseConfig | None):
+    t = c.spark_type
+    base = c.type_name.lower().split("(")[0]
+    if cleanse is None:
+        cleanse = CleanseConfig()
+    if isinstance(t, T.StringType):
+        if base in _GEOM_TYPES:
+            return cleanse_wkt(col, cleanse)
+        return cleanse_text(col, cleanse)
+    if isinstance(t, (T.TimestampNTZType, T.TimestampType)):
+        ts = F.to_timestamp_ntz(col, F.lit("yyyy-MM-dd HH:mm:ss"))
+        if cleanse.minimum_year > 0:
+            ts = F.when(
+                F.year(ts) < cleanse.minimum_year,
+                F.to_timestamp_ntz(F.lit(cleanse.invalid_datetime),
+                                   F.lit("yyyy-MM-dd HH:mm:ss")),
+            ).otherwise(ts)
+        return ts
+    if isinstance(t, T.DateType):
+        d = F.coalesce(F.try_to_timestamp(col, F.lit("yyyy-MM-dd")),
+                       F.try_to_timestamp(col, F.lit("dd/MM/yyyy"))).cast("date")
+        if cleanse.minimum_year > 0:
+            d = F.when(F.year(d) < cleanse.minimum_year,
+                       F.lit("1800-01-01").cast("date")).otherwise(d)
+        return d
+    return col.cast(t)
+
+
+def cleanse_text(col, cleanse: CleanseConfig):
+    """bde_copy character mapping + control-char strip, as JVM-side
+    expressions (no Python UDF). Multi-char replacements use chained
+    ``regexp_replace``; control characters are stripped."""
+    out = col
+    for src, dst in cleanse.char_map.items():
+        out = F.regexp_replace(out, re.escape(src), dst.replace("\\", "\\\\"))
+    # delete remaining C0 control characters (utf8_replace_invalid delete)
+    out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    return out
+
+
+def cleanse_wkt(col, cleanse: CleanseConfig):
+    """bde_copy spatial fixup: strip leading digits/spaces, prepend
+    ``wkt_prefix``. The longitude offset (+160.0 on every longitude)
+    requires numeric edits inside the WKT text -> Arrow-batched Pandas
+    UDF (slow path, geometry columns only)."""
+    stripped = F.regexp_replace(col, r"^[0-9 ]+", "")
+    prefixed = F.concat(F.lit(cleanse.wkt_prefix), stripped)
+    if not cleanse.longitude_offset:
+        return prefixed
+    return _wkt_offset_udf(cleanse.longitude_offset)(prefixed)
+
+
+def _wkt_offset_udf(offset: float):
+    from pyspark.sql.functions import pandas_udf
+
+    coord_pair = re.compile(r"(-?\d+(?:\.\d+)?)(\s+)(-?\d+(?:\.\d+)?)")
+
+    def shift(s):
+        def fix(text):
+            if text is None:
+                return None
+
+            def repl(m):
+                lon = float(m.group(1)) + offset
+                return f"{lon:g}{m.group(2)}{m.group(3)}"
+
+            head, sep, body = text.partition(";")
+            if not sep:
+                return coord_pair.sub(repl, text)
+            return head + sep + coord_pair.sub(repl, body)
+
+        return s.map(fix)
+
+    return pandas_udf(shift, T.StringType())

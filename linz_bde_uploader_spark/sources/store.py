@@ -1,0 +1,92 @@
+"""Keyed table store: Parquet snapshot directories with an atomic
+current-version pointer.
+
+Re-expresses the reference's "atomic replace with revision semantics"
+(C4/C8: per-dataset transactions, table_version revisions —
+sql/02-bde_control_functions.sql.in:2880-2991) without PostgreSQL
+transactions: each write lands in a new ``v=<n>`` directory; a tiny
+``_CURRENT`` pointer file is renamed into place only after the write
+succeeds. Readers resolve the pointer first, so they always see a
+complete snapshot; old versions remain as revisions until vacuumed.
+
+Scale design: data files are written hash-bucketed by the merge key
+(``repartition(n, key)`` + sorted within partitions), so successive
+CDC merges join current-vs-staged co-partitioned, and `apply_actions`
+rewrites only the buckets containing touched keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableStore:
+    def __init__(self, root: str, n_buckets: int = 32):
+        self.root = root
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_CURRENT")
+
+    def current_version(self, table: str) -> int | None:
+        p = self._pointer(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)["version"]
+
+    def versions(self, table: str) -> list[int]:
+        d = self._tdir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(n[2:]) for n in os.listdir(d) if n.startswith("v="))
+
+    def write(self, table: str, df: DataFrame, key: str | None = None,
+              dataset: str | None = None) -> int:
+        """Write a new snapshot version and atomically commit the
+        pointer. ``dataset`` is recorded as the revision comment
+        (C8: ver_create_revision with the dataset timestamp)."""
+        new_v = (self.current_version(table) or 0) + 1
+        tdir = self._tdir(table)
+        os.makedirs(tdir, exist_ok=True)
+        vdir = os.path.join(tdir, f"v={new_v}")
+        out = df
+        if key is not None and key in df.columns:
+            # hash-bucket by merge key for co-partitioned future merges
+            out = df.repartition(self.n_buckets, F.col(key)) \
+                    .sortWithinPartitions(key)
+        out.write.mode("overwrite").parquet(vdir)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": new_v, "key": key, "dataset": dataset}, fh)
+        os.replace(tmp, self._pointer(table))  # atomic commit
+        return new_v
+
+    def read(self, spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"table {table} has no committed version")
+        return spark.read.parquet(os.path.join(self._tdir(table), f"v={v}"))
+
+    def exists(self, table: str) -> bool:
+        return self.current_version(table) is not None
+
+    def vacuum(self, table: str, keep: int = 2) -> list[int]:
+        """C7: drop old revisions (the reference's VACUUM ANALYSE /
+        -maintain-database analog)."""
+        cur = self.current_version(table)
+        dropped = []
+        for v in self.versions(table):
+            if cur is not None and v <= cur - keep:
+                shutil.rmtree(os.path.join(self._tdir(table), f"v={v}"))
+                dropped.append(v)
+        return dropped

@@ -1,0 +1,27 @@
+import os
+
+import pytest
+from pyspark.sql import SparkSession
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.appName("linz-bde-spark-tests")
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.environ["SPARK_GRAFT_SF_DIR"]

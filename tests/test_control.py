@@ -1,0 +1,126 @@
+"""Repository walker, catalog, ledger, and table store tests."""
+
+import time
+
+import pytest
+
+from linz_bde_uploader_spark.catalog.tables import parse_tables_conf, validate_key
+from linz_bde_uploader_spark.control.ledger import Ledger
+from linz_bde_uploader_spark.sources.repository import BdeRepository, dataset_timestamp
+from linz_bde_uploader_spark.sources.store import TableStore
+from tests.fixtures import write_repository
+
+
+def test_repository_walk(tmp_path):
+    root = write_repository(str(tmp_path / "repo"))
+    repo = BdeRepository(root)
+    l0 = repo.datasets(0)
+    l5 = repo.datasets(5)
+    assert [d.name for d in l0] == ["20160601000000"]
+    assert [d.name for d in l5] == ["20160601171200"]
+    assert set(l5[0].files()) == {"pab1", "xaud"}
+    assert l5[0].has_files(["pab1", "xaud"])
+    assert l5[0].missing_files(["pab1", "nope"]) == ["nope"]
+    # S2 watermark pruning
+    assert repo.select(5, after="20160601171200") == []
+    assert [d.name for d in repo.select(5, after="20160601000000")] == ["20160601171200"]
+    assert repo.select(0, before="20160601000000") == []
+    assert repo.latest(0).name == "20160601000000"
+
+
+def test_dataset_timestamp():
+    assert dataset_timestamp("20160601171225") == "2016-06-01 17:12:25"
+    with pytest.raises(ValueError):
+        dataset_timestamp("not-a-dataset")
+
+
+def test_tables_conf():
+    text = """
+# comment
+TABLE crs_parcel_bndry key=audit_id row_tol=0.20,0.95 files pab1
+TABLE cbe_title_parcel_association l5_is_full key=id files tpa1
+TABLE l5_change_table l5_change_table files xaud
+TABLE custom level0 key=id
+    COLUMN id integer
+    files cust
+"""
+    tables = parse_tables_conf(text)
+    t = tables[0]
+    assert (t.name, t.key, t.files) == ("crs_parcel_bndry", "audit_id", ["pab1"])
+    assert (t.row_tol_error, t.row_tol_warning) == (0.20, 0.95)
+    assert tables[1].l5_is_full
+    assert tables[2].l5_change_table
+    assert tables[3].levels == {"0"}
+    assert tables[3].column_overrides == [("id", "integer")]
+    assert tables[3].files == ["cust"]
+
+
+def test_validate_key():
+    t = parse_tables_conf("TABLE t key=audit_id files f")[0]
+    validate_key(t, {"audit_id": "integer", "x": "varchar"})
+    with pytest.raises(ValueError):
+        validate_key(t, {"x": "varchar"})
+    with pytest.raises(ValueError):
+        validate_key(t, {"audit_id": "varchar"})
+
+
+def test_ledger_job_lifecycle(tmp_path):
+    led = Ledger(str(tmp_path / "ctl"))
+    job = led.create_job()
+    assert led.any_active()
+    with pytest.raises(RuntimeError):
+        led.create_job()  # single-job gate (C1)
+    led.create_job(allow_concurrent=True)
+    led.finish_job(job.id, ok=True)
+    # locks (C2)
+    j2 = Ledger(str(tmp_path / "ctl")).create_job(allow_concurrent=True)
+    led2 = Ledger(str(tmp_path / "ctl"))
+    assert led2.acquire_lock("t1", j2.id)
+    assert not led2.acquire_lock("t1", 999)
+    assert led2.acquire_lock("t1", 999, steal=True)  # -override-locks
+    led2.release_lock("t1", 999)
+
+
+def test_ledger_watermarks_and_stats(tmp_path):
+    led = Ledger(str(tmp_path / "ctl"))
+    job = led.create_job()
+
+    class S:
+        ninsert, nupdate, nnullupdate, ndelete = 3, 2, 0, 1
+
+    led.record_dataset_loaded(job.id, "crs_parcel_bndry", "20160601171200", "5", S())
+    t = led.table("crs_parcel_bndry")
+    assert t["last_upload_dataset"] == "20160601171200"
+    assert t["last_level0_dataset"] == ""  # only level 0 moves that watermark
+    led.record_dataset_loaded(job.id, "crs_parcel_bndry", "20160602000000", "0", S())
+    assert led.table("crs_parcel_bndry")["last_level0_dataset"] == "20160602000000"
+    # X2 predicate evaluator
+    assert led.tables_affected(job.id, ["crs_parcel_bndry"], "loaded")
+    assert led.tables_affected(job.id, ["crs_parcel_bndry"], "affected")
+    assert not led.tables_affected(job.id, ["other"], "loaded")
+
+
+def test_ledger_zombies(tmp_path):
+    led = Ledger(str(tmp_path / "ctl"), lock_expiry_hours=0.0)
+    job = led.create_job()
+    led.acquire_lock("t1", job.id)
+    time.sleep(0.01)
+    assert not led.any_active()  # heartbeat expired
+    dead = led.remove_zombies()
+    assert dead == [job.id]
+    assert led.table("t1")["upl_id_lock"] is None
+
+
+def test_store_versioned_snapshots(spark, tmp_path):
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    v1 = store.write("t", df1, key="k", dataset="20160601000000")
+    assert v1 == 1 and store.current_version("t") == 1
+    df2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], ["k", "v"])
+    v2 = store.write("t", df2, key="k")
+    assert v2 == 2
+    assert store.read(spark, "t").count() == 3
+    assert store.read(spark, "t", version=1).count() == 2  # revision intact (C8)
+    v3 = store.write("t", df1, key="k")
+    assert store.vacuum("t", keep=2) == [1]
+    assert store.read(spark, "t", version=v3).count() == 2

@@ -1,0 +1,121 @@
+import pytest
+
+from linz_bde_uploader_spark.sources.crs import (
+    CleanseConfig, CrsReadError, cleanse_text, parse_header, read_crs,
+)
+from tests.fixtures import PAB1_L0, UTF8, XAUD, write_crs
+
+
+def test_parse_header(tmp_path):
+    p = write_crs(str(tmp_path / "pab1.crs"), PAB1_L0)
+    h = parse_header(p)
+    assert h.table == "crs_parcel_bndry"
+    assert h.field_names == ["pri_id", "sequence", "lin_id", "reversed", "audit_id"]
+    assert [c.type_name for c in h.columns] == ["integer"] * 3 + ["char", "integer"]
+    assert h.columns[4].nullable is False
+    assert h.start_time == "2016-06-01 17:12:25"
+    assert h.size == 562
+
+
+def test_read_golden_level0(spark, tmp_path):
+    """Golden 3-row load of crs_parcel_bndry
+    (reference t/linz_bde_uploader.t:656-680)."""
+    p = write_crs(str(tmp_path / "pab1.crs"), PAB1_L0)
+    df = read_crs(spark, p)
+    rows = sorted(df.collect(), key=lambda r: r.audit_id)
+    assert [tuple(r) for r in rows] == [
+        (4457328, 1, 29694591, "Y", 80401148),
+        (4457327, 2, 29694578, "N", 80401149),
+        (4457326, 3, 11960041, "Y", 80401150),
+    ]
+    assert dict(df.dtypes)["audit_id"] == "int"
+
+
+def test_read_gzip(spark, tmp_path):
+    p = write_crs(str(tmp_path / "pab1.crs.gz"), PAB1_L0, gz=True)
+    assert read_crs(spark, p).count() == 3
+
+
+def test_timestamp_and_null(spark, tmp_path):
+    p = write_crs(str(tmp_path / "xaud.crs"), XAUD)
+    df = read_crs(spark, p)
+    assert dict(df.dtypes)["timestamp"] == "timestamp_ntz"
+    assert df.count() == 6
+    # empty field = NULL
+    content = XAUD.replace("1|crs_parcel_bndry", "1|")
+    p2 = write_crs(str(tmp_path / "xaud2.crs"), content)
+    row = read_crs(spark, p2).filter("id = 1").first()
+    assert row.tablename is None
+
+
+def test_utf8_fidelity(spark, tmp_path):
+    """UTF-8 round-trip of musical symbols (reference
+    t/linz_bde_uploader.t:1263-1281)."""
+    p = write_crs(str(tmp_path / "utf8.crs"), UTF8)
+    df = read_crs(spark, p)
+    vals = {r.id: r.des for r in df.collect()}
+    assert vals == {1: "♯", 2: "♭", 3: "♮", 4: "–"}
+
+
+def test_valid_column_projection(spark, tmp_path):
+    """P1: extra file fields dropped via ordered intersection."""
+    p = write_crs(str(tmp_path / "xaud.crs"), XAUD)
+    df = read_crs(spark, p, valid_columns=["tablename", "tablekeyvalue", "action"])
+    assert df.columns == ["tablename", "tablekeyvalue", "action"]
+
+
+def test_error_budget(spark, tmp_path):
+    """bde_copy column_count error + max_errors budget."""
+    bad = PAB1_L0 + "1|2|3|\n"  # wrong column count
+    p = write_crs(str(tmp_path / "bad.crs"), bad)
+    with pytest.raises(CrsReadError):
+        read_crs(spark, p)
+    # budget of 1 tolerates it
+    df = read_crs(spark, p, cleanse=CleanseConfig(max_errors=1))
+    assert df.count() == 3
+
+
+def test_cleanse_char_map(spark):
+    import pyspark.sql.functions as F
+    cfg = CleanseConfig()
+    df = spark.range(1).select(F.lit("a|b\\c\nd").alias("s"))
+    out = df.select(cleanse_text(F.col("s"), cfg).alias("s")).first().s
+    assert out == "a b c\\nd"
+
+
+def test_date_floor(spark, tmp_path):
+    """bde_copy minimum_year -> sentinel 1800-01-01 00:00:00
+    (conf/linz_bde_uploader.conf:381-383)."""
+    content = XAUD.replace("5|crs_parcel_bndry|80401148|U|2016-06-01 17:12:17|",
+                           "5|crs_parcel_bndry|80401148|U|0800-01-01 00:00:00|")
+    p = write_crs(str(tmp_path / "old.crs"), content)
+    df = read_crs(spark, p, cleanse=CleanseConfig(minimum_year=1800))
+    row = df.filter("id = 5").first()
+    assert str(row.timestamp) == "1800-01-01 00:00:00"
+
+
+def test_conf_block_parse():
+    cfg = CleanseConfig.from_conf_block("""
+minimum_year 0
+invalid_datetime_string 1800-01-01 00:00:00
+wkt_prefix SRID=4167;
+longitude_offset 160.0
+max_errors 0
+replace | \\x20
+replace \\\\ \\x20
+replace \\x0A \\\\n
+""")
+    assert cfg.wkt_prefix == "SRID=4167;"
+    assert cfg.longitude_offset == 160.0
+    assert cfg.char_map["|"] == " "
+    assert cfg.char_map["\\"] == " "
+    assert cfg.char_map["\n"] == "\\n"
+
+
+def test_wkt_cleanse(spark):
+    import pyspark.sql.functions as F
+    from linz_bde_uploader_spark.sources.crs import cleanse_wkt
+    cfg = CleanseConfig()
+    df = spark.range(1).select(F.lit("12 POINT(10.5 -41.2)").alias("g"))
+    out = df.select(cleanse_wkt(F.col("g"), cfg).alias("g")).first().g
+    assert out == "SRID=4167;POINT(170.5 -41.2)"

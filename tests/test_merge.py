@@ -1,0 +1,151 @@
+"""CDC merge golden tests — scenario from FIXTURES.md F1/F2, matching
+reference t/linz_bde_uploader.t:656-711 (level 0) and :1176-1221
+(level 5 merge: 3 ins, 2 upd, 1 del, 0 null-upd -> 5 rows)."""
+
+import pytest
+
+from linz_bde_uploader_spark.operators import merge as M
+
+
+@pytest.fixture()
+def golden(spark):
+    cols = ["pri_id", "sequence", "lin_id", "reversed", "audit_id"]
+    cur = spark.createDataFrame([
+        (4457328, 1, 29694591, "Y", 80401148),
+        (4457327, 2, 29694578, "N", 80401149),
+        (4457326, 3, 11960041, "Y", 80401150),
+    ], cols)
+    stg = spark.createDataFrame([
+        (4457328, 10, 29694591, "Y", 80401148),
+        (4457327, 20, 29694578, "N", 80401149),
+        (4457326, 3, 11960041, "Y", 100),
+        (4457330, 4, 29694600, "N", 300),
+        (4457331, 5, 29694601, "Y", 400),
+    ], cols)
+    chg = spark.createDataFrame(
+        [(80401150,), (300,), (400,), (100,), (80401148,), (80401149,)], ["key"])
+    return cur, stg, chg, cols
+
+
+def test_classify_golden(golden):
+    cur, stg, chg, cols = golden
+    actions = M.classify_actions(cur, stg, chg, "audit_id", cols)
+    got = {r.key: r.action for r in actions.collect()}
+    assert got == {80401150: "D", 300: "I", 400: "I", 100: "I",
+                   80401148: "U", 80401149: "U"}
+
+
+def test_apply_golden(golden):
+    cur, stg, chg, cols = golden
+    actions = M.classify_actions(cur, stg, chg, "audit_id", cols)
+    result = M.apply_actions(cur, stg, actions, "audit_id")
+    rows = {r.audit_id: r.sequence for r in result.collect()}
+    # golden post-merge: audit_ids 100,80401149,80401148,300,400 with
+    # sequences 3,20,10,4,5
+    assert rows == {100: 3, 80401149: 20, 80401148: 10, 300: 4, 400: 5}
+
+
+def test_stats_golden(golden):
+    cur, stg, chg, cols = golden
+    actions = M.classify_actions(cur, stg, chg, "audit_id", cols)
+    s = M.merge_stats(actions)
+    assert (s.ninsert, s.nupdate, s.nnullupdate, s.ndelete) == (3, 2, 0, 1)
+
+
+def test_null_update_action(spark):
+    """Key in change list but row identical -> action '0'."""
+    cols = ["a", "k"]
+    cur = spark.createDataFrame([(1, 10), (2, 20)], cols)
+    stg = spark.createDataFrame([(1, 10), (99, 20)], cols)
+    chg = spark.createDataFrame([(10,), (20,)], ["key"])
+    actions = M.classify_actions(cur, stg, chg, "k", cols)
+    got = {r.key: r.action for r in actions.collect()}
+    assert got == {10: "0", 20: "U"}
+    s = M.merge_stats(actions)
+    assert s.nnullupdate == 1 and s.nupdate == 1
+
+
+def test_change_key_absent_everywhere(spark):
+    """Key named in change list but in neither table -> no action row."""
+    cols = ["a", "k"]
+    cur = spark.createDataFrame([(1, 10)], cols)
+    stg = spark.createDataFrame([(1, 10)], cols)
+    chg = spark.createDataFrame([(555,)], ["key"])
+    actions = M.classify_actions(cur, stg, chg, "k", cols)
+    assert actions.count() == 0
+
+
+def test_unique_col_change_is_X(spark):
+    """A changed unique-constraint column -> X (applied as del+ins;
+    stats count both — reference :2335-2352)."""
+    cols = ["u", "v", "k"]
+    cur = spark.createDataFrame([(100, 1, 10)], cols)
+    stg = spark.createDataFrame([(200, 1, 10)], cols)
+    chg = spark.createDataFrame([(10,)], ["key"])
+    actions = M.classify_actions(cur, stg, chg, "k", cols, unique_cols=["u"])
+    assert actions.first().action == "X"
+    s = M.merge_stats(actions)
+    assert (s.ninsert, s.ndelete, s.nupdate) == (1, 1, 0)
+    # apply folds X into delete+insert
+    res = M.apply_actions(cur, stg, actions, "k")
+    assert [tuple(r) for r in res.collect()] == [(200, 1, 10)]
+
+
+def test_key_swap_repair(spark):
+    """J4: staged row reuses a unique value owned by a different
+    current key -> displaced key pulled into the change set
+    (_bde_FixChangedIncKeyRecords, reference :2146-2226)."""
+    cols = ["u", "k"]
+    cur = spark.createDataFrame([(100, 1), (200, 2)], cols)
+    # staged: unique value 100 moved from key 1 to key 3; key 1 gone
+    stg = spark.createDataFrame([(100, 3), (200, 2)], cols)
+    chg = spark.createDataFrame([(3,)], ["key"])
+    fixed = M.fix_key_swaps(stg, cur, chg, "k", ["u"])
+    keys = {r.key for r in fixed.collect()}
+    assert keys == {3, 1}  # displaced old key 1 added
+    actions = M.classify_actions(cur, stg, fixed, "k", cols)
+    got = {r.key: r.action for r in actions.collect()}
+    assert got == {3: "I", 1: "D"}
+    res = M.apply_actions(cur, stg, actions, "k")
+    assert sorted(tuple(r) for r in res.collect()) == [(100, 3), (200, 2)]
+
+
+def test_full_diff(spark):
+    """J5: full-table diff for -full-incremental (identical rows -> no
+    action)."""
+    cols = ["a", "k"]
+    cur = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], cols)
+    stg = spark.createDataFrame([(1, 10), (99, 20), (4, 40)], cols)
+    diff = M.full_diff(cur, stg, "k", cols)
+    got = {r.key: r.action for r in diff.collect()}
+    assert got == {20: "U", 30: "D", 40: "I"}
+
+
+def test_select_valid_columns():
+    assert M.select_valid_columns(
+        ["id", "tablename", "tablekeyvalue", "action", "timestamp"],
+        ["tablename", "tablekeyvalue", "action"],
+    ) == ["tablename", "tablekeyvalue", "action"]
+    with pytest.raises(ValueError):
+        M.select_valid_columns(["x", "y"], ["a", "b"])
+
+
+def test_prepare_change_table(spark):
+    chg = spark.createDataFrame(
+        [(1, "CRS_Parcel_Bndry", 10, "I"), (2, "other_table", 20, "U"),
+         (3, "crs_parcel_bndry", 10, "U")],
+        ["id", "tablename", "tablekeyvalue", "action"])
+    out = M.prepare_change_table(chg, "crs_parcel_bndry")
+    assert {r.key for r in out.collect()} == {10}
+
+
+@pytest.mark.parametrize("new,prev,tol_e,tol_w,want", [
+    (100, 100, 0.20, 0.95, "ok"),
+    (94, 100, 0.20, 0.95, "warning"),
+    (19, 100, 0.20, 0.95, "error"),
+    (0, 100, None, None, "ok"),       # both NULL -> skip (intended semantics)
+    (50, 100, 0.20, None, "ok"),
+    (10, 100, 0.20, None, "error"),
+])
+def test_tolerance(new, prev, tol_e, tol_w, want):
+    assert M.check_tolerance(new, prev, tol_e, tol_w) == want
