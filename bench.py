@@ -1,0 +1,70 @@
+"""Benchmark runner: executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock seconds over the headline set (excluding
+Spark session startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from linz_bde_uploader_spark.plans.engine_suite import ENGINE_QUERIES
+from linz_bde_uploader_spark.plans.pipeline_suite import PIPELINE_QUERIES
+from linz_bde_uploader_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "cdc_classify",
+    "cdc_apply",
+    "full_diff",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_stats",
+    "sim_cosine_topk",
+    "events_sessionize",
+    "events_window_agg",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("bench")
+    allq = {**ENGINE_QUERIES, **PIPELINE_QUERIES}
+
+    # warm the JVM/catalyst path once with the cheapest query
+    allq["cdc_stats"][0](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = allq[name][0]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Text-metric column expressions for the training-data pipeline
+operators: tokenization, shingling, quality metrics, language scoring.
+
+Everything here is a JVM-side column expression (split / transform /
+filter / aggregate higher-order functions) — no Python UDFs in the hot
+path. Each expression has a documented SQL rendering used by the
+DuckDB differential oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic (the heuristic, not
+# the lexicon, is the operator).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization. SQL: string_split_regex(trim(x), '\\s+')."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def unique_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("bigint")
+
+
+def avg_token_length(col: Column) -> Column:
+    """Mean token length as double (exact integer sums -> one division)."""
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def stopword_count(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS_EN
+    arr = F.array(*[F.lit(w) for w in sw])
+    return F.size(F.filter(tokens(F.lower(col)), lambda x: F.array_contains(arr, x))).cast("bigint")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined).
+
+    SQL equivalent (DuckDB):
+      list_transform(generate_series(1, len(toks)-n+1),
+                     i -> array_to_string(toks[i:i+n-1], ' '))
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    made = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    return F.when(F.size(toks) >= n, made).otherwise(
+        F.array().cast("array<string>"))
+
+
+def quality_score(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Composite document quality in [0,1]:
+      0.4 * min(1, n_tokens/64)            (length signal)
+      + 0.3 * unique_ratio                 (repetition signal)
+      + 0.3 * min(1, 4*stopword_ratio)     (naturalness signal)
+    All terms are exact-integer ratios -> deterministic doubles.
+    """
+    n = token_count(col).cast("double")
+    uniq = unique_token_count(col).cast("double")
+    sw = stopword_count(col, stopwords).cast("double")
+    length_term = F.least(F.lit(1.0), n / F.lit(64.0))
+    unique_term = uniq / n
+    stop_term = F.least(F.lit(1.0), F.lit(4.0) * sw / n)
+    return (F.lit(0.4) * length_term + F.lit(0.3) * unique_term
+            + F.lit(0.3) * stop_term)

@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``    — brute-force exact top-k: broadcast the (small)
+  query set against the (huge) corpus; dot products via zip_with +
+  aggregate (JVM-side, codegen), per-query top-k via window. The
+  corpus is scanned once, partition-parallel; nothing ever collects.
+- ``lsh_bucketed_topk`` — the scale path: random-hyperplane sign
+  buckets prune the corpus before scoring. Probe the query's own
+  bucket (optionally with multi-probe neighbors); recall < 1 traded
+  for touching only |corpus|/2^planes rows per query.
+- ``embedding_near_pairs`` — corpus-vs-corpus near-duplicate pairs
+  above a cosine threshold, bucketed the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (pure codegen)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors for each query vector:
+    (query_id, neighbor_id, rank, cosine_sim).
+
+    Scale shape: queries broadcast (BroadcastNestedLoopJoin over a few
+    rows), corpus partition-parallel, per-query top-k via window on
+    (query_id) — the shuffle carries only |queries|*|corpus_partition|
+    pre-filtered candidates. Self-matches excluded.
+    """
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   _as_double(F.col(vec_col)).alias("qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
+                F.round(F.col("sim"), 6).alias("cosine_sim"))
+    )
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 4, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of dot products with
+    n_planes deterministic pseudo-random hyperplanes. Plane p's
+    component for dimension d is +1/-1 from a portable parity of
+    (p*dim + d), so the same buckets are computable in plain SQL."""
+    b = F.lit(0)
+    for p in range(n_planes):
+        signs = F.array(*[
+            F.lit(1.0 if _parity(p * dim + d) else -1.0) for d in range(dim)
+        ])
+        dp = F.aggregate(F.zip_with(vec, signs, lambda x, s: x * s),
+                         F.lit(0.0), lambda acc, v: acc + v)
+        b = b + F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return b
+
+
+def _parity(n: int) -> bool:
+    # deterministic pseudo-random sign: parity of bits of n*2654435761 mod 2^32
+    return bin((n * 2654435761) & 0xFFFFFFFF).count("1") % 2 == 0
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 4, dim: int = 64) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    hyperplane bucket. At 100 TB the bucket join replaces the cross
+    join — each query touches ~|corpus|/2^n_planes rows."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cv")) \
+              .withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes, dim))
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("bucket", hyperplane_bucket(F.col("qv"), n_planes, dim)))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
+                F.round(F.col("sim"), 6).alias("cosine_sim"))
+    )
+
+
+def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_planes: int = 4, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine_sim >=
+    threshold), pruned by shared hyperplane bucket."""
+    c = corpus.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v")) \
+              .withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, dim))
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

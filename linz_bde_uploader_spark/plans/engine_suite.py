@@ -1,0 +1,259 @@
+"""Engine-operator query suite: each reference operator (SURVEY.md §2)
+expressed as a (spark_fn, oracle_sql) pair over the TESTDATA tables.
+
+The CDC scenario derives deterministic current/staged/changeset
+relations from ``orders``:
+
+  cur = orders where o_orderkey % 10 <> 7          (keys ...7 deleted)
+  stg = orders where o_orderkey % 10 <> 3,         (keys ...3 new)
+        o_totalprice += 10.0 when o_orderkey % 5 = 0   (updates)
+  chg = keys with %10 in (3,7) or %5=0 or %11=0    (%11 -> '0' rows)
+
+so every action class I/U/D/0 occurs. The Spark side runs the REAL
+operators from operators/merge.py; the SQL is an independent
+re-statement for DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.operators import merge as M
+from linz_bde_uploader_spark.plans.tables import load_table
+
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"]
+
+_CDC_CTES = """
+cur AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 7),
+stg AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 <> 3),
+chg AS (SELECT o_orderkey AS key FROM orders
+        WHERE o_orderkey % 10 IN (3, 7) OR o_orderkey % 5 = 0
+           OR o_orderkey % 11 = 0),
+c AS (SELECT cur.* FROM cur JOIN chg ON cur.o_orderkey = chg.key),
+s AS (SELECT stg.* FROM stg JOIN chg ON stg.o_orderkey = chg.key),
+act AS (
+  SELECT COALESCE(c.o_orderkey, s.o_orderkey) AS key,
+         CASE WHEN s.o_orderkey IS NULL THEN 'D'
+              WHEN c.o_orderkey IS NULL THEN 'I'
+              WHEN c.o_custkey IS NOT DISTINCT FROM s.o_custkey
+               AND c.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
+               AND c.o_totalprice IS NOT DISTINCT FROM s.o_totalprice
+               AND c.o_orderdate IS NOT DISTINCT FROM s.o_orderdate
+               AND c.o_orderpriority IS NOT DISTINCT FROM s.o_orderpriority
+              THEN '0' ELSE 'U' END AS action
+  FROM c FULL OUTER JOIN s ON c.o_orderkey = s.o_orderkey)
+"""
+
+
+def cdc_frames(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cur = orders.filter(k % 10 != 7)
+    stg = orders.withColumn(
+        "o_totalprice",
+        F.when(k % 5 == 0, F.col("o_totalprice") + F.lit(10.0))
+        .otherwise(F.col("o_totalprice")),
+    ).filter(k % 10 != 3)
+    chg = orders.filter((k % 10).isin(3, 7) | (k % 5 == 0) | (k % 11 == 0)) \
+                .select(k.alias("key"))
+    return cur, stg, chg
+
+
+def q_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2+J3: one-pass I/U/D/0 action classification."""
+    cur, stg, chg = cdc_frames(spark, sf_dir)
+    return M.classify_actions(cur, stg, chg, "o_orderkey", ORDER_COLS)
+
+
+SQL_CDC_CLASSIFY = f"WITH {_CDC_CTES} SELECT key, action FROM act"
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: apply the action set -> merged table state."""
+    cur, stg, chg = cdc_frames(spark, sf_dir)
+    actions = M.classify_actions(cur, stg, chg, "o_orderkey", ORDER_COLS)
+    merged = M.apply_actions(cur, stg, actions, "o_orderkey")
+    return merged.select(
+        F.col("o_orderkey").alias("key"), "o_totalprice", "o_orderstatus")
+
+
+SQL_CDC_APPLY = f"""WITH {_CDC_CTES}
+SELECT o_orderkey AS key, o_totalprice, o_orderstatus FROM cur
+WHERE o_orderkey NOT IN (SELECT key FROM act WHERE action IN ('D','U','X'))
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus FROM stg
+WHERE o_orderkey IN (SELECT key FROM act WHERE action IN ('I','U','X'))
+"""
+
+
+def q_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-action counts for the stats ledger."""
+    cur, stg, chg = cdc_frames(spark, sf_dir)
+    actions = M.classify_actions(cur, stg, chg, "o_orderkey", ORDER_COLS)
+    return actions.groupBy("action").agg(F.count("*").alias("n"))
+
+
+SQL_CDC_STATS = f"WITH {_CDC_CTES} SELECT action, COUNT(*) AS n FROM act GROUP BY action"
+
+
+def q_full_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: full-table diff (-full-incremental), no change list."""
+    cur, stg, _ = cdc_frames(spark, sf_dir)
+    return M.full_diff(cur, stg, "o_orderkey", ORDER_COLS)
+
+
+SQL_FULL_DIFF = """
+WITH cur AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 7),
+stg AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 <> 3)
+SELECT key, action FROM (
+  SELECT COALESCE(cur.o_orderkey, stg.o_orderkey) AS key,
+         CASE WHEN stg.o_orderkey IS NULL THEN 'D'
+              WHEN cur.o_orderkey IS NULL THEN 'I'
+              WHEN cur.o_custkey IS NOT DISTINCT FROM stg.o_custkey
+               AND cur.o_orderstatus IS NOT DISTINCT FROM stg.o_orderstatus
+               AND cur.o_totalprice IS NOT DISTINCT FROM stg.o_totalprice
+               AND cur.o_orderdate IS NOT DISTINCT FROM stg.o_orderdate
+               AND cur.o_orderpriority IS NOT DISTINCT FROM stg.o_orderpriority
+              THEN NULL ELSE 'U' END AS action
+  FROM cur FULL OUTER JOIN stg ON cur.o_orderkey = stg.o_orderkey)
+WHERE action IS NOT NULL
+"""
+
+
+def q_keyswap_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: key-swap repair. Staged customer rows with c_custkey % 97 = 0
+    take the NAME of custkey+1 (a unique-value swap); the repair must
+    pull each displaced key (custkey+1) into the change set."""
+    customer = load_table(spark, sf_dir, "customer")
+    cur = customer
+    nxt = customer.select(F.col("c_custkey").alias("nk"),
+                          F.col("c_name").alias("nname"))
+    stg = (
+        customer.join(nxt, customer["c_custkey"] + 1 == nxt["nk"], "left")
+        .select(
+            "c_custkey",
+            F.when((F.col("c_custkey") % 97 == 0) & F.col("nk").isNotNull(),
+                   F.col("nname")).otherwise(F.col("c_name")).alias("c_name"),
+        )
+    )
+    chg = customer.filter(F.col("c_custkey") % 97 == 0) \
+                  .select(F.col("c_custkey").alias("key"))
+    return M.fix_key_swaps(stg, cur, chg, "c_custkey", ["c_name"])
+
+
+SQL_KEYSWAP = """
+WITH stg AS (
+  SELECT c.c_custkey,
+         CASE WHEN c.c_custkey % 97 = 0 AND n.c_custkey IS NOT NULL
+              THEN n.c_name ELSE c.c_name END AS c_name
+  FROM customer c LEFT JOIN customer n ON n.c_custkey = c.c_custkey + 1),
+chg AS (SELECT c_custkey AS key FROM customer WHERE c_custkey % 97 = 0),
+displaced AS (
+  SELECT DISTINCT cur.c_custkey AS key
+  FROM stg JOIN customer cur
+    ON stg.c_name = cur.c_name AND stg.c_custkey <> cur.c_custkey
+  WHERE cur.c_custkey NOT IN (SELECT key FROM chg))
+SELECT key FROM chg UNION ALL SELECT key FROM displaced
+"""
+
+
+def q_tolerance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: row-count tolerance gate per group (error < ceil(prev*0.2),
+    warning < ceil(prev*0.95))."""
+    cur, stg, _ = cdc_frames(spark, sf_dir)
+    prev = cur.groupBy("o_orderpriority").agg(F.count("*").alias("prev_count"))
+    new = stg.groupBy("o_orderpriority").agg(F.count("*").alias("new_count"))
+    j = prev.join(new, "o_orderpriority")
+    status = (
+        F.when(F.col("new_count") < F.ceil(F.col("prev_count") * 0.2), "error")
+        .when(F.col("new_count") < F.ceil(F.col("prev_count") * 0.95), "warning")
+        .otherwise("ok")
+    )
+    return j.select("o_orderpriority", "prev_count", "new_count",
+                    status.alias("status"))
+
+
+SQL_TOLERANCE = """
+WITH cur AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 7),
+stg AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 3),
+p AS (SELECT o_orderpriority, COUNT(*) AS prev_count FROM cur GROUP BY 1),
+q AS (SELECT o_orderpriority, COUNT(*) AS new_count FROM stg GROUP BY 1)
+SELECT p.o_orderpriority, p.prev_count, q.new_count,
+       CASE WHEN q.new_count < CAST(ceil(p.prev_count * 0.2) AS BIGINT) THEN 'error'
+            WHEN q.new_count < CAST(ceil(p.prev_count * 0.95) AS BIGINT) THEN 'warning'
+            ELSE 'ok' END AS status
+FROM p JOIN q USING (o_orderpriority)
+"""
+
+
+def q_changeset_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5: change-table preparation (case-normalize, filter one
+    table's rows, project + dedup keys) over an events-derived
+    change table."""
+    events = load_table(spark, sf_dir, "events")
+    chg_table = events.select(F.upper("event_type").alias("tablename"),
+                              F.col("user_id").alias("tablekeyvalue"))
+    return M.prepare_change_table(chg_table, "click")
+
+
+SQL_CHANGESET_PREPARE = """
+SELECT DISTINCT user_id AS key FROM events
+WHERE lower(upper(event_type)) = 'click'
+"""
+
+
+def q_dataset_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2: dataset discovery + watermark pruning — hourly dataset
+    ids (VARCHAR(14) style) newer than a watermark."""
+    events = load_table(spark, sf_dir, "events")
+    ds = events.select(
+        F.concat(F.date_format("ts", "yyyyMMddHH"), F.lit("0000")).alias("dataset"))
+    return ds.distinct().filter(F.col("dataset") > "20240105000000")
+
+
+SQL_DATASET_WATERMARK = """
+SELECT DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') || '0000' AS dataset
+FROM events
+WHERE strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') || '0000' > '20240105000000'
+"""
+
+
+def q_event_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-group duration = max(ts)-min(ts) seconds (the
+    bde_EventDuration timing-log aggregate)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1e6))
+        .alias("duration_sec"),
+    )
+
+
+SQL_EVENT_DURATION = """
+SELECT event_type, COUNT(*) AS n_events,
+       (epoch_us(max(CAST(ts AS TIMESTAMP))) - epoch_us(min(CAST(ts AS TIMESTAMP))))
+         / 1000000.0 AS duration_sec
+FROM events GROUP BY event_type
+"""
+
+ENGINE_QUERIES: dict[str, tuple] = {
+    "cdc_classify": (q_cdc_classify, SQL_CDC_CLASSIFY),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "cdc_stats": (q_cdc_stats, SQL_CDC_STATS),
+    "full_diff": (q_full_diff, SQL_FULL_DIFF),
+    "keyswap_repair": (q_keyswap_repair, SQL_KEYSWAP),
+    "tolerance_check": (q_tolerance_check, SQL_TOLERANCE),
+    "changeset_prepare": (q_changeset_prepare, SQL_CHANGESET_PREPARE),
+    "dataset_watermark": (q_dataset_watermark, SQL_DATASET_WATERMARK),
+    "event_duration": (q_event_duration, SQL_EVENT_DURATION),
+}

@@ -1,0 +1,484 @@
+"""Training-data pipeline + analytical query suite: dedup, similarity
+search, text analysis, and TPC-H-style headline queries — each a
+(spark_fn, oracle_sql) pair.
+
+Numeric portability rules (shared with engine_suite):
+- money aggregates are summed as exact DECIMALs, cast to DOUBLE last;
+- ratios divide exact integers as doubles;
+- cosine similarities round to 6 dp (both engines fold the arrays
+  sequentially -> bit-identical doubles in practice);
+- timestamps are emitted as formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.hashing import (
+    MINHASH_PRIME, sql_hash32, sql_hash60,
+)
+from linz_bde_uploader_spark.operators import dedup as D
+from linz_bde_uploader_spark.operators import similarity as S
+from linz_bde_uploader_spark.operators import text_analysis as TA
+from linz_bde_uploader_spark.plans.tables import load_table
+
+# ---------------------------------------------------------------- TPC-H
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (scan + filter + 8-way aggregate).
+    The shipdate predicate pushes to the parquet scan; DECIMAL sums
+    keep the output engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(12,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ'1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc1).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc1 * tax1).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(12,2)")).cast("double")
+             / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2)) * CAST(1+l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-10.
+    customer is broadcast (small dim); ties broken by key."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ'1997-01-01 00:00:00'"))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ'1997-01-01 00:00:00'"))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                 "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way star join, small dims broadcast."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ'1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ'1997-01-01 00:00:00'")))
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(customer, (orders["o_custkey"] == customer["c_custkey"])
+              & (customer["c_nationkey"] == supplier["s_nationkey"]))
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+# ------------------------------------------------------------- dedup
+
+# Corpus with synthetic duplicates: every doc with doc_id % 50 = 0 is
+# duplicated under doc_id + 10000, so the dedup operators have real
+# work on the (dup-free) TESTDATA corpus.
+_SQL_BASE = """
+base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0)
+"""
+
+_SQL_TOKS = "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM base)"
+
+_SQL_SH3 = """
+sh3 AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i))
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 50 == 0) \
+               .withColumn("doc_id", F.col("doc_id") + 10000)
+    return docs.unionByName(dups)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per distinct content, canonical id + copies."""
+    return D.exact_duplicates(_dup_corpus(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""WITH {_SQL_BASE}
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM base GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (16 perms, 4 bands,
+    3-word shingles)."""
+    return D.lsh_candidate_pairs(_dup_corpus(spark, sf_dir),
+                                 num_perm=16, bands=4, shingle_words=3)
+
+
+SQL_DEDUP_MINHASH = f"""WITH {_SQL_BASE}, {_SQL_TOKS}, {_SQL_SH3},
+sh AS (SELECT DISTINCT doc_id, {sql_hash32('shingle')} AS h FROM sh3),
+ph AS (
+  SELECT doc_id, i AS perm,
+         ((CAST(2*i+1 AS BIGINT) * h + CAST(i*i+7 AS BIGINT)) % {MINHASH_PRIME}) AS phv
+  FROM sh, unnest(generate_series(0, 15)) AS t(i)),
+sig AS (SELECT doc_id, perm, min(phv) AS minhash FROM ph GROUP BY doc_id, perm),
+bh AS (
+  SELECT doc_id, CAST(floor(perm / 4.0) AS INT) AS band,
+         md5(array_to_string(list_sort(list(CAST(perm AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))), ',')) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(floor(perm / 4.0) AS INT))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bh a JOIN bh b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (token bit-votes)."""
+    return D.simhash(_dup_corpus(spark, sf_dir), bits=32, shingle_words=1)
+
+
+SQL_DEDUP_SIMHASH = f"""WITH {_SQL_BASE}, {_SQL_TOKS},
+sh AS (SELECT DISTINCT doc_id, {sql_hash32('tok')} AS h
+       FROM (SELECT doc_id, unnest(w) AS tok FROM toks)),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM sh, unnest(generate_series(0, 31)) AS t(bit)
+  GROUP BY doc_id, bit)
+SELECT doc_id AS id,
+       CAST(SUM(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard pairs >= 0.3."""
+    pairs = D.jaccard_pairs(_dup_corpus(spark, sf_dir),
+                            shingle_words=3, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_JACCARD = f"""WITH {_SQL_BASE}, {_SQL_TOKS}, {_SQL_SH3},
+sh AS (SELECT DISTINCT doc_id, {sql_hash32('shingle')} AS h FROM sh3),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.3
+"""
+
+# ------------------------------------------------------- text analysis
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_STATS = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+       round(CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
+             / CAST(len(w) AS DOUBLE), 6) AS avg_token_len
+FROM toks
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.quality(load_table(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+         string_split_regex(trim(lower(text)), '\\s+') AS wl
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n,
+         CAST(len(list_distinct(w)) AS DOUBLE) AS uniq,
+         CAST(len(list_filter(wl, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) AS sw
+  FROM toks)
+SELECT doc_id,
+       round(0.4 * least(1.0, n/64.0) + 0.3 * (uniq/n)
+             + 0.3 * least(1.0, 4.0*sw/n), 6) AS quality
+FROM m
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.language_id(load_table(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+sc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(w, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS s_de,
+    CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT) AS s_en,
+    CAST(len(list_filter(w, t -> list_contains(['el','la','los','y','es'], t))) AS BIGINT) AS s_es,
+    CAST(len(list_filter(w, t -> list_contains(['le','la','les','et','est'], t))) AS BIGINT) AS s_fr
+  FROM toks),
+g AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM sc)
+SELECT doc_id,
+       CASE WHEN s_de = best AND best > 0 THEN 'de'
+            WHEN s_en = best AND best > 0 THEN 'en'
+            WHEN s_es = best AND best > 0 THEN 'es'
+            WHEN s_fr = best AND best > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM g
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = f"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+{_SQL_SH3.replace("FROM toks", "FROM toks").strip()}
+SELECT doc_id, min({sql_hash60('shingle')}) AS fingerprint
+FROM sh3 GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------- similarity
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-3 for query vectors vec_id < 10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(emb, queries, k=3)
+
+
+SQL_SIM_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+  FROM q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+         sim
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(sim, 6) AS cosine_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _sql_signs(plane: int, dim: int = 64) -> str:
+    vals = ",".join("1.0" if S._parity(plane * dim + d) else "-1.0"
+                    for d in range(dim))
+    return f"[{vals}]"
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 (random-hyperplane buckets) —
+    the 100 TB path: each query scores only its own bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_bucketed_topk(emb, queries, k=3, n_planes=4, dim=64)
+
+
+def _sql_bucket(vcol: str) -> str:
+    terms = []
+    for p in range(4):
+        terms.append(
+            f"(CASE WHEN list_dot_product({vcol}, {_sql_signs(p)}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+SQL_SIM_LSH_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+q AS (SELECT * FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+         sim
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(sim, 6) AS cosine_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.4) within shared
+    hyperplane buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_pairs(emb, threshold=0.4, n_planes=4, dim=64)
+
+
+SQL_SIM_NEAR_PAIRS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e)
+SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+       round(list_dot_product(a.v, bb.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) AS cosine_sim
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE round(list_dot_product(a.v, bb.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.4
+"""
+
+# ------------------------------------------------------------- events
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) -> sessions per user.
+    Batch analog of the streaming session operator."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / 1e6
+    new_sess = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        events.select("user_id", new_sess.alias("ns"))
+        .groupBy("user_id")
+        .agg(F.sum("ns").cast("bigint").alias("n_sessions"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS pts
+  FROM events)
+SELECT user_id,
+       CAST(SUM(CASE WHEN pts IS NULL OR epoch(ts - pts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM x GROUP BY user_id
+"""
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate per event type (batch analog of
+    the streaming windowed aggregation)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+    )
+
+
+SQL_WINDOW_AGG = """
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+PIPELINE_QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
+    "q5_local_supplier": (q5_local_supplier, SQL_Q5),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),
+    "text_quality": (q_text_quality, SQL_QUALITY),
+    "text_lang_id": (q_text_lang_id, SQL_LANG_ID),
+    "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
+    "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
+    "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
+    "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
+    "events_window_agg": (q_events_window_agg, SQL_WINDOW_AGG),
+}

@@ -22,6 +22,7 @@ def get_spark(app_name: str = "linz-bde-spark", shuffle_partitions: int | None =
         # AQE: runtime coalescing of shuffle partitions, skew-join
         # splitting, and dynamic broadcast conversion — the knobs that
         # keep the CDC merge plans healthy at 100 TB.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -30,6 +31,9 @@ def get_spark(app_name: str = "linz-bde-spark", shuffle_partitions: int | None =
         # Arrow for Pandas UDF operators (multimodal, embedding paths).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS); read as long and
+        # convert explicitly (see plans.tables.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

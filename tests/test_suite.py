@@ -1,0 +1,87 @@
+"""Differential tests: Spark suite vs DuckDB oracle at sf0.001 (fast
+subset; scripts/check_oracle.py covers all queries at sf0.01)."""
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from linz_bde_uploader_spark.plans.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FAST_QUERIES = [
+    "cdc_classify", "cdc_stats", "full_diff", "keyswap_repair",
+    "tolerance_check", "event_duration", "q1_pricing_summary",
+    "dedup_exact", "dedup_simhash", "text_token_stats", "text_lang_id",
+    "sim_cosine_topk", "events_sessionize",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(rows, cols):
+    import scripts.check_oracle as co
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("\x1f".join(co.norm_value(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    sdf = qs[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(oracles[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _norm(srows, sdf.columns) == _norm(drows, dcols)
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "sum_qty" in df.columns
+
+
+def test_dedup_finds_planted_duplicates(spark):
+    """The augmented corpus plants exact dups (doc_id%50==0 -> +10000);
+    exact, minhash-LSH and jaccard must all recover them."""
+    from linz_bde_uploader_spark.operators import dedup as D
+    from linz_bde_uploader_spark.plans.pipeline_suite import _dup_corpus
+    base = _dup_corpus(spark, SF_DIR)
+    planted = {(i, i + 10000) for (i,) in
+               base.filter("doc_id < 10000 AND doc_id % 50 = 0")
+               .select("doc_id").collect()}
+    exact = D.exact_duplicates(base).filter("n_copies > 1")
+    assert exact.count() == len(planted)
+    lsh = {(r.id_a, r.id_b) for r in
+           D.lsh_candidate_pairs(base, num_perm=16, bands=4).collect()}
+    assert planted <= lsh
+    jac = {(r.id_a, r.id_b) for r in
+           D.jaccard_pairs(base, threshold=0.99).collect()}
+    assert planted <= jac
+
+
+def test_lsh_topk_recall(spark):
+    """LSH-bucketed ANN should recover a decent fraction of the exact
+    top-3 (sanity check on the bucketing, not a hard guarantee)."""
+    from linz_bde_uploader_spark.operators import similarity as S
+    from linz_bde_uploader_spark.plans.tables import load_table
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, q, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in
+              S.lsh_bucketed_topk(emb, q, k=3, n_planes=2).collect()}
+    assert len(exact & approx) / len(exact) >= 0.2
