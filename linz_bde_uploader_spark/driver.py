@@ -1,0 +1,369 @@
+"""Upload orchestration: the Spark re-expression of
+``LINZ::BdeUpload::ApplyUpdates`` (lib/LINZ/BdeUpload.pm:559-610) and
+its three entry points:
+
+- EP1 ``-full``              level-0 snapshot replace
+- EP2 ``-incremental``       level-5 CDC merge
+- EP3 ``-full-incremental``  level-0 applied as a full-table diff
+- ``-rebuild``               latest L0 + all subsequent L5
+
+The reference runs one table at a time through PostgreSQL; here each
+table load is a Spark job (cluster-parallel within the load), and the
+driver sequences datasets/tables exactly like the reference
+(lib/LINZ/BdeUpload.pm:729,787). Dataset atomicity (C4) comes from the
+store's snapshot-pointer commit: nothing is visible until the pointer
+flips, and a failed dataset simply never commits.
+"""
+
+from __future__ import annotations
+
+import logging
+import subprocess
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.catalog.tables import TableDef, validate_key
+from linz_bde_uploader_spark.control.ledger import Ledger
+from linz_bde_uploader_spark.operators import merge as M
+from linz_bde_uploader_spark.sources.crs import (
+    CleanseConfig, parse_header, read_crs,
+)
+from linz_bde_uploader_spark.sources.repository import BdeRepository, Dataset
+from linz_bde_uploader_spark.sources.store import TableStore
+
+log = logging.getLogger("linz_bde_uploader_spark")
+
+
+@dataclass
+class UploadConfig:
+    """Knobs mirroring conf/linz_bde_uploader.conf."""
+
+    cleanse: CleanseConfig = field(default_factory=CleanseConfig)
+    # start-time continuity (conf:133-134; lib/LINZ/BdeUpload.pm:1070-1100)
+    level5_starttime_warn_tolerance: float = 0.5   # hours
+    level5_starttime_fail_tolerance: float = 0.0   # 0 = disabled
+    # event hooks (X3, conf:151-192); each a list of shell commands
+    # with {id} {dataset} {level} substitution
+    hooks: dict[str, list[str]] = field(default_factory=dict)
+    enable_hooks: bool = False
+    # per-level runtime budgets in hours; 0 = unlimited (C5, conf:148-149)
+    max_level0_runtime_hours: float = 0.0
+    max_level5_runtime_hours: float = 0.0
+    require_all_dataset_files: bool = True  # S3 completeness gate
+
+
+@dataclass
+class TableResult:
+    table: str
+    dataset: str
+    level: str
+    status: str               # loaded | skipped | warning | error
+    stats: M.MergeStats | None = None
+    message: str = ""
+
+
+class BdeUploader:
+    """One upload job over a repository + table registry."""
+
+    def __init__(self, spark: SparkSession, repo: BdeRepository,
+                 store: TableStore, ledger: Ledger, tables: list[TableDef],
+                 config: UploadConfig | None = None,
+                 post_upload_functions: list | None = None,
+                 post_level0_functions: list | None = None):
+        self.spark = spark
+        self.repo = repo
+        self.store = store
+        self.ledger = ledger
+        self.tables = tables
+        self.config = config or UploadConfig()
+        # X1 plugin registry: callables run after uploads / L0 uploads,
+        # in name order (reference discovers bde_postupload_* functions
+        # by catalog scan, sql/02-bde_control_functions.sql.in:2595-2643)
+        self.post_upload_functions = sorted(
+            post_upload_functions or [], key=lambda f: getattr(f, "__name__", ""))
+        self.post_level0_functions = sorted(
+            post_level0_functions or [], key=lambda f: getattr(f, "__name__", ""))
+        self.results: list[TableResult] = []
+        self._start = time.time()
+
+    # ----------------------------------------------------------- hooks
+    def _run_hooks(self, event: str, dataset: str = "", level: str = "",
+                   job_id: int = 0) -> None:
+        """X3 shell event hooks with placeholder substitution
+        (lib/LINZ/BdeUpload.pm:1102-1144)."""
+        if not self.config.enable_hooks:
+            return
+        for cmd in self.config.hooks.get(event, []):
+            final = (cmd.replace("{id}", str(job_id))
+                        .replace("{dataset}", dataset)
+                        .replace("{level}", level))
+            try:
+                subprocess.run(final, shell=True, timeout=60, check=False)
+            except Exception as e:  # hooks never fail the upload
+                log.warning("hook %s failed: %s", event, e)
+
+    def _budget_exceeded(self, level: str) -> bool:
+        """C5: per-level wall-clock budgets checked between steps."""
+        budget = (self.config.max_level0_runtime_hours if level == "0"
+                  else self.config.max_level5_runtime_hours)
+        return budget > 0 and (time.time() - self._start) > budget * 3600
+
+    # ------------------------------------------------------- selection
+    def level0_updates(self, before: str | None = None) -> list[tuple[Dataset, list[TableDef]]]:
+        """EP1 planning: the LATEST complete L0 dataset; tables whose
+        last_level0_dataset watermark is older
+        (lib/LINZ/BdeUpload.pm:612-651)."""
+        ds = self.repo.latest(0, before=before)
+        if ds is None:
+            return []
+        todo = []
+        for t in self.tables:
+            if "0" not in t.levels or t.l5_change_table:
+                continue
+            if self.ledger.table(t.name)["last_level0_dataset"] >= ds.name:
+                continue
+            todo.append(t)
+        return [(ds, todo)] if todo else []
+
+    def level5_updates(self, before: str | None = None) -> list[tuple[Dataset, list[TableDef]]]:
+        """EP2 planning: all datasets after each table's
+        last_upload_dataset watermark, in order; l5_is_full tables take
+        only the newest (lib/LINZ/BdeUpload.pm:653-707)."""
+        plan: list[tuple[Dataset, list[TableDef]]] = []
+        datasets = self.repo.select(5, before=before)
+        if not datasets:
+            return []
+        latest = datasets[-1].name
+        for ds in datasets:
+            todo = []
+            for t in self.tables:
+                if "5" not in t.levels or t.l5_change_table:
+                    continue
+                if self.ledger.table(t.name)["last_upload_dataset"] >= ds.name:
+                    continue
+                if t.l5_is_full and ds.name != latest:
+                    continue
+                todo.append(t)
+            if todo:
+                plan.append((ds, todo))
+        return plan
+
+    # --------------------------------------------------------- loading
+    def _change_table_def(self) -> TableDef | None:
+        for t in self.tables:
+            if t.l5_change_table:
+                return t
+        return None
+
+    def _load_file(self, path: str, table: TableDef):
+        """S4+S5+P1: parse header, project valid columns, read+cleanse."""
+        header = parse_header(path)
+        if table.column_overrides:
+            file_cols = [c for c, _ in table.column_overrides]
+        else:
+            file_cols = header.field_names
+        target_cols = file_cols  # target schema == file schema v0;
+        # P1 column intersection still validates overrides vs header
+        valid = M.select_valid_columns(header.field_names, target_cols)
+        df = read_crs(self.spark, path, header=header, valid_columns=valid,
+                      cleanse=self.config.cleanse)
+        return header, df
+
+    def _check_start_continuity(self, table: TableDef, header) -> str | None:
+        """§2.8 level-5 gap detector: file START must be close to the
+        previously recorded END (lib/LINZ/BdeUpload.pm:1070-1100)."""
+        prev_end = self.ledger.table(table.name).get("last_upload_details") or ""
+        if not prev_end or not header.start_time:
+            return None
+        from datetime import datetime
+        fmt = "%Y-%m-%d %H:%M:%S"
+        try:
+            gap_h = abs((datetime.strptime(header.start_time, fmt)
+                         - datetime.strptime(prev_end, fmt)).total_seconds()) / 3600
+        except ValueError:
+            return None
+        fail = self.config.level5_starttime_fail_tolerance
+        warn = self.config.level5_starttime_warn_tolerance
+        if fail > 0 and gap_h > fail:
+            return "fail"
+        if warn > 0 and gap_h > warn:
+            return "warn"
+        return None
+
+    def upload_table_level0(self, job, ds: Dataset, table: TableDef,
+                            incremental: bool = False) -> TableResult:
+        """EP1 (or EP3 when incremental=True) per-table load."""
+        t0 = time.time()
+        files = ds.files()
+        header = None
+        stg = None
+        for tag in table.files:
+            header, part = self._load_file(files[tag], table)
+            stg = part if stg is None else stg.unionByName(part, allowMissingColumns=True)
+        if table.key:
+            validate_key(table, {c.name: c.type_name for c in header.columns})
+
+        prev_count = (self.store.read(self.spark, table.name).count()
+                      if self.store.exists(table.name) else 0)
+        if incremental and self.store.exists(table.name):
+            cur = self.store.read(self.spark, table.name)
+            diff = M.full_diff(cur, stg, table.key, cur.columns)
+            counts = {r["action"]: r["n"] for r in
+                      diff.groupBy("action").agg(F.count("*").alias("n")).collect()}
+            stats = M.MergeStats(ninsert=counts.get("I", 0),
+                                 nupdate=counts.get("U", 0),
+                                 ndelete=counts.get("D", 0))
+            new = M.apply_actions(cur, stg, diff, table.key)
+        else:
+            n = stg.count()
+            stats = M.MergeStats(ninsert=n, ndelete=prev_count if incremental else 0)
+            new = M.level0_replace(stg)
+
+        new_count = new.count()
+        tol = M.check_tolerance(new_count, prev_count,
+                                table.row_tol_error, table.row_tol_warning)
+        if tol == "error" and prev_count > 0:
+            return TableResult(table.name, ds.name, "0", "error", stats,
+                               f"tolerance: {new_count} < error floor of {prev_count}")
+        self.store.write(table.name, new, key=table.key, dataset=ds.name)
+        self.ledger.record_dataset_loaded(
+            job.id, table.name, ds.name, "0", stats,
+            duration=time.time() - t0, details=header.end_time or "")
+        return TableResult(table.name, ds.name, "0",
+                           "warning" if tol == "warning" else "loaded", stats)
+
+    def upload_table_level5(self, job, ds: Dataset, table: TableDef,
+                            changes) -> TableResult:
+        """EP2 per-table CDC merge (bde_ApplyLevel5Update,
+        sql/02-bde_control_functions.sql.in:1576-1818)."""
+        t0 = time.time()
+        files = ds.files()
+        header = None
+        stg = None
+        for tag in table.files:
+            header, part = self._load_file(files[tag], table)
+            stg = part if stg is None else stg.unionByName(part, allowMissingColumns=True)
+
+        cont = self._check_start_continuity(table, header)
+        if cont == "fail":
+            return TableResult(table.name, ds.name, "5", "error",
+                               message="start-time continuity gap exceeds fail tolerance")
+
+        cur = self.store.read(self.spark, table.name)
+        chg = M.prepare_change_table(changes, table.name)
+        # early-exit if this table has no changed keys (reference :1713)
+        if chg.limit(1).count() == 0:
+            self.ledger.record_dataset_loaded(
+                job.id, table.name, ds.name, "5", M.MergeStats(),
+                duration=time.time() - t0, details=header.end_time or "")
+            return TableResult(table.name, ds.name, "5", "loaded", M.MergeStats())
+
+        chg = M.fix_key_swaps(stg, cur, chg, table.key, [])
+        actions = M.classify_actions(cur, stg, chg, table.key, cur.columns)
+        actions = actions.cache()
+        stats = M.merge_stats(actions)
+        merged = M.apply_actions(cur, stg, actions, table.key)
+        prev_count = cur.count()
+        new_count = merged.count()
+        actions.unpersist()
+        tol = M.check_tolerance(new_count, prev_count,
+                                table.row_tol_error, table.row_tol_warning)
+        if tol == "error" and prev_count > 0:
+            return TableResult(table.name, ds.name, "5", "error", stats,
+                               f"tolerance: {new_count} < error floor of {prev_count}")
+        self.store.write(table.name, merged, key=table.key, dataset=ds.name)
+        self.ledger.record_dataset_loaded(
+            job.id, table.name, ds.name, "5", stats,
+            duration=time.time() - t0, details=header.end_time or "")
+        return TableResult(table.name, ds.name, "5",
+                           "warning" if tol == "warning" else "loaded", stats)
+
+    # ------------------------------------------------------------ runs
+    def _dataset_available(self, ds: Dataset, tables: list[TableDef]) -> list[str]:
+        tags = []
+        for t in tables:
+            tags.extend(t.files)
+        chg = self._change_table_def()
+        if chg and ds.level == 5:
+            tags.extend(chg.files)
+        return ds.missing_files(tags)
+
+    def apply_updates(self, level0: bool = False, level5: bool = False,
+                      full_incremental: bool = False, rebuild: bool = False,
+                      before: str | None = None, dry_run: bool = False,
+                      job=None) -> list[TableResult]:
+        """ApplyUpdates: plan + run (lib/LINZ/BdeUpload.pm:559-610).
+        -rebuild = latest L0 + all subsequent L5 (:671-675)."""
+        owns_job = job is None
+        if owns_job:
+            job = self.ledger.create_job()
+        try:
+            plan: list[tuple[Dataset, list[TableDef], str]] = []
+            if level0 or full_incremental or rebuild:
+                for ds, tabs in self.level0_updates(before=before):
+                    plan.append((ds, tabs, "0"))
+            if level5 or rebuild:
+                for ds, tabs in self.level5_updates(before=before):
+                    plan.append((ds, tabs, "5"))
+            if dry_run:
+                for ds, tabs, lvl in plan:
+                    for t in tabs:
+                        self.results.append(TableResult(
+                            t.name, ds.name, lvl, "skipped", message="dry-run"))
+                return self.results
+            if not plan:
+                log.info("No dataset updates")
+                return self.results
+
+            for ds, tabs, lvl in plan:
+                if self._budget_exceeded(lvl):
+                    log.warning("runtime budget exceeded; stopping before %s", ds.name)
+                    break
+                missing = self._dataset_available(ds, tabs)
+                if missing and self.config.require_all_dataset_files:
+                    for t in tabs:
+                        self.results.append(TableResult(
+                            t.name, ds.name, lvl, "skipped",
+                            message=f"dataset incomplete: missing {missing}"))
+                    continue
+                self._run_hooks("start_dataset", ds.name, lvl, job.id)
+                changes = None
+                if lvl == "5":
+                    chg_def = self._change_table_def()
+                    if chg_def is None:
+                        raise RuntimeError("no l5_change_table configured")
+                    _, changes = self._load_file(ds.files()[chg_def.files[0]], chg_def)
+                for t in tabs:
+                    if not self.ledger.acquire_lock(t.name, job.id):
+                        self.results.append(TableResult(
+                            t.name, ds.name, lvl, "skipped", message="locked"))
+                        continue
+                    try:
+                        if lvl == "0":
+                            r = self.upload_table_level0(
+                                job, ds, t, incremental=full_incremental)
+                        else:
+                            r = self.upload_table_level5(job, ds, t, changes)
+                    finally:
+                        self.ledger.release_lock(t.name, job.id)
+                    self.results.append(r)
+                    self.ledger.heartbeat(job.id)
+                if lvl == "0":
+                    for fn in self.post_level0_functions:
+                        fn(job)
+                self._run_hooks("finish_dataset", ds.name, lvl, job.id)
+            for fn in self.post_upload_functions:
+                fn(job)
+            return self.results
+        except Exception:
+            if owns_job:
+                self.ledger.finish_job(job.id, ok=False)
+                owns_job = False
+            raise
+        finally:
+            if owns_job:
+                ok = not any(r.status == "error" for r in self.results)
+                self.ledger.finish_job(job.id, ok=ok)

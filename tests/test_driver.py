@@ -1,0 +1,147 @@
+"""End-to-end driver tests: full upload lifecycle through BdeUploader
+and the CLI, reproducing the reference e2e scenarios
+(t/linz_bde_uploader.t golden states)."""
+
+import pytest
+
+from linz_bde_uploader_spark.catalog.tables import parse_tables_conf
+from linz_bde_uploader_spark.control.ledger import Ledger
+from linz_bde_uploader_spark.driver import BdeUploader, UploadConfig
+from linz_bde_uploader_spark.sources.repository import BdeRepository
+from linz_bde_uploader_spark.sources.store import TableStore
+from tests.fixtures import write_repository
+
+TABLES_CONF = """
+TABLE l5_change_table l5_change_table files xaud
+TABLE crs_parcel_bndry key=audit_id row_tol=0.20,0.95 files pab1
+"""
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    tables = parse_tables_conf(TABLES_CONF)
+    up = BdeUploader(spark, repo, store, ledger, tables)
+    return up, store, ledger
+
+
+def test_full_then_incremental(spark, env):
+    up, store, ledger = env
+    r0 = up.apply_updates(level0=True)
+    assert [x.status for x in r0] == ["loaded"]
+    assert (r0[0].stats.ninsert, r0[0].stats.ndelete) == (3, 0)
+    assert store.read(spark, "crs_parcel_bndry").count() == 3
+
+    r5 = up.apply_updates(level5=True)
+    r = r5[-1]
+    assert r.status == "loaded" and r.level == "5"
+    s = r.stats
+    assert (s.ninsert, s.nupdate, s.nnullupdate, s.ndelete) == (3, 2, 0, 1)
+    rows = {x.audit_id: x.sequence for x in store.read(spark, "crs_parcel_bndry").collect()}
+    assert rows == {100: 3, 80401149: 20, 80401148: 10, 300: 4, 400: 5}
+
+    # idempotent re-run: watermarks advance -> nothing to do
+    up2 = BdeUploader(spark, up.repo, store, ledger, up.tables)
+    assert up2.apply_updates(level0=True, level5=True) == []
+
+    # job ledger closed cleanly
+    assert not ledger.any_active()
+    assert len(ledger.stats_rows()) == 2
+
+
+def test_rebuild_runs_l0_then_l5(spark, env):
+    up, store, ledger = env
+    results = up.apply_updates(rebuild=True)
+    assert [r.level for r in results] == ["0", "5"]
+    assert store.read(spark, "crs_parcel_bndry").count() == 5
+
+
+def test_before_filter_excludes_new_datasets(spark, env):
+    """-before excludes datasets not strictly older (S2)."""
+    up, store, ledger = env
+    assert up.apply_updates(level0=True, before="20160601000000") == []
+    r = up.apply_updates(level0=True, before="20160601000001")
+    assert len(r) == 1
+
+
+def test_dry_run_changes_nothing(spark, env):
+    up, store, ledger = env
+    r = up.apply_updates(level0=True, level5=True, dry_run=True)
+    assert all(x.status == "skipped" for x in r)
+    assert not store.exists("crs_parcel_bndry")
+
+
+def test_incomplete_dataset_skipped(spark, env, tmp_path):
+    import os
+    up, store, ledger = env
+    os.remove(os.path.join(up.repo.root, "level_0", "20160601000000", "pab1.crs"))
+    r = up.apply_updates(level0=True)
+    # dataset has no pab1 -> file listing misses the tag entirely
+    assert r == [] or all(x.status == "skipped" for x in r)
+
+
+def test_hooks_fire(spark, env, tmp_path):
+    up, store, ledger = env
+    marker = tmp_path / "hook.log"
+    up.config.enable_hooks = True
+    up.config.hooks = {
+        "start_dataset": [f"echo start {{dataset}} level={{level}} >> {marker}"],
+        "finish_dataset": [f"echo finish {{dataset}} >> {marker}"],
+    }
+    up.apply_updates(level0=True)
+    content = marker.read_text()
+    assert "start 20160601000000 level=0" in content
+    assert "finish 20160601000000" in content
+
+
+def test_post_functions_run_in_name_order(spark, env):
+    up, store, ledger = env
+    calls = []
+
+    def b_second(job):
+        calls.append("b")
+
+    def a_first(job):
+        calls.append("a")
+
+    up.post_level0_functions = sorted([b_second, a_first], key=lambda f: f.__name__)
+    up.apply_updates(level0=True)
+    assert calls == ["a", "b"]
+
+
+def test_tolerance_error_aborts_table(spark, env, tmp_path):
+    """A 5->0 row collapse breaches row_tol=0.20 -> error, no commit."""
+    import os
+    from tests.fixtures import PAB1_L5, XAUD, write_crs
+    up, store, ledger = env
+    up.apply_updates(rebuild=True)
+    v_before = store.current_version("crs_parcel_bndry")
+    # craft a later L5 dataset deleting ALL rows (0 < ceil(5*0.2))
+    newds = os.path.join(up.repo.root, "level_5", "20160602000000")
+    l5 = PAB1_L5[:PAB1_L5.index("{CRS-DATA}") + len("{CRS-DATA}") + 1]
+    xa_head = XAUD[:XAUD.index("{CRS-DATA}") + len("{CRS-DATA}") + 1]
+    xa = xa_head + "".join(
+        f"{i}|crs_parcel_bndry|{k}|D|2016-06-02 00:00:00|\n"
+        for i, k in enumerate([100, 80401148, 80401149, 300, 400]))
+    write_crs(os.path.join(newds, "pab1.crs"), l5)
+    write_crs(os.path.join(newds, "xaud.crs"), xa)
+    r = up.apply_updates(level5=True)
+    assert r[-1].status == "error"
+    assert store.current_version("crs_parcel_bndry") == v_before  # no commit
+
+
+def test_cli_end_to_end(tmp_path, spark):
+    """Drive the real CLI module (in-process main())."""
+    from linz_bde_uploader_spark import cli
+    repo_root = write_repository(str(tmp_path / "repo"))
+    conf = tmp_path / "tables.conf"
+    conf.write_text(TABLES_CONF)
+    common = ["--repository", repo_root, "--store", str(tmp_path / "store"),
+              "--control", str(tmp_path / "ctl"), "--tables-conf", str(conf)]
+    assert cli.main(common + ["-rebuild", "-dry-run"]) == 0
+    assert cli.main(common + ["-rebuild"]) == 0
+    assert cli.main(common + ["-incremental"]) == 0  # idempotent
+    assert cli.main(common + ["-full-incremental", "-rebuild"]) == 2
+    assert cli.main(common + ["-purge", "-remove-zombie"]) == 0
