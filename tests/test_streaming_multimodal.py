@@ -1,0 +1,140 @@
+"""Streaming + multimodal operator tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from linz_bde_uploader_spark.operators import multimodal as MM
+from linz_bde_uploader_spark.plans.tables import load_table
+from linz_bde_uploader_spark.streaming import events as STR
+from tests.fixtures import write_repository
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------ streaming
+
+def test_stream_repository_available_now(spark, tmp_path):
+    """Drain a repository as a file stream; datasets tagged from path."""
+    root = write_repository(str(tmp_path / "repo"))
+    schema = T.StructType([
+        T.StructField("pri_id", T.IntegerType()),
+        T.StructField("sequence", T.IntegerType()),
+        T.StructField("lin_id", T.IntegerType()),
+        T.StructField("reversed", T.StringType()),
+        T.StructField("audit_id", T.IntegerType()),
+    ])
+    lines = STR.stream_repository(spark, root, 0, schema, file_tag="pab1")
+    parsed = STR.parse_crs_stream(lines, schema)
+    out = str(tmp_path / "out")
+    STR.run_available_now(parsed, str(tmp_path / "ckpt"), out)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r.dataset for r in got.select("dataset").collect()} == {"20160601000000"}
+    # second drain with same checkpoint: no new datasets -> no new rows
+    lines2 = STR.stream_repository(spark, root, 0, schema, file_tag="pab1")
+    STR.run_available_now(STR.parse_crs_stream(lines2, schema),
+                          str(tmp_path / "ckpt"), out)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    """Streaming windowed agg over the events table (as a stream)
+    equals the batch answer."""
+    ev = load_table(spark, SF_DIR, "events")
+    batch = {(r.window_start, r.event_type, r.n) for r in
+             STR.windowed_counts(ev).collect()}
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = str(tmp_path / "win_out")
+    STR.run_available_now(STR.windowed_counts(stream), str(tmp_path / "ckpt2"), out)
+    streamed = {(r.window_start, r.event_type, r.n) for r in
+                spark.read.parquet(out).collect()}
+    # append mode only emits windows finalized by the watermark: the
+    # trailing <= 2h+1window of data stays in state when the stream
+    # drains — everything emitted must match batch, and only the tail
+    # may be missing.
+    assert streamed <= batch
+    missing = batch - streamed
+    cutoff = max(w for (w, _, _) in batch)
+    assert all(w >= "2024-01-30 21:00:00" for (w, _, _) in missing), missing
+    assert len(streamed) > 0.9 * len(batch)
+    assert cutoff >= "2024-01-30 23:00:00"
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """Native session_window sessionization: session count per user
+    matches the batch lag-based sessionizer."""
+    from linz_bde_uploader_spark.plans.pipeline_suite import q_events_sessionize
+    ev = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev_src2")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = str(tmp_path / "sess_out")
+    STR.run_available_now(STR.sessionize(stream), str(tmp_path / "ckpt3"), out)
+    got = spark.read.parquet(out)
+    stream_counts = {r.user_id: r.n for r in
+                     got.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    batch_counts = {r.user_id: r.n_sessions for r in
+                    q_events_sessionize(spark, SF_DIR).collect()}
+    # append mode: each user's final (non-watermark-expired) session
+    # stays in state at drain time -> batch count may exceed the
+    # streamed count by at most 1 per user.
+    assert set(batch_counts) >= set(stream_counts)
+    for uid, bn in batch_counts.items():
+        sn = stream_counts.get(uid, 0)
+        assert sn <= bn <= sn + 1, (uid, sn, bn)
+    assert sum(stream_counts.values()) >= 0.5 * sum(batch_counts.values())
+
+
+# ----------------------------------------------------------- multimodal
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return MM.synthetic_media(spark, n=30).cache()
+
+
+def test_extract_features(media):
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 30
+    r = feats[0]
+    assert len(r.features) == MM.FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in r.features)
+    assert r.payload_bytes > 0 and len(r.payload_sha256) == 64
+    # deterministic across runs
+    again = MM.extract_features(media).collect()
+    assert {(x.media_id, tuple(x.features)) for x in feats} == \
+           {(x.media_id, tuple(x.features)) for x in again}
+
+
+def test_decode_stub_gate(media):
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        MM.extract_features(media, decode_stub=False).collect()
+
+
+def test_resize_images(media):
+    out = MM.resize_images(media, width=8, height=8).collect()
+    assert len(out) == 10  # kind == image only
+    for r in out:
+        assert len(bytes(r.payload)) <= 64
+        assert r.meta.width == 8 and r.meta.height == 8
+
+
+def test_sample_frames(media):
+    frames = MM.sample_frames(media, every_n=5).collect()
+    assert frames, "video rows must yield frames"
+    by_media = {}
+    for fr in frames:
+        by_media.setdefault(fr.media_id, []).append(fr.frame_index)
+    for idxs in by_media.values():
+        assert idxs == sorted(idxs)
+        assert all(i % 5 == 0 for i in idxs)
+
+
+def test_media_stats(media):
+    rows = {r.kind: r for r in MM.media_stats(media).collect()}
+    assert set(rows) == {"image", "audio", "video"}
+    assert all(r.total_bytes > 0 for r in rows.values())
