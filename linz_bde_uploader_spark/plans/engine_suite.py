@@ -257,3 +257,92 @@ ENGINE_QUERIES: dict[str, tuple] = {
     "dataset_watermark": (q_dataset_watermark, SQL_DATASET_WATERMARK),
     "event_duration": (q_event_duration, SQL_EVENT_DURATION),
 }
+
+
+def q_union_lock_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: 3-branch UNION ... DISTINCT (the lock-holder candidate CTE,
+    sql/02-bde_control_functions.sql.in:175-196) re-expressed over the
+    events table: users seen via clicks ∪ errors ∪ purchases."""
+    events = load_table(spark, sf_dir, "events")
+
+    def branch(kind):
+        return events.filter(F.col("event_type") == kind) \
+                     .select(F.col("user_id").alias("candidate"))
+
+    return branch("click").union(branch("error")).union(branch("purchase")).distinct()
+
+
+SQL_UNION_LOCK = """
+SELECT user_id AS candidate FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'error'
+UNION
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_string_agg_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: string_agg(DISTINCT ...) lock-owner diagnostic
+    (sql/02-bde_control_functions.sql.in:738) — per nation, the sorted
+    distinct market segments of its customers as one string."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation),
+                      customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.concat_ws(", ", F.array_sort(F.collect_set("c_mktsegment")))
+             .alias("segments"))
+    )
+
+
+SQL_STRING_AGG = """
+SELECT n_name,
+       string_agg(DISTINCT c_mktsegment, ', ' ORDER BY c_mktsegment) AS segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_latest_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: latest-dataset (top-1) selection — `-full` loads only the
+    newest level-0 dataset (lib/LINZ/BdeUpload.pm:629,687)."""
+    events = load_table(spark, sf_dir, "events")
+    ds = events.select(
+        F.concat(F.date_format("ts", "yyyyMMddHH"), F.lit("0000")).alias("dataset"))
+    return ds.agg(F.max("dataset").alias("latest_dataset"),
+                  F.count_distinct("dataset").alias("n_datasets"))
+
+
+SQL_LATEST_DATASET = """
+SELECT max(d) AS latest_dataset, CAST(count(DISTINCT d) AS BIGINT) AS n_datasets
+FROM (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') || '0000' AS d FROM events)
+"""
+
+
+def q_active_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: active-job existence count (bde_uploadIsActive,
+    sql/02-bde_control_functions.sql.in:136-159) — per user, count of
+    'in-flight' purchase events (value above threshold) and whether
+    any exists."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_active"))
+        .withColumn("is_active", F.col("n_active") > 0)
+    )
+
+
+SQL_ACTIVE_JOBS = """
+SELECT user_id, COUNT(*) AS n_active, COUNT(*) > 0 AS is_active
+FROM events WHERE event_type = 'purchase' AND value > 90
+GROUP BY user_id
+"""
+
+ENGINE_QUERIES.update({
+    "union_lock_candidates": (q_union_lock_candidates, SQL_UNION_LOCK),
+    "string_agg_owners": (q_string_agg_owners, SQL_STRING_AGG),
+    "latest_dataset": (q_latest_dataset, SQL_LATEST_DATASET),
+    "active_jobs": (q_active_jobs, SQL_ACTIVE_JOBS),
+})
