@@ -113,6 +113,78 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "id", vec_col: str = "v",
+               nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine:
+    (id, v, cell, cell_rank). Centroids are broadcast — assignment is a
+    map-side pass over the corpus, no shuffle of the vectors."""
+    cents = F.broadcast(centroids.select(
+        F.col("cent_id"), F.col("cv").alias("_cent_v")))
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id"))
+    return (
+        vectors.crossJoin(cents)
+        .withColumn("csim", cosine(F.col(vec_col), F.col("_cent_v")))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(F.col(id_col), F.col(vec_col),
+                F.col("cent_id").alias("cell"), F.col("cell_rank"))
+    )
+
+
+def seed_centroids(corpus: DataFrame, n_centroids: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid set: the corpus vectors with the lowest
+    ids. Production IVF trains centroids with k-means
+    (pyspark.ml.clustering.KMeans fit on a sample); deterministic seeds
+    keep the index reproducible and the oracle SQL-expressible —
+    the *index structure* (assign/probe/rerank) is identical either way."""
+    return corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cv"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 8, nprobe: int = 2,
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second ANN scale path
+    beside LSH. Corpus vectors are bucketed into centroid cells
+    (the inverted lists); each query scores only the cells of its
+    ``nprobe`` nearest centroids.
+
+    Scale shape: at 100 TB the corpus is *stored* partitioned by cell
+    (store.write(..., key='cell')), so a probe is a partition-pruned
+    scan of nprobe/n_centroids of the data; the centroid table
+    (thousands of rows at most) broadcasts everywhere. Recall is tuned
+    by nprobe without touching the index.
+    """
+    if centroids is None:
+        centroids = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    inv = ivf_assign(c, centroids, "neighbor_id", "cv", nprobe=1) \
+        .select("neighbor_id", F.col("cv"), "cell")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    probes = F.broadcast(ivf_assign(q, centroids, "query_id", "qv", nprobe=nprobe)
+                         .select("query_id", F.col("qv"), "cell"))
+    scored = (
+        probes.join(inv, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        # each corpus vector lives in exactly one cell (nprobe=1 on the
+        # inverted lists) so (query, neighbor) pairs are already unique
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
+                F.round(F.col("sim"), 6).alias("cosine_sim"))
+    )
+
+
 def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          n_planes: int = 4, dim: int = 64) -> DataFrame:

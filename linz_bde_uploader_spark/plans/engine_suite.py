@@ -340,9 +340,51 @@ FROM events WHERE event_type = 'purchase' AND value > 90
 GROUP BY user_id
 """
 
+def q_stream_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    the level-5 start-time continuity / gap detector
+    (lib/LINZ/BdeUpload.pm:1070-1100) run as a real availableNow
+    stream. Derives a per-(event_type, day) file manifest from the
+    events table — table=event_type, dataset=day, START/END = min/max
+    event time — and flags day-over-day gaps beyond 0.5h.
+
+    Not SQL-expressible (keyed state store across micro-batches), so
+    this entry has no DuckDB oracle: the driver records the weaker
+    rows-only check. Deterministic for a given sf_dir.
+    """
+    import shutil
+    import tempfile
+
+    from linz_bde_uploader_spark.streaming.events import (
+        continuity_check, run_available_now,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    manifest = (
+        events.groupBy(F.col("event_type").alias("table"),
+                       F.date_format("ts", "yyyyMMdd").alias("dataset"))
+        .agg(F.min(F.unix_micros("ts") / 1e6).alias("start_ts"),
+             F.max(F.unix_micros("ts") / 1e6).alias("end_ts"))
+    )
+    work = tempfile.mkdtemp(prefix="continuity-")
+    try:
+        src = f"{work}/src"
+        manifest.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(manifest.schema).parquet(src)
+        checked = continuity_check(stream, warn_hours=0.5)
+        run_available_now(checked, f"{work}/ckpt", f"{work}/out")
+        # materialize before the temp dir disappears
+        out = spark.read.parquet(f"{work}/out")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 ENGINE_QUERIES.update({
     "union_lock_candidates": (q_union_lock_candidates, SQL_UNION_LOCK),
     "string_agg_owners": (q_string_agg_owners, SQL_STRING_AGG),
     "latest_dataset": (q_latest_dataset, SQL_LATEST_DATASET),
     "active_jobs": (q_active_jobs, SQL_ACTIVE_JOBS),
+    "stream_continuity": (q_stream_continuity, None),
 })

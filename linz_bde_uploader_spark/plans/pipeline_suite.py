@@ -397,6 +397,47 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-3: corpus bucketed into 8
+    centroid cells (deterministic seed centroids = vec_id < 8), each
+    query probes its 2 nearest cells."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2)
+
+
+SQL_SIM_IVF_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+asgn AS (
+  SELECT e.vec_id, e.v, c.cent_id,
+         list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+           c.cent_id) AS cell_rank
+  FROM e CROSS JOIN cents c),
+inv AS (SELECT vec_id AS neighbor_id, v AS cv, cent_id AS cell
+        FROM asgn WHERE cell_rank = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell
+           FROM asgn WHERE vec_id < 10 AND cell_rank <= 2),
+scored AS (
+  SELECT p.query_id, i.neighbor_id,
+         list_dot_product(p.qv, i.cv)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(i.cv, i.cv))) AS sim
+  FROM probes p JOIN inv i ON p.cell = i.cell AND p.query_id <> i.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+         sim
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(sim, 6) AS cosine_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.4) within shared
     hyperplane buckets."""
@@ -478,6 +519,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
+    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
     "events_window_agg": (q_events_window_agg, SQL_WINDOW_AGG),

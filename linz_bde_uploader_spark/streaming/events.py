@@ -106,6 +106,68 @@ def sessionize(events: DataFrame, ts_col: str = "ts",
     )
 
 
+CONTINUITY_OUTPUT = T.StructType([
+    T.StructField("table", T.StringType()),
+    T.StructField("dataset", T.StringType()),
+    T.StructField("gap_hours", T.DoubleType()),
+    T.StructField("status", T.StringType()),
+])
+
+CONTINUITY_STATE = T.StructType([
+    T.StructField("last_end", T.DoubleType()),   # epoch seconds of last END
+])
+
+
+def continuity_check(files: DataFrame, warn_hours: float = 0.5,
+                     fail_hours: float = 0.0) -> DataFrame:
+    """Custom stateful operator: the level-5 start-time continuity
+    check as a keyed stream (applyInPandasWithState).
+
+    The reference warns/fails when a level-5 file's START timestamp
+    differs from the previous file's recorded END by more than the
+    configured tolerance (lib/LINZ/BdeUpload.pm:1070-1100; conf
+    level5_starttime_warn/fail_tolerance). Batch mode keeps that
+    watermark in bde_control.upload_table.last_upload_details; here
+    the per-table state store holds it, so an always-on stream flags
+    gaps the moment a dataset arrives.
+
+    Input: a (streaming) DataFrame (table, dataset, start_ts, end_ts)
+    with epoch-second doubles. State per table: last END. Output one
+    row per file: gap_hours = |START - last_END| / 3600 and status
+    ok|warning|fail (first file of a table is 'ok', gap 0). fail_hours
+    <= 0 disables the fail tier (reference default).
+
+    Scale shape: state is two doubles per table (~91 keys) — the
+    state store cost is negligible; the operator exists for its
+    exactly-once, per-key sequential semantics, not its size.
+    """
+    import pandas as pd
+
+    def step(key, pdf_iter, state):
+        last_end = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdf_iter)).sort_values("dataset")
+        out = []
+        for r in rows.itertuples():
+            if last_end is None:
+                gap, status = 0.0, "ok"
+            else:
+                gap = abs(r.start_ts - last_end) / 3600.0
+                if fail_hours > 0 and gap > fail_hours:
+                    status = "fail"
+                elif gap > warn_hours:
+                    status = "warning"
+                else:
+                    status = "ok"
+            out.append((key[0], r.dataset, round(gap, 6), status))
+            last_end = r.end_ts
+        state.update((last_end,))
+        yield pd.DataFrame(out, columns=["table", "dataset", "gap_hours", "status"])
+
+    return files.groupBy("table").applyInPandasWithState(
+        step, CONTINUITY_OUTPUT, CONTINUITY_STATE,
+        outputMode="append", timeoutConf="NoTimeout")
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str,
                       output_mode: str = "append") -> None:
     """Drain everything currently available, then stop — the streaming

@@ -16,6 +16,48 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # ------------------------------------------------------------ streaming
 
+FILES_SCHEMA = T.StructType([
+    T.StructField("table", T.StringType()),
+    T.StructField("dataset", T.StringType()),
+    T.StructField("start_ts", T.DoubleType()),
+    T.StructField("end_ts", T.DoubleType()),
+])
+
+
+def test_continuity_check_stateful(spark, tmp_path):
+    """Per-table state (last END) survives across micro-batch runs via
+    the checkpoint; gaps beyond the tolerance are flagged."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    h = 3600.0
+
+    def drain(rows):
+        spark.createDataFrame(rows, FILES_SCHEMA).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(FILES_SCHEMA).parquet(src)
+        checked = STR.continuity_check(stream, warn_hours=0.5, fail_hours=2.0)
+        STR.run_available_now(checked, ckpt, out)
+        return {(r.table, r.dataset): (round(r.gap_hours, 3), r.status)
+                for r in spark.read.parquet(out).collect()}
+
+    # batch 1: first file ok; contiguous follow-up ok; 1h gap -> warning
+    got = drain([
+        ("t1", "d1", 0.0, 10 * h),
+        ("t1", "d2", 10 * h, 20 * h),
+        ("t1", "d3", 21 * h, 30 * h),
+    ])
+    assert got == {("t1", "d1"): (0.0, "ok"), ("t1", "d2"): (0.0, "ok"),
+                   ("t1", "d3"): (1.0, "warning")}
+
+    # batch 2 (new run, same checkpoint): state remembers END=30h,
+    # a 3h jump exceeds fail_hours=2
+    got = drain([("t1", "d4", 33 * h, 40 * h)])
+    assert got[("t1", "d4")] == (3.0, "fail")
+    # a different table starts with fresh state -> first file is ok
+    got = drain([("t2", "d5", 99 * h, 100 * h)])
+    assert got[("t2", "d5")] == (0.0, "ok")
+
+
 def test_stream_repository_available_now(spark, tmp_path):
     """Drain a repository as a file stream; datasets tagged from path."""
     root = write_repository(str(tmp_path / "repo"))

@@ -85,3 +85,20 @@ def test_lsh_topk_recall(spark):
     approx = {(r.query_id, r.neighbor_id) for r in
               S.lsh_bucketed_topk(emb, q, k=3, n_planes=2).collect()}
     assert len(exact & approx) / len(exact) >= 0.2
+
+
+def test_ivf_topk_full_probe_is_exact(spark):
+    """IVF with nprobe == n_centroids scans every inverted list, so it
+    must reproduce the exact brute-force top-k; a partial probe
+    (nprobe=2) should still keep reasonable recall."""
+    from linz_bde_uploader_spark.operators import similarity as S
+    from linz_bde_uploader_spark.plans.tables import load_table
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, q, k=3).collect()}
+    full = {(r.query_id, r.neighbor_id) for r in
+            S.ivf_topk(emb, q, k=3, n_centroids=4, nprobe=4).collect()}
+    assert full == exact
+    partial = {(r.query_id, r.neighbor_id) for r in
+               S.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=2).collect()}
+    assert len(exact & partial) / len(exact) >= 0.2
