@@ -75,9 +75,14 @@ SQL_CDC_CLASSIFY = f"WITH {_CDC_CTES} SELECT key, action FROM act"
 
 
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: apply the action set -> merged table state."""
+    """J6: apply the action set -> merged table state.
+
+    The actions DF (changed keys only — small) is cached exactly as the
+    upload driver does: apply_actions broadcasts it into two branches,
+    and without the cache each branch would recompute the classify
+    3-way join — two full scans of the big tables at 100 TB."""
     cur, stg, chg = cdc_frames(spark, sf_dir)
-    actions = M.classify_actions(cur, stg, chg, "o_orderkey", ORDER_COLS)
+    actions = M.classify_actions(cur, stg, chg, "o_orderkey", ORDER_COLS).cache()
     merged = M.apply_actions(cur, stg, actions, "o_orderkey")
     return merged.select(
         F.col("o_orderkey").alias("key"), "o_totalprice", "o_orderstatus")
