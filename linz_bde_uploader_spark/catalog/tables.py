@@ -42,6 +42,10 @@ def parse_tables_conf(text: str) -> list[TableDef]:
         kw = toks[0].upper()
         if kw == "TABLE":
             cur = TableDef(name=toks[1].lower())
+            # the table NAMED l5_change_table is the changeset source,
+            # flag or not (lib/LINZ/BdeUpload.pm:172 keys on the name)
+            if cur.name == "l5_change_table":
+                cur.l5_change_table = True
             tables.append(cur)
             _parse_attrs(cur, toks[2:])
         elif cur is not None and kw == "COLUMN" and len(toks) >= 3:

@@ -55,6 +55,28 @@ TABLE custom level0 key=id
     assert tables[3].files == ["cust"]
 
 
+def test_reference_tables_conf_parses():
+    """Parity with the production registry: the parser must accept the
+    reference's real conf/tables.conf (100 TABLE entries — the ~91
+    bde targets plus the change table and cbe_* extras), every data
+    table keyed with the standard 0.20/0.95 tolerances."""
+    import os
+
+    path = "/root/reference/conf/tables.conf"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    tables = parse_tables_conf(open(path).read())
+    assert len(tables) == 100
+    by_name = {t.name: t for t in tables}
+    assert by_name["l5_change_table"].l5_change_table
+    assert by_name["l5_change_table"].files == ["xaud"]
+    pab = by_name["crs_parcel_bndry"]
+    assert (pab.key, pab.files) == ("audit_id", ["pab1"])
+    assert (pab.row_tol_error, pab.row_tol_warning) == (0.20, 0.95)
+    keyed = [t for t in tables if t.key]
+    assert len(keyed) == 99  # everything but the change table
+
+
 def test_validate_key():
     t = parse_tables_conf("TABLE t key=audit_id files f")[0]
     validate_key(t, {"audit_id": "integer", "x": "varchar"})
