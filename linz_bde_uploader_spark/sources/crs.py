@@ -161,6 +161,10 @@ class CleanseConfig:
         "|": " ", "\\": " ", "\n": "\\n", "\r": "\\r",
     })
     max_errors: int = 0  # conf/linz_bde_uploader.conf:376
+    # utf8_encoding enforced: non-ASCII chars the map doesn't allow
+    # become utf8_unmapped (conf/linz_bde_uploader.conf:406-410)
+    utf8_enforced: bool = False
+    utf8_unmapped: str = "?"
 
     @classmethod
     def from_conf_block(cls, text: str) -> "CleanseConfig":
@@ -172,7 +176,8 @@ class CleanseConfig:
             out, i = [], 0
             while i < len(tok):
                 if tok[i] == "\\" and i + 1 < len(tok):
-                    if tok[i + 1] == "x" and i + 3 < len(tok) + 1:
+                    esc = tok[i + 1]
+                    if esc == "x":
                         hexpart = tok[i + 2:i + 4]
                         try:
                             out.append(chr(int(hexpart, 16)))
@@ -180,7 +185,15 @@ class CleanseConfig:
                             continue
                         except ValueError:
                             pass
-                    out.append(tok[i + 1])
+                    if esc == "u":  # \uHHHH (UTF-8 mapping section)
+                        hexpart = tok[i + 2:i + 6]
+                        try:
+                            out.append(chr(int(hexpart, 16)))
+                            i += 6
+                            continue
+                        except ValueError:
+                            pass
+                    out.append(esc)
                     i += 2
                     continue
                 out.append(tok[i])
@@ -205,12 +218,19 @@ class CleanseConfig:
                 cfg.longitude_offset = float(parts[1])
             elif kw == "replace" and len(parts) >= 2:
                 src = unescape(parts[1])
-                dst = unescape(parts[2]) if len(parts) > 2 else ""
-                if dst.lower() in ("delete", "none"):
-                    dst = ""
+                # remainder = one replacement token, optionally followed
+                # by a log message ("replace \x01 delete Removing ...")
+                dst_tok = parts[2].split()[0] if len(parts) > 2 else ""
+                dst = "" if dst_tok.lower() in ("delete", "none") \
+                    else unescape(dst_tok)
                 cfg.char_map[src] = dst
             elif kw == "max_errors" and len(parts) > 1:
                 cfg.max_errors = int(parts[1])
+            elif kw == "utf8_encoding" and len(parts) > 1:
+                cfg.utf8_enforced = parts[1].lower() == "enforced"
+            elif kw == "utf8_replace_unmapped" and len(parts) > 1:
+                tok = parts[1]
+                cfg.utf8_unmapped = "" if tok.lower() == "delete" else unescape(tok)
         return cfg
 
 
@@ -296,15 +316,63 @@ def _cast_and_cleanse(col, c: CrsColumn, cleanse: CleanseConfig | None):
 
 
 def cleanse_text(col, cleanse: CleanseConfig):
-    """bde_copy character mapping + control-char strip, as JVM-side
-    expressions (no Python UDF). Multi-char replacements use chained
-    ``regexp_replace``; control characters are stripped."""
-    out = col
+    """bde_copy character mapping + UTF-8 enforcement, as JVM-side
+    expressions (no Python UDF).
+
+    The production map (conf/linz_bde_uploader.conf:416-1244) holds
+    ~300 rules; chaining one regexp_replace per rule would nest 300
+    expressions. Instead: identity rules vanish, every 1:1 replacement
+    or deletion folds into ONE ``translate`` call, and only
+    multi-character replacements (newline -> literal "\\n") need a
+    regexp each. With ``utf8_encoding enforced``, non-ASCII characters
+    the map doesn't allow become ``utf8_replace_unmapped`` (reference
+    default '?')."""
+    kept_src, kept_dst, del_src, rx_rules, allowed = [], [], [], [], set()
     for src, dst in cleanse.char_map.items():
+        allowed.update(ch for ch in dst if ord(ch) > 127)
+        if len(src) == 1 and src == dst:
+            allowed.add(src)
+            continue  # identity: keep as-is
+        if len(src) == 1 and len(dst) == 1:
+            kept_src.append(src)
+            kept_dst.append(dst)
+        elif len(src) == 1 and dst == "":
+            del_src.append(src)  # translate deletes unpaired chars
+        else:
+            rx_rules.append((src, dst))
+    # bde_copy maps each INPUT character once (single pass — rule
+    # outputs are never re-scanned). translate-then-regexp preserves
+    # that as long as no translate output is itself a regexp source;
+    # on collision fall back to a single-pass per-character map.
+    if set(kept_dst) & {s for s, _ in rx_rules}:
+        return _single_pass_map_udf(cleanse)(col)
+    out = col
+    # translate pairs positionally; unpaired trailing chars are deleted
+    if kept_src or del_src:
+        out = F.translate(out, "".join(kept_src + del_src), "".join(kept_dst))
+    for src, dst in rx_rules:
         out = F.regexp_replace(out, re.escape(src), dst.replace("\\", "\\\\"))
     # delete remaining C0 control characters (utf8_replace_invalid delete)
     out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    if cleanse.utf8_enforced:
+        keep_class = "".join(re.escape(c) for c in sorted(allowed))
+        out = F.regexp_replace(out, f"[^\\x00-\\x7F{keep_class}]",
+                               cleanse.utf8_unmapped)
     return out
+
+
+def _single_pass_map_udf(cleanse: CleanseConfig):
+    """Exact single-pass character mapping (Arrow-batched) for the rare
+    map where a rule's output collides with another rule's input —
+    composed JVM expressions would re-scan outputs there."""
+    cmap = dict(cleanse.char_map)
+
+    def one(text):
+        if text is None:
+            return None
+        return "".join(cmap.get(ch, ch) for ch in text)
+
+    return F.udf(one, "string", useArrow=True)
 
 
 def cleanse_wkt(col, cleanse: CleanseConfig):

@@ -83,6 +83,17 @@ def test_cleanse_char_map(spark):
     assert out == "a b c\\nd"
 
 
+def test_cleanse_single_pass_on_collision(spark):
+    """When one rule's output is another rule's input ('x' -> '\\n'
+    while '\\n' -> literal \\n), mapping must stay single-pass: the
+    produced newline is NOT re-mapped (bde_copy scans input once)."""
+    import pyspark.sql.functions as F
+    cfg = CleanseConfig(char_map={"x": "\n", "\n": "\\n"})
+    df = spark.range(1).select(F.lit("ax\nb").alias("s"))
+    out = df.select(cleanse_text(F.col("s"), cfg).alias("s")).first().s
+    assert out == "a\n\\nb"
+
+
 def test_date_floor(spark, tmp_path):
     """bde_copy minimum_year -> sentinel 1800-01-01 00:00:00
     (conf/linz_bde_uploader.conf:381-383)."""
@@ -92,6 +103,36 @@ def test_date_floor(spark, tmp_path):
     df = read_crs(spark, p, cleanse=CleanseConfig(minimum_year=1800))
     row = df.filter("id = 5").first()
     assert str(row.timestamp) == "1800-01-01 00:00:00"
+
+
+def test_production_conf_block(spark):
+    """Parity with the reference's real bde_copy configuration
+    (conf/linz_bde_uploader.conf:349-1245): ~300 replace rules fold
+    into one translate + a few regexps; utf8_encoding enforced maps
+    unlisted non-ASCII chars to '?'."""
+    import os
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.sources.crs import CleanseConfig, cleanse_text
+
+    path = "/root/reference/conf/linz_bde_uploader.conf"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    block = _re.search(
+        r"bde_copy_configuration << end_bde_copy_configuration(.*?)"
+        r"end_bde_copy_configuration", open(path).read(), _re.S).group(1)
+    cfg = CleanseConfig.from_conf_block(block)
+    assert len(cfg.char_map) > 250 and cfg.utf8_enforced
+    assert cfg.max_errors == 0 and cfg.longitude_offset == 160.0
+
+    raw = "a|b\\c\x01d é ok – dash ♯sharp\ne"
+    got = spark.range(1).select(
+        cleanse_text(F.lit(raw), cfg).alias("t")).first()["t"]
+    # | and \ -> space; \x01 control char deleted; é and – kept by the
+    # UTF-8 map; ♯ unmapped -> '?'; newline -> literal \n
+    assert got == "a b cd é ok – dash ?sharp\\ne"
 
 
 def test_conf_block_parse():
