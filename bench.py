@@ -31,8 +31,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_jaccard",
     "text_token_stats",
+    "text_fingerprint",
     "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
     "events_sessionize",
     "events_window_agg",
 ]

@@ -132,6 +132,17 @@ def test_tolerance_error_aborts_table(spark, env, tmp_path):
     assert store.current_version("crs_parcel_bndry") == v_before  # no commit
 
 
+def test_runtime_budget_stops_before_dataset(spark, env):
+    """C5: an exhausted per-level runtime budget stops the run before
+    the next dataset — nothing is loaded."""
+    up, store, ledger = env
+    up.config.max_level0_runtime_hours = 1e-9  # effectively elapsed
+    up._start -= 1.0  # pretend the run started a second ago
+    results = up.apply_updates(level0=True)
+    assert results == []
+    assert not store.exists("crs_parcel_bndry")
+
+
 def test_cli_end_to_end(tmp_path, spark):
     """Drive the real CLI module (in-process main())."""
     from linz_bde_uploader_spark import cli
