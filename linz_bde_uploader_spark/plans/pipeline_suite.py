@@ -456,6 +456,73 @@ WHERE round(list_dot_product(a.v, bb.v)
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.4
 """
 
+def q_pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep over the duplicated corpus,
+    composing the real operators: quality score + language ID ->
+    keep english docs with quality >= 0.5 -> exact dedup -> one row
+    per surviving canonical document (doc_id, quality, n_copies).
+
+    Scale shape: the two per-doc scoring passes are pure projections
+    (one scan, codegen); the dedup groupBy shuffles 16-byte hashes of
+    only the filtered survivors; the final join broadcasts the small
+    canonical set. This is the pipeline a 100 TB corpus prep would
+    run, with filters BEFORE the dedup shuffle."""
+    corpus = _dup_corpus(spark, sf_dir)
+    q = TA.quality(corpus)
+    lang = TA.language_id(corpus)
+    meta = corpus.join(q, "doc_id").join(lang, "doc_id")
+    good = meta.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    dedup = D.exact_duplicates(good)
+    kept = good.join(
+        dedup.select(F.col("canonical_id").alias("doc_id"), "n_copies"), "doc_id")
+    return kept.select("doc_id", "quality", F.col("n_copies").cast("bigint").alias("n_copies"))
+
+
+SQL_PIPELINE_PREP = f"""WITH {_SQL_BASE},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+         string_split_regex(trim(lower(text)), '\\s+') AS wl
+  FROM base),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n,
+         CAST(len(list_distinct(w)) AS DOUBLE) AS uniq,
+         CAST(len(list_filter(wl, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) AS sw
+  FROM toks),
+qual AS (
+  SELECT doc_id,
+         round(0.4 * least(1.0, n/64.0) + 0.3 * (uniq/n)
+               + 0.3 * least(1.0, 4.0*sw/n), 6) AS quality
+  FROM m),
+sc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(wl, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS s_de,
+    CAST(len(list_filter(wl, t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT) AS s_en,
+    CAST(len(list_filter(wl, t -> list_contains(['el','la','los','y','es'], t))) AS BIGINT) AS s_es,
+    CAST(len(list_filter(wl, t -> list_contains(['le','la','les','et','est'], t))) AS BIGINT) AS s_fr
+  FROM toks),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN s_de = best AND best > 0 THEN 'de'
+              WHEN s_en = best AND best > 0 THEN 'en'
+              WHEN s_es = best AND best > 0 THEN 'es'
+              WHEN s_fr = best AND best > 0 THEN 'fr'
+              ELSE 'und' END AS pred_lang
+  FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM sc)),
+good AS (
+  SELECT b.doc_id, b.text, q.quality
+  FROM base b JOIN qual q ON b.doc_id = q.doc_id
+  JOIN lang l ON b.doc_id = l.doc_id
+  WHERE q.quality >= 0.5 AND l.pred_lang = 'en'),
+d AS (
+  SELECT md5(text) AS h, min(doc_id) AS canonical_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM good GROUP BY md5(text))
+SELECT g.doc_id, g.quality, d.n_copies
+FROM good g JOIN d ON g.doc_id = d.canonical_id
+"""
+
+
 # ------------------------------------------------------------- events
 
 
@@ -521,6 +588,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
+    "pipeline_prep": (q_pipeline_prep, SQL_PIPELINE_PREP),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
     "events_window_agg": (q_events_window_agg, SQL_WINDOW_AGG),
 }
