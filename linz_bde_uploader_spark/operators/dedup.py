@@ -190,6 +190,51 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (id, cluster_id) where cluster_id = min id in the component — the
+    step that turns pairwise candidates (LSH/SimHash/Jaccard output)
+    into dedup groups with one canonical survivor each.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(graph diameter) rounds (dup clusters are tiny — diameter is
+    single digits). Each round is one shuffle join + aggregate;
+    ``localCheckpoint`` truncates the growing lineage so round N's
+    plan doesn't replay rounds 1..N-1. The driver loop only checks a
+    scalar per round — the data never leaves the cluster.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select("id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_words: int = 3,
                   threshold: float = 0.5) -> DataFrame:

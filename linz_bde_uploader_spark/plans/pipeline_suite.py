@@ -209,6 +209,41 @@ FROM bh a JOIN bh b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate graph:
+    each near-duplicate group labeled by its minimum doc_id. The
+    iterative min-label propagation is NOT one SQL query in Spark —
+    the oracle uses DuckDB's recursive CTE for the same fixpoint."""
+    pairs = D.lsh_candidate_pairs(_dup_corpus(spark, sf_dir),
+                                  num_perm=16, bands=4, shingle_words=3)
+    return D.duplicate_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE {_SQL_BASE}, {_SQL_TOKS}, {_SQL_SH3},
+sh AS (SELECT DISTINCT doc_id, {sql_hash32('shingle')} AS h FROM sh3),
+ph AS (
+  SELECT doc_id, i AS perm,
+         ((CAST(2*i+1 AS BIGINT) * h + CAST(i*i+7 AS BIGINT)) % {MINHASH_PRIME}) AS phv
+  FROM sh, unnest(generate_series(0, 15)) AS t(i)),
+sig AS (SELECT doc_id, perm, min(phv) AS minhash FROM ph GROUP BY doc_id, perm),
+bh AS (
+  SELECT doc_id, CAST(floor(perm / 4.0) AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(floor(perm / 4.0) AS INT)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bh a JOIN bh b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (token bit-votes)."""
     return D.simhash(_dup_corpus(spark, sf_dir), bits=32, shingle_words=1)
@@ -578,6 +613,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "q5_local_supplier": (q5_local_supplier, SQL_Q5),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),

@@ -168,6 +168,66 @@ def continuity_check(files: DataFrame, warn_hours: float = 0.5,
         outputMode="append", timeoutConf="NoTimeout")
 
 
+def streaming_cdc_upload(spark: SparkSession, root: str, store,
+                         table_name: str, key: str,
+                         schema: T.StructType, file_tag: str,
+                         checkpoint: str,
+                         max_files_per_trigger: int | None = None) -> None:
+    """The poll-run upload loop as a stream: watch the level_5
+    repository, and for every micro-batch of new dataset files run the
+    REAL CDC merge (classify -> apply) against the versioned store via
+    ``foreachBatch``.
+
+    This is the Structured-Streaming re-expression of EP2: the
+    checkpoint supplies the last_upload_dataset watermark (exactly-once
+    per dataset file), foreachBatch supplies the batch-only operations
+    (the keyed merge against the store) a pure streaming plan can't
+    express. The stream triggers on the table's data file; the sibling
+    xaud changeset is read batch-side from the same dataset directory
+    (the completeness gate guarantees they arrive together). Datasets
+    inside one micro-batch apply in dataset order, preserving the
+    reference's sequential semantics; ``maxFilesPerTrigger`` bounds
+    per-batch work.
+    """
+    from linz_bde_uploader_spark.operators import merge as M
+    from linz_bde_uploader_spark.sources.crs import read_crs
+
+    lines = stream_repository(spark, root, 5, schema, file_tag,
+                              max_files_per_trigger)
+    parsed = parse_crs_stream(lines, schema)
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.cache()
+        try:
+            datasets = sorted(r["dataset"] for r in
+                              batch.select("dataset").distinct().collect())
+            for ds in datasets:
+                stg = batch.filter(F.col("dataset") == ds) \
+                           .select(*[f.name for f in schema.fields])
+                if not store.exists(table_name):
+                    store.write(table_name, stg, key=key, dataset=ds)
+                    continue
+                cur = store.read(spark, table_name)
+                chg = M.prepare_change_table(
+                    read_crs(spark, f"{root}/level_5/{ds}/xaud.crs"),
+                    table_name)
+                actions = M.classify_actions(cur, stg, chg, key,
+                                             cur.columns).cache()
+                merged = M.apply_actions(cur, stg, actions, key)
+                store.write(table_name, merged, key=key, dataset=ds)
+                actions.unpersist()
+        finally:
+            batch.unpersist()
+
+    q = (
+        parsed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str,
                       output_mode: str = "append") -> None:
     """Drain everything currently available, then stop — the streaming

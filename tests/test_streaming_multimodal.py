@@ -82,6 +82,33 @@ def test_stream_repository_available_now(spark, tmp_path):
     assert spark.read.parquet(out).count() == 3
 
 
+def test_streaming_cdc_upload(spark, tmp_path):
+    """EP2 as a stream: seed the store from the level-0 dataset, then
+    drain level_5 with foreachBatch CDC merge -> the golden 5-row
+    post-merge state. A second drain with the same checkpoint sees no
+    new datasets and leaves the store untouched."""
+    from linz_bde_uploader_spark.sources.crs import parse_header, read_crs
+    from linz_bde_uploader_spark.sources.store import TableStore
+
+    root = write_repository(str(tmp_path / "repo"))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    l0_file = os.path.join(root, "level_0", "20160601000000", "pab1.crs")
+    store.write("crs_parcel_bndry", read_crs(spark, l0_file), key="audit_id")
+    schema = parse_header(l0_file).schema()
+
+    ckpt = str(tmp_path / "ckpt")
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt)
+    rows = {r.audit_id: r.sequence
+            for r in store.read(spark, "crs_parcel_bndry").collect()}
+    assert rows == {100: 3, 300: 4, 400: 5, 80401148: 10, 80401149: 20}
+    v = store.current_version("crs_parcel_bndry")
+
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt)
+    assert store.current_version("crs_parcel_bndry") == v
+
+
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     """Streaming windowed agg over the events table (as a stream)
     equals the batch answer."""

@@ -74,6 +74,18 @@ def test_dedup_finds_planted_duplicates(spark):
     assert planted <= jac
 
 
+def test_duplicate_clusters_known_graph(spark):
+    """Min-label propagation over a path (1-2-3-4), a separate pair
+    (10-11), and a pair bridged later (20-21, 21-3 links it to the
+    path's component)."""
+    from linz_bde_uploader_spark.operators.dedup import duplicate_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 3)],
+        ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 20: 1, 21: 1, 10: 10, 11: 10}
+
+
 def test_lsh_topk_recall(spark):
     """LSH-bucketed ANN should recover a decent fraction of the exact
     top-3 (sanity check on the bucketing, not a hard guarantee)."""
