@@ -9,14 +9,20 @@ transactions: each write lands in a new ``v=<n>`` directory; a tiny
 succeeds. Readers resolve the pointer first, so they always see a
 complete snapshot; old versions remain as revisions until vacuumed.
 
-Scale design: data files are written hash-bucketed by the merge key
-(``repartition(n, key)`` + sorted within partitions), so successive
-CDC merges join current-vs-staged co-partitioned, and `apply_actions`
-rewrites only the buckets containing touched keys.
+Scale design: data files are written hash-clustered by the merge key
+(``repartition(n, key)`` + sorted within partitions). With
+``use_catalog_buckets=True`` each version is additionally registered
+as a BUCKETED catalog table (``bucketBy(n, key).sortBy(key)``), which
+is what lets Catalyst actually elide the shuffle (and sort) when two
+store tables join on the key — plain parquet directories carry no
+bucketing metadata, so without the catalog the files are clustered
+but the join still exchanges. On a real cluster the catalog is the
+metastore; locally it is the session catalog.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -26,9 +32,14 @@ from pyspark.sql import functions as F
 
 
 class TableStore:
-    def __init__(self, root: str, n_buckets: int = 32):
+    def __init__(self, root: str, n_buckets: int = 32,
+                 use_catalog_buckets: bool = False):
         self.root = root
         self.n_buckets = n_buckets
+        self.use_catalog_buckets = use_catalog_buckets
+        # session-catalog names must not collide across stores/tests
+        self._prefix = "bde_" + hashlib.md5(
+            os.path.abspath(root).encode()).hexdigest()[:8]
         os.makedirs(root, exist_ok=True)
 
     def _tdir(self, table: str) -> str:
@@ -36,6 +47,9 @@ class TableStore:
 
     def _pointer(self, table: str) -> str:
         return os.path.join(self._tdir(table), "_CURRENT")
+
+    def _catalog_name(self, table: str, version: int) -> str:
+        return f"{self._prefix}_{table}_v{version}"
 
     def current_version(self, table: str) -> int | None:
         p = self._pointer(table)
@@ -59,15 +73,25 @@ class TableStore:
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
         vdir = os.path.join(tdir, f"v={new_v}")
-        out = df
-        if key is not None and key in df.columns:
-            # hash-bucket by merge key for co-partitioned future merges
-            out = df.repartition(self.n_buckets, F.col(key)) \
-                    .sortWithinPartitions(key)
-        out.write.mode("overwrite").parquet(vdir)
+        bucketed = key is not None and key in df.columns
+        if bucketed and self.use_catalog_buckets:
+            name = self._catalog_name(table, new_v)
+            df.sparkSession.sql(f"DROP TABLE IF EXISTS {name}")
+            (df.repartition(self.n_buckets, F.col(key))
+               .write.mode("overwrite").format("parquet")
+               .bucketBy(self.n_buckets, key).sortBy(key)
+               .option("path", vdir).saveAsTable(name))
+        elif bucketed:
+            # hash-cluster by merge key for co-located future merges
+            (df.repartition(self.n_buckets, F.col(key))
+               .sortWithinPartitions(key)
+               .write.mode("overwrite").parquet(vdir))
+        else:
+            df.write.mode("overwrite").parquet(vdir)
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": new_v, "key": key, "dataset": dataset}, fh)
+            json.dump({"version": new_v, "key": key, "dataset": dataset,
+                       "catalog": bucketed and self.use_catalog_buckets}, fh)
         os.replace(tmp, self._pointer(table))  # atomic commit
         return new_v
 
@@ -75,18 +99,26 @@ class TableStore:
         v = version if version is not None else self.current_version(table)
         if v is None:
             raise FileNotFoundError(f"table {table} has no committed version")
+        name = self._catalog_name(table, v)
+        if self.use_catalog_buckets and spark.catalog.tableExists(name):
+            return spark.table(name)
         return spark.read.parquet(os.path.join(self._tdir(table), f"v={v}"))
 
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
 
-    def vacuum(self, table: str, keep: int = 2) -> list[int]:
+    def vacuum(self, table: str, keep: int = 2,
+               spark: SparkSession | None = None) -> list[int]:
         """C7: drop old revisions (the reference's VACUUM ANALYSE /
-        -maintain-database analog)."""
+        -maintain-database analog). Pass ``spark`` to also drop the
+        catalog entries of bucketed versions."""
         cur = self.current_version(table)
         dropped = []
         for v in self.versions(table):
             if cur is not None and v <= cur - keep:
                 shutil.rmtree(os.path.join(self._tdir(table), f"v={v}"))
+                if spark is not None:
+                    spark.sql(
+                        f"DROP TABLE IF EXISTS {self._catalog_name(table, v)}")
                 dropped.append(v)
         return dropped

@@ -55,6 +55,39 @@ TABLE custom level0 key=id
     assert tables[3].files == ["cust"]
 
 
+def test_store_catalog_buckets_elide_merge_shuffle(spark, tmp_path):
+    """With use_catalog_buckets, two store versions bucketed on the
+    same key join WITHOUT an exchange on either side — the physical
+    property the CDC merge relies on at 100 TB. The plain-parquet mode
+    (no bucket metadata) must still shuffle."""
+    from pyspark.sql import functions as F
+
+    def join_plan(store):
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val"))
+        store.write("t", df, key="k")
+        store.write("t", df.withColumn("val", F.col("val") + 1), key="k")
+        cur = store.read(spark, "t", version=1)
+        stg = store.read(spark, "t", version=2)
+        joined = cur.alias("a").join(stg.alias("b"),
+                                     F.col("a.k") == F.col("b.k"))
+        jvm = spark._jvm
+        return joined._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = TableStore(str(tmp_path / "s1"), n_buckets=4,
+                              use_catalog_buckets=True)
+        assert "Exchange hashpartitioning" not in join_plan(bucketed)
+
+        plain = TableStore(str(tmp_path / "s2"), n_buckets=4)
+        assert "Exchange hashpartitioning" in join_plan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_reference_tables_conf_parses():
     """Parity with the production registry: the parser must accept the
     reference's real conf/tables.conf (100 TABLE entries — the ~91
