@@ -54,13 +54,36 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-exclude-tables", "--exclude-tables", nargs="*", default=None)
     p.add_argument("-enable-hooks", "--enable-hooks", dest="enable_hooks",
                    action="store_true")
+    p.add_argument("-skip-postupload-tasks", "--skip-postupload-tasks",
+                   dest="skip_postupload", action="store_true",
+                   help="skip X1 post-upload/post-level0 functions")
+    p.add_argument("-full-timeout", "--full-timeout", dest="full_timeout",
+                   type=float, default=0.0, metavar="HOURS",
+                   help="level-0 runtime budget (0 = unlimited)")
+    p.add_argument("-inc-timeout", "--inc-timeout", dest="inc_timeout",
+                   type=float, default=0.0, metavar="HOURS",
+                   help="level-5 runtime budget (0 = unlimited)")
+    p.add_argument("-maintain-database", "--maintain-database",
+                   dest="maintain_db", action="store_true",
+                   help="vacuum old store revisions after the run (C7)")
+    p.add_argument("-listing-file", "--listing-file", dest="listing_file",
+                   default=None, help="also log to this file")
+    p.add_argument("-log-level", "--log-level", dest="log_level",
+                   default=None, choices=["debug", "info", "warning", "error"])
     p.add_argument("-verbose", "--verbose", action="store_true")
+    p.add_argument("-version", "--version", action="version",
+                   version="%(prog)s 1.0 (capabilities of linz-bde-uploader 2.11.1)")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING,
+    level = (getattr(logging, args.log_level.upper()) if args.log_level
+             else logging.INFO if args.verbose else logging.WARNING)
+    handlers = [logging.StreamHandler()]
+    if args.listing_file:
+        handlers.append(logging.FileHandler(args.listing_file))
+    logging.basicConfig(level=level, handlers=handlers,
                         format="%(asctime)s %(levelname)s %(message)s")
     # mutual exclusion (bin/linz_bde_uploader.pl:123-128)
     if args.full_incremental and args.rebuild:
@@ -95,13 +118,23 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark("linz-bde-uploader")
+    store = TableStore(args.store)
+    cfg = UploadConfig(enable_hooks=args.enable_hooks,
+                       max_level0_runtime_hours=args.full_timeout,
+                       max_level5_runtime_hours=args.inc_timeout)
     uploader = BdeUploader(
-        spark, BdeRepository(args.repository), TableStore(args.store),
-        ledger, tables, UploadConfig(enable_hooks=args.enable_hooks))
+        spark, BdeRepository(args.repository), store, ledger, tables, cfg)
+    if args.skip_postupload:
+        uploader.post_upload_functions = []
+        uploader.post_level0_functions = []
     results = uploader.apply_updates(
         level0=args.full, level5=args.incremental or args.rebuild,
         full_incremental=args.full_incremental, rebuild=args.rebuild,
         before=args.before, dry_run=args.dry_run)
+    if args.maintain_db:
+        for t in tables:
+            if not t.l5_change_table and store.exists(t.name):
+                store.vacuum(t.name, spark=spark)
     if not results:
         print("No dataset updates")  # idempotent re-run message (t:713-725)
     for r in results:

@@ -156,3 +156,10 @@ def test_cli_end_to_end(tmp_path, spark):
     assert cli.main(common + ["-incremental"]) == 0  # idempotent
     assert cli.main(common + ["-full-incremental", "-rebuild"]) == 2
     assert cli.main(common + ["-purge", "-remove-zombie"]) == 0
+
+    # -maintain-database vacuums old revisions down to the keep window
+    from linz_bde_uploader_spark.sources.store import TableStore
+    store = TableStore(str(tmp_path / "store"))
+    assert cli.main(common + ["-full", "-maintain-database",
+                              "-skip-postupload-tasks"]) == 0
+    assert len(store.versions("crs_parcel_bndry")) <= 2
