@@ -235,12 +235,64 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
+def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", shingle_words: int = 3,
+                         threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold via prefix filtering
+    (the PPJoin/AllPairs candidate pruning of Bayardo et al., WWW'07 —
+    public algorithm): order each doc's shingles by a global total
+    order (document frequency asc, hash), index only the first
+    n - ceil(t*n) + 1 of them; any pair with Jaccard >= t MUST share
+    an indexed prefix shingle, so the candidate join touches a small
+    fraction of the inverted index. Candidates are then verified
+    exactly with array_intersect on the full (distinct) shingle sets.
+
+    Same results as ``jaccard_pairs``; at corpus scale the prefix
+    index replaces the full-index self-join — the pair blow-up on
+    frequent shingles (the skew that hurts most at 100 TB) is capped
+    because frequent shingles sort LAST and rarely enter a prefix.
+    """
+    from pyspark.sql import Window
+
+    sh = _shingle_hashes(docs, text_col, id_col, shingle_words)
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(freq, "h")
+        .withColumn("pos", F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "h")))
+        .withColumn("n", F.count("*").over(Window.partitionBy("id")))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+    cand = (
+        prefix.alias("a").join(prefix.alias("b"),
+                               (F.col("a.h") == F.col("b.h"))
+                               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(F.collect_set("h").alias("hs"),
+                                F.count("*").alias("n"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
+    return (
+        cand.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select("id_a", "id_b",
+                (inter.cast("double")
+                 / (F.col("sa.n") + F.col("sb.n") - inter).cast("double")
+                 ).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_words: int = 3,
                   threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold:
     (id_a, id_b, jaccard). Inverted-index self-join on shingle hash;
-    |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|."""
+    |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|. See
+    ``jaccard_pairs_prefix`` for the prefix-filtered scale path."""
     sh = _shingle_hashes(docs, text_col, id_col, shingle_words)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

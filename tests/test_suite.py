@@ -74,6 +74,21 @@ def test_dedup_finds_planted_duplicates(spark):
     assert planted <= jac
 
 
+def test_jaccard_prefix_filter_is_exact(spark):
+    """The PPJoin-style prefix-filtered Jaccard must return EXACTLY
+    the inverted-index results — prefix filtering prunes candidates,
+    never answers."""
+    from linz_bde_uploader_spark.operators import dedup as D
+    from linz_bde_uploader_spark.plans.pipeline_suite import _dup_corpus
+    corpus = _dup_corpus(spark, SF_DIR)
+    full = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in
+            D.jaccard_pairs(corpus, shingle_words=3, threshold=0.3).collect()}
+    pref = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in
+            D.jaccard_pairs_prefix(corpus, shingle_words=3,
+                                   threshold=0.3).collect()}
+    assert full and pref == full
+
+
 def test_duplicate_clusters_known_graph(spark):
     """Min-label propagation over a path (1-2-3-4), a separate pair
     (10-11), and a pair bridged later (20-21, 21-3 links it to the
