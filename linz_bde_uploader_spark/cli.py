@@ -121,16 +121,22 @@ def main(argv: list[str] | None = None) -> int:
     store = TableStore(args.store)
     cfg = UploadConfig(enable_hooks=args.enable_hooks,
                        max_level0_runtime_hours=args.full_timeout,
-                       max_level5_runtime_hours=args.inc_timeout)
+                       max_level5_runtime_hours=args.inc_timeout,
+                       override_locks=args.override_locks)
     uploader = BdeUploader(
         spark, BdeRepository(args.repository), store, ledger, tables, cfg)
     if args.skip_postupload:
         uploader.post_upload_functions = []
         uploader.post_level0_functions = []
-    results = uploader.apply_updates(
-        level0=args.full, level5=args.incremental or args.rebuild,
-        full_incremental=args.full_incremental, rebuild=args.rebuild,
-        before=args.before, dry_run=args.dry_run)
+    try:
+        results = uploader.apply_updates(
+            level0=args.full, level5=args.incremental or args.rebuild,
+            full_incremental=args.full_incremental, rebuild=args.rebuild,
+            before=args.before, dry_run=args.dry_run)
+    except RuntimeError as e:
+        # single-job gate (C1): refuse cleanly, like the reference
+        print(f"Upload not started: {e}", file=sys.stderr)
+        return 1
     if args.maintain_db:
         for t in tables:
             if not t.l5_change_table and store.exists(t.name):

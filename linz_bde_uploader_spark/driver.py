@@ -53,6 +53,9 @@ class UploadConfig:
     max_level0_runtime_hours: float = 0.0
     max_level5_runtime_hours: float = 0.0
     require_all_dataset_files: bool = True  # S3 completeness gate
+    # -override-locks: bypass the single-job gate and steal table
+    # locks (C1/C2; t/linz_bde_uploader.t:908-992)
+    override_locks: bool = False
 
 
 @dataclass
@@ -299,7 +302,8 @@ class BdeUploader:
         -rebuild = latest L0 + all subsequent L5 (:671-675)."""
         owns_job = job is None
         if owns_job:
-            job = self.ledger.create_job()
+            job = self.ledger.create_job(
+                allow_concurrent=self.config.override_locks)
         try:
             plan: list[tuple[Dataset, list[TableDef], str]] = []
             if level0 or full_incremental or rebuild:
@@ -337,7 +341,9 @@ class BdeUploader:
                         raise RuntimeError("no l5_change_table configured")
                     _, changes = self._load_file(ds.files()[chg_def.files[0]], chg_def)
                 for t in tabs:
-                    if not self.ledger.acquire_lock(t.name, job.id):
+                    if not self.ledger.acquire_lock(
+                            t.name, job.id,
+                            steal=self.config.override_locks):
                         self.results.append(TableResult(
                             t.name, ds.name, lvl, "skipped", message="locked"))
                         continue

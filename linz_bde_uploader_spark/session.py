@@ -28,8 +28,10 @@ def get_spark(app_name: str = "linz-bde-spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Arrow for Pandas UDF operators (multimodal, embedding paths).
+        # Arrow for Pandas UDF operators (multimodal, embedding paths);
+        # batch size bounds executor memory for fat binary payloads
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet carries TIMESTAMP(NANOS); read as long and
         # convert explicitly (see plans.tables.load_table)

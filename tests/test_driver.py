@@ -163,3 +163,9 @@ def test_cli_end_to_end(tmp_path, spark):
     assert cli.main(common + ["-full", "-maintain-database",
                               "-skip-postupload-tasks"]) == 0
     assert len(store.versions("crs_parcel_bndry")) <= 2
+
+    # C1 single-job gate through the CLI: a stuck active job refuses
+    # the next run cleanly; -override-locks proceeds
+    Ledger(str(tmp_path / "ctl")).create_job(allow_concurrent=True)
+    assert cli.main(common + ["-incremental"]) == 1
+    assert cli.main(common + ["-incremental", "-override-locks"]) == 0
