@@ -491,6 +491,134 @@ WHERE round(list_dot_product(a.v, bb.v)
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.4
 """
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (pure scan + 3 pushed filters + single sum): the
+    whole-stage-codegen floor — no shuffle at all beyond the final
+    single-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ'1994-01-01 00:00:00'"))
+                  & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ'1995-01-01 00:00:00'"))
+                  & (F.col("l_discount").cast("decimal(12,2)").between(0.05, 0.07))
+                  & (F.col("l_quantity") < 24))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                   * F.col("l_discount").cast("decimal(12,2)"))
+             .cast("double").alias("revenue"))
+    )
+
+
+SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1994-01-01'
+  AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1995-01-01'
+  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (group-filter-join top-k): orders whose total
+    quantity exceeds a threshold, top 10 by quantity. The HAVING
+    aggregate runs on lineitem alone (map-side partials), and only the
+    tiny surviving key set joins back — semi-reduction before the wide
+    join, same pattern as the CDC change-key broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                  .cast("double").alias("total_qty"))
+             .filter(F.col("total_qty") > 150))
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .select(F.col("o_orderkey").alias("orderkey"), "o_custkey",
+                "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "orderkey")
+        .limit(10)
+    )
+
+
+SQL_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150)
+SELECT o_orderkey AS orderkey, o_custkey, o_orderdate, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+ORDER BY total_qty DESC, orderkey LIMIT 10
+"""
+
+
+def q_docs_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 quality documents per language (ranking window over the
+    scored corpus — the per-group top-k pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang",
+                         F.round(quality_expr(), 6).alias("quality"))
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", F.col("rank").cast("bigint").alias("rank"),
+                "doc_id", "quality")
+    )
+
+
+def quality_expr():
+    from linz_bde_uploader_spark.functions.text import quality_score
+    return quality_score(F.col("text"))
+
+
+SQL_DOCS_TOPK = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w,
+         string_split_regex(trim(lower(text)), '\\s+') AS wl
+  FROM documents),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(w) AS DOUBLE) AS n,
+         CAST(len(list_distinct(w)) AS DOUBLE) AS uniq,
+         CAST(len(list_filter(wl, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) AS sw
+  FROM toks),
+scored AS (
+  SELECT doc_id, lang,
+         round(0.4 * least(1.0, n/64.0) + 0.3 * (uniq/n)
+               + 0.3 * least(1.0, 4.0*sw/n), 6) AS quality
+  FROM m),
+ranked AS (
+  SELECT lang, doc_id, quality,
+         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rank
+  FROM scored)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, quality
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (2h windows every 1h): each event
+    contributes to two overlapping windows — the streaming hop-window
+    shape, oracle-checked in batch."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n")
+    )
+
+
+SQL_SLIDING_AGG = """
+WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+hops AS (
+  SELECT event_type, date_trunc('hour', t) - INTERVAL (h) HOUR AS ws
+  FROM e, unnest([0, 1]) AS u(h))
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n
+FROM hops GROUP BY ws, event_type
+"""
+
+
 def q_pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep over the duplicated corpus,
     composing the real operators: quality score + language ID ->
@@ -611,6 +739,10 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
     "q5_local_supplier": (q5_local_supplier, SQL_Q5),
+    "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
+    "q18_large_orders": (q18_large_orders, SQL_Q18),
+    "docs_topk_quality": (q_docs_topk_quality, SQL_DOCS_TOPK),
+    "events_sliding_agg": (q_events_sliding_agg, SQL_SLIDING_AGG),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
