@@ -29,6 +29,10 @@ class TableDef:
     l5_is_full: bool = False
     l5_change_table: bool = False
     column_overrides: list[tuple[str, str]] = field(default_factory=list)
+    # unique-constraint columns for J4 key-swap repair and the 'X'
+    # action (the reference reads these from PG unique indexes; a file
+    # registry declares them: unique=col1,col2)
+    unique_cols: list[str] = field(default_factory=list)
 
 
 def parse_tables_conf(text: str) -> list[TableDef]:
@@ -72,6 +76,8 @@ def _parse_attrs(t: TableDef, toks: list[str]) -> None:
         elif low == "files":
             t.files = [x.lower() for x in toks[i + 1:]]
             break
+        elif low.startswith("unique="):
+            t.unique_cols = [c for c in tok.split("=", 1)[1].lower().split(",") if c]
         elif low == "l5_is_full":
             t.l5_is_full = True
         elif low == "l5_change_table":

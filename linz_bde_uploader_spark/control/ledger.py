@@ -16,9 +16,11 @@ sql/02-bde_control_functions.sql.in:539-760), heartbeat + TTL expiry
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 
 # Job status codes (sql/01-bde_control_tables.sql:63-70)
@@ -88,31 +90,43 @@ class Ledger:
             json.dump(self._state, fh, indent=1, default=str)
         os.replace(tmp, self._path)  # atomic commit
 
+    @contextmanager
+    def _exclusive(self):
+        """Cross-process read-modify-write: OS file lock + state
+        reload, so two concurrent drivers can't both pass the job gate
+        or clobber each other's stats (the reference gets this from
+        PostgreSQL row locks; a JSON file needs flock)."""
+        with open(os.path.join(self.root, ".ledger.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            self._state = self._load()
+            yield
+            self._save()
+
     # --- jobs (C1) ---
     def create_job(self, allow_concurrent: bool = False) -> UploadJob:
         """bde_CreateUpload (sql/02-bde_control_functions.sql.in:270-302):
         refuse when another job is active unless allowed."""
-        if not allow_concurrent and self.any_active():
-            raise RuntimeError("another upload job is already active")
-        jid = self._state["next_job_id"]
-        self._state["next_job_id"] = jid + 1
-        job = UploadJob(id=jid, schema_name=f"bde_upload_{jid}",
-                        start_time=time.time(), end_time=time.time())
-        self._state["jobs"].append(asdict(job))
-        self._save()
+        with self._exclusive():
+            if not allow_concurrent and self.any_active():
+                raise RuntimeError("another upload job is already active")
+            jid = self._state["next_job_id"]
+            self._state["next_job_id"] = jid + 1
+            job = UploadJob(id=jid, schema_name=f"bde_upload_{jid}",
+                            start_time=time.time(), end_time=time.time())
+            self._state["jobs"].append(asdict(job))
         return job
 
     def finish_job(self, job_id: int, ok: bool = True) -> None:
         """bde_FinishUpload: status C/E + release locks
         (sql/02-bde_control_functions.sql.in:308-410)."""
-        for j in self._state["jobs"]:
-            if j["id"] == job_id:
-                j["status"] = STATUS_COMPLETED if ok else STATUS_ERROR
-                j["end_time"] = time.time()
-        for t in self._state["tables"].values():
-            if t.get("upl_id_lock") == job_id:
-                t["upl_id_lock"] = None
-        self._save()
+        with self._exclusive():
+            for j in self._state["jobs"]:
+                if j["id"] == job_id:
+                    j["status"] = STATUS_COMPLETED if ok else STATUS_ERROR
+                    j["end_time"] = time.time()
+            for t in self._state["tables"].values():
+                if t.get("upl_id_lock") == job_id:
+                    t["upl_id_lock"] = None
 
     def any_active(self) -> bool:
         """A6: bde_anyUploadIsActive (:136-159), with zombie expiry —
@@ -123,24 +137,23 @@ class Ledger:
                    for j in self._state["jobs"])
 
     def heartbeat(self, job_id: int) -> None:
-        for j in self._state["jobs"]:
-            if j["id"] == job_id:
-                j["end_time"] = time.time()
-        self._save()
+        with self._exclusive():
+            for j in self._state["jobs"]:
+                if j["id"] == job_id:
+                    j["end_time"] = time.time()
 
     def remove_zombies(self) -> list[int]:
         """C3: expire jobs with stale heartbeats, freeing their locks."""
         cutoff = time.time() - self.lock_expiry_hours * 3600
         dead = []
-        for j in self._state["jobs"]:
-            if j["status"] == STATUS_ACTIVE and j["end_time"] <= cutoff:
-                j["status"] = STATUS_ERROR
-                dead.append(j["id"])
-        for t in self._state["tables"].values():
-            if t.get("upl_id_lock") in dead:
-                t["upl_id_lock"] = None
-        if dead:
-            self._save()
+        with self._exclusive():
+            for j in self._state["jobs"]:
+                if j["status"] == STATUS_ACTIVE and j["end_time"] <= cutoff:
+                    j["status"] = STATUS_ERROR
+                    dead.append(j["id"])
+            for t in self._state["tables"].values():
+                if t.get("upl_id_lock") in dead:
+                    t["upl_id_lock"] = None
         return dead
 
     def purge_old_jobs(self, older_than_days: float = 14.0) -> int:
@@ -148,15 +161,18 @@ class Ledger:
         their stats) older than N days, keeping each table's
         last-upload reference."""
         cutoff = time.time() - older_than_days * 86400
-        keep_ids = {t.get("last_upload_id") for t in self._state["tables"].values()}
-        before = len(self._state["jobs"])
-        self._state["jobs"] = [
-            j for j in self._state["jobs"]
-            if j["status"] == STATUS_ACTIVE or j["end_time"] > cutoff or j["id"] in keep_ids
-        ]
-        alive = {j["id"] for j in self._state["jobs"]}
-        self._state["stats"] = [s for s in self._state["stats"] if s["upl_id"] in alive]
-        self._save()
+        with self._exclusive():
+            keep_ids = {t.get("last_upload_id")
+                        for t in self._state["tables"].values()}
+            before = len(self._state["jobs"])
+            self._state["jobs"] = [
+                j for j in self._state["jobs"]
+                if j["status"] == STATUS_ACTIVE or j["end_time"] > cutoff
+                or j["id"] in keep_ids
+            ]
+            alive = {j["id"] for j in self._state["jobs"]}
+            self._state["stats"] = [s for s in self._state["stats"]
+                                    if s["upl_id"] in alive]
         return before - len(self._state["jobs"])
 
     # --- per-table state (watermarks + locks) ---
@@ -167,19 +183,19 @@ class Ledger:
     def acquire_lock(self, name: str, job_id: int, steal: bool = False) -> bool:
         """C2: advisory per-table lock claim/steal
         (sql/02-bde_control_functions.sql.in:539-644)."""
-        t = self.table(name)
-        holder = t.get("upl_id_lock")
-        if holder is not None and holder != job_id and not steal:
-            return False
-        t["upl_id_lock"] = job_id
-        self._save()
+        with self._exclusive():
+            t = self.table(name)
+            holder = t.get("upl_id_lock")
+            if holder is not None and holder != job_id and not steal:
+                return False
+            t["upl_id_lock"] = job_id
         return True
 
     def release_lock(self, name: str, job_id: int) -> None:
-        t = self.table(name)
-        if t.get("upl_id_lock") == job_id:
-            t["upl_id_lock"] = None
-            self._save()
+        with self._exclusive():
+            t = self.table(name)
+            if t.get("upl_id_lock") == job_id:
+                t["upl_id_lock"] = None
 
     def record_dataset_loaded(self, job_id: int, table_name: str, dataset: str,
                               level: str, stats: "object", duration: float = 0.0,
@@ -187,6 +203,12 @@ class Ledger:
         """C6: _bde_RecordDatasetLoaded
         (sql/02-bde_control_functions.sql.in:975-1071) — update
         watermarks + append stats row."""
+        with self._exclusive():
+            self._record_dataset_loaded(job_id, table_name, dataset, level,
+                                        stats, duration, details)
+
+    def _record_dataset_loaded(self, job_id, table_name, dataset, level,
+                               stats, duration=0.0, details=""):
         t = self.table(table_name)
         t["last_upload_dataset"] = dataset
         t["last_upload_type"] = level
@@ -201,7 +223,6 @@ class Ledger:
             nnullupdate=getattr(stats, "nnullupdate", 0),
             ndelete=getattr(stats, "ndelete", 0), duration=duration,
         )))
-        self._save()
 
     def tables_affected(self, job_id: int, tables: list[str], test: str = "loaded") -> bool:
         """X2 predicate evaluator: bde_TablesAffected

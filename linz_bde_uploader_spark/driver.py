@@ -264,8 +264,9 @@ class BdeUploader:
                 duration=time.time() - t0, details=header.end_time or "")
             return TableResult(table.name, ds.name, "5", "loaded", M.MergeStats())
 
-        chg = M.fix_key_swaps(stg, cur, chg, table.key, [])
-        actions = M.classify_actions(cur, stg, chg, table.key, cur.columns)
+        chg = M.fix_key_swaps(stg, cur, chg, table.key, table.unique_cols)
+        actions = M.classify_actions(cur, stg, chg, table.key, cur.columns,
+                                     unique_cols=table.unique_cols)
         actions = actions.cache()
         stats = M.merge_stats(actions)
         merged = M.apply_actions(cur, stg, actions, table.key)
@@ -304,6 +305,7 @@ class BdeUploader:
         if owns_job:
             job = self.ledger.create_job(
                 allow_concurrent=self.config.override_locks)
+        failed_tables: set[str] = set()
         try:
             plan: list[tuple[Dataset, list[TableDef], str]] = []
             if level0 or full_incremental or rebuild:
@@ -341,6 +343,16 @@ class BdeUploader:
                         raise RuntimeError("no l5_change_table configured")
                     _, changes = self._load_file(ds.files()[chg_def.files[0]], chg_def)
                 for t in tabs:
+                    if t.name in failed_tables:
+                        # a failed increment must not be skipped over:
+                        # later datasets would merge onto a base missing
+                        # it and the watermark would advance past it
+                        # forever (reference bypasses the table for the
+                        # rest of the run, lib/LINZ/BdeUpload.pm:762-770)
+                        self.results.append(TableResult(
+                            t.name, ds.name, lvl, "skipped",
+                            message="earlier dataset failed for this table"))
+                        continue
                     if not self.ledger.acquire_lock(
                             t.name, job.id,
                             steal=self.config.override_locks):
@@ -355,6 +367,8 @@ class BdeUploader:
                             r = self.upload_table_level5(job, ds, t, changes)
                     finally:
                         self.ledger.release_lock(t.name, job.id)
+                    if r.status == "error":
+                        failed_tables.add(t.name)
                     self.results.append(r)
                     self.ledger.heartbeat(job.id)
                 if lvl == "0":

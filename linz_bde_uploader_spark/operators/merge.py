@@ -140,7 +140,11 @@ def fix_key_swaps(staged: DataFrame, current: DataFrame, change_keys: DataFrame,
         displaced = (
             stg.join(
                 cur,
-                F.col(f"n.{u}").eqNullSafe(F.col(f"c.{u}"))
+                # null-rejecting = like the reference's theta-join: two
+                # NULL unique values are NOT a swap (a null-safe match
+                # would near-cross-join all NULL rows and mark valid
+                # keys for deletion)
+                (F.col(f"n.{u}") == F.col(f"c.{u}"))
                 & (F.col(f"n.{key}") != F.col(f"c.{key}")),
                 "inner",
             )

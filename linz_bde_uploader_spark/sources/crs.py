@@ -234,6 +234,15 @@ class CleanseConfig:
         return cfg
 
 
+def _normalize_date_string(s: str) -> str:
+    """Accept both ISO and the reference conf's dd/MM/yyyy
+    (invalid_date_string 01/01/1800) sentinel spellings."""
+    m = re.fullmatch(r"(\d{2})/(\d{2})/(\d{4})", s.strip())
+    if m:
+        return f"{m.group(3)}-{m.group(2)}-{m.group(1)}"
+    return s.strip()
+
+
 class CrsReadError(RuntimeError):
     """Raised when malformed rows exceed the configured error budget
     (bde_copy ``max_errors``/``column_count error`` semantics)."""
@@ -245,16 +254,24 @@ def read_crs(spark: SparkSession, path: str, header: CrsHeader | None = None,
              enforce_budget: bool = True) -> DataFrame:
     """S5: distributed read of a .crs[.gz] file.
 
-    Plan shape: one ``spark.read.text`` scan -> filter (data rows end
-    with '|') -> split -> per-column cast, all whole-stage-codegen
-    column expressions. ``valid_columns`` applies P1 column
-    intersection (projection happens before casting, so pruned columns
-    cost nothing).
+    Plan shape: ``spark.read.text`` -> filter (data rows end with '|')
+    -> split -> per-column cast, all whole-stage-codegen column
+    expressions. With ``enforce_budget`` the malformed-row check is a
+    separate counting pass over the file (at the production budget of
+    0 it short-circuits at the first bad row via limit); the main
+    projection then re-scans — the same two passes the reference makes
+    (bde_copy cleanses to a temp file, COPY re-reads it).
+    ``valid_columns`` applies P1 column intersection (projection
+    happens before casting, so pruned columns cost nothing).
     """
     header = header or parse_header(path)
     lines = spark.read.text(path)
+    # normalize CRLF: header parsing strips \r, data rows must too or
+    # every line of a CRLF file would fail the trailing-pipe filter
+    value = F.regexp_replace(F.col("value"), r"\r$", "")
     # Data rows carry a trailing '|'; header lines never do.
-    data = lines.filter(F.col("value").endswith("|"))
+    data = lines.select(value.alias("value")) \
+                .filter(F.col("value").endswith("|"))
 
     ncols = len(header.columns)
     parts = F.split(F.col("value"), r"\|", -1)
@@ -263,12 +280,17 @@ def read_crs(spark: SparkSession, path: str, header: CrsHeader | None = None,
     data = data.select(parts.alias("_p"), ok.alias("_ok"))
 
     if enforce_budget:
-        bad = data.filter(~F.col("_ok")).count()
         budget = (cleanse.max_errors if cleanse else 0)
+        bad_rows = data.filter(~F.col("_ok"))
+        if budget == 0:
+            # short-circuit: any bad row is fatal, stop at the first
+            bad = bad_rows.limit(1).count()
+        else:
+            bad = bad_rows.count()
         if bad > budget:
-            sample = [r["_p"] for r in data.filter(~F.col("_ok")).limit(16).collect()]
+            sample = [r["_p"] for r in bad_rows.limit(16).collect()]
             raise CrsReadError(
-                f"{path}: {bad} malformed rows exceed max_errors={budget}; "
+                f"{path}: malformed rows exceed max_errors={budget}; "
                 f"sample={sample[:3]!r}"
             )
 
@@ -309,8 +331,9 @@ def _cast_and_cleanse(col, c: CrsColumn, cleanse: CleanseConfig | None):
         d = F.coalesce(F.try_to_timestamp(col, F.lit("yyyy-MM-dd")),
                        F.try_to_timestamp(col, F.lit("dd/MM/yyyy"))).cast("date")
         if cleanse.minimum_year > 0:
+            sentinel = _normalize_date_string(cleanse.invalid_date)
             d = F.when(F.year(d) < cleanse.minimum_year,
-                       F.lit("1800-01-01").cast("date")).otherwise(d)
+                       F.lit(sentinel).cast("date")).otherwise(d)
         return d
     return col.cast(t)
 
@@ -398,8 +421,13 @@ def _wkt_offset_udf(offset: float):
                 return None
 
             def repl(m):
-                lon = float(m.group(1)) + offset
-                return f"{lon:g}{m.group(2)}{m.group(3)}"
+                tok = m.group(1)
+                # preserve the source decimal precision: %g would
+                # round cadastral coordinates to 6 significant digits
+                # (~30 m of error)
+                dec = len(tok.split(".", 1)[1]) if "." in tok else 0
+                lon = float(tok) + offset
+                return f"{lon:.{dec}f}{m.group(2)}{m.group(3)}"
 
             head, sep, body = text.partition(";")
             if not sep:

@@ -35,8 +35,9 @@ class JdbcTarget:
             "password": self.password,
             "batchsize": str(self.batch_size),
             "isolationLevel": self.isolation,
-            # server-side batching: one round trip per batch
-            "rewriteBatchedInserts": "true",
+            # server-side batching: one round trip per batch (pgjdbc
+            # property name is case-sensitive: reWriteBatchedInserts)
+            "reWriteBatchedInserts": "true",
             "driver": "org.postgresql.Driver",
         }
 

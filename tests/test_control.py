@@ -155,6 +155,17 @@ def test_ledger_watermarks_and_stats(tmp_path):
     assert not led.tables_affected(job.id, ["other"], "loaded")
 
 
+def test_ledger_gate_across_instances(tmp_path):
+    """C1 across processes: a second Ledger instance (stale in-memory
+    view) must still see the first's active job — the job gate
+    re-reads state under the file lock."""
+    root = str(tmp_path / "ctl")
+    l1, l2 = Ledger(root), Ledger(root)
+    l1.create_job()
+    with pytest.raises(RuntimeError):
+        l2.create_job()
+
+
 def test_ledger_zombies(tmp_path):
     led = Ledger(str(tmp_path / "ctl"), lock_expiry_hours=0.0)
     job = led.create_job()

@@ -83,6 +83,43 @@ def test_cleanse_char_map(spark):
     assert out == "a b c\\nd"
 
 
+def test_read_crlf_file(spark, tmp_path):
+    """CRLF-encoded .crs files must load identically: the \r before
+    the trailing '|' is stripped, not treated as a non-pipe ending
+    (which would silently drop every data row)."""
+    p = write_crs(str(tmp_path / "crlf.crs"), PAB1_L0.replace("\n", "\r\n"))
+    df = read_crs(spark, p)
+    assert df.count() == 3
+    assert {r.audit_id for r in df.collect()} == {80401148, 80401149, 80401150}
+
+
+def test_date_floor_uses_configured_sentinel(spark):
+    """minimum_year floors to the CONFIGURED invalid_date_string —
+    including the reference conf's dd/MM/yyyy spelling."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.sources.crs import CrsColumn, _cast_and_cleanse
+
+    cfg = CleanseConfig(minimum_year=1900, invalid_date="01/01/1900")
+    col = _cast_and_cleanse(F.lit("1850-06-15"), CrsColumn("d", "date", True), cfg)
+    got = spark.range(1).select(col.alias("d")).first()["d"]
+    assert str(got) == "1900-01-01"
+
+
+def test_wkt_offset_preserves_precision(spark):
+    """The longitude offset must not round coordinates (a %g format
+    would clip cadastral precision to 6 significant digits)."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.sources.crs import cleanse_wkt
+
+    cfg = CleanseConfig(longitude_offset=160.0)
+    raw = "POINT (14.76602860417 -36.84846000321)"
+    got = spark.range(1).select(
+        cleanse_wkt(F.lit(raw), cfg).alias("g")).first()["g"]
+    assert got == "SRID=4167;POINT (174.76602860417 -36.84846000321)"
+
+
 def test_cleanse_single_pass_on_collision(spark):
     """When one rule's output is another rule's input ('x' -> '\\n'
     while '\\n' -> literal \\n), mapping must stay single-pass: the

@@ -132,6 +132,32 @@ def test_tolerance_error_aborts_table(spark, env, tmp_path):
     assert store.current_version("crs_parcel_bndry") == v_before  # no commit
 
 
+def test_failed_table_bypassed_in_later_datasets(spark, env, tmp_path):
+    """A table that errors on one level-5 dataset must NOT merge later
+    datasets on top of the gap (reference $tablestate bypass,
+    lib/LINZ/BdeUpload.pm:762-770)."""
+    from tests.fixtures import PAB1_L5, XAUD, write_crs
+    import os
+
+    up, store, ledger = env
+    up.apply_updates(level0=True)
+    # second L5 dataset after the fixture's first one
+    d2 = os.path.join(up.repo.root, "level_5", "20160602000000")
+    write_crs(os.path.join(d2, "pab1.crs"), PAB1_L5)
+    write_crs(os.path.join(d2, "xaud.crs"), XAUD)
+    # make the FIRST L5 dataset fail its tolerance check
+    for t in up.tables:
+        if t.name == "crs_parcel_bndry":
+            t.row_tol_error = 3.0  # requires 9 rows; merge yields 5
+    results = up.apply_updates(level5=True)
+    by_ds = {(r.dataset): r.status for r in results if r.table == "crs_parcel_bndry"}
+    assert by_ds["20160601171200"] == "error"
+    assert by_ds["20160602000000"] == "skipped"
+    # watermark stays at the level-0 baseline — neither failed nor
+    # skipped level-5 dataset advanced it
+    assert ledger.table("crs_parcel_bndry")["last_upload_dataset"] == "20160601000000"
+
+
 def test_runtime_budget_stops_before_dataset(spark, env):
     """C5: an exhausted per-level runtime budget stops the run before
     the next dataset — nothing is loaded."""

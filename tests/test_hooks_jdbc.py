@@ -68,5 +68,6 @@ def test_jdbc_options():
     t = JdbcTarget(url="jdbc:postgresql://db:5432/bde", user="u", password="p")
     opts = t.options("crs_parcel_bndry")
     assert opts["dbtable"] == "bde.crs_parcel_bndry"
-    assert opts["rewriteBatchedInserts"] == "true"
+    # pgjdbc property is case-sensitive: reWriteBatchedInserts
+    assert opts["reWriteBatchedInserts"] == "true"
     assert opts["driver"] == "org.postgresql.Driver"
