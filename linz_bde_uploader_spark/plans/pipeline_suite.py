@@ -689,6 +689,61 @@ FROM good g JOIN d ON g.doc_id = d.canonical_id
 # ------------------------------------------------------------- events
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline over opaque binary payloads: deterministic
+    synthetic media -> mapInPandas decode/feature-extract (stubbed
+    decoder, real Arrow plumbing) -> per-kind feature summary. Binary
+    columns and Pandas-UDF stages aren't DuckDB-expressible, so this
+    entry is rows-only. Deterministic for any sf_dir."""
+    from linz_bde_uploader_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, n=96)
+    feats = MM.extract_features(media)
+    return (
+        feats.select("kind", "payload_bytes",
+                     F.aggregate("features", F.lit(0.0), lambda a, v: a + v)
+                     .alias("fsum"))
+        .groupBy("kind")
+        .agg(F.count("*").alias("n"),
+             F.sum("payload_bytes").alias("total_bytes"),
+             F.round(F.avg("fsum"), 6).alias("avg_feature_sum"))
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-near SimHash pairs (banded buckets + exact bit_count
+    verify)."""
+    pairs = D.simhash_near_pairs(_dup_corpus(spark, sf_dir),
+                                 bits=32, bands=4, max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+SQL_SIMHASH_PAIRS = f"""WITH {_SQL_BASE}, {_SQL_TOKS},
+sh AS (SELECT DISTINCT doc_id, {sql_hash32('tok')} AS h
+       FROM (SELECT doc_id, unnest(w) AS tok FROM toks)),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM sh, unnest(generate_series(0, 31)) AS t(bit)
+  GROUP BY doc_id, bit),
+fp AS (
+  SELECT doc_id AS id,
+         SUM(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id),
+segs AS (
+  SELECT id, simhash, seg,
+         (simhash >> (seg * 8)) & 255 AS segval
+  FROM fp, unnest(generate_series(0, 3)) AS s(seg)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM segs a JOIN segs b
+    ON a.seg = b.seg AND a.segval = b.segval AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) -> sessions per user.
     Batch analog of the streaming session operator."""
@@ -747,6 +802,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "multimodal_features": (q_multimodal_features, None),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),
     "text_quality": (q_text_quality, SQL_QUALITY),
