@@ -305,6 +305,7 @@ class BdeUploader:
         if owns_job:
             job = self.ledger.create_job(
                 allow_concurrent=self.config.override_locks)
+        self.results = []  # each run reports its own results
         failed_tables: set[str] = set()
         try:
             plan: list[tuple[Dataset, list[TableDef], str]] = []

@@ -132,6 +132,34 @@ def test_tolerance_error_aborts_table(spark, env, tmp_path):
     assert store.current_version("crs_parcel_bndry") == v_before  # no commit
 
 
+def test_full_incremental_applies_diff(spark, env):
+    """EP3: a second level-0 snapshot applied with -full-incremental
+    computes and applies the full-table diff (J5) instead of
+    delete+insert — stats count only actual changes."""
+    from tests.fixtures import PAB1_L0, write_crs
+    import os
+
+    up, store, ledger = env
+    up.apply_updates(level0=True)
+
+    # new complete snapshot: seq 1->10 on 80401148, 80401150 deleted,
+    # 80401151 inserted
+    v2 = (PAB1_L0
+          .replace("4457328|1|29694591|Y|80401148|",
+                   "4457328|10|29694591|Y|80401148|")
+          .replace("4457326|3|11960041|Y|80401150|\n",
+                   "9999999|4|11111111|N|80401151|\n"))
+    write_crs(os.path.join(up.repo.root, "level_0", "20160701000000",
+                           "pab1.crs"), v2)
+    results = up.apply_updates(full_incremental=True)
+    r = [x for x in results if x.table == "crs_parcel_bndry"][0]
+    assert r.status == "loaded"
+    assert (r.stats.ninsert, r.stats.nupdate, r.stats.ndelete) == (1, 1, 1)
+    rows = {x.audit_id: x.sequence
+            for x in store.read(spark, "crs_parcel_bndry").collect()}
+    assert rows == {80401148: 10, 80401149: 2, 80401151: 4}
+
+
 def test_failed_table_bypassed_in_later_datasets(spark, env, tmp_path):
     """A table that errors on one level-5 dataset must NOT merge later
     datasets on top of the gap (reference $tablestate bypass,
