@@ -74,7 +74,14 @@ def _parse_attrs(t: TableDef, toks: list[str]) -> None:
             if len(parts) > 1 and parts[1]:
                 t.row_tol_warning = float(parts[1])
         elif low == "files":
-            t.files = [x.lower() for x in toks[i + 1:]]
+            # the file list runs to end of line, but tolerate attribute
+            # tokens (key=/unique=/row_tol=) placed after it — they
+            # must parse as attributes, not become phantom file tags
+            rest = toks[i + 1:]
+            t.files = [x.lower() for x in rest if "=" not in x]
+            attrs = [x for x in rest if "=" in x]
+            if attrs:
+                _parse_attrs(t, attrs)
             break
         elif low.startswith("unique="):
             t.unique_cols = [c for c in tok.split("=", 1)[1].lower().split(",") if c]

@@ -335,6 +335,11 @@ class BdeUploader:
                         self.results.append(TableResult(
                             t.name, ds.name, lvl, "skipped",
                             message=f"dataset incomplete: missing {missing}"))
+                        # an unapplied dataset must also block LATER
+                        # datasets for its tables, or the watermark
+                        # leapfrogs the gap (reference stops the level
+                        # loop outright, lib/LINZ/BdeUpload.pm:703)
+                        failed_tables.add(t.name)
                     continue
                 self._run_hooks("start_dataset", ds.name, lvl, job.id)
                 changes = None
@@ -359,6 +364,7 @@ class BdeUploader:
                             steal=self.config.override_locks):
                         self.results.append(TableResult(
                             t.name, ds.name, lvl, "skipped", message="locked"))
+                        failed_tables.add(t.name)  # same leapfrog hazard
                         continue
                     try:
                         if lvl == "0":

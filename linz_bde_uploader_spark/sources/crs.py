@@ -289,9 +289,10 @@ def read_crs(spark: SparkSession, path: str, header: CrsHeader | None = None,
             bad = bad_rows.count()
         if bad > budget:
             sample = [r["_p"] for r in bad_rows.limit(16).collect()]
+            count = "at least one" if budget == 0 else str(bad)
             raise CrsReadError(
-                f"{path}: malformed rows exceed max_errors={budget}; "
-                f"sample={sample[:3]!r}"
+                f"{path}: {count} malformed row(s) exceed "
+                f"max_errors={budget}; sample={sample[:3]!r}"
             )
 
     cols = header.columns
@@ -420,12 +421,18 @@ def _wkt_offset_udf(offset: float):
             if text is None:
                 return None
 
+            off_dec = len(str(offset).split(".", 1)[1].rstrip("0")) \
+                if "." in str(offset) else 0
+
             def repl(m):
                 tok = m.group(1)
-                # preserve the source decimal precision: %g would
-                # round cadastral coordinates to 6 significant digits
-                # (~30 m of error)
-                dec = len(tok.split(".", 1)[1]) if "." in tok else 0
+                # preserve full precision: at least the source token's
+                # decimals (a %g format would clip to 6 significant
+                # digits, ~30 m of error) AND the offset's own
+                # decimals (an integer source must not truncate a
+                # fractional offset)
+                dec = max(len(tok.split(".", 1)[1]) if "." in tok else 0,
+                          off_dec)
                 lon = float(tok) + offset
                 return f"{lon:.{dec}f}{m.group(2)}{m.group(3)}"
 

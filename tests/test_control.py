@@ -110,6 +110,16 @@ def test_reference_tables_conf_parses():
     assert len(keyed) == 99  # everything but the change table
 
 
+def test_attrs_after_files_token():
+    """Attribute tokens after the files list must parse as attributes,
+    not become phantom file tags (which would make every dataset look
+    incomplete)."""
+    t = parse_tables_conf(
+        "TABLE crs_parcel_bndry key=audit_id files pab1 unique=lin_id")[0]
+    assert t.files == ["pab1"]
+    assert t.unique_cols == ["lin_id"]
+
+
 def test_validate_key():
     t = parse_tables_conf("TABLE t key=audit_id files f")[0]
     validate_key(t, {"audit_id": "integer", "x": "varchar"})

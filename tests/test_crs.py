@@ -119,6 +119,12 @@ def test_wkt_offset_preserves_precision(spark):
         cleanse_wkt(F.lit(raw), cfg).alias("g")).first()["g"]
     assert got == "SRID=4167;POINT (174.76602860417 -36.84846000321)"
 
+    # a fractional offset on an integer coordinate keeps its fraction
+    cfg2 = CleanseConfig(longitude_offset=160.5)
+    got2 = spark.range(1).select(
+        cleanse_wkt(F.lit("POINT (14 -41)"), cfg2).alias("g")).first()["g"]
+    assert got2 == "SRID=4167;POINT (174.5 -41)"
+
 
 def test_cleanse_single_pass_on_collision(spark):
     """When one rule's output is another rule's input ('x' -> '\\n'

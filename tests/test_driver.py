@@ -186,6 +186,28 @@ def test_failed_table_bypassed_in_later_datasets(spark, env, tmp_path):
     assert ledger.table("crs_parcel_bndry")["last_upload_dataset"] == "20160601000000"
 
 
+def test_incomplete_dataset_blocks_later_datasets(spark, env):
+    """An incomplete (mid-sync) level-5 dataset must block LATER
+    datasets for its tables, or the watermark leapfrogs the gap and
+    the increment is lost forever."""
+    from tests.fixtures import PAB1_L5, XAUD, write_crs
+    import os
+
+    up, store, ledger = env
+    up.apply_updates(level0=True)
+    # dataset A is incomplete (xaud only); dataset B is complete
+    da = os.path.join(up.repo.root, "level_5", "20160601100000")
+    write_crs(os.path.join(da, "xaud.crs"), XAUD)
+    results = up.apply_updates(level5=True)
+    by_ds = {r.dataset: (r.status, r.message)
+             for r in results if r.table == "crs_parcel_bndry"}
+    assert by_ds["20160601100000"][0] == "skipped"
+    assert "incomplete" in by_ds["20160601100000"][1]
+    # the COMPLETE later dataset is also skipped for this table
+    assert by_ds["20160601171200"][0] == "skipped"
+    assert ledger.table("crs_parcel_bndry")["last_upload_dataset"] == "20160601000000"
+
+
 def test_runtime_budget_stops_before_dataset(spark, env):
     """C5: an exhausted per-level runtime budget stops the run before
     the next dataset — nothing is loaded."""
