@@ -288,12 +288,20 @@ def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_words: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  cache_shingles: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold:
     (id_a, id_b, jaccard). Inverted-index self-join on shingle hash;
     |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|. See
-    ``jaccard_pairs_prefix`` for the prefix-filtered scale path."""
+    ``jaccard_pairs_prefix`` for the prefix-filtered scale path.
+
+    ``cache_shingles`` persists the shingle stream, which three
+    consumers share (both self-join sides + the size aggregate) —
+    measured 2x at sf0.1. At true corpus scale prefer recompute (the
+    stream can exceed cluster memory) or persist to disk explicitly."""
     sh = _shingle_hashes(docs, text_col, id_col, shingle_words)
+    if cache_shingles:
+        sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

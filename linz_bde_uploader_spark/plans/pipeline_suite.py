@@ -266,7 +266,8 @@ FROM votes GROUP BY doc_id
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard pairs >= 0.3."""
     pairs = D.jaccard_pairs(_dup_corpus(spark, sf_dir),
-                            shingle_words=3, threshold=0.3)
+                            shingle_words=3, threshold=0.3,
+                            cache_shingles=True)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
