@@ -18,10 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from linz_bde_uploader_spark.plans.analytics_suite import ANALYTICS_QUERIES
 from linz_bde_uploader_spark.plans.engine_suite import ENGINE_QUERIES
 from linz_bde_uploader_spark.plans.pipeline_suite import PIPELINE_QUERIES
 
-_ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES}
+_ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 
 
 def _configure(spark: SparkSession) -> SparkSession:

@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from linz_bde_uploader_spark.plans.analytics_suite import ANALYTICS_QUERIES
 from linz_bde_uploader_spark.plans.engine_suite import ENGINE_QUERIES
 from linz_bde_uploader_spark.plans.pipeline_suite import PIPELINE_QUERIES
 from linz_bde_uploader_spark.session import get_spark
@@ -37,6 +38,10 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "events_rollup",
+    "events_lag_delta",
     "events_sessionize",
     "events_window_agg",
 ]
@@ -46,7 +51,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     spark = get_spark("bench")
-    allq = {**ENGINE_QUERIES, **PIPELINE_QUERIES}
+    allq = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 
     # warm the JVM/catalyst path once with the cheapest query
     allq["cdc_stats"][0](spark, sf_dir).collect()

@@ -1,0 +1,560 @@
+"""Extended analytical query suite: the TPC-H query families that fit
+the TESTDATA schema (no partsupp table; lineitem carries no
+commit/receipt dates), adapted where a column is absent, plus
+grouping-set and ordered-window coverage over ``events``.
+
+Each entry is a (spark_fn, oracle_sql) pair following the suite-wide
+numeric portability rules (see pipeline_suite.py): money math in exact
+DECIMAL, cast to DOUBLE last; ratios divide two exact-decimal-derived
+doubles; timestamps emitted as formatted strings.
+
+These widen the engine surface beyond the reference's ETL operators
+(the reference has no GROUP BY analytics at all —
+/root/reference/sql/02-bde_control_functions.sql.in confines itself to
+COUNT(*) and string_agg): semi/anti joins, outer-join distributions,
+scalar subqueries, disjunctive predicate pushdown, distinct
+aggregation, per-group averages via self-join, ROLLUP grouping sets,
+and lag/lead ordered windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.plans.tables import load_table
+
+_TS = "TIMESTAMP_NTZ'{} 00:00:00'"
+
+
+def _ts(day: str):
+    return F.expr(_TS.format(day))
+
+
+def _rev():
+    """Exact-decimal extended revenue: l_extendedprice * (1-l_discount)."""
+    return (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)"))
+
+
+# ------------------------------------------------------------------ Q4
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: order-priority checking — EXISTS rewritten as a
+    left-semi join (the delivered-late predicate adapted to
+    l_shipdate > o_orderdate since TESTDATA lacks commit/receipt
+    dates). The semi join keeps only order columns flowing, so the
+    shuffle carries no lineitem payload."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01")))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(li, (orders["o_orderkey"] == li["l_orderkey"])
+                    & (li["l_shipdate"] > orders["o_orderdate"]), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------------------ Q7
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bidirectional nation-pair shipping volume by year.
+    Both nation lookups broadcast; the pair filter lands before the
+    aggregate so only matching rows shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01")))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"),
+                       F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == n1["s_nkey"])
+        .join(F.broadcast(n2), cust["c_nationkey"] == n2["c_nkey"])
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l_discount AS DECIMAL(12,2)) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ------------------------------------------------------------------ Q8
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_5's market share of ECONOMY-type parts sold
+    into the ASIA region, by order year. Ratio of two exact decimal
+    sums, divided as doubles last."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY") \
+        .select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01")))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"),
+                       F.col("n_regionkey").alias("c_rkey"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    nat_rev = F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(zero)
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == n1["s_nkey"])
+        .join(F.broadcast(n2), cust["c_nationkey"] == n2["c_nkey"])
+        .join(F.broadcast(region), F.col("c_rkey") == region["r_regionkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(nat_rev).cast("double")
+              / F.sum(_rev()).cast("double")).alias("mkt_share"))
+    )
+
+
+SQL_Q8 = """
+SELECT o_year,
+       CAST(SUM(nat_rev) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l_discount AS DECIMAL(12,2)) AS rev,
+         CASE WHEN n1.n_name = 'NATION_5'
+              THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - l_discount AS DECIMAL(12,2))
+              ELSE CAST(0 AS DECIMAL(12,2)) END AS nat_rev
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+) GROUP BY o_year
+"""
+
+
+# ----------------------------------------------------------------- Q10
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by lost revenue on returned items
+    in a quarter. Deterministic tie-break on c_custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01")))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ----------------------------------------------------------------- Q13
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer, keeping
+    zero-order customers via a conditional LEFT OUTER join, then a
+    second aggregation over the counts."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                                        "o_orderpriority")
+    per_cust = (
+        cust.join(orders, (cust["c_custkey"] == orders["o_custkey"])
+                  & (orders["o_orderpriority"] != "1-URGENT"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+# ----------------------------------------------------------------- Q14
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo-type revenue share for one month; single
+    scalar row — 100.0 * promo / total, both exact sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-03-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01")))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(12,2)")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .agg((F.lit(100.0) * F.sum(promo).cast("double")
+              / F.sum(_rev()).cast("double")).alias("promo_revenue"))
+    )
+
+
+SQL_Q14 = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(12,2))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+# ----------------------------------------------------------------- Q15
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue. The
+    scalar max is computed as a 1-row aggregate and broadcast back
+    (no driver collect, no single-partition window)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01")))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["max_revenue"])
+        .join(supp, rev["supplier_no"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+# ----------------------------------------------------------------- Q16
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted to lineitem as the part-supplier bridge (no
+    partsupp in TESTDATA): distinct suppliers per (brand, type, size),
+    excluding one brand and suppliers in deficit (anti join)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    bad = load_table(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ----------------------------------------------------------------- Q17
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from orders of less than 20% of a part's
+    average quantity. The correlated subquery becomes a per-part
+    aggregate re-joined on partkey; the per-part average is an exact
+    decimal sum over an exact count so both engines compare the same
+    doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part") \
+        .filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    part_avg = (
+        li.groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg((F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+              / F.count("*")).alias("avg_qty"))
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(part_avg, li["l_partkey"] == part_avg["pa_partkey"])
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+              .cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+SQL_Q17 = """
+WITH part_avg AS (
+  SELECT l_partkey AS pa_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN part_avg ON l_partkey = pa_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+# ----------------------------------------------------------------- Q19
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of three (brand, size, quantity) branch
+    predicates — exercises OR pushdown through a join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ----------------------------------------------------------------- Q22
+
+
+def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted to c_nationkey (TESTDATA has no phone
+    country codes): wealthy customers with no urgent 1996 orders —
+    scalar subquery broadcast in, NOT EXISTS as a left-anti join.
+    (TESTDATA gives every customer at least one order, so the
+    anti-join predicate is narrowed to keep the result non-empty.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))).select("o_custkey")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+              / F.count("*")).alias("avg_bal"))
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double").alias("totacctbal"))
+    )
+
+
+SQL_Q22 = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+# -------------------------------------------------------- events ROLLUP
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over (event_type, day) — per-type-per-day
+    counts plus per-type and grand totals in one pass (partial
+    aggregation handles all grouping sets map-side)."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    return (
+        events.select("event_type", day, "value")
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("double").alias("sum_value"))
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT event_type, day, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT event_type,
+         strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+         value
+  FROM events
+) GROUP BY ROLLUP (event_type, day)
+"""
+
+
+# ------------------------------------------------------ events lag/lead
+
+
+def q_events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered window over a keyed partition: per-user value delta via
+    LAG. Partitioned by user_id so the window shuffles once on the
+    natural key; ordering ties broken by event_id. The oracle orders
+    by CAST(ts AS TIMESTAMP) to match Spark's microsecond-truncated
+    reads of the TIMESTAMP_NS column."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_id", "user_id",
+            (F.col("value") - F.lag("value").over(w)).alias("delta"))
+    )
+
+
+SQL_EVENTS_LAG = """
+SELECT event_id, user_id,
+       value - LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         AS delta
+FROM events
+"""
+
+
+ANALYTICS_QUERIES: dict[str, tuple] = {
+    "q4_order_priority": (q4_order_priority, SQL_Q4),
+    "q7_volume_shipping": (q7_volume_shipping, SQL_Q7),
+    "q8_market_share": (q8_market_share, SQL_Q8),
+    "q10_returned_items": (q10_returned_items, SQL_Q10),
+    "q13_customer_distribution": (q13_customer_distribution, SQL_Q13),
+    "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
+    "q15_top_supplier": (q15_top_supplier, SQL_Q15),
+    "q16_supplier_cnt": (q16_supplier_cnt, SQL_Q16),
+    "q17_small_quantity": (q17_small_quantity, SQL_Q17),
+    "q19_disjunctive": (q19_disjunctive, SQL_Q19),
+    "q22_no_order_customers": (q22_no_order_customers, SQL_Q22),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "events_lag_delta": (q_events_lag_delta, SQL_EVENTS_LAG),
+}

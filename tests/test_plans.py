@@ -23,9 +23,10 @@ def _simple(df):
 
 @pytest.fixture(scope="module")
 def allq():
+    from linz_bde_uploader_spark.plans.analytics_suite import ANALYTICS_QUERIES
     from linz_bde_uploader_spark.plans.engine_suite import ENGINE_QUERIES
     from linz_bde_uploader_spark.plans.pipeline_suite import PIPELINE_QUERIES
-    return {**ENGINE_QUERIES, **PIPELINE_QUERIES}
+    return {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 
 
 def test_dim_joins_broadcast(spark, allq):
@@ -65,4 +66,51 @@ def test_exact_dedup_single_hash_shuffle(spark, allq):
     """Exact dedup is one hash shuffle of content digests (plus the
     local-mode repartition of the tiny input)."""
     plan = _simple(allq["dedup_exact"][0](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q4_exists_is_semi_join(spark, allq):
+    """Q4's EXISTS must compile to a semi join (only order columns
+    survive the probe — no lineitem payload in the shuffle)."""
+    plan = _simple(allq["q4_order_priority"][0](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_nation_lookups_broadcast(spark, allq):
+    """Both nation lookups in Q7 must broadcast; the orderdate and
+    shipdate filters must not force a cartesian pair filter."""
+    plan = _simple(allq["q7_volume_shipping"][0](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_returnflag_pushdown(spark, allq):
+    """Q10's returnflag equality predicate must reach the lineitem
+    parquet scan."""
+    plan = _formatted(allq["q10_returned_items"][0](spark, SF_DIR))
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_anti_joins_compile_to_left_anti(spark, allq):
+    """Q16's NOT IN and Q22's NOT EXISTS must stay anti joins, not
+    degenerate into outer-join + null filter."""
+    for name in ("q16_supplier_cnt", "q22_no_order_customers"):
+        plan = _simple(allq[name][0](spark, SF_DIR))
+        assert "LeftAnti" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_rollup_is_single_expand_pass(spark, allq):
+    """ROLLUP compiles to one Expand + one partial/final aggregate
+    pair — one shuffle for all three grouping sets, not one per set."""
+    plan = _simple(allq["events_rollup"][0](spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lag_window_shuffles_once_on_user(spark, allq):
+    """The per-user LAG window partitions by user_id exactly once."""
+    plan = _simple(allq["events_lag_delta"][0](spark, SF_DIR))
+    assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") == 1

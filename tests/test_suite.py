@@ -16,6 +16,8 @@ FAST_QUERIES = [
     "tolerance_check", "event_duration", "q1_pricing_summary",
     "dedup_exact", "dedup_simhash", "text_token_stats", "text_lang_id",
     "sim_cosine_topk", "events_sessionize",
+    "q4_order_priority", "q13_customer_distribution", "q15_top_supplier",
+    "q22_no_order_customers", "events_rollup", "events_lag_delta",
 ]
 
 
