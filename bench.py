@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_jaccard",
     "text_token_stats",
+    "text_term_freq",
+    "text_tfidf",
     "text_fingerprint",
     "sim_cosine_topk",
     "sim_lsh_topk",
@@ -42,6 +44,7 @@ HEADLINE = [
     "q13_customer_distribution",
     "events_rollup",
     "events_lag_delta",
+    "events_asof",
     "events_sessionize",
     "events_window_agg",
 ]

@@ -1,9 +1,11 @@
 """Text-analysis operators over a documents table: language ID,
 quality scoring, token statistics, document fingerprinting.
 
-All pure column expressions (whole-stage codegen) — these run in the
-scan stage with zero shuffles, so they cost one pass over the corpus
-regardless of scale.
+The per-document metrics are pure column expressions (whole-stage
+codegen) — they run in the scan stage with zero shuffles, one pass
+over the corpus regardless of scale. The corpus-level operators
+(term_frequencies, tf_idf) shuffle (token, doc_id) pairs, never
+document text.
 """
 
 from __future__ import annotations
@@ -14,7 +16,7 @@ from pyspark.sql import functions as F
 from linz_bde_uploader_spark.functions.hashing import hash60
 from linz_bde_uploader_spark.functions.text import (
     LANG_STOPWORDS, avg_token_length, quality_score, stopword_count,
-    token_count, unique_token_count, word_shingles,
+    token_count, tokens, unique_token_count, word_shingles,
 )
 
 
@@ -57,6 +59,54 @@ def language_id(docs: DataFrame, text_col: str = "text",
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     pred = expr.otherwise(F.lit("und"))
     return docs.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def term_frequencies(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Global term-frequency table: one row per distinct token with
+    its total occurrence count and document frequency.
+
+    The explode happens in the scan stage; both counts come out of ONE
+    hash shuffle keyed by token (count + count-distinct-doc computed
+    together as partial aggregates). At corpus scale this is the
+    canonical vocabulary-building pass — the shuffle carries (token,
+    doc_id) pairs, never document text."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tokens(F.col(text_col))).alias("token"))
+    return toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def tf_idf(docs: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """Per-(document, term) TF-IDF: (tf / doc_len) * ln(N / df).
+
+    Three aggregates over one exploded token stream — per-doc term
+    counts, per-doc lengths, global document frequencies — joined back
+    on their natural keys; the corpus size N is a 1-row aggregate
+    broadcast into the final projection (no driver collect). All
+    inputs to the double math are exact integers, so both engines
+    compute identical doubles (rounded to 6 dp at the boundary)."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_corpus"))
+    return (
+        tf.join(doc_len, "doc_id")
+        .join(df, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id", "token",
+            F.round(
+                (F.col("tf").cast("double") / F.col("n_tokens").cast("double"))
+                * F.log(F.col("n_corpus").cast("double") / F.col("df").cast("double")),
+                6).alias("tfidf"),
+        )
+    )
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",

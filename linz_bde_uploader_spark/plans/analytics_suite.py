@@ -543,7 +543,46 @@ FROM events
 """
 
 
+# ------------------------------------------------------- as-of join
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each purchase event
+    picks up the value of the user's most recent at-or-before view
+    event. One key shuffle + ordered window — no range cross-join."""
+    from linz_bde_uploader_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id",
+                F.col("value").alias("last_view_value"))
+    purchases = events.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    out = asof_join(purchases, views, key="user_id", ts="ts",
+                    payload_cols=["last_view_value"], seq_col="event_id")
+    return out.select("event_id", "user_id", "last_view_value")
+
+
+SQL_EVENTS_ASOF = """
+WITH u AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN event_type = 'view' THEN value END AS v_value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('view', 'purchase'))
+SELECT event_id, user_id, last_view_value
+FROM (
+  SELECT event_id, user_id, is_p,
+         last_value(v_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_p, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_view_value
+  FROM u)
+WHERE is_p = 1
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "q4_order_priority": (q4_order_priority, SQL_Q4),
     "q7_volume_shipping": (q7_volume_shipping, SQL_Q7),
     "q8_market_share": (q8_market_share, SQL_Q8),

@@ -304,6 +304,95 @@ FROM toks
 """
 
 
+def q_text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary terms by occurrence (tie-break on token) —
+    the global term-frequency pass every tokenizer-training /
+    vocabulary-pruning pipeline starts with."""
+    freq = TA.term_frequencies(
+        parallelize_small(load_table(spark, sf_dir, "documents")))
+    return freq.orderBy(F.col("n_occurrences").desc(), "token").limit(100)
+
+
+SQL_TERM_FREQ = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents)
+SELECT token, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+"""
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF for a deterministic slice of documents (doc_id < 20);
+    document frequencies still computed over the WHOLE corpus."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return TA.tf_idf(docs).filter(F.col("doc_id") < 20)
+
+
+SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+nd AS (SELECT COUNT(*) AS n_corpus FROM documents)
+SELECT tf.doc_id, tf.token,
+       round((CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * ln(CAST(n_corpus AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN df ON tf.token = df.token, nd
+WHERE tf.doc_id < 20
+"""
+
+
+def q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample via multiplicative hashing on the key
+    — the reproducible train/eval split a pipeline needs (rand() is
+    neither reproducible across runs nor engines). Pure integer
+    arithmetic, identical in any engine; the pre-modulus keeps the
+    product below 2^63 for any key."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 1000000007) * 2654435761 % 1000
+    return docs.select("doc_id", bucket.cast("bigint").alias("bucket")) \
+               .filter(F.col("bucket") < 100)
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id,
+       CAST((doc_id % 1000000007) * 2654435761 % 1000 AS BIGINT) AS bucket
+FROM documents
+WHERE (doc_id % 1000000007) * 2654435761 % 1000 < 100
+"""
+
+
+def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length histogram (100-char bins): the corpus-shape
+    diagnostic pass — bin assignment is map-side integer math, one
+    tiny aggregate shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bin_lo = (F.floor(F.col("n_chars") / 100) * 100).cast("bigint")
+    return (
+        docs.groupBy(bin_lo.alias("bin_lo"))
+        .agg(F.count("*").alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.quality(parallelize_small(load_table(spark, sf_dir, "documents")))
 
@@ -807,6 +896,10 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, None),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),
+    "text_term_freq": (q_text_term_freq, SQL_TERM_FREQ),
+    "text_tfidf": (q_text_tfidf, SQL_TFIDF),
+    "docs_hash_sample": (q_docs_hash_sample, SQL_HASH_SAMPLE),
+    "docs_length_histogram": (q_docs_length_histogram, SQL_LENGTH_HISTOGRAM),
     "text_quality": (q_text_quality, SQL_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_LANG_ID),
     "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),

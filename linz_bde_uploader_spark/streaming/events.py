@@ -106,6 +106,29 @@ def sessionize(events: DataFrame, ts_col: str = "ts",
     )
 
 
+def stream_dedup(docs: DataFrame, ts_col: str = "ts",
+                 text_col: str = "text",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: keep the first occurrence of
+    each content digest; drop re-arrivals while the digest is still
+    in state (``dropDuplicatesWithinWatermark``).
+
+    The batch exact-dedup (operators/dedup.py) needs the whole corpus;
+    this is its always-on form for ingest pipelines: state holds one
+    16-byte digest per distinct document and is EVICTED once the
+    event-time watermark passes first_seen + delay — bounded state, so
+    the stream survives unbounded input. The guarantee is one-sided by
+    design (duplicates within the watermark window are always dropped;
+    re-arrivals after eviction pass through and are left to the
+    periodic batch dedup pass)."""
+    return (
+        docs.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .drop("content_hash")
+    )
+
+
 CONTINUITY_OUTPUT = T.StructType([
     T.StructField("table", T.StringType()),
     T.StructField("dataset", T.StringType()),

@@ -207,3 +207,51 @@ def test_media_stats(media):
     rows = {r.kind: r for r in MM.media_stats(media).collect()}
     assert set(rows) == {"image", "audio", "video"}
     assert all(r.total_bytes > 0 for r in rows.values())
+
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics across micro-batches:
+    in-window duplicates are dropped (even across batches via the
+    state store); once the watermark passes first_seen + delay the
+    digest is evicted and the content passes through again."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def t(hh, mm):
+        return dt.datetime(2024, 1, 1, hh, mm)
+
+    def drain(rows):
+        spark.createDataFrame(rows, DOCS_SCHEMA).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+        deduped = STR.stream_dedup(stream, watermark="1 hour")
+        STR.run_available_now(deduped, ckpt, out)
+        return sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    # batch 1: A, B, then A again 10 min later -> exactly one copy of
+    # each content survives. Which A-copy wins is processing-order
+    # (not event-time) dependent, so assert on content, not id.
+    got = drain([
+        (1, t(10, 0), "doc A"),
+        (2, t(10, 5), "doc B"),
+        (3, t(10, 10), "doc A"),
+    ])
+    assert len(got) == 2 and 2 in got and (got[0] in (1, 3) or got[1] in (1, 3))
+
+    # batch 2: A re-arrives at 13:00. Watermark so far = 10:10 - 1h =
+    # 09:10, which has NOT passed A's eviction time (first_seen + 1h),
+    # so the digest is still in state -> dropped, nothing new.
+    assert drain([(4, t(13, 0), "doc A")]) == got
+
+    # batch 3: watermark advanced to 13:00 - 1h = 12:00, past A's
+    # eviction time -> A was evicted; the same content passes through.
+    assert drain([(5, t(13, 30), "doc A")]) == got + [5]
