@@ -45,6 +45,7 @@ HEADLINE = [
     "events_rollup",
     "events_lag_delta",
     "events_asof",
+    "events_interval_join",
     "events_sessionize",
     "events_window_agg",
 ]

@@ -581,8 +581,55 @@ WHERE is_p = 1
 """
 
 
+# -------------------------------------------------- interval join
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (operators/rangejoin.py): views in the
+    30 minutes before each purchase, per user — an equi-join on
+    (user, time-bucket) + exact range filter, never a nested-loop
+    cross join. Zero-view purchases kept via the left_outer mode."""
+    from linz_bde_uploader_spark.operators.rangejoin import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    views = events.filter(F.col("event_type") == "view") \
+        .select("user_id", F.col("ts").alias("view_ts"),
+                F.col("value").alias("view_value"))
+    j = interval_join(purchases, views, left_ts="ts", right_ts="view_ts",
+                      lower_s=-1800.0, upper_s=0.0, key="user_id",
+                      how="left_outer")
+    return (
+        j.groupBy("event_id", "user_id")
+        .agg(F.count("view_ts").alias("n_views"),
+             F.sum(F.col("view_value").cast("decimal(18,2)"))
+             .cast("double").alias("sum_view_value"))
+    )
+
+
+SQL_EVENTS_INTERVAL = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value
+  FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       COUNT(view_ts) AS n_views,
+       CAST(SUM(CAST(view_value AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_view_value
+FROM p LEFT OUTER JOIN v
+  ON p.user_id = v.user_id
+ AND epoch_us(view_ts) >= epoch_us(p.ts) - 1800000000
+ AND epoch_us(view_ts) <= epoch_us(p.ts)
+GROUP BY p.event_id, p.user_id
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+    "events_interval_join": (q_events_interval_join, SQL_EVENTS_INTERVAL),
     "q4_order_priority": (q4_order_priority, SQL_Q4),
     "q7_volume_shipping": (q7_volume_shipping, SQL_Q7),
     "q8_market_share": (q8_market_share, SQL_Q8),
