@@ -640,6 +640,28 @@ ORDER BY total_qty DESC, orderkey LIMIT 10
 """
 
 
+def q_docs_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per source: HyperLogLog++ distinct-document
+    estimate and approximate length quantiles. At 100 TB these replace
+    exact distinct/percentile (whose state grows with cardinality) with
+    fixed-size mergeable sketches — error bounds are asserted against
+    the exact answers in tests/test_sketches.py; no SQL oracle because
+    the estimate is engine-specific by construction (rows-only gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.approx_count_distinct("text", rsd=0.02).alias("approx_distinct_docs"),
+            F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000)
+            .alias("len_quantiles"),
+        )
+        .select("source", "approx_distinct_docs",
+                F.element_at("len_quantiles", 1).alias("len_p50"),
+                F.element_at("len_quantiles", 2).alias("len_p90"),
+                F.element_at("len_quantiles", 3).alias("len_p99"))
+    )
+
+
 def q_docs_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 quality documents per language (ranking window over the
     scored corpus — the per-group top-k pattern)."""
@@ -887,6 +909,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
     "q18_large_orders": (q18_large_orders, SQL_Q18),
     "docs_topk_quality": (q_docs_topk_quality, SQL_DOCS_TOPK),
+    "docs_sketch_stats": (q_docs_sketch_stats, None),
     "events_sliding_agg": (q_events_sliding_agg, SQL_SLIDING_AGG),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
