@@ -143,6 +143,41 @@ def seed_centroids(corpus: DataFrame, n_centroids: int = 8,
         F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cv"))
 
 
+def kmeans_fit(corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Spherical-style k-means (Lloyd iterations, cosine assignment)
+    as pure DataFrame ops — the centroid-training step for a real IVF
+    index, replacing ``seed_centroids`` when reproducible-but-seeded
+    isn't enough. Returns (cent_id, cv).
+
+    Per iteration: assignment is a map-side pass (centroids
+    broadcast, no corpus shuffle — ivf_assign); the mean recompute
+    shuffles (cell, dim, x) triples, which partial aggregation
+    collapses to cells x dim rows per partition before exchange —
+    shuffle volume is O(partitions * cells * dim), independent of
+    corpus size. The driver loop holds only DataFrames; nothing
+    collects. Cells that lose all members drop out (standard Lloyd
+    degeneracy; callers wanting k exact cells re-seed).
+    """
+    cent = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    vecs = corpus.select(F.col(id_col).alias("id"),
+                         _as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        assigned = ivf_assign(vecs, cent, "id", "v", nprobe=1)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        cent = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(F.col("cell").alias("cent_id"),
+                    F.transform("pm", lambda s: s["m"]).alias("cv"))
+        )
+    return cent
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 8, nprobe: int = 2,

@@ -131,3 +131,53 @@ def test_ivf_topk_full_probe_is_exact(spark):
     partial = {(r.query_id, r.neighbor_id) for r in
                S.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=2).collect()}
     assert len(exact & partial) / len(exact) >= 0.2
+
+
+def test_kmeans_fit_matches_numpy_reference(spark):
+    """Two Lloyd iterations of the DataFrame k-means must reproduce a
+    straightforward numpy implementation of the same algorithm (seeded
+    centroids = lowest vec_ids, cosine argmax with centroid-id
+    tie-break, plain per-cluster means)."""
+    import numpy as np
+
+    from linz_bde_uploader_spark.operators import similarity as S
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    k, iters = 4, 2
+    got = {r.cent_id: np.array(r.cv) for r in
+           S.kmeans_fit(emb, n_centroids=k, iters=iters).collect()}
+
+    rows = sorted((r.vec_id, np.array(r.embedding, dtype="float64"))
+                  for r in emb.collect())
+    ids = np.array([i for i, _ in rows])
+    X = np.stack([v for _, v in rows])
+    cents = {i: X[ids == i][0] for i in range(k)}
+    for _ in range(iters):
+        cids = sorted(cents)
+        C = np.stack([cents[c] for c in cids])
+        sims = (X @ C.T) / (np.linalg.norm(X, axis=1, keepdims=True)
+                            * np.linalg.norm(C, axis=1))
+        assign = np.argmax(sims, axis=1)  # argmax takes first max -> lowest cent id
+        cents = {cids[c]: X[assign == c].mean(axis=0)
+                 for c in range(len(cids)) if (assign == c).any()}
+
+    assert set(got) == set(cents)
+    for c, v in cents.items():
+        assert np.allclose(got[c], v, atol=1e-9), c
+
+
+def test_ivf_topk_with_trained_centroids(spark):
+    """ivf_topk accepts kmeans_fit output; full probe over trained
+    cells is still exact (partition completeness doesn't depend on
+    centroid quality)."""
+    from linz_bde_uploader_spark.operators import similarity as S
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 5")
+    cent = S.kmeans_fit(emb, n_centroids=4, iters=1)
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, q, k=3).collect()}
+    full = {(r.query_id, r.neighbor_id) for r in
+            S.ivf_topk(emb, q, k=3, nprobe=4, centroids=cent).collect()}
+    assert full == exact
