@@ -83,22 +83,29 @@ def tf_idf(docs: DataFrame, text_col: str = "text",
            id_col: str = "doc_id") -> DataFrame:
     """Per-(document, term) TF-IDF: (tf / doc_len) * ln(N / df).
 
-    Three aggregates over one exploded token stream — per-doc term
-    counts, per-doc lengths, global document frequencies — joined back
-    on their natural keys; the corpus size N is a 1-row aggregate
-    broadcast into the final projection (no driver collect). All
-    inputs to the double math are exact integers, so both engines
-    compute identical doubles (rounded to 6 dp at the boundary)."""
+    ONE pass over the text: the per-(doc, token) count is a sufficient
+    statistic for everything downstream — doc length = sum(tf) over
+    the doc, document frequency = row count over the token — so both
+    derive as windows over the (already tiny) tf relation instead of
+    re-exploding the corpus per aggregate (the naive three-aggregate
+    + join formulation scans and tokenizes the corpus three times).
+    The corpus size N is a 1-row count (parquet footer metadata)
+    broadcast into the projection; no driver collect. All inputs to
+    the double math are exact integers, so both engines compute
+    identical doubles (rounded to 6 dp at the boundary)."""
+    from pyspark.sql import Window
+
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(tokens(F.col(text_col))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
-    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_corpus"))
+    enriched = (
+        tf.withColumn("n_tokens",
+                      F.sum("tf").over(Window.partitionBy("doc_id")))
+        .withColumn("df", F.count("*").over(Window.partitionBy("token")))
+    )
     return (
-        tf.join(doc_len, "doc_id")
-        .join(df, "token")
-        .join(F.broadcast(n_docs))
+        enriched.join(F.broadcast(n_docs))
         .select(
             "doc_id", "token",
             F.round(

@@ -114,3 +114,11 @@ def test_lag_window_shuffles_once_on_user(spark, allq):
     plan = _simple(allq["events_lag_delta"][0](spark, SF_DIR))
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_single_corpus_pass(spark, allq):
+    """tf_idf must tokenize/explode the corpus exactly once — doc
+    length and document frequency derive from the tf relation, not
+    from re-scanning the text."""
+    plan = _simple(allq["text_tfidf"][0](spark, SF_DIR))
+    assert plan.count("Generate explode") == 1
