@@ -49,15 +49,15 @@ def interval_join(left: DataFrame, right: DataFrame,
     if overlap:
         raise ValueError(f"ambiguous columns on both sides: {overlap}")
 
-    l = left.withColumn(_LUS, F.unix_micros(F.col(left_ts)))
+    l_base = left.withColumn(_LUS, F.unix_micros(F.col(left_ts)))
     if how == "left_outer":
         # row id assigned BEFORE the bucket explode: "no match" is a
         # per-original-row fact, and anti-joining on the id avoids the
         # null-key pitfalls of joining back on data columns
-        l = l.withColumn(_RID, F.monotonically_increasing_id())
+        l_base = l_base.withColumn(_RID, F.monotonically_increasing_id())
     # the query interval [l+lo, l+hi] spans exactly width_us, so it
     # covers at most two adjacent buckets -> explode into both
-    l = l.withColumn(
+    l = l_base.withColumn(
         _BUCKET,
         F.explode(F.array_distinct(F.array(
             F.floor((F.col(_LUS) + lo_us) / width_us),
@@ -74,12 +74,13 @@ def interval_join(left: DataFrame, right: DataFrame,
         return out.drop(_BUCKET, _LUS, _RUS)
 
     # left_outer: inner-match first, then append the left rows whose id
-    # never matched (left rows were exploded into 1-2 bucket copies, so
-    # "no match" is decided per original row id, not per copy)
+    # never matched ("no match" is decided per original row id, not per
+    # bucket copy — the unmatched side starts from the PRE-explode base,
+    # so it needs no re-explode and no dedup shuffle)
     matched = l.join(r, on, "inner").filter(in_range) \
         .drop(_BUCKET, _LUS, _RUS)
     unmatched = (
-        l.drop(_BUCKET, _LUS).dropDuplicates([_RID])
+        l_base.drop(_LUS)
         .join(matched.select(_RID).distinct(), _RID, "left_anti")
     )
     for c in matched.columns:
