@@ -543,6 +543,66 @@ FROM events
 """
 
 
+# ------------------------------------------------------------------ Q2
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp in TESTDATA): per large-size part,
+    the supplier offering the minimum observed unit price in lineitem —
+    the argmin-per-group pattern. The per-part minimum is a window
+    aggregate; the equality filter joins the winner back without a
+    self-join. Unit price is an exact decimal ratio rounded at the
+    boundary so the argmin compares identical doubles in both engines;
+    ties break on s_suppkey via min()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40) \
+        .select("p_partkey", "p_brand", "p_size")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    unit = F.round(
+        (F.col("l_extendedprice").cast("decimal(12,2)")
+         / F.col("l_quantity").cast("decimal(12,2)")).cast("double"), 6)
+    offers = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_partkey", "p_brand", "p_size", "l_suppkey")
+        .agg(F.min(unit).alias("min_unit_price"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = (
+        offers.withColumn("best_price", F.min("min_unit_price").over(w))
+        .filter(F.col("min_unit_price") == F.col("best_price"))
+        .groupBy("p_partkey", "p_brand", "p_size", "best_price")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        best.join(supp, "s_suppkey")
+        .select("p_partkey", "p_brand", "p_size", "s_suppkey", "s_name",
+                F.col("best_price").alias("min_unit_price"))
+    )
+
+
+SQL_Q2 = """
+WITH offers AS (
+  SELECT p_partkey, p_brand, p_size, l_suppkey,
+         MIN(round(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        / CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE), 6))
+           AS min_unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size >= 40
+  GROUP BY p_partkey, p_brand, p_size, l_suppkey),
+best AS (
+  SELECT p_partkey, p_brand, p_size, min_unit_price AS best_price,
+         MIN(l_suppkey) AS s_suppkey
+  FROM (SELECT *, MIN(min_unit_price) OVER (PARTITION BY p_partkey)
+                    AS best_price_w
+        FROM offers)
+  WHERE min_unit_price = best_price_w
+  GROUP BY p_partkey, p_brand, p_size, min_unit_price)
+SELECT p_partkey, p_brand, p_size, s_suppkey, s_name,
+       best_price AS min_unit_price
+FROM best JOIN supplier USING (s_suppkey)
+"""
+
+
 # ------------------------------------------------------- as-of join
 
 
@@ -628,6 +688,7 @@ GROUP BY p.event_id, p.user_id
 
 
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "events_interval_join": (q_events_interval_join, SQL_EVENTS_INTERVAL),
     "q4_order_priority": (q4_order_priority, SQL_Q4),
