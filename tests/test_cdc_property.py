@@ -1,0 +1,108 @@
+"""Property-based check of the CDC core (operators/merge.py):
+classify_actions + apply_actions + merge_stats against a pure-Python
+reference model, over randomized current/staged/changeset states —
+the reference's golden fixtures pin one scenario; this pins the
+semantics across the state space (null values, overlapping and
+disjoint key sets, keys in neither table, empty changesets).
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from linz_bde_uploader_spark.operators import merge as M
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("a", T.IntegerType(), True),
+    T.StructField("b", T.StringType(), True),
+])
+
+CHG_SCHEMA = T.StructType([
+    T.StructField("tablename", T.StringType()),
+    T.StructField("tablekeyvalue", T.LongType()),
+])
+
+val = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+sval = st.one_of(st.none(), st.sampled_from(["x", "y"]))
+table = st.dictionaries(st.integers(min_value=0, max_value=11),
+                        st.tuples(val, sval), max_size=8)
+keys = st.sets(st.integers(min_value=0, max_value=13), max_size=10)
+
+
+def model(cur, stg, chg):
+    """Reference semantics (SURVEY §2.3 J1-J3, §2.4 A2-A3)."""
+    actions = {}
+    for k in chg:
+        in_c, in_s = k in cur, k in stg
+        if in_c and not in_s:
+            actions[k] = "D"
+        elif in_s and not in_c:
+            actions[k] = "I"
+        elif in_c and in_s:
+            actions[k] = "0" if cur[k] == stg[k] else "U"
+    final = dict(cur)
+    for k, a in actions.items():
+        if a == "D":
+            del final[k]
+        elif a in ("I", "U"):
+            final[k] = stg[k]
+    return actions, final
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cur=table, stg=table, chg=keys)
+def test_cdc_matches_model(spark, cur, stg, chg):
+    curdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(cur.items())], SCHEMA)
+    stgdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(stg.items())], SCHEMA)
+    chgdf = M.prepare_change_table(
+        spark.createDataFrame([("T1", k) for k in sorted(chg)] or [],
+                              CHG_SCHEMA), "t1")
+
+    actions = M.classify_actions(curdf, stgdf, chgdf, "id",
+                                 ["a", "b"]).cache()
+    want_actions, want_final = model(cur, stg, chg)
+
+    got_actions = {r.key: r.action for r in actions.collect()}
+    assert got_actions == want_actions
+
+    stats = M.merge_stats(actions)
+    assert stats.ninsert == sum(a == "I" for a in want_actions.values())
+    assert stats.nupdate == sum(a == "U" for a in want_actions.values())
+    assert stats.nnullupdate == sum(a == "0" for a in want_actions.values())
+    assert stats.ndelete == sum(a == "D" for a in want_actions.values())
+
+    merged = M.apply_actions(curdf, stgdf, actions, "id")
+    got_final = {r.id: (r.a, r.b) for r in merged.collect()}
+    assert got_final == want_final
+    actions.unpersist()
+
+
+def diff_model(cur, stg):
+    out = {}
+    for k in set(cur) | set(stg):
+        if k not in stg:
+            out[k] = "D"
+        elif k not in cur:
+            out[k] = "I"
+        elif cur[k] != stg[k]:
+            out[k] = "U"
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cur=table, stg=table)
+def test_full_diff_matches_model(spark, cur, stg):
+    """J5: the full-snapshot diff emits exactly the I/U/D set (equal
+    rows produce no action) for any pair of table states."""
+    curdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(cur.items())], SCHEMA)
+    stgdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(stg.items())], SCHEMA)
+    got = {r.key: r.action for r in
+           M.full_diff(curdf, stgdf, "id", ["id", "a", "b"]).collect()}
+    assert got == diff_model(cur, stg)
