@@ -82,3 +82,17 @@ def quality_score(col: Column, stopwords: list[str] | None = None) -> Column:
     stop_term = F.least(F.lit(1.0), F.lit(4.0) * sw / n)
     return (F.lit(0.4) * length_term + F.lit(0.3) * unique_term
             + F.lit(0.3) * stop_term)
+
+
+# GPT-2-flavoured pretokenizer pattern, constrained to syntax RE2 also
+# supports (no lookaheads) so the DuckDB oracle runs the SAME pattern:
+# contractions | space?-letters | space?-digits | space?-other | spaces.
+# (\s differs between engines only on vertical-tab, irrelevant here.)
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish subword-boundary token count (the quick token-budget
+    estimator a training pipeline runs before real tokenization).
+    SQL: len(regexp_extract_all(x, BPE_PATTERN))."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)).cast("bigint")

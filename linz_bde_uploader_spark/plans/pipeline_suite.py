@@ -349,6 +349,33 @@ WHERE tf.doc_id < 20
 """
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budget per document: regex-boundary count beside
+    the whitespace count (SURVEY token-counting spec: whitespace + a
+    BPE-ish regex). The same RE2-safe pattern runs in both engines."""
+    from linz_bde_uploader_spark.functions.text import (
+        bpe_token_count, token_count,
+    )
+
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        token_count(t).alias("n_ws_tokens"),
+    )
+
+
+SQL_BPE_TOKENS = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+|\\s+'))
+         AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
 def q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% sample via multiplicative hashing on the key
     — the reproducible train/eval split a pipeline needs (rand() is
@@ -921,6 +948,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),
     "text_term_freq": (q_text_term_freq, SQL_TERM_FREQ),
     "text_tfidf": (q_text_tfidf, SQL_TFIDF),
+    "text_bpe_tokens": (q_text_bpe_tokens, SQL_BPE_TOKENS),
     "docs_hash_sample": (q_docs_hash_sample, SQL_HASH_SAMPLE),
     "docs_length_histogram": (q_docs_length_histogram, SQL_LENGTH_HISTOGRAM),
     "text_quality": (q_text_quality, SQL_QUALITY),
