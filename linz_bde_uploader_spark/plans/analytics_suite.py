@@ -687,7 +687,197 @@ GROUP BY p.event_id, p.user_id
 """
 
 
+# ------------------------------------------------------------------ Q9
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (TESTDATA has no partsupp, so profit omits
+    supplycost): revenue on red parts by supplier nation and order
+    year. part/supplier/nation broadcast into the lineitem scan, so
+    the only shuffles are the orders join (both sides pre-filtered)
+    and the final small aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part") \
+        .filter(F.col("p_name").contains("red")).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(_rev()).cast("double").alias("sum_profit"))
+    )
+
+
+SQL_Q9 = """
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+# -------------------------------------------------------------- funnel
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: users
+    whose first click strictly follows their first signup, then whose
+    first purchase follows that click. Each stage is one keyed
+    aggregate over a type-filtered scan; stage joins are on user_id
+    (150 distinct here, millions at scale — still a single hash key).
+    The three stage counts cross-join as 1-row DataFrames."""
+    e = load_table(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_type")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(s, "user_id")
+         .filter(F.col("ts") > F.col("signup_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("click_ts")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("click_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+           FROM events),
+s AS (SELECT user_id, MIN(ts) AS signup_ts FROM e
+      WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM c) AS n_click_after,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after
+"""
+
+
+# ----------------------------------------------------------- retention
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first
+    event; distinct active users per (cohort week, week offset).
+    Two aggregates on the same user_id key — AQE reuses the exchange
+    — and week arithmetic stays on DATE so both engines land on the
+    same Monday."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"))
+    cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort_wk") / 7).cast("int").alias("week_no"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH e AS (SELECT user_id,
+                  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS wk
+           FROM events),
+cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_wk, wk) / 7 AS INT) AS week_no,
+       COUNT(DISTINCT user_id) AS n_users
+FROM e JOIN cohort USING (user_id)
+GROUP BY cohort_wk, week_no
+"""
+
+
+# ----------------------------------------------------- JSON extraction
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract an integer field from
+    the JSON props payload and aggregate it per event type. The JSON
+    path runs JVM-side (get_json_object), so the scan stays in
+    whole-stage codegen; the average divides exact integer sums as
+    doubles."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("k").alias("n_k"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"),
+             (F.sum("k").cast("double") / F.count("k")).alias("avg_k"))
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       COUNT(k) AS n_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------- pivot
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types to per-user count columns. The value list is
+    given explicitly so Spark skips the distinct-values pre-pass and
+    the whole pivot is one groupBy shuffle."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    types = ["signup", "view", "click", "purchase", "error"]
+    p = e.groupBy("user_id").pivot("event_type", types).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types])
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "q9_profit_nation_year": (q9_profit_by_nation_year, SQL_Q9),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
+    "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "events_interval_join": (q_events_interval_join, SQL_EVENTS_INTERVAL),

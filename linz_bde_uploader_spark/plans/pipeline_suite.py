@@ -929,7 +929,97 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------- exact percentiles
+
+
+def q_docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact interpolated percentiles of document length
+    (Spark's exact `percentile`, not percentile_approx — the approx
+    variant is benchmarked separately in docs_sketch_stats). One
+    aggregate shuffle on a low-cardinality key; all three quantiles
+    come from a single sort of each group's values."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").alias("ps"))
+    return agg.select(
+        "lang", "n_docs",
+        F.element_at(F.col("ps"), 1).alias("p50"),
+        F.element_at(F.col("ps"), 2).alias("p90"),
+        F.element_at(F.col("ps"), 3).alias("p99"))
+
+
+SQL_LENGTH_PERCENTILES = """
+WITH q AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS ps
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs, ps[1] AS p50, ps[2] AS p90, ps[3] AS p99 FROM q
+"""
+
+
+# ---------------------------------------------- repetition / boilerplate
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word
+    ratio and the fraction of bigrams taken by the most frequent
+    bigram (boilerplate/repetition filter for training-data prep).
+    Bigrams are built array-side with zip_with (no window, no
+    self-join), then one (doc_id, bigram) count and one per-doc max —
+    both shuffles are on doc_id so AQE coalesces them into the same
+    exchange layout."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    stats = base.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        (F.size(F.array_distinct("ws")).cast("double") / F.size("ws"))
+        .alias("distinct_ratio"))
+    bg = base.select(
+        "doc_id",
+        F.explode(F.expr(
+            "zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1),"
+            " (x, y) -> concat(x, ' ', y))")).alias("bg"))
+    top = (bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+           .groupBy("doc_id")
+           .agg(F.max("c").alias("max_bg"), F.sum("c").alias("n_bigrams")))
+    return stats.join(top, "doc_id", "left").select(
+        "doc_id", "n_words", "distinct_ratio",
+        (F.col("max_bg").cast("double") / F.col("n_bigrams"))
+        .alias("top_bigram_frac"))
+
+
+SQL_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, len(ws) AS n_words,
+         CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio
+  FROM w),
+ex AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS ord, unnest(ws) AS word
+  FROM w),
+bgs AS (
+  SELECT doc_id,
+         word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY ord)
+           AS bg
+  FROM ex),
+top AS (
+  SELECT doc_id, MAX(c) AS max_bg, SUM(c) AS n_bigrams
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bgs
+        WHERE bg IS NOT NULL GROUP BY doc_id, bg)
+  GROUP BY doc_id)
+SELECT s.doc_id, s.n_words, s.distinct_ratio,
+       CAST(top.max_bg AS DOUBLE) / top.n_bigrams AS top_bigram_frac
+FROM s LEFT JOIN top USING (doc_id)
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "docs_length_percentiles": (q_docs_length_percentiles,
+                                SQL_LENGTH_PERCENTILES),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
     "q5_local_supplier": (q5_local_supplier, SQL_Q5),
