@@ -1016,10 +1016,195 @@ FROM s LEFT JOIN top USING (doc_id)
 """
 
 
+# ------------------------------------------------ stratified sampling
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: minority languages kept at
+    50%, English downsampled to 10% — the corpus-rebalancing pass.
+    Same multiplicative hash as docs_hash_sample (reproducible across
+    engines and runs, unlike rand()); the per-stratum threshold is a
+    map-side CASE, so the whole query is one small aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 1000000007) * 2654435761 % 1000
+    thr = F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(500))
+    return (
+        docs.select("lang", bucket.alias("bucket"), thr.alias("thr"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_total"),
+             F.count(F.when(F.col("bucket") < F.col("thr"), 1))
+             .alias("n_sampled"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH b AS (
+  SELECT lang,
+         (doc_id % 1000000007) * 2654435761 % 1000 AS bucket,
+         CASE WHEN lang = 'en' THEN 100 ELSE 500 END AS thr
+  FROM documents)
+SELECT lang, COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE bucket < thr) AS n_sampled
+FROM b GROUP BY lang
+"""
+
+
+# ------------------------------------------------------ winsorization
+
+
+def q_events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier capping at the global exact p99: the two-pass
+    normalization a feature pipeline applies before training. Pass 1
+    is a 1-row exact percentile (rounded to 6 dp so the cap threshold
+    is engine-identical); pass 2 broadcasts it into the scan and
+    aggregates capped sums per event type."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    p99 = e.agg(F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"))
+    capped = e.crossJoin(F.broadcast(p99))
+    return (
+        capped.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum((F.col("value") > F.col("p99")).cast("int"))
+             .alias("n_capped"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("sum_value"),
+             F.sum(F.least("value", "p99").cast("decimal(18,6)"))
+             .cast("double").alias("sum_capped"))
+    )
+
+
+SQL_WINSORIZE = """
+WITH p AS (SELECT round(quantile_cont(value, 0.99), 6) AS p99 FROM events)
+SELECT event_type, COUNT(*) AS n,
+       CAST(COUNT(*) FILTER (WHERE value > p99) AS BIGINT) AS n_capped,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(least(value, p99) AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_capped
+FROM events CROSS JOIN p
+GROUP BY event_type
+"""
+
+
+# ------------------------------------------------ embedding diagnostics
+
+
+def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm diagnostics over the embedding column —
+    the sanity pass that catches un-normalized or degenerate vectors
+    before any ANN index is built. The norm folds array-side
+    (aggregate HOF, no UDF), rounds to 6 dp per the suite's cosine
+    convention, and sums as exact decimal for an order-independent
+    average."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding").cast("array<double>")
+    norm = F.round(F.sqrt(F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x * x)), 6)
+    e = emb.select("label", norm.alias("norm"))
+    return (
+        e.groupBy("label")
+        .agg(F.count("*").alias("n_vecs"),
+             F.min("norm").alias("min_norm"),
+             F.max("norm").alias("max_norm"),
+             (F.sum(F.col("norm").cast("decimal(18,6)")).cast("double")
+              / F.count("*")).alias("avg_norm"))
+    )
+
+
+SQL_EMB_NORM = """
+WITH e AS (
+  SELECT label,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 6)
+           AS norm
+  FROM embeddings)
+SELECT label, COUNT(*) AS n_vecs,
+       MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+       CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_norm
+FROM e GROUP BY label
+"""
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization per vector (maxabs scaling) — the
+    4x-compression step before shipping an embedding corpus to an ANN
+    index. All array-side HOFs (transform + aggregate), no Python in
+    the loop; floor(x*scale + 0.5) instead of round() so both engines
+    resolve ties identically."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    base = base.withColumn(
+        "maxabs", F.array_max(F.transform("v", lambda x: F.abs(x))))
+    base = base.withColumn(
+        "codes", F.transform(
+            "v", lambda x: F.floor(
+                x * (F.lit(127.0) / F.col("maxabs")) + F.lit(0.5))
+            .cast("bigint")))
+    return base.select(
+        "vec_id",
+        F.round("maxabs", 6).alias("maxabs"),
+        F.aggregate("codes", F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("qsum"),
+        F.array_min("codes").alias("qmin"),
+        F.array_max("codes").alias("qmax"))
+
+
+SQL_EMB_QUANTIZE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+c AS (SELECT vec_id, maxabs,
+             list_transform(v, x -> CAST(floor(x * (127.0 / maxabs) + 0.5)
+                                         AS BIGINT)) AS codes
+      FROM m)
+SELECT vec_id, round(maxabs, 6) AS maxabs,
+       CAST(list_sum(codes) AS BIGINT) AS qsum,
+       list_min(codes) AS qmin, list_max(codes) AS qmax
+FROM c
+"""
+
+
+# ---------------------------------------------------- dedup survivorship
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side of exact dedup: keep the lowest doc_id of each
+    identical-text group, report kept/dropped per language. One
+    window over the text key (same shuffle the dedup_exact grouping
+    takes) and a tiny aggregate — this is the materialization step
+    that turns duplicate *detection* into a deduplicated corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    r = docs.select("lang", F.row_number().over(w).alias("rn"))
+    return (
+        r.groupBy("lang")
+        .agg(F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+             F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"))
+    )
+
+
+SQL_DEDUP_SURVIVORS = """
+WITH r AS (
+  SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT lang,
+       COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+       COUNT(*) FILTER (WHERE rn > 1) AS n_dropped
+FROM r GROUP BY lang
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "docs_length_percentiles": (q_docs_length_percentiles,
                                 SQL_LENGTH_PERCENTILES),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "docs_stratified_sample": (q_docs_stratified_sample,
+                               SQL_STRATIFIED_SAMPLE),
+    "events_value_winsorize": (q_events_value_winsorize, SQL_WINSORIZE),
+    "emb_norm_stats": (q_emb_norm_stats, SQL_EMB_NORM),
+    "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
     "q5_local_supplier": (q5_local_supplier, SQL_Q5),
