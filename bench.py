@@ -41,7 +41,17 @@ HEADLINE = [
     "sim_lsh_topk",
     "sim_ivf_topk",
     "q7_volume_shipping",
+    "q9_profit_nation_year",
     "q13_customer_distribution",
+    "events_funnel",
+    "events_retention",
+    "events_json_props",
+    "events_pivot",
+    "events_value_winsorize",
+    "text_repetition",
+    "docs_length_percentiles",
+    "emb_quantize",
+    "dedup_survivors",
     "events_rollup",
     "events_lag_delta",
     "events_asof",

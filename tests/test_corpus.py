@@ -1,0 +1,68 @@
+"""Corpus sharding writer: determinism, completeness, layout."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.operators.corpus import (
+    SHARD_COL, assign_shards, shuffle_col, write_corpus_shards,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_assign_shards_deterministic_and_bounded(docs):
+    a = assign_shards(docs, "doc_id", 8).select("doc_id", SHARD_COL)
+    b = assign_shards(docs, "doc_id", 8).select("doc_id", SHARD_COL)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    lo, hi = a.agg(F.min(SHARD_COL), F.max(SHARD_COL)).first()
+    assert 0 <= lo and hi <= 7
+    # a different seed reshuffles assignments
+    c = assign_shards(docs, "doc_id", 8, seed=1).select("doc_id", SHARD_COL)
+    assert a.exceptAll(c).count() > 0
+
+
+def test_assign_shards_spreads_rows(docs):
+    counts = [r["count"] for r in
+              assign_shards(docs, "doc_id", 8).groupBy(SHARD_COL)
+              .count().collect()]
+    n = docs.count()
+    assert len(counts) == 8
+    # hash sharding should stay within ~3x of even at 50 rows/shard
+    assert max(counts) <= 3 * (n // 8 + 1)
+
+
+def test_shuffle_col_reproducible(docs):
+    o1 = [r["doc_id"] for r in
+          shuffle_col(docs, "doc_id", seed=7).orderBy("shuffle_order")
+          .select("doc_id").collect()]
+    o2 = [r["doc_id"] for r in
+          shuffle_col(docs, "doc_id", seed=7).orderBy("shuffle_order")
+          .select("doc_id").collect()]
+    assert o1 == o2
+    sorted_ids = sorted(o1)
+    assert o1 != sorted_ids  # actually shuffled
+
+
+def test_write_corpus_shards_roundtrip(docs, tmp_path):
+    out = str(tmp_path / "corpus")
+    write_corpus_shards(docs, out, key="doc_id", n_shards=4,
+                        partition_by=["lang"], sort_within="doc_id")
+    spark = docs.sparkSession
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # every (lang) directory exists; shard column travels with the data
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert {d.split("=")[1] for d in os.listdir(out)
+            if d.startswith("lang=")} == langs
+    assert back.filter((F.col(SHARD_COL) < 0) | (F.col(SHARD_COL) >= 4)) \
+               .count() == 0
+    # round-trip preserves content
+    cols = docs.columns
+    assert back.select(cols).exceptAll(docs).count() == 0
