@@ -1195,7 +1195,122 @@ FROM r GROUP BY lang
 """
 
 
+# ------------------------------------------------- decontamination
+
+
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    8-gram with a held-out evaluation set (here a deterministic 5%
+    hash sample standing in for the benchmark). The benchmark's
+    distinct shingle hashes broadcast — at 100 TB the eval set is
+    tiny and the corpus scan stays local; this is the standard
+    n-gram-overlap contamination check run before training."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    bucket = (F.col("doc_id") % 1000000007) * 2654435761 % 1000
+    bench = docs.filter(bucket < 50)
+    corpus = docs.filter(bucket >= 50)
+    bsh = D._shingle_hashes(bench, "text", "doc_id", 8) \
+        .select("h").distinct()
+    csh = D._shingle_hashes(corpus, "text", "doc_id", 8)
+    return (
+        csh.join(F.broadcast(bsh), "h")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+sh8 AS (
+  SELECT doc_id,
+         {sql_hash32("array_to_string(w[i:i+7], ' ')")} AS h
+  FROM toks,
+       unnest(generate_series(1, greatest(len(w)-7, 0))) AS t(i)),
+d AS (SELECT DISTINCT doc_id, h FROM sh8),
+bench AS (SELECT DISTINCT h FROM d
+          WHERE (doc_id % 1000000007) * 2654435761 % 1000 < 50),
+corpus AS (SELECT * FROM d
+           WHERE (doc_id % 1000000007) * 2654435761 % 1000 >= 50)
+SELECT corpus.doc_id, COUNT(*) AS n_contaminated_ngrams
+FROM corpus JOIN bench USING (h)
+GROUP BY corpus.doc_id
+"""
+
+
+# ---------------------------------------------------- source mixture
+
+
+def q_docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture accounting: per-source document and token
+    counts plus each source's share of the total token budget — the
+    numbers a data-mixing policy is computed from. One aggregate
+    shuffle; the 1-row total broadcasts back instead of collecting."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.size(F.split(F.trim("text"), r"\s+")).alias("nt"))
+    per = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot"))
+        .alias("token_share"))
+
+
+SQL_SOURCE_MIX = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+  FROM documents GROUP BY source)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share
+FROM per
+"""
+
+
+# -------------------------------------------------- context chunking
+
+
+def q_docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 32-token
+    windows with stride 24 (8-token overlap) — the sequence-prep pass
+    before tokenized training shards. Chunk starts come from a
+    map-side `sequence()` explode; no shuffle at all until a
+    downstream consumer asks for one."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("nt"))
+    chunks = base.select(
+        "doc_id", "nt",
+        F.explode(F.sequence(F.lit(0), F.col("nt") - 1, F.lit(24)))
+        .alias("start"))
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / 24).cast("int").alias("chunk_id"),
+        F.col("start").cast("bigint").alias("start"),
+        F.least(F.lit(32), F.col("nt") - F.col("start")).cast("bigint")
+        .alias("chunk_len"))
+
+
+SQL_CHUNKING = """
+WITH base AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS nt
+  FROM documents)
+SELECT doc_id,
+       CAST(start / 24 AS INT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(least(32, nt - start) AS BIGINT) AS chunk_len
+FROM base, unnest(generate_series(0, nt - 1, 24)) AS t(start)
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
+    "docs_source_mix": (q_docs_source_mix, SQL_SOURCE_MIX),
+    "docs_chunking": (q_docs_chunking, SQL_CHUNKING),
     "docs_length_percentiles": (q_docs_length_percentiles,
                                 SQL_LENGTH_PERCENTILES),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),

@@ -129,6 +129,33 @@ def stream_dedup(docs: DataFrame, ts_col: str = "ts",
     )
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         left_ts: str, right_ts: str, key: str,
+                         lookback_s: int = 1800, lookahead_s: int = 0,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with right events on the same key whose timestamp falls in
+    [left_ts - lookback, left_ts + lookahead] — the always-on form of
+    operators/rangejoin.interval_join (e.g. views in the 30 minutes
+    before each purchase, as the purchases arrive).
+
+    Both inputs carry event-time watermarks and the range predicate
+    compares the two event-time columns directly, which is what lets
+    Spark bound join state: a buffered right row is evicted once the
+    left watermark passes right_ts + lookback, and vice versa.
+    Without the time-range condition the state store would hold both
+    streams forever. Inner join only (the streaming-supported mode
+    for both sides being streams on all Spark versions we target);
+    the batch operator covers outer variants."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} "
+        f"AND r.{right_ts} >= l.{left_ts} - INTERVAL {int(lookback_s)} seconds "
+        f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {int(lookahead_s)} seconds")
+    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+
+
 CONTINUITY_OUTPUT = T.StructType([
     T.StructField("table", T.StringType()),
     T.StructField("dataset", T.StringType()),

@@ -255,3 +255,45 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # batch 3: watermark advanced to 13:00 - 1h = 12:00, past A's
     # eviction time -> A was evicted; the same content passes through.
     assert drain([(5, t(13, 30), "doc A")]) == got + [5]
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join equals the batch
+    interval_join (inner mode) on the drained portion: views in the
+    30 min before each purchase, per user."""
+    from linz_bde_uploader_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select(F.col("user_id").alias("v_user"),
+                F.col("ts").alias("view_ts"),
+                F.col("event_id").alias("view_id"))
+
+    batch = interval_join(
+        purchases, views.withColumnRenamed("v_user", "user_id"),
+        left_ts="ts", right_ts="view_ts",
+        lower_s=-1800.0, upper_s=0.0, key="user_id", how="inner")
+    batch_pairs = {(r.event_id, r.view_id) for r in
+                   batch.select("event_id", "view_id").collect()}
+
+    psrc, vsrc = str(tmp_path / "p"), str(tmp_path / "v")
+    purchases.write.parquet(psrc)
+    views.withColumnRenamed("v_user", "user_id").write.parquet(vsrc)
+    ps = spark.readStream.schema(
+        purchases.schema).parquet(psrc)
+    vs = spark.readStream.schema(
+        views.withColumnRenamed("v_user", "user_id").schema).parquet(vsrc)
+    joined = STR.stream_interval_join(
+        ps, vs, left_ts="ts", right_ts="view_ts", key="user_id",
+        lookback_s=1800, lookahead_s=0, watermark="1 hour")
+    out = str(tmp_path / "out")
+    STR.run_available_now(joined, str(tmp_path / "ckpt"), out)
+    streamed_pairs = {(r.event_id, r.view_id) for r in
+                      spark.read.parquet(out)
+                      .select("event_id", "view_id").collect()}
+    # inner stream-stream join with availableNow drains everything:
+    # results must match batch exactly
+    assert streamed_pairs == batch_pairs
+    assert len(batch_pairs) > 0
