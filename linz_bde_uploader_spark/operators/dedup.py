@@ -38,8 +38,16 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 
 def _shingle_hashes(docs: DataFrame, text_col: str, id_col: str,
-                    shingle_words: int, distinct: bool = True) -> DataFrame:
+                    shingle_words: int, distinct: bool = True,
+                    portable: bool = True) -> DataFrame:
     """(id, h) pairs: 32-bit word-shingle hashes per document.
+
+    ``portable=True`` (default) hashes with md5-derived 32-bit values
+    that DuckDB reproduces bit-for-bit — the differential-testing
+    contract. ``portable=False`` swaps in xxhash64 masked to 32 bits:
+    same collision behavior, no cryptographic digest in the hot path —
+    the setting a production 100 TB run uses (the hash only needs to
+    be deterministic within one engine there).
 
     Built WITHOUT higher-order-function lambdas: HOFs (transform/
     aggregate) evaluate interpreted (no whole-stage codegen) and
@@ -59,7 +67,9 @@ def _shingle_hashes(docs: DataFrame, text_col: str, id_col: str,
                                  for j in range(shingle_words)])
     out = (
         docs.select(F.col(id_col).alias("id"), F.explode(zipped).alias("z"))
-        .select("id", hash32(shingle).alias("h"))
+        .select("id", (hash32(shingle) if portable else
+                       F.xxhash64(shingle).bitwiseAND(F.lit((1 << 32) - 1)))
+                .alias("h"))
     )
     return out.dropDuplicates(["id", "h"]) if distinct else out
 
@@ -82,7 +92,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def _minhash_wide(docs: DataFrame, text_col: str, id_col: str,
-                  num_perm: int, shingle_words: int) -> DataFrame:
+                  num_perm: int, shingle_words: int,
+                  portable: bool = True) -> DataFrame:
     """Wide signature matrix: (id, m0..m{num_perm-1}) in ONE shuffle.
 
     Each permutation is its own aggregate column min((a_i*h+b_i)%P),
@@ -91,7 +102,8 @@ def _minhash_wide(docs: DataFrame, text_col: str, id_col: str,
     per partition before exchange."""
     # duplicate shingles can't change a min -> distinct=False saves
     # the dedup shuffle; partial mins collapse everything map-side
-    sh = _shingle_hashes(docs, text_col, id_col, shingle_words, distinct=False)
+    sh = _shingle_hashes(docs, text_col, id_col, shingle_words,
+                         distinct=False, portable=portable)
     aggs = [F.min(minhash_perm(F.col("h"), F.lit(i))).alias(f"m{i}")
             for i in range(num_perm)]
     return sh.groupBy("id").agg(*aggs)
@@ -99,7 +111,8 @@ def _minhash_wide(docs: DataFrame, text_col: str, id_col: str,
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_perm: int = 16,
-                        bands: int = 4, shingle_words: int = 3) -> DataFrame:
+                        bands: int = 4, shingle_words: int = 3,
+                        portable: bool = True) -> DataFrame:
     """MinHash-LSH near-dup candidates: (id_a, id_b) with id_a < id_b.
 
     Signatures are banded (num_perm/bands rows per band); docs sharing
@@ -108,16 +121,18 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     not corpus size.
     """
     rows_per_band = num_perm // bands
-    wide = _minhash_wide(docs, text_col, id_col, num_perm, shingle_words)
+    wide = _minhash_wide(docs, text_col, id_col, num_perm, shingle_words,
+                         portable=portable)
     # band b's hash = md5 of its minhashes in permutation order —
     # computed straight from the wide columns, no extra shuffle
+    # (xxhash64 when portable=False, same banding semantics)
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[
+            (F.md5 if portable else F.xxhash64)(F.concat_ws(",", *[
                 F.col(f"m{b * rows_per_band + r}")
                 for r in range(rows_per_band)
-            ])).alias("band_hash"))
+            ])).cast("string").alias("band_hash"))
         for b in range(bands)
     ])
     band_hashes = wide.select("id", F.explode(band_structs).alias("bh")) \
@@ -289,7 +304,8 @@ def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_words: int = 3,
                   threshold: float = 0.5,
-                  cache_shingles: bool = False) -> DataFrame:
+                  cache_shingles: bool = False,
+                  portable: bool = True) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold:
     (id_a, id_b, jaccard). Inverted-index self-join on shingle hash;
     |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|. See
@@ -299,7 +315,8 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     consumers share (both self-join sides + the size aggregate) —
     measured 2x at sf0.1. At true corpus scale prefer recompute (the
     stream can exceed cluster memory) or persist to disk explicitly."""
-    sh = _shingle_hashes(docs, text_col, id_col, shingle_words)
+    sh = _shingle_hashes(docs, text_col, id_col, shingle_words,
+                         portable=portable)
     if cache_shingles:
         sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))

@@ -181,3 +181,27 @@ def test_ivf_topk_with_trained_centroids(spark):
     full = {(r.query_id, r.neighbor_id) for r in
             S.ivf_topk(emb, q, k=3, nprobe=4, centroids=cent).collect()}
     assert full == exact
+
+
+def test_fast_hash_path_equivalent(spark):
+    """portable=False (xxhash64) must produce the same jaccard pairs
+    and the same LSH candidates as the md5 oracle path — only the
+    hash function changes, not the semantics."""
+    from linz_bde_uploader_spark.operators import dedup as D
+    from linz_bde_uploader_spark.plans.pipeline_suite import _dup_corpus
+    base = _dup_corpus(spark, SF_DIR)
+    slow = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in
+            D.jaccard_pairs(base, threshold=0.3).collect()}
+    fast = {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in
+            D.jaccard_pairs(base, threshold=0.3, portable=False).collect()}
+    assert slow == fast
+    lsh_slow = {(r.id_a, r.id_b) for r in
+                D.lsh_candidate_pairs(base, num_perm=16, bands=4).collect()}
+    lsh_fast = {(r.id_a, r.id_b) for r in
+                D.lsh_candidate_pairs(base, num_perm=16, bands=4,
+                                      portable=False).collect()}
+    # banding hashes differ, but both must recover the planted dups
+    planted = {(i, i + 10000) for (i,) in
+               base.filter("doc_id < 10000 AND doc_id % 50 = 0")
+               .select("doc_id").collect()}
+    assert planted <= lsh_slow and planted <= lsh_fast
