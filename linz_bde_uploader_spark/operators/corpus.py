@@ -49,6 +49,68 @@ def shuffle_col(df: DataFrame, key: str, seed: int = 0,
     return df.withColumn(name, F.xxhash64(F.col(key), F.lit(seed)))
 
 
+def prepare_training_corpus(docs: DataFrame, benchmark: DataFrame,
+                            out_path: str, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            min_quality: float = 0.3,
+                            decontam_ngram: int = 8,
+                            chunk_tokens: int = 32, stride: int = 24,
+                            n_shards: int = 8,
+                            partition_by: list[str] | None = None,
+                            seed: int = 0) -> dict:
+    """The whole data-prep chain as one lazy plan: quality filter →
+    exact-dedup survivorship → benchmark decontamination →
+    context-window chunking → deterministic shard export.
+
+    Every stage is the corresponding standalone operator; composing
+    them here keeps the intermediate DataFrames unmaterialized, so
+    Catalyst plans the full chain at once (one scan of the corpus,
+    filters pushed into it; the benchmark shingle set broadcasts).
+    Returns per-stage row counts for the run ledger.
+    """
+    from linz_bde_uploader_spark.operators import dedup as D
+    from linz_bde_uploader_spark.operators.text_analysis import quality_score
+
+    from pyspark.sql import Window
+
+    n_input = docs.count()
+
+    # 1. quality gate (pure column expression, pushed into the scan)
+    scored = docs.withColumn("quality", quality_score(F.col(text_col)))
+    kept = scored.filter(F.col("quality") >= min_quality)
+
+    # 2. exact-dedup survivorship: keep the lowest id per identical text
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    kept = (kept.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+    # 3. decontamination: drop docs sharing any n-gram with the benchmark
+    bench_sh = D._shingle_hashes(
+        benchmark, text_col, id_col, decontam_ngram).select("h").distinct()
+    doc_sh = D._shingle_hashes(kept, text_col, id_col, decontam_ngram)
+    contaminated = (doc_sh.join(F.broadcast(bench_sh), "h")
+                    .select(F.col("id").alias(id_col)).distinct())
+    kept = kept.join(contaminated, id_col, "left_anti")
+    n_kept = kept.count()
+
+    # 4. chunking: stride/overlap windows over the token stream
+    nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    chunks = (kept.withColumn("_nt", nt)
+              .withColumn("start", F.explode(
+                  F.sequence(F.lit(0), F.col("_nt") - 1, F.lit(stride))))
+              .withColumn("chunk_len",
+                          F.least(F.lit(chunk_tokens),
+                                  F.col("_nt") - F.col("start")))
+              .drop("_nt"))
+
+    # 5. deterministic shard export
+    write_corpus_shards(chunks, out_path, key=id_col, n_shards=n_shards,
+                        partition_by=partition_by, sort_within=id_col,
+                        seed=seed)
+    n_chunks = chunks.sparkSession.read.parquet(out_path).count()
+    return {"n_input": n_input, "n_kept": n_kept, "n_chunks": n_chunks}
+
+
 def write_corpus_shards(df: DataFrame, path: str, key: str,
                         n_shards: int, partition_by: list[str] | None = None,
                         sort_within: str | None = None,

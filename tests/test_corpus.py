@@ -66,3 +66,36 @@ def test_write_corpus_shards_roundtrip(docs, tmp_path):
     # round-trip preserves content
     cols = docs.columns
     assert back.select(cols).exceptAll(docs).count() == 0
+
+
+def test_prepare_training_corpus_end_to_end(docs, tmp_path):
+    """The composite prep chain: counts are consistent, no benchmark
+    n-gram survives, chunk strides cover every kept doc."""
+    from linz_bde_uploader_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    spark = docs.sparkSession
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    out = str(tmp_path / "prep")
+    stats = prepare_training_corpus(
+        corpus, bench, out, min_quality=0.0, n_shards=4,
+        partition_by=["lang"])
+    assert stats["n_input"] == corpus.count()
+    assert 0 < stats["n_kept"] <= stats["n_input"]
+    assert stats["n_chunks"] >= stats["n_kept"]
+    back = spark.read.parquet(out)
+    assert back.count() == stats["n_chunks"]
+    # every kept doc contributes a chunk at start 0 with len >= 1
+    first = back.filter(F.col("start") == 0)
+    assert first.count() == stats["n_kept"]
+    assert back.filter(F.col("chunk_len") <= 0).count() == 0
+    # decontamination removed the docs that share 8-grams with bench
+    # (exact copies of bench docs would be the worst case: none here,
+    # but any doc sharing an 8-gram is gone — verify via recompute)
+    from linz_bde_uploader_spark.operators import dedup as D
+    bsh = D._shingle_hashes(bench, "text", "doc_id", 8).select("h").distinct()
+    ksh = D._shingle_hashes(
+        back.select("doc_id", "text").distinct(), "text", "doc_id", 8)
+    assert ksh.join(bsh, "h").count() == 0
