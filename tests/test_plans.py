@@ -122,3 +122,53 @@ def test_tfidf_single_corpus_pass(spark, allq):
     from re-scanning the text."""
     plan = _simple(allq["text_tfidf"][0](spark, SF_DIR))
     assert plan.count("Generate explode") == 1
+
+
+def test_decontaminate_benchmark_broadcasts(spark, allq):
+    """The benchmark shingle set must broadcast into the corpus
+    shingle stream — at 100 TB the corpus side never shuffles for
+    the contamination probe."""
+    plan = _simple(allq["dedup_decontaminate"][0](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorize_threshold_broadcasts(spark, allq):
+    """The 1-row p99 must broadcast back into the scan (a nested-loop
+    join against one row is fine; a shuffle of the fact side is not)."""
+    plan = _simple(allq["events_value_winsorize"][0](spark, SF_DIR))
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_pivot_avoids_distinct_prepass(spark, allq):
+    """Explicit pivot values -> no distinct-values collect job, and
+    the plan is the two-stage pivot shape: a partial count keyed on
+    (user, type) feeding a user-keyed pivotfirst. The second exchange
+    carries at most |users| x |types| pre-reduced rows — fine at
+    scale; what must NOT appear is a third shuffle or a scan without
+    column pruning."""
+    df = allq["events_pivot"][0](spark, SF_DIR)
+    plan = _simple(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "pivotfirst" in plan
+    fplan = _formatted(df)
+    scan_schemas = [l for l in fplan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas and all("value" not in l and "props" not in l
+                                for l in scan_schemas)
+
+
+def test_chunking_is_shuffle_free(spark, allq):
+    """Chunk explosion is map-side only — no exchange of any kind
+    before the consumer."""
+    plan = _simple(allq["docs_chunking"][0](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q9_dimensions_broadcast(spark, allq):
+    """Q9's part/supplier/nation lookups must broadcast — the
+    lineitem scan joins them without a fact-side shuffle."""
+    plan = _simple(allq["q9_profit_nation_year"][0](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
