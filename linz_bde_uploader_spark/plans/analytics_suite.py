@@ -872,7 +872,94 @@ GROUP BY user_id
 """
 
 
+# ------------------------------------------------------ anomaly scan
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier scan: flag events > 3 sigma from their type's
+    mean. Moments come from exact decimal sums (order-independent, so
+    both engines derive bit-identical mean/std doubles); the tiny
+    per-type stats broadcast back into the scan — the standard
+    monitoring pass over an event firehose."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dv = F.col("value").cast("decimal(18,6)")
+    stats = (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(dv).alias("s1"),
+             F.sum(dv * dv).alias("s2"))
+        .select(
+            "event_type", "n",
+            (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+            F.sqrt((F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1").cast("double")
+                    / F.col("n")) / F.col("n")).alias("std"))
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.when(
+            F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1))
+            .alias("n_outliers"),
+            F.first("n").alias("n"),
+            F.round(F.first("mean"), 6).alias("mean"),
+            F.round(F.first("std"), 6).alias("std"))
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS mean,
+         sqrt((CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*)) / COUNT(*)) AS std
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       COUNT(*) FILTER (WHERE abs(e.value - s.mean) > 3 * s.std)
+         AS n_outliers,
+       MIN(s.n) AS n,
+       round(MIN(s.mean), 6) AS mean,
+       round(MIN(s.std), 6) AS std
+FROM events e JOIN stats s ON e.event_type = s.event_type
+GROUP BY e.event_type
+"""
+
+
+# --------------------------------------------------- running totals
+
+
+def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative value over event time — the classic
+    ordered-window running total. Partitioned on the natural user key
+    (one shuffle); the accumulation is an exact decimal sum cast to
+    double per row, so the prefix sums match the oracle exactly."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("running_value"))
+
+
+SQL_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+              PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_value
+FROM events
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
+    "events_running_total": (q_events_running_total, SQL_RUNNING_TOTAL),
     "q9_profit_nation_year": (q9_profit_by_nation_year, SQL_Q9),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),

@@ -1307,7 +1307,56 @@ FROM base, unnest(generate_series(0, nt - 1, 24)) AS t(start)
 """
 
 
+# ------------------------------------------------ n-gram heavy hitters
+
+
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 trigrams per language — the corpus heavy-hitters pass.
+    Trigrams come from the same codegen'd zip-of-shifted-slices used
+    by the dedup shinglers (no HOF lambdas, no UDF); the count
+    aggregate pre-reduces map-side so the shuffle carries (lang,
+    trigram) partials, and the final top-k is a window over each
+    language's counts."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    length = F.greatest(F.size(toks) - 2, F.lit(0))
+    zipped = F.arrays_zip(F.slice(toks, 1, length), F.slice(toks, 2, length),
+                          F.slice(toks, 3, length))
+    ngrams = (
+        docs.select("lang", F.explode(zipped).alias("z"))
+        .select("lang", F.concat_ws(
+            " ", F.col("z")["0"], F.col("z")["1"], F.col("z")["2"])
+            .alias("ngram"))
+    )
+    counts = ngrams.groupBy("lang", "ngram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("ngram"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("lang", F.col("rank").cast("bigint").alias("rank"),
+                    "ngram", "n"))
+
+
+SQL_NGRAM_TOPK = """
+WITH toks AS (
+  SELECT lang, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+ng AS (
+  SELECT lang, array_to_string(w[i:i+2], ' ') AS ngram
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
+counts AS (
+  SELECT lang, ngram, COUNT(*) AS n FROM ng GROUP BY lang, ngram),
+ranked AS (
+  SELECT lang, ngram, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, ngram ASC) AS rank
+  FROM counts)
+SELECT lang, CAST(rank AS BIGINT) AS rank, ngram, n
+FROM ranked WHERE rank <= 5
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "text_ngram_topk": (q_text_ngram_topk, SQL_NGRAM_TOPK),
     "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
     "docs_source_mix": (q_docs_source_mix, SQL_SOURCE_MIX),
     "docs_chunking": (q_docs_chunking, SQL_CHUNKING),
