@@ -56,6 +56,14 @@ class UploadConfig:
     # -override-locks: bypass the single-job gate and steal table
     # locks (C1/C2; t/linz_bde_uploader.t:908-992)
     override_locks: bool = False
+    # intra-dataset table parallelism. The reference is strictly
+    # sequential per table (lib/LINZ/BdeUpload.pm:729,787) because one
+    # PostgreSQL does all the work; on Spark each table load is an
+    # independent job, so N driver threads keep the cluster busy while
+    # small tables' planning overhead overlaps big tables' execution.
+    # Ledger ops stay correct: every mutation is serialized by the
+    # flock in Ledger._exclusive. 1 = reference-faithful sequential.
+    parallel_tables: int = 1
 
 
 @dataclass
@@ -348,6 +356,7 @@ class BdeUploader:
                     if chg_def is None:
                         raise RuntimeError("no l5_change_table configured")
                     _, changes = self._load_file(ds.files()[chg_def.files[0]], chg_def)
+                runnable = []
                 for t in tabs:
                     if t.name in failed_tables:
                         # a failed increment must not be skipped over:
@@ -359,23 +368,38 @@ class BdeUploader:
                             t.name, ds.name, lvl, "skipped",
                             message="earlier dataset failed for this table"))
                         continue
+                    runnable.append(t)
+
+                def run_one(t, _ds=ds, _lvl=lvl, _chg=changes):
                     if not self.ledger.acquire_lock(
                             t.name, job.id,
                             steal=self.config.override_locks):
-                        self.results.append(TableResult(
-                            t.name, ds.name, lvl, "skipped", message="locked"))
-                        failed_tables.add(t.name)  # same leapfrog hazard
-                        continue
+                        return TableResult(
+                            t.name, _ds.name, _lvl, "skipped",
+                            message="locked")
                     try:
-                        if lvl == "0":
-                            r = self.upload_table_level0(
-                                job, ds, t, incremental=full_incremental)
-                        else:
-                            r = self.upload_table_level5(job, ds, t, changes)
+                        if _lvl == "0":
+                            return self.upload_table_level0(
+                                job, _ds, t, incremental=full_incremental)
+                        return self.upload_table_level5(job, _ds, t, _chg)
                     finally:
                         self.ledger.release_lock(t.name, job.id)
-                    if r.status == "error":
-                        failed_tables.add(t.name)
+
+                nthreads = max(1, int(self.config.parallel_tables))
+                if nthreads > 1 and len(runnable) > 1:
+                    # tables are independent (separate store dirs;
+                    # ledger mutations serialized by flock); Spark
+                    # accepts concurrent actions from driver threads
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(max_workers=nthreads) as ex:
+                        batch = list(ex.map(run_one, runnable))
+                else:
+                    batch = [run_one(t) for t in runnable]
+                for r in batch:
+                    if (r.status == "error"
+                            or (r.status == "skipped"
+                                and r.message == "locked")):
+                        failed_tables.add(r.table)  # leapfrog hazard
                     self.results.append(r)
                     self.ledger.heartbeat(job.id)
                 if lvl == "0":

