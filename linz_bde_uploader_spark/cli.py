@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-tables", "--tables", nargs="*", default=None,
                    help="restrict to these tables (P3 subset filter)")
     p.add_argument("-exclude-tables", "--exclude-tables", nargs="*", default=None)
+    p.add_argument("-parallel-tables", "--parallel-tables",
+                   dest="parallel_tables", type=int, default=1,
+                   help="tables loaded concurrently within a dataset "
+                        "(extension; 1 = reference-faithful sequential)")
     p.add_argument("-enable-hooks", "--enable-hooks", dest="enable_hooks",
                    action="store_true")
     p.add_argument("-skip-postupload-tasks", "--skip-postupload-tasks",
@@ -122,7 +126,8 @@ def main(argv: list[str] | None = None) -> int:
     cfg = UploadConfig(enable_hooks=args.enable_hooks,
                        max_level0_runtime_hours=args.full_timeout,
                        max_level5_runtime_hours=args.inc_timeout,
-                       override_locks=args.override_locks)
+                       override_locks=args.override_locks,
+                       parallel_tables=args.parallel_tables)
     uploader = BdeUploader(
         spark, BdeRepository(args.repository), store, ledger, tables, cfg)
     if args.skip_postupload:
