@@ -29,6 +29,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: list[str] | None = None) -> list[str]:
+    """Register every TESTDATA table as a temp view so ad-hoc
+    ``spark.sql`` works against the same inputs the suites use (the
+    SQL-first surface: anything DuckDB oracles express, Spark SQL can
+    run verbatim modulo dialect). Returns the registered names."""
+    names = tables or TABLES
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(names)
+
+
 def parallelize_small(df: DataFrame) -> DataFrame:
     """Spread a small input across the cluster's cores before
     CPU-heavy per-row work (hashing, shingling, vector math).

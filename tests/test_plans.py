@@ -172,3 +172,21 @@ def test_q9_dimensions_broadcast(spark, allq):
     plan = _simple(allq["q9_profit_nation_year"][0](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_register_views_sql_surface(spark):
+    """spark.sql over registered views matches the DataFrame path —
+    the SQL-first entry point users coming from the reference's
+    psql-side workflows get."""
+    from linz_bde_uploader_spark.plans.tables import register_views
+
+    names = register_views(spark, SF_DIR)
+    assert set(names) >= {"lineitem", "documents", "events"}
+    n_sql = spark.sql(
+        "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 25"
+    ).first()["n"]
+    from linz_bde_uploader_spark.plans.tables import load_table
+    from pyspark.sql import functions as F
+    n_df = load_table(spark, SF_DIR, "lineitem") \
+        .filter(F.col("l_quantity") > 25).count()
+    assert n_sql == n_df > 0
