@@ -957,7 +957,110 @@ FROM events
 """
 
 
+# ----------------------------------------------------------------- Q12
+
+
+def q12_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (TESTDATA lacks shipmode/commit/receipt
+    dates): shipping-speed classes from the shipdate-vs-orderdate lag,
+    counting high- vs low-priority orders per class. One fact-fact
+    join on orderkey, then a two-row aggregate; the priority split is
+    a map-side CASE."""
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    speed = F.when(
+        F.col("l_shipdate") <= F.expr("o_orderdate + INTERVAL 30 DAYS"),
+        F.lit("fast")).otherwise(F.lit("slow"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(speed.alias("speed_class"))
+        .agg(F.count(F.when(high, 1)).alias("high_line_count"),
+             F.count(F.when(~high, 1)).alias("low_line_count"))
+    )
+
+
+SQL_Q12 = """
+SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+            THEN 'fast' ELSE 'slow' END AS speed_class,
+       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# ----------------------------------------------------------------- Q21
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (late = shipped > 60 days after order date,
+    since TESTDATA has no commit/receipt dates): suppliers who were
+    the ONLY late supplier on a finalized multi-supplier order. The
+    EXISTS becomes a left-semi join and the NOT EXISTS a left-anti
+    join, both carrying just (orderkey, suppkey) — no payload in
+    either probe; supplier names broadcast at the end."""
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    fo = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    l1 = li.join(fo, li["l_orderkey"] == fo["o_orderkey"]) \
+        .withColumn("late", F.col("l_shipdate")
+                    > F.expr("o_orderdate + INTERVAL 60 DAYS")) \
+        .select("l_orderkey", "l_suppkey", "late")
+    base = l1.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    others = l1.select(F.col("l_orderkey").alias("o_key"),
+                       F.col("l_suppkey").alias("o_supp"), "late")
+    has_other = base.join(
+        others,
+        (base["l_orderkey"] == others["o_key"])
+        & (base["l_suppkey"] != others["o_supp"]), "left_semi")
+    lone_late = has_other.join(
+        others.filter("late"),
+        (has_other["l_orderkey"] == others["o_key"])
+        & (has_other["l_suppkey"] != others["o_supp"]), "left_anti")
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    return (
+        lone_late.join(F.broadcast(supp),
+                       lone_late["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name").agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name")).limit(10)
+    )
+
+
+SQL_Q21 = """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+base AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM l1 WHERE late),
+lone AS (
+  SELECT b.l_orderkey, b.l_suppkey FROM base b
+  WHERE EXISTS (SELECT 1 FROM l1 o
+                WHERE o.l_orderkey = b.l_orderkey
+                  AND o.l_suppkey <> b.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM l1 o
+                    WHERE o.l_orderkey = b.l_orderkey
+                      AND o.l_suppkey <> b.l_suppkey AND o.late))
+SELECT s_name, COUNT(*) AS numwait
+FROM lone JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "q12_ship_latency": (q12_ship_latency, SQL_Q12),
+    "q21_waiting_supplier": (q21_waiting_supplier, SQL_Q21),
     "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
     "events_running_total": (q_events_running_total, SQL_RUNNING_TOTAL),
     "q9_profit_nation_year": (q9_profit_by_nation_year, SQL_Q9),
