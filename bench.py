@@ -52,6 +52,14 @@ HEADLINE = [
     "docs_length_percentiles",
     "emb_quantize",
     "dedup_survivors",
+    "dedup_decontaminate",
+    "docs_source_mix",
+    "docs_chunking",
+    "text_ngram_topk",
+    "events_anomaly",
+    "events_running_total",
+    "q12_ship_latency",
+    "q21_waiting_supplier",
     "events_rollup",
     "events_lag_delta",
     "events_asof",
