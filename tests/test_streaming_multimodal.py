@@ -297,3 +297,78 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     # results must match batch exactly
     assert streamed_pairs == batch_pairs
     assert len(batch_pairs) > 0
+
+
+PAB1_L5B = """\
+HEDR\t 2.0.0
+SOFTWARE cbe_b30 V1.0.1
+SCHEMA\t V1.0
+USER\t crs_bde
+START\t 2016-06-01 17:40:00
+END\t 2016-06-02 17:40:00
+SQL\t SELECT * FROM crs_parcel_bndry
+TABLE\tcrs_parcel_bndry
+COLUMN\t pri_id                         integer NULL
+COLUMN\t sequence                       integer NULL
+COLUMN\t lin_id                         integer NULL
+COLUMN\t reversed                       char NULL
+COLUMN\t audit_id                       integer NOT NULL
+DESC
+SIZE          100
+{CRS-DATA}
+4457330|40|29694600|N|300|
+"""
+
+XAUD_B = """\
+HEDR\t 2.0.0
+SOFTWARE cbe_b30 V1.0.1
+SCHEMA\t V1.0
+USER\t crs_bde
+START\t 2016-06-02 17:40:00
+END\t 2016-06-02 17:40:00
+SQL\t SELECT * FROM cbe_data
+TABLE\tcbe_data
+COLUMN\t id                             integer NOT NULL
+COLUMN\t tablename                      varchar NOT NULL
+COLUMN\t tablekeyvalue                  integer NOT NULL
+COLUMN\t action                         char NOT NULL
+COLUMN\t timestamp                      datetime NOT NULL
+DESC
+SIZE          120
+{CRS-DATA}
+1|crs_parcel_bndry|300|U|2016-06-02 17:40:00|
+2|crs_parcel_bndry|400|D|2016-06-02 17:40:00|
+"""
+
+
+def test_streaming_cdc_upload_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once resume: a dataset that arrives AFTER a drain is
+    picked up by the next run on the same checkpoint and applied
+    incrementally — the already-processed dataset is not re-merged."""
+    from linz_bde_uploader_spark.sources.crs import parse_header, read_crs
+    from linz_bde_uploader_spark.sources.store import TableStore
+    from tests.fixtures import write_crs
+
+    root = write_repository(str(tmp_path / "repo"))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    l0_file = os.path.join(root, "level_0", "20160601000000", "pab1.crs")
+    store.write("crs_parcel_bndry", read_crs(spark, l0_file), key="audit_id")
+    schema = parse_header(l0_file).schema()
+    ckpt = str(tmp_path / "ckpt")
+
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt)
+    v1 = store.current_version("crs_parcel_bndry")
+
+    # a new dataset lands after the first drain
+    ds2 = os.path.join(root, "level_5", "20160602000000")
+    write_crs(os.path.join(ds2, "pab1.crs"), PAB1_L5B)
+    write_crs(os.path.join(ds2, "xaud.crs"), XAUD_B)
+
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt)
+    rows = {r.audit_id: r.sequence
+            for r in store.read(spark, "crs_parcel_bndry").collect()}
+    assert rows == {100: 3, 300: 40, 80401148: 10, 80401149: 20}
+    # exactly one more version: dataset 1 was not re-applied
+    assert store.current_version("crs_parcel_bndry") == v1 + 1
