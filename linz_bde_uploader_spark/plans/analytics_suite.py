@@ -1058,7 +1058,57 @@ LIMIT 10
 """
 
 
+# ----------------------------------------------------------------- Q20
+
+
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availability in TESTDATA):
+    suppliers shipping more than 20% of a red part's total shipped
+    quantity (volume is near-uniform across this synthetic corpus's
+    many suppliers per part, so 20% is an outsized share). Two nested
+    aggregates on (part, supplier) then (part); the threshold
+    compares 5*supp_qty > total_qty in exact decimals (no float
+    fraction). The
+    second aggregate's input is already partitioned by l_partkey, so
+    AQE plans it shuffle-free."""
+    red = load_table(spark, sf_dir, "part") \
+        .filter(F.col("p_name").contains("red")).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_suppkey",
+                F.col("l_quantity").cast("decimal(12,2)").alias("qty"))
+    lq = (li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("qty").alias("supp_qty")))
+    tot = lq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("tot_qty"))
+    dom = lq.join(tot, "l_partkey") \
+        .filter(F.lit(5) * F.col("supp_qty") > F.col("tot_qty"))
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    return (
+        dom.join(F.broadcast(supp), dom["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name").agg(F.count("*").alias("n_dominated_parts"))
+    )
+
+
+SQL_Q20 = """
+WITH lq AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY l_partkey, l_suppkey),
+tot AS (
+  SELECT l_partkey, SUM(supp_qty) AS tot_qty FROM lq GROUP BY l_partkey)
+SELECT s_name, COUNT(*) AS n_dominated_parts
+FROM lq JOIN tot USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE 5 * supp_qty > tot_qty
+GROUP BY s_name
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "q20_dominant_supplier": (q20_dominant_supplier, SQL_Q20),
     "q12_ship_latency": (q12_ship_latency, SQL_Q12),
     "q21_waiting_supplier": (q21_waiting_supplier, SQL_Q21),
     "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
