@@ -372,3 +372,25 @@ def test_streaming_cdc_upload_resumes_from_checkpoint(spark, tmp_path):
     assert rows == {100: 3, 300: 40, 80401148: 10, 80401149: 20}
     # exactly one more version: dataset 1 was not re-applied
     assert store.current_version("crs_parcel_bndry") == v1 + 1
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: a static dimension enriches the event
+    stream without state (the dimension broadcasts per micro-batch;
+    no watermark needed on the static side)."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "value")
+    dim = spark.createDataFrame(
+        [(i, "gold" if i % 3 == 0 else "basic") for i in range(200)],
+        "user_id long, tier string")
+    batch_gold = ev.join(dim, "user_id").filter(F.col("tier") == "gold")
+    expected = batch_gold.count()
+
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    enriched = stream.join(dim, "user_id").filter(F.col("tier") == "gold")
+    out = str(tmp_path / "out")
+    STR.run_available_now(enriched, str(tmp_path / "ckpt"), out)
+    got = spark.read.parquet(out).count()
+    assert got == expected > 0
