@@ -14,6 +14,13 @@ purpose-built as-of operator would produce. Right rows order before
 left rows at equal timestamps, so "<=" semantics hold exactly; a
 caller-supplied sequence column makes ties within a side
 deterministic.
+
+The payloads travel inside ONE struct column: the struct is non-null
+for every right row even when the payload values themselves are
+null, so ``last(ignorenulls=True)`` skips only left rows, never a
+legitimately-null payload — a purchase whose latest prior quote had
+``px = NULL`` gets NULL (standard as-of / pandas ``merge_asof``
+semantics), not an older non-null quote leaking forward.
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE = "_asof_side"
+_PAY = "_asof_payload"
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
@@ -37,13 +45,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     if overlap:
         raise ValueError(f"payload columns already on left side: {overlap}")
 
-    l = left.withColumn(_SIDE, F.lit(1))
-    for c in payload_cols:
-        l = l.withColumn(c, F.lit(None))
     r = right.select(
         F.col(key), F.col(ts), F.lit(0).alias(_SIDE),
         *([F.col(seq_col)] if seq_col and seq_col not in (key, ts) else []),
-        *[F.col(c) for c in payload_cols])
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias(_PAY))
+    pay_type = r.schema[_PAY].dataType
+    l = left.withColumn(_SIDE, F.lit(1)) \
+            .withColumn(_PAY, F.lit(None).cast(pay_type))
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None))
@@ -52,7 +60,6 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     order = [F.col(ts), F.col(_SIDE)] + ([F.col(seq_col)] if seq_col else [])
     w = (Window.partitionBy(key).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for c in payload_cols:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col(_SIDE) == 1).drop(_SIDE).select(
-        *lcols, *payload_cols)
+    unioned = unioned.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+    return unioned.filter(F.col(_SIDE) == 1).select(
+        *lcols, *[F.col(_PAY)[c].alias(c) for c in payload_cols])

@@ -11,8 +11,11 @@ grouped by a partition column (e.g. language) for selective reads.
 Scale notes (100 TB):
 - Shard assignment is a pure hash of the stable row key — no global
   sort, no sample-based range partitioner, no driver involvement.
-- ``repartition(partition_cols + [shard])`` gives exactly one task
-  per output shard, so file count and file size are controlled by
+- The shard id is a WRITER partition column: every (partition,
+  shard) group lands in exactly one task (hash repartition), and
+  dynamic partitioning splits a task's output per directory — so
+  each group is exactly one file even if two groups hash-collide
+  into the same task. File count and size are controlled by
   ``n_shards`` alone (plus ``maxRecordsPerFile`` as a guard rail).
 - ``sortWithinPartitions`` costs a per-task in-memory sort only (no
   extra shuffle) and makes every shard internally ordered, which
@@ -64,14 +67,22 @@ def prepare_training_corpus(docs: DataFrame, benchmark: DataFrame,
 
     Every stage is the corresponding standalone operator; composing
     them here keeps the intermediate DataFrames unmaterialized, so
-    Catalyst plans the full chain at once (one scan of the corpus,
-    filters pushed into it; the benchmark shingle set broadcasts).
-    Returns per-stage row counts for the run ledger.
+    Catalyst plans the full chain at once (filters pushed into the
+    scan; the benchmark shingle set broadcasts). Per-stage row counts
+    for the run ledger come from ``Observation`` metrics collected
+    DURING the shard-write action — not from separate ``count()``
+    actions that would re-execute the quality/dedup/decontam chain
+    (two extra full corpus passes at the 100 TB target). The only
+    standalone count is ``n_input``, which parquet sources answer
+    from footer metadata. Observations sit on single-consumer plan
+    nodes only (the post-decontam and post-chunk frames); the
+    twice-referenced frames (``kept`` feeds both the contamination
+    probe and the anti-join) would double-count.
     """
+    from pyspark.sql import Observation, Window
+
     from linz_bde_uploader_spark.operators import dedup as D
     from linz_bde_uploader_spark.operators.text_analysis import quality_score
-
-    from pyspark.sql import Window
 
     n_input = docs.count()
 
@@ -91,7 +102,8 @@ def prepare_training_corpus(docs: DataFrame, benchmark: DataFrame,
     contaminated = (doc_sh.join(F.broadcast(bench_sh), "h")
                     .select(F.col("id").alias(id_col)).distinct())
     kept = kept.join(contaminated, id_col, "left_anti")
-    n_kept = kept.count()
+    obs_kept = Observation("prep_n_kept")
+    kept = kept.observe(obs_kept, F.count(F.lit(1)).alias("n"))
 
     # 4. chunking: stride/overlap windows over the token stream
     nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
@@ -102,36 +114,58 @@ def prepare_training_corpus(docs: DataFrame, benchmark: DataFrame,
                           F.least(F.lit(chunk_tokens),
                                   F.col("_nt") - F.col("start")))
               .drop("_nt"))
+    obs_chunks = Observation("prep_n_chunks")
+    chunks = chunks.observe(obs_chunks, F.count(F.lit(1)).alias("n"))
 
-    # 5. deterministic shard export
+    # 5. deterministic shard export (the ONE action for stages 1-5).
+    # partition_values is pre-computed from the RAW input (a pruned
+    # one-column scan), never from the observed chunk plan — counting
+    # on that plan would re-run the whole chain and fire the
+    # observations on the wrong action.
+    npv = (docs.select(*partition_by).distinct().count()
+           if partition_by else None)
     write_corpus_shards(chunks, out_path, key=id_col, n_shards=n_shards,
                         partition_by=partition_by, sort_within=id_col,
-                        seed=seed)
-    n_chunks = chunks.sparkSession.read.parquet(out_path).count()
-    return {"n_input": n_input, "n_kept": n_kept, "n_chunks": n_chunks}
+                        partition_values=npv, seed=seed)
+    return {"n_input": n_input, "n_kept": obs_kept.get["n"],
+            "n_chunks": obs_chunks.get["n"]}
 
 
 def write_corpus_shards(df: DataFrame, path: str, key: str,
                         n_shards: int, partition_by: list[str] | None = None,
                         sort_within: str | None = None,
                         max_records_per_file: int = 0,
+                        partition_values: int | None = None,
                         seed: int = 0) -> None:
-    """Write ``df`` as ``n_shards`` deterministic parquet shards,
-    optionally hive-partitioned by ``partition_by`` columns.
+    """Write ``df`` as ``n_shards`` deterministic parquet shards per
+    partition value, hive-partitioned by ``partition_by + [shard]``.
 
-    One repartition shuffle total: rows move to their
-    (partition, shard) task, each task writes one file (bounded by
-    ``max_records_per_file`` if set), optionally sorted by
-    ``sort_within`` for tight row-group statistics.
+    One repartition shuffle total, sized ``n_shards x
+    |partition values|`` so distinct (partition, shard) groups don't
+    funnel through the default ``spark.sql.shuffle.partitions``
+    task count. The exactly-one-file-per-shard contract does NOT
+    depend on that task mapping being collision-free: ``shard`` is a
+    writer partition column, so dynamic partitioning splits each
+    task's rows per output directory — a task that received two
+    groups still writes two files, one per directory.
+
+    ``partition_values``: expected distinct-count of ``partition_by``
+    (sizes the shuffle). Pass it at scale to skip the count-distinct
+    pre-pass; defaults to counting.
     """
     partition_by = partition_by or []
     out = assign_shards(df, key, n_shards, seed=seed)
-    out = out.repartition(*(partition_by + [SHARD_COL]))
+    if partition_by:
+        npv = partition_values if partition_values is not None else (
+            df.select(*partition_by).distinct().count())
+    else:
+        npv = 1
+    out = out.repartition(n_shards * max(1, npv),
+                          *(partition_by + [SHARD_COL]))
     if sort_within is not None:
         out = out.sortWithinPartitions(*partition_by, SHARD_COL, sort_within)
     writer = out.write.mode("overwrite")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    writer = writer.partitionBy(*partition_by, SHARD_COL)
     writer.parquet(path)

@@ -15,13 +15,14 @@ post-filter sees O(matches), not O(pairs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKET = "_rj_bucket"
 _LUS = "_rj_l_us"
 _RUS = "_rj_r_us"
-_RID = "_rj_row_id"
+_RH = "_rj_row_hash"
+_RN = "_rj_row_n"
 
 
 def interval_join(left: DataFrame, right: DataFrame,
@@ -53,8 +54,20 @@ def interval_join(left: DataFrame, right: DataFrame,
     if how == "left_outer":
         # row id assigned BEFORE the bucket explode: "no match" is a
         # per-original-row fact, and anti-joining on the id avoids the
-        # null-key pitfalls of joining back on data columns
-        l_base = l_base.withColumn(_RID, F.monotonically_increasing_id())
+        # null-key pitfalls of joining back on data columns. The id is
+        # DETERMINISTIC (content hash + row_number within identical
+        # rows), never monotonically_increasing_id(): this plan
+        # evaluates l_base in two subtrees (matched + unmatched), and a
+        # nondeterministic id can differ between them under shuffle
+        # reordering or stage retry, silently dropping/duplicating
+        # rows. Identical rows are interchangeable, so the arbitrary
+        # row_number order WITHIN a hash group cannot change results —
+        # match status is a function of row content only.
+        l_base = l_base.withColumn(
+            _RH, F.xxhash64(*[F.col(c) for c in left.columns]))
+        l_base = l_base.withColumn(
+            _RN, F.row_number().over(
+                Window.partitionBy(_RH).orderBy(F.lit(1))))
     # the query interval [l+lo, l+hi] spans exactly width_us, so it
     # covers at most two adjacent buckets -> explode into both
     l = l_base.withColumn(
@@ -81,9 +94,10 @@ def interval_join(left: DataFrame, right: DataFrame,
         .drop(_BUCKET, _LUS, _RUS)
     unmatched = (
         l_base.drop(_LUS)
-        .join(matched.select(_RID).distinct(), _RID, "left_anti")
+        .join(matched.select(_RH, _RN).distinct(), [_RH, _RN], "left_anti")
     )
     for c in matched.columns:
         if c not in unmatched.columns:
             unmatched = unmatched.withColumn(c, F.lit(None))
-    return matched.unionByName(unmatched.select(*matched.columns)).drop(_RID)
+    return (matched.unionByName(unmatched.select(*matched.columns))
+            .drop(_RH, _RN))

@@ -80,15 +80,29 @@ def term_frequencies(docs: DataFrame, text_col: str = "text",
 
 
 def tf_idf(docs: DataFrame, text_col: str = "text",
-           id_col: str = "doc_id") -> DataFrame:
+           id_col: str = "doc_id", cache_tf: bool = False) -> DataFrame:
     """Per-(document, term) TF-IDF: (tf / doc_len) * ln(N / df).
 
-    ONE pass over the text: the per-(doc, token) count is a sufficient
-    statistic for everything downstream — doc length = sum(tf) over
-    the doc, document frequency = row count over the token — so both
-    derive as windows over the (already tiny) tf relation instead of
-    re-exploding the corpus per aggregate (the naive three-aggregate
-    + join formulation scans and tokenizes the corpus three times).
+    The per-(doc, token) count is the sufficient statistic for
+    everything downstream — doc length = sum(tf) over the doc,
+    document frequency = row count over the token. Doc length is a
+    window over the doc partition (bounded by one document's
+    vocabulary — safe); document frequency is a groupBy+join, NOT a
+    window over the token partition: an unbounded window must buffer
+    every row of a token in one task, and stopword-class tokens
+    ('the') would concentrate ~n_docs rows on a single straggler at
+    corpus scale. The df relation is one row per distinct token, so
+    AQE broadcasts it when the vocabulary is small and hash-joins
+    otherwise.
+
+    The tf relation feeds two consumers, so the lazy plan tokenizes
+    the corpus twice — both passes are pure map-side explode feeding
+    partial aggregation (extra CPU, no extra shuffle, no straggler;
+    and a caller's doc-subset filter still pushes into the tf-branch
+    scan, which a forced materialization would block).
+    ``cache_tf=True`` persists the tf relation instead — one
+    tokenize, at the cost of pinning |corpus vocabulary| rows in
+    cluster storage.
     The corpus size N is a 1-row count (parquet footer metadata)
     broadcast into the projection; no driver collect. All inputs to
     the double math are exact integers, so both engines compute
@@ -98,11 +112,14 @@ def tf_idf(docs: DataFrame, text_col: str = "text",
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(tokens(F.col(text_col))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    if cache_tf:
+        tf = tf.cache()
     n_docs = docs.agg(F.count("*").alias("n_corpus"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     enriched = (
         tf.withColumn("n_tokens",
                       F.sum("tf").over(Window.partitionBy("doc_id")))
-        .withColumn("df", F.count("*").over(Window.partitionBy("token")))
+        .join(dfreq, "token")
     )
     return (
         enriched.join(F.broadcast(n_docs))

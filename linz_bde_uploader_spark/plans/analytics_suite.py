@@ -626,16 +626,16 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_ASOF = """
 WITH u AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-         CASE WHEN event_type = 'view' THEN value END AS v_value,
+         CASE WHEN event_type = 'view'
+              THEN struct_pack(v := value) END AS v_pay,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
   FROM events WHERE event_type IN ('view', 'purchase'))
-SELECT event_id, user_id, last_view_value
+SELECT event_id, user_id, s.v AS last_view_value
 FROM (
   SELECT event_id, user_id, is_p,
-         last_value(v_value IGNORE NULLS) OVER (
+         last_value(v_pay IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY ts, is_p, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS last_view_value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
   FROM u)
 WHERE is_p = 1
 """

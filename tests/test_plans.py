@@ -116,12 +116,21 @@ def test_lag_window_shuffles_once_on_user(spark, allq):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_tfidf_single_corpus_pass(spark, allq):
-    """tf_idf must tokenize/explode the corpus exactly once — doc
-    length and document frequency derive from the tf relation, not
-    from re-scanning the text."""
+def test_tfidf_no_token_window_and_subset_pushdown(spark, allq):
+    """tf_idf's document frequency must be a groupBy+join, never an
+    unbounded window over the token partition — a stopword-class
+    token would buffer ~n_docs rows in one straggler task. Both
+    tokenize passes are map-side explode feeding partial aggregation
+    (exactly two: the doc_id<20 tf branch and the corpus-wide df
+    branch are different relations, so a third pass would mean a
+    re-derived aggregate). The query's doc-subset filter must push
+    into the tf-branch parquet scan."""
     plan = _simple(allq["text_tfidf"][0](spark, SF_DIR))
-    assert plan.count("Generate explode") == 1
+    assert "windowspecdefinition(token" not in plan
+    assert "windowspecdefinition(doc_id" in plan  # doc-length window stays
+    assert plan.count("Generate explode") == 2
+    fplan = _formatted(allq["text_tfidf"][0](spark, SF_DIR))
+    assert "LessThan(doc_id,20)" in fplan
 
 
 def test_decontaminate_benchmark_broadcasts(spark, allq):
