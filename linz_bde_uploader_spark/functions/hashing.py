@@ -44,6 +44,28 @@ def sql_hash32(expr: str) -> str:
     return f"CAST('0x' || substring(md5({expr}), 25, 8) AS BIGINT)"
 
 
+def hash64s(col: Column) -> Column:
+    """Signed 64-bit portable hash: md5 chars 1-8 / 9-16 as hi / lo
+    32-bit halves, combined in two's complement so the value spans
+    the FULL signed-bigint domain (all 64 bit positions usable —
+    SimHash needs real bits 32..63, which a 60-bit positive hash
+    can't provide). hi*2^32 stays in range because hi is first
+    re-centered to [-2^31, 2^31)."""
+    hi = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("bigint")
+    signed_hi = hi - F.when(hi >= F.lit(2**31), F.lit(2**32)) \
+                      .otherwise(F.lit(0))
+    return signed_hi * F.lit(2**32) + lo
+
+
+def sql_hash64s(expr: str) -> str:
+    """DuckDB rendering of :func:`hash64s` (bit-identical)."""
+    h = f"CAST('0x' || substring(md5({expr}), 1, 8) AS BIGINT)"
+    lo = f"CAST('0x' || substring(md5({expr}), 9, 8) AS BIGINT)"
+    return (f"(({h} - CASE WHEN {h} >= 2147483648 THEN 4294967296 "
+            f"ELSE 0 END) * 4294967296 + {lo})")
+
+
 def minhash_perm(h: Column, perm_index: Column) -> Column:
     """Universal-hash permutation ``(a*h + b) mod P`` with
     deterministic per-index coefficients a = 2i+1, b = i*i + 7."""

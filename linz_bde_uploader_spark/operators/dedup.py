@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linz_bde_uploader_spark.functions.hashing import (
-    MINHASH_PRIME, hash32, minhash_perm,
+    MINHASH_PRIME, hash32, hash64s, minhash_perm,
 )
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
@@ -39,7 +39,8 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 def _shingle_hashes(docs: DataFrame, text_col: str, id_col: str,
                     shingle_words: int, distinct: bool = True,
-                    portable: bool = True) -> DataFrame:
+                    portable: bool = True,
+                    hash_bits: int = 32) -> DataFrame:
     """(id, h) pairs: 32-bit word-shingle hashes per document.
 
     ``portable=True`` (default) hashes with md5-derived 32-bit values
@@ -57,7 +58,11 @@ def _shingle_hashes(docs: DataFrame, text_col: str, id_col: str,
     map-side expression, no shuffle.
 
     ``distinct=False`` skips the per-doc dedup shuffle for consumers
-    that are insensitive to duplicate shingles (min-aggregation)."""
+    that are insensitive to duplicate shingles (min-aggregation).
+
+    ``hash_bits=64`` emits full signed-64-bit hashes (portable:
+    hash64s; fast path: raw xxhash64) for consumers that need all 64
+    bit positions (SimHash)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     length = F.greatest(n - (shingle_words - 1), F.lit(0))
@@ -65,11 +70,14 @@ def _shingle_hashes(docs: DataFrame, text_col: str, id_col: str,
                             for j in range(shingle_words)])
     shingle = F.concat_ws(" ", *[F.col("z")[str(j)]
                                  for j in range(shingle_words)])
+    if hash_bits == 64:
+        hexpr = hash64s(shingle) if portable else F.xxhash64(shingle)
+    else:
+        hexpr = (hash32(shingle) if portable else
+                 F.xxhash64(shingle).bitwiseAND(F.lit((1 << 32) - 1)))
     out = (
         docs.select(F.col(id_col).alias("id"), F.explode(zipped).alias("z"))
-        .select("id", (hash32(shingle) if portable else
-                       F.xxhash64(shingle).bitwiseAND(F.lit((1 << 32) - 1)))
-                .alias("h"))
+        .select("id", hexpr.alias("h"))
     )
     return out.dropDuplicates(["id", "h"]) if distinct else out
 
@@ -149,15 +157,25 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 32, shingle_words: int = 1) -> DataFrame:
+            bits: int = 64, shingle_words: int = 1,
+            portable: bool = True) -> DataFrame:
     """SimHash fingerprint per document: (id, simhash).
 
     Classic bit-vote construction: each distinct token/shingle hash
     votes +1/-1 on every bit; bit j of the fingerprint is 1 iff the
     vote sum is >= 0. Two shuffles: (id, bit) vote agg, then id
     reassembly — both with map-side partial aggregation.
+
+    Default 64 bits: with 16-bit band segments the near-pair bucket
+    join gets 2^16 distinct values per band instead of the 2^8 a
+    32-bit fingerprint allows — the difference between O(n²/256) and
+    O(n²/65536) candidate blow-up on a large corpus. Bit 63 lives in
+    the sign bit (two's complement); shifts are arithmetic in both
+    engines and every extraction masks, so the sign never leaks.
     """
-    sh = _shingle_hashes(docs, text_col, id_col, shingle_words)
+    sh = _shingle_hashes(docs, text_col, id_col, shingle_words,
+                         portable=portable,
+                         hash_bits=64 if bits > 32 else 32)
     # one vote-sum aggregate column per bit -> single shuffle with
     # map-side partial sums (the naive bit-explode multiplies the
     # token stream by `bits` through the exchange)
@@ -168,22 +186,28 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     votes = sh.groupBy("id").agg(*aggs)
     fp = None
     for j in range(bits):
-        term = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j).cast("bigint")) \
+        # bit 63 of a signed bigint is -2^63, not 1<<63 (overflow);
+        # OR-ing distinct bit values never overflows
+        bitval = -(1 << 63) if j == 63 else (1 << j)
+        term = F.when(F.col(f"v{j}") >= 0, F.lit(bitval).cast("bigint")) \
                 .otherwise(F.lit(0).cast("bigint"))
-        fp = term if fp is None else fp + term
+        fp = term if fp is None else fp.bitwiseOR(term)
     return votes.select("id", fp.cast("bigint").alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", bits: int = 32,
-                       bands: int = 4, max_hamming: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", bits: int = 64,
+                       bands: int = 4, max_hamming: int = 3,
+                       portable: bool = True) -> DataFrame:
     """Hamming-near SimHash pairs via banded buckets: split the
     fingerprint into ``bands`` segments; any pair within
     ``max_hamming < bands`` distance must agree on >=1 full segment
     (pigeonhole), so bucket-join on segments then verify exactly with
-    bit_count(xor)."""
+    bit_count(xor). At the 64-bit default each band segment is 16
+    bits -> 65,536 bucket values per band, which keeps the bucket
+    self-join sparse at corpus scale."""
     seg_bits = bits // bands
-    sh = simhash(docs, text_col, id_col, bits)
+    sh = simhash(docs, text_col, id_col, bits, portable=portable)
     segs = sh.select(
         "id", "simhash",
         F.explode(F.array(*[

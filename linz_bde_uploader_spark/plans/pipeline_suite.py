@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from linz_bde_uploader_spark.functions.hashing import (
-    MINHASH_PRIME, sql_hash32, sql_hash60,
+    MINHASH_PRIME, sql_hash32, sql_hash60, sql_hash64s,
 )
 from linz_bde_uploader_spark.operators import dedup as D
 from linz_bde_uploader_spark.operators import similarity as S
@@ -245,20 +245,28 @@ SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprint per document (token bit-votes)."""
-    return D.simhash(_dup_corpus(spark, sf_dir), bits=32, shingle_words=1)
+    """64-bit SimHash fingerprint per document (token bit-votes).
+    64 bits so the banded near-pair join gets 16-bit segments
+    (65,536 bucket values per band) instead of toy-scale 8-bit."""
+    return D.simhash(_dup_corpus(spark, sf_dir), bits=64, shingle_words=1)
 
 
+# bit 63 is the sign bit: DuckDB refuses 1<<63 (overflow), so the
+# assembly adds -2^63 for that bit — the two's-complement value of a
+# set bit 63, identical to Spark's bitwiseOR result.
 SQL_DEDUP_SIMHASH = f"""WITH {_SQL_BASE}, {_SQL_TOKS},
-sh AS (SELECT DISTINCT doc_id, {sql_hash32('tok')} AS h
+sh AS (SELECT DISTINCT doc_id, {sql_hash64s('tok')} AS h
        FROM (SELECT doc_id, unnest(w) AS tok FROM toks)),
 votes AS (
   SELECT doc_id, bit,
          SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM sh, unnest(generate_series(0, 31)) AS t(bit)
+  FROM sh, unnest(generate_series(0, 63)) AS t(bit)
   GROUP BY doc_id, bit)
 SELECT doc_id AS id,
-       CAST(SUM(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+       CAST(SUM(CASE WHEN v >= 0 THEN
+                  CASE WHEN bit = 63 THEN -9223372036854775808
+                       ELSE CAST(1 AS BIGINT) << bit END
+                 ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -851,27 +859,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-near SimHash pairs (banded buckets + exact bit_count
-    verify)."""
+    verify). 64-bit fingerprints, 4 bands -> 16-bit segments: 2^16
+    bucket values per band, so the bucket self-join stays sparse at
+    corpus scale (8-bit segments cap at 256 buckets -> ~O(n²/256))."""
     pairs = D.simhash_near_pairs(_dup_corpus(spark, sf_dir),
-                                 bits=32, bands=4, max_hamming=3)
+                                 bits=64, bands=4, max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 SQL_SIMHASH_PAIRS = f"""WITH {_SQL_BASE}, {_SQL_TOKS},
-sh AS (SELECT DISTINCT doc_id, {sql_hash32('tok')} AS h
+sh AS (SELECT DISTINCT doc_id, {sql_hash64s('tok')} AS h
        FROM (SELECT doc_id, unnest(w) AS tok FROM toks)),
 votes AS (
   SELECT doc_id, bit,
          SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM sh, unnest(generate_series(0, 31)) AS t(bit)
+  FROM sh, unnest(generate_series(0, 63)) AS t(bit)
   GROUP BY doc_id, bit),
 fp AS (
+  -- CAST is load-bearing: DuckDB SUM(BIGINT) yields HUGEINT, and a
+  -- 128-bit xor of a negative fingerprint carries 64 sign bits into
+  -- bit_count (hamming 3 would read as 67)
   SELECT doc_id AS id,
-         SUM(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+         CAST(SUM(CASE WHEN v >= 0 THEN
+                   CASE WHEN bit = 63 THEN -9223372036854775808
+                        ELSE CAST(1 AS BIGINT) << bit END
+                  ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id),
 segs AS (
   SELECT id, simhash, seg,
-         (simhash >> (seg * 8)) & 255 AS segval
+         (simhash >> (seg * 16)) & 65535 AS segval
   FROM fp, unnest(generate_series(0, 3)) AS s(seg)),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,

@@ -133,6 +133,16 @@ def test_tfidf_no_token_window_and_subset_pushdown(spark, allq):
     assert "LessThan(doc_id,20)" in fplan
 
 
+def test_simhash_pairs_band_buckets_are_16bit(spark, allq):
+    """The SimHash near-pair bucket join must band on 16-bit segments
+    (mask 65535 -> 2^16 bucket values per band). 8-bit segments (mask
+    255) cap at 256 buckets and degenerate the self-join toward
+    O(n²/256) on a large corpus."""
+    plan = _simple(allq["dedup_simhash_pairs"][0](spark, SF_DIR))
+    assert "65535" in plan
+    assert "& 255)" not in plan
+
+
 def test_decontaminate_benchmark_broadcasts(spark, allq):
     """The benchmark shingle set must broadcast into the corpus
     shingle stream — at 100 TB the corpus side never shuffles for

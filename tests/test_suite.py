@@ -76,6 +76,32 @@ def test_dedup_finds_planted_duplicates(spark):
     assert planted <= jac
 
 
+def test_simhash64_near_pairs_match_brute_force(spark):
+    """64-bit SimHash near-pairs must equal brute-force all-pairs
+    hamming<=3 (banding with max_hamming < bands is pigeonhole-
+    complete, and the bit_count verify is exact), and the
+    fingerprints must genuinely populate the high 32 bits — the
+    point of the 64-bit upgrade is 16-bit band segments (65,536
+    bucket values per band instead of 256)."""
+    from linz_bde_uploader_spark.operators import dedup as D
+    from linz_bde_uploader_spark.plans.pipeline_suite import _dup_corpus
+    base = _dup_corpus(spark, SF_DIR)
+    fps = {r.id: r.simhash for r in D.simhash(base, bits=64).collect()}
+    assert any((h >> 32) & 0xFFFFFFFF not in (0, 0xFFFFFFFF)
+               for h in fps.values())
+    ids = sorted(fps)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                brute.add((a, b, ham))
+    got = {(r.id_a, r.id_b, r.hamming) for r in
+           D.simhash_near_pairs(base, bits=64, bands=4,
+                                max_hamming=3).collect()}
+    assert brute and got == brute  # planted exact dups are hamming-0
+
+
 def test_jaccard_prefix_filter_is_exact(spark):
     """The PPJoin-style prefix-filtered Jaccard must return EXACTLY
     the inverted-index results — prefix filtering prunes candidates,
