@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_jaccard",
+    "dedup_jaccard_prefix",
     "text_token_stats",
     "text_term_freq",
     "text_tfidf",
@@ -69,6 +70,31 @@ HEADLINE = [
 ]
 
 
+def _prev_bench() -> tuple[str, dict] | tuple[None, None]:
+    """Latest driver-recorded BENCH_r{N}.json, for round-over-round
+    deltas (regressions visible mechanically, per round-1 verdict)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = -1, None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), p
+    if best is None:
+        return None, None
+    try:
+        with open(best) as f:
+            data = json.load(f)
+        # the driver wraps the bench line: {"parsed": {...}, "rc": ...}
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        return f"r{best_n:02d}", data
+    except (OSError, ValueError):
+        return None, None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -95,13 +121,27 @@ def main():
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    prev_round, prev = _prev_bench()
+    if prev and isinstance(prev.get("queries"), dict):
+        pq = prev["queries"]
+        out["vs_prev"] = {
+            "round": prev_round,
+            "total_prev": prev.get("value"),
+            "total_ratio": (round(total / prev["value"], 3)
+                            if prev.get("value") else None),
+            # ratio > 1 = slower than the recorded round
+            "queries": {n: round(t / pq[n], 3)
+                        for n, t in times.items()
+                        if isinstance(pq.get(n), (int, float)) and pq[n]},
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -276,7 +276,8 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", shingle_words: int = 3,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5,
+                         cache_shingles: bool = False) -> DataFrame:
     """Exact n-gram Jaccard pairs >= threshold via prefix filtering
     (the PPJoin/AllPairs candidate pruning of Bayardo et al., WWW'07 —
     public algorithm): order each doc's shingles by a global total
@@ -290,10 +291,18 @@ def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
     index replaces the full-index self-join — the pair blow-up on
     frequent shingles (the skew that hurts most at 100 TB) is capped
     because frequent shingles sort LAST and rarely enter a prefix.
+
+    ``cache_shingles`` persists the shingle stream shared by the
+    frequency count, the ranked prefix index, and the verify sets
+    (three consumers). Same caveat as ``jaccard_pairs``: prefer
+    recompute or an explicit disk persist when the stream exceeds
+    cluster memory.
     """
     from pyspark.sql import Window
 
     sh = _shingle_hashes(docs, text_col, id_col, shingle_words)
+    if cache_shingles:
+        sh = sh.cache()
     freq = sh.groupBy("h").agg(F.count("*").alias("df"))
     ranked = (
         sh.join(freq, "h")

@@ -356,8 +356,15 @@ def q_stream_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Not SQL-expressible (keyed state store across micro-batches), so
     this entry has no DuckDB oracle: the driver records the weaker
     rows-only check. Deterministic for a given sf_dir.
+
+    The stream sink is a session-lifetime scratch dir and the
+    returned DataFrame reads it LAZILY — no driver-side collect, no
+    re-serialization through createDataFrame (the manifest is tiny
+    here, but a queries() entry should stay collect-free on
+    principle: the caller decides what to materialize). A fresh
+    scratch dir per call keeps the availableNow checkpoint from
+    double-processing re-written source files.
     """
-    import shutil
     import tempfile
 
     from linz_bde_uploader_spark.streaming.events import (
@@ -372,18 +379,14 @@ def q_stream_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max(F.unix_micros("ts") / 1e6).alias("end_ts"))
     )
     work = tempfile.mkdtemp(prefix="continuity-")
-    try:
-        src = f"{work}/src"
-        manifest.coalesce(1).write.parquet(src)
-        stream = spark.readStream.schema(manifest.schema).parquet(src)
-        checked = continuity_check(stream, warn_hours=0.5)
-        run_available_now(checked, f"{work}/ckpt", f"{work}/out")
-        # materialize before the temp dir disappears
-        out = spark.read.parquet(f"{work}/out")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    src = f"{work}/src"
+    # the manifest is a bounded per-(table, day) summary (one row per
+    # dataset) — a single source file is deliberate, not a scale path
+    manifest.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(manifest.schema).parquet(src)
+    checked = continuity_check(stream, warn_hours=0.5)
+    run_available_now(checked, f"{work}/ckpt", f"{work}/out")
+    return spark.read.parquet(f"{work}/out")
 
 
 ENGINE_QUERIES.update({

@@ -272,10 +272,29 @@ FROM votes GROUP BY doc_id
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-word-shingle Jaccard pairs >= 0.3."""
+    """Exact 3-word-shingle Jaccard pairs >= 0.3 via the inverted-
+    index self-join — the exact verifier. Quadratic in bucket size:
+    fine at benchmark scale, but the 100 TB first pass is
+    ``dedup_jaccard_prefix`` (PPJoin prefix filtering), which is
+    oracled and benched alongside and property-tested equal."""
     pairs = D.jaccard_pairs(_dup_corpus(spark, sf_dir),
                             shingle_words=3, threshold=0.3,
                             cache_shingles=True)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPJoin-style prefix-filtered Jaccard — the scale path:
+    shingles get a global (document-frequency asc, hash) total
+    order, only each doc's prefix is indexed, so frequent/boilerplate
+    shingles rarely enter the candidate join. Slower than the naive
+    self-join at this SF (the df-ordering join dominates on a small
+    uniform corpus) but bounded where the naive path blows up:
+    candidate count is capped by prefix overlap, not shingle
+    frequency skew."""
+    pairs = D.jaccard_pairs_prefix(_dup_corpus(spark, sf_dir),
+                                   shingle_words=3, threshold=0.3,
+                                   cache_shingles=True)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1400,6 +1419,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "multimodal_features": (q_multimodal_features, None),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),
     "text_term_freq": (q_text_term_freq, SQL_TERM_FREQ),
     "text_tfidf": (q_text_tfidf, SQL_TFIDF),
