@@ -26,10 +26,24 @@ from linz_bde_uploader_spark.sources.store import TableStore
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="linz-bde-uploader-spark")
-    p.add_argument("--repository", required=True)
-    p.add_argument("--store", required=True)
-    p.add_argument("--control", required=True)
-    p.add_argument("--tables-conf", required=True)
+    # either the explicit four paths OR a layered reference conf via
+    # -config-path (-c) / -config-extension (-x)
+    # (bin/linz_bde_uploader.pl:80-81); conf keys used: bde_repository,
+    # bde_tables_config, spark_store_path, spark_control_path (the two
+    # spark_* keys replace the reference's db_connection/db_schema —
+    # the only lines a migrating user adds to their existing conf)
+    p.add_argument("--repository", default=None)
+    p.add_argument("--store", default=None)
+    p.add_argument("--control", default=None)
+    p.add_argument("--tables-conf", default=None)
+    p.add_argument("-config-path", "--config-path", "-c", dest="config_path",
+                   default=None, metavar="CFGPATH")
+    p.add_argument("-config-extension", "--config-extension", "-x",
+                   dest="config_extension", default=None, metavar="EXT")
+    p.add_argument("-keep-files", "--keep-files", dest="keep_files",
+                   action="store_true",
+                   help="retain staged working data under <store>/scratch "
+                        "(bin/linz_bde_uploader.pl:93)")
     # reference flags (bin/linz_bde_uploader.pl:78-102); single-dash
     # aliases kept for parity
     p.add_argument("-full", "--full", action="store_true",
@@ -100,14 +114,62 @@ def main(argv: list[str] | None = None) -> int:
               "-rebuild, -purge or -remove-zombie", file=sys.stderr)
         return 2
 
-    with open(args.tables_conf) as fh:
-        tables = parse_tables_conf(fh.read())
-    # P3 table subset/exclusion filters (lib/LINZ/BdeUpload.pm:385-405)
-    if args.tables:
-        keep = {t.lower() for t in args.tables}
+    conf: dict[str, str] = {}
+    conf_upload_cfg = None
+    log_handlers: list[logging.Handler] = []
+    if args.config_path:
+        from linz_bde_uploader_spark.config import (
+            ConfigError, conf_table_lists, load_conf, tables_conf_path,
+            upload_config_from_conf,
+        )
+        try:
+            conf = load_conf(args.config_path,
+                             extension=args.config_extension)
+        except ConfigError as e:
+            print(e, file=sys.stderr)
+            return 1
+        args.repository = args.repository or conf.get("bde_repository")
+        args.store = args.store or conf.get("spark_store_path")
+        args.control = args.control or conf.get("spark_control_path")
+        args.tables_conf = args.tables_conf or tables_conf_path(
+            conf, args.config_path)
+        conf_upload_cfg = upload_config_from_conf(
+            conf, enable_hooks=args.enable_hooks,
+            keep_files=args.keep_files)
+        if conf.get("log_settings") is not None and not args.dry_run:
+            # log_settings block (bin/linz_bde_uploader.pl:184-213);
+            # dry runs stay on the basic stderr config like the
+            # reference (bin:176 "turn off config logging if dry run")
+            from linz_bde_uploader_spark.control.logconf import (
+                apply_log_settings,
+            )
+            log_handlers = apply_log_settings(conf["log_settings"])
+    missing = [n for n, v in (("--repository", args.repository),
+                              ("--store", args.store),
+                              ("--control", args.control),
+                              ("--tables-conf", args.tables_conf))
+               if not v]
+    if missing:
+        print("missing " + ", ".join(missing)
+              + " (pass them or provide -config-path)", file=sys.stderr)
+        return 2
+
+    try:
+        with open(args.tables_conf) as fh:
+            tables = parse_tables_conf(fh.read())
+    except OSError as e:
+        print(f"Cannot open tables configuration: {e}", file=sys.stderr)
+        return 1
+    # P3 table subset/exclusion filters (lib/LINZ/BdeUpload.pm:385-405);
+    # CLI lists override the conf's include/exclude_tables heredocs
+    inc, exc = (None, None)
+    if conf:
+        inc, exc = conf_table_lists(conf)
+    if args.tables or inc:
+        keep = {t.lower() for t in (args.tables or inc)}
         tables = [t for t in tables if t.name in keep or t.l5_change_table]
-    if args.exclude_tables:
-        drop = {t.lower() for t in args.exclude_tables}
+    if args.exclude_tables or exc:
+        drop = {t.lower() for t in (args.exclude_tables or exc)}
         tables = [t for t in tables if t.name not in drop]
 
     ledger = Ledger(args.control)
@@ -123,11 +185,22 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("linz-bde-uploader")
     store = TableStore(args.store)
-    cfg = UploadConfig(enable_hooks=args.enable_hooks,
-                       max_level0_runtime_hours=args.full_timeout,
-                       max_level5_runtime_hours=args.inc_timeout,
-                       override_locks=args.override_locks,
-                       parallel_tables=args.parallel_tables)
+    if conf_upload_cfg is not None:
+        # conf-derived knobs; explicit CLI flags still win
+        cfg = conf_upload_cfg
+        cfg.override_locks = args.override_locks
+        cfg.parallel_tables = args.parallel_tables
+        if args.full_timeout:
+            cfg.max_level0_runtime_hours = args.full_timeout
+        if args.inc_timeout:
+            cfg.max_level5_runtime_hours = args.inc_timeout
+    else:
+        cfg = UploadConfig(enable_hooks=args.enable_hooks,
+                           max_level0_runtime_hours=args.full_timeout,
+                           max_level5_runtime_hours=args.inc_timeout,
+                           override_locks=args.override_locks,
+                           keep_files=args.keep_files,
+                           parallel_tables=args.parallel_tables)
     uploader = BdeUploader(
         spark, BdeRepository(args.repository), store, ledger, tables, cfg)
     if args.skip_postupload:
@@ -141,6 +214,7 @@ def main(argv: list[str] | None = None) -> int:
     except RuntimeError as e:
         # single-job gate (C1): refuse cleanly, like the reference
         print(f"Upload not started: {e}", file=sys.stderr)
+        _close_log(log_handlers)
         return 1
     if args.maintain_db:
         for t in tables:
@@ -154,7 +228,18 @@ def main(argv: list[str] | None = None) -> int:
                   if s else "")
         msg = f" ({r.message})" if r.message else ""
         print(f"{r.status:8s} {r.table} dataset={r.dataset} level={r.level}{detail}{msg}")
+    _close_log(log_handlers)
     return 1 if any(r.status == "error" for r in results) else 0
+
+
+def _close_log(handlers: list[logging.Handler]) -> None:
+    """Detach log_settings handlers, flushing any buffered
+    error-email (the reference's Log::Dispatch buffered=1 semantics:
+    one message per job, at job end)."""
+    if not handlers:
+        return
+    from linz_bde_uploader_spark.control.logconf import close_log_handlers
+    close_log_handlers(logging.getLogger("linz_bde_uploader_spark"), handlers)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,14 @@ class UploadConfig:
     # -override-locks: bypass the single-job gate and steal table
     # locks (C1/C2; t/linz_bde_uploader.t:908-992)
     override_locks: bool = False
+    # -keep-files (bin/linz_bde_uploader.pl:93): retain per-run
+    # staged working data for debugging. The reference always
+    # materializes temp .unl files and unlinks them unless kept
+    # (lib/LINZ/BdeUpload.pm:1167); the Spark flow streams the
+    # cleansed frames straight into the merge, so the debug snapshot
+    # under <store>/scratch/ is written ONLY when this flag is set —
+    # no write amplification on the normal path.
+    keep_files: bool = False
     # intra-dataset table parallelism. The reference is strictly
     # sequential per table (lib/LINZ/BdeUpload.pm:729,787) because one
     # PostgreSQL does all the work; on Spark each table load is an
@@ -107,14 +115,33 @@ class BdeUploader:
         (lib/LINZ/BdeUpload.pm:1102-1144)."""
         if not self.config.enable_hooks:
             return
+        import os as _os
         for cmd in self.config.hooks.get(event, []):
-            final = (cmd.replace("{id}", str(job_id))
-                        .replace("{dataset}", dataset)
-                        .replace("{level}", level))
+            # both placeholder spellings: {{id}} is the reference conf
+            # syntax (conf/linz_bde_uploader.conf:155-161), {id} the
+            # original repo spelling — substitute both, plus {{pid}}
+            final = cmd
+            for token, value in (("id", str(job_id)), ("dataset", dataset),
+                                 ("level", level), ("pid", str(_os.getpid()))):
+                final = final.replace("{{%s}}" % token, value) \
+                             .replace("{%s}" % token, value)
             try:
                 subprocess.run(final, shell=True, timeout=60, check=False)
             except Exception as e:  # hooks never fail the upload
                 log.warning("hook %s failed: %s", event, e)
+
+    def _keep_scratch(self, ds: Dataset, table: TableDef, stg, level: str) -> None:
+        """-keep-files: snapshot the cleansed staging frame under
+        <store>/scratch/<dataset>_L<level>_<table> for debugging
+        (analog of the reference's retained .unl working files,
+        lib/LINZ/BdeUpload.pm:1146-1176)."""
+        if not self.config.keep_files:
+            return
+        import os
+        path = os.path.join(self.store.root, "scratch",
+                            f"{ds.name}_L{level}_{table.name}")
+        stg.write.mode("overwrite").parquet(path)
+        log.info("kept working files: %s", path)
 
     def _budget_exceeded(self, level: str) -> bool:
         """C5: per-level wall-clock budgets checked between steps."""
@@ -214,6 +241,7 @@ class BdeUploader:
         for tag in table.files:
             header, part = self._load_file(files[tag], table)
             stg = part if stg is None else stg.unionByName(part, allowMissingColumns=True)
+        self._keep_scratch(ds, table, stg, "0")
         if table.key:
             validate_key(table, {c.name: c.type_name for c in header.columns})
 
@@ -257,6 +285,7 @@ class BdeUploader:
         for tag in table.files:
             header, part = self._load_file(files[tag], table)
             stg = part if stg is None else stg.unionByName(part, allowMissingColumns=True)
+        self._keep_scratch(ds, table, stg, "5")
 
         cont = self._check_start_continuity(table, header)
         if cont == "fail":
@@ -315,6 +344,8 @@ class BdeUploader:
                 allow_concurrent=self.config.override_locks)
         self.results = []  # each run reports its own results
         failed_tables: set[str] = set()
+        # job-level X3 hooks (start_event_hooks, conf:168-170)
+        self._run_hooks("start", job_id=job.id)
         try:
             plan: list[tuple[Dataset, list[TableDef], str]] = []
             if level0 or full_incremental or rebuild:
@@ -408,8 +439,15 @@ class BdeUploader:
                 self._run_hooks("finish_dataset", ds.name, lvl, job.id)
             for fn in self.post_upload_functions:
                 fn(job)
+            # finish/error job hooks (conf:173-175,191-192): error
+            # fires when the job fails at any stage, else finish
+            if any(r.status == "error" for r in self.results):
+                self._run_hooks("error", job_id=job.id)
+            else:
+                self._run_hooks("finish", job_id=job.id)
             return self.results
         except Exception:
+            self._run_hooks("error", job_id=job.id)
             if owns_job:
                 self.ledger.finish_job(job.id, ok=False)
                 owns_job = False
