@@ -856,24 +856,60 @@ FROM good g JOIN d ON g.doc_id = d.canonical_id
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline over opaque binary payloads: deterministic
-    synthetic media -> mapInPandas decode/feature-extract (stubbed
-    decoder, real Arrow plumbing) -> per-kind feature summary. Binary
-    columns and Pandas-UDF stages aren't DuckDB-expressible, so this
-    entry is rows-only. Deterministic for any sf_dir."""
+    """Multimodal decode differential test: REAL pure-Python codecs
+    (24-bit BMP, PCM16 WAV, FVID frame container) decode synthetic
+    payloads whose pixel/sample patterns have closed forms — the
+    oracle recomputes every statistic symbolically from the id, so a
+    decoder bug (row order, padding, BGR swap, PCM framing) breaks
+    the hash match even though DuckDB never touches a byte of the
+    payload. Deterministic for any sf_dir (payloads derive from ids,
+    not table data)."""
     from linz_bde_uploader_spark.operators import multimodal as MM
 
-    media = MM.synthetic_media(spark, n=96)
-    feats = MM.extract_features(media)
-    return (
-        feats.select("kind", "payload_bytes",
-                     F.aggregate("features", F.lit(0.0), lambda a, v: a + v)
-                     .alias("fsum"))
-        .groupBy("kind")
-        .agg(F.count("*").alias("n"),
-             F.sum("payload_bytes").alias("total_bytes"),
-             F.round(F.avg("fsum"), 6).alias("avg_feature_sum"))
-    )
+    media = MM.synthetic_media(spark, n=60)
+    stats = MM.decode_stats(media)
+    return stats.select(
+        "media_id", "kind", "width", "height", "n_units",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_c", 6).alias("mean_c"))
+
+
+# closed forms for synthetic_media payloads (operators/multimodal.py):
+# image i: pixel(y,x) = RGB(base+x+y, x, y) -> channel means
+#   base+(w-1)/2+(h-1)/2, (w-1)/2, (h-1)/2 (all exact .5 multiples)
+# audio i: full 256-cycles of ((j*37)%256)-128 -> mean|s|=64,
+#   rms=sqrt(5461.5), mean=-0.5 exactly
+# video i: frame f shifts base by f -> frame-avg adds (nf-1)/2
+SQL_MULTIMODAL = """
+WITH ids AS (SELECT i AS media_id FROM range(0, 60) t(i)),
+img AS (
+  SELECT media_id, 16 + media_id % 16 AS w, 12 + media_id % 8 AS h,
+         media_id % 90 AS base
+  FROM ids WHERE media_id % 3 = 0),
+aud AS (
+  SELECT media_id, 256 * (1 + media_id % 4) AS ns
+  FROM ids WHERE media_id % 3 = 1),
+vid AS (
+  SELECT media_id, 2 + media_id % 3 AS nf, 16 + media_id % 8 AS w,
+         12 + media_id % 4 AS h, media_id % 90 AS base
+  FROM ids WHERE media_id % 3 = 2)
+SELECT media_id, 'image' AS kind, CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height, CAST(w * h AS BIGINT) AS n_units,
+       round(base + (w-1)/2.0 + (h-1)/2.0, 6) AS mean_a,
+       round((w-1)/2.0, 6) AS mean_b, round((h-1)/2.0, 6) AS mean_c
+FROM img
+UNION ALL
+SELECT media_id, 'audio', CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(ns AS BIGINT), 64.0, round(sqrt(5461.5), 6), -0.5
+FROM aud
+UNION ALL
+SELECT media_id, 'video', CAST(w AS INT), CAST(h AS INT),
+       CAST(nf AS BIGINT),
+       round(base + (nf-1)/2.0 + (w-1)/2.0 + (h-1)/2.0, 6),
+       round((w-1)/2.0, 6), round((h-1)/2.0, 6)
+FROM vid
+"""
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,7 +1453,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),

@@ -179,17 +179,38 @@ def test_extract_features(media):
            {(x.media_id, tuple(x.features)) for x in again}
 
 
-def test_decode_stub_gate(media):
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        MM.extract_features(media, decode_stub=False).collect()
+def test_bmp_roundtrip_and_variants():
+    """The pure-Python codecs invert each other exactly, including
+    the fiddly BMP bits: BGR order, bottom-up rows, row padding
+    (w=17 -> 51-byte rows padded to 52)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_bmp(MM.encode_bmp(px)), px)
+    # PPM decode: header with comment line
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes(range(12))
+    got = MM.decode_ppm(ppm)
+    assert got.shape == (2, 2, 3) and got[0, 0, 0] == 0 and got[1, 1, 2] == 11
+    samples = (rng.randint(-1000, 1000, 512)).astype(np.int16)
+    back, rate = MM.decode_wav(MM.encode_wav(samples, 22050))
+    assert rate == 22050 and np.array_equal(back, samples)
+    frames = [MM.encode_bmp(px), MM.encode_bmp(px[::-1])]
+    assert MM.decode_fvid(MM.encode_fvid(frames)) == frames
 
 
 def test_resize_images(media):
+    """Real nearest-neighbor resize: output is a decodable 8x8 BMP;
+    resizing the gradient test pattern keeps the (0,0) pixel exact."""
     out = MM.resize_images(media, width=8, height=8).collect()
     assert len(out) == 10  # kind == image only
     for r in out:
-        assert len(bytes(r.payload)) <= 64
+        px = MM.decode_bmp(bytes(r.payload))
+        assert px.shape == (8, 8, 3)
         assert r.meta.width == 8 and r.meta.height == 8
+        base = r.media_id % 90
+        # synthetic pixel(0,0) = (base, 0, 0); nearest-neighbor keeps it
+        assert tuple(px[0, 0]) == (base, 0, 0)
 
 
 def test_sample_frames(media):
@@ -198,6 +219,10 @@ def test_sample_frames(media):
     by_media = {}
     for fr in frames:
         by_media.setdefault(fr.media_id, []).append(fr.frame_index)
+        # every emitted frame is itself a decodable image whose base
+        # channel encodes (media base + frame index)
+        px = MM.decode_bmp(bytes(fr.frame_payload))
+        assert px[0, 0, 0] == fr.media_id % 90 + fr.frame_index
     for idxs in by_media.values():
         assert idxs == sorted(idxs)
         assert all(i % 5 == 0 for i in idxs)
