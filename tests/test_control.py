@@ -200,3 +200,53 @@ def test_store_versioned_snapshots(spark, tmp_path):
     v3 = store.write("t", df1, key="k")
     assert store.vacuum("t", keep=2) == [1]
     assert store.read(spark, "t", version=v3).count() == 2
+
+
+# ------------------------------------------------------ S8 publication
+
+
+def test_publication_schema_publish_parity(spark, tmp_path):
+    """Analog of bin/linz-bde-uploader-schema-publish.pl:57-94:
+    create-if-missing, idempotent ADD TABLE of newly-appearing
+    control tables, refusal when the control area is uninitialized."""
+    import os
+
+    from linz_bde_uploader_spark.control.publication import (
+        ControlPublication, PublicationError,
+    )
+    from linz_bde_uploader_spark.operators.merge import MergeStats
+
+    pub = ControlPublication(str(tmp_path / "pub"))
+    missing = Ledger(str(tmp_path / "no_ledger_here"))
+    if os.path.exists(os.path.join(missing.root, "ledger.json")):
+        os.remove(os.path.join(missing.root, "ledger.json"))
+    with pytest.raises(PublicationError, match="does not exist"):
+        pub.publish(spark, missing)
+
+    ledger = Ledger(str(tmp_path / "ctl"))
+    job = ledger.create_job()
+    ledger.finish_job(job.id)
+    out1 = pub.publish(spark, ledger)
+    assert out1["publication"] == "all_bde_control"
+    assert "jobs" in out1["tables"] and "jobs" in out1["added"]
+    assert out1["n_publish"] == 1
+    # snapshot is queryable and matches the ledger
+    jobs = pub.read(spark, "jobs")
+    assert jobs.count() == 1
+
+    # re-publish: idempotent, nothing newly added
+    out2 = pub.publish(spark, ledger)
+    assert out2["added"] == [] and out2["n_publish"] == 2
+
+    # a control table that gains rows later flows into the refresh;
+    # membership only ever grows (ALTER PUBLICATION ADD TABLE loop)
+    job2 = ledger.create_job()
+    ledger.record_dataset_loaded(job2.id, "crs_parcel_bndry",
+                                 "20160601000000", "0",
+                                 MergeStats(ninsert=3), duration=0.5)
+    ledger.finish_job(job2.id)
+    out3 = pub.publish(spark, ledger)
+    assert set(out3["tables"]) >= {"jobs", "tables", "stats"}
+    stats = pub.read(spark, "stats")
+    assert stats.filter("table_name = 'crs_parcel_bndry'").count() == 1
+    assert pub.read(spark, "jobs").count() == 2
