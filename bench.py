@@ -67,6 +67,9 @@ HEADLINE = [
     "events_interval_join",
     "events_sessionize",
     "events_window_agg",
+    "text_unigram_logprob",
+    "text_char_entropy",
+    "emb_outliers",
 ]
 
 

@@ -1426,6 +1426,203 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# -------------------------------------------- corpus scoring (round 2)
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train token
+    probabilities on the WHOLE corpus (one tokenize + groupBy), then
+    score each document by its mean token log-probability — the
+    classic cheap perplexity proxy for corpus filtering. Plan shape:
+    vocabulary is one row per distinct token, so the score join
+    broadcasts under AQE; per-token terms round to 12 dp and sum as
+    exact DECIMAL so the per-doc mean is order-independent across
+    engines."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id",
+                       F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    lp = (vocab.join(F.broadcast(total))
+          .select("tok", F.round(
+              F.log(F.col("n_tok").cast("double")
+                    / F.col("n_total").cast("double")), 12).alias("lp")))
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("lp").cast("decimal(28,12)")).cast("double")
+              / F.count("*")).alias("mean_raw"),
+             F.count("*").alias("n_tokens"))
+        .select("doc_id", "n_tokens",
+                F.round("mean_raw", 6).alias("mean_logprob"))
+    )
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+total AS (SELECT COUNT(*) AS n_total FROM toks),
+vocab AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+lp AS (
+  SELECT tok, round(ln(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE)), 12)
+           AS lp
+  FROM vocab, total)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_logprob
+FROM toks JOIN lp USING (tok)
+GROUP BY doc_id
+"""
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — a
+    language-agnostic quality/noise signal (binary junk and repeated
+    filler score far from natural text). Single explode to
+    (doc, char) counts; the -p*ln(p) terms round to 12 dp and sum as
+    DECIMAL for cross-engine order independence."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    chars = docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    n = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.sum("c").over(n).cast("double")
+    terms = counts.select(
+        "doc_id", F.round(-(p * F.log(p)), 12).alias("term"))
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("term").cast("decimal(28,12)"))
+                     .cast("double"), 6).alias("char_entropy"))
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+terms AS (
+  SELECT doc_id,
+         round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 12)
+           AS term
+  FROM (SELECT doc_id, ch, c,
+               CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS n
+        FROM counts))
+SELECT doc_id,
+       round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6)
+         AS char_entropy
+FROM terms GROUP BY doc_id
+"""
+
+
+def q_docs_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing weights: given a uniform target mix
+    across sources, the per-source sampling weight is
+    target_share / actual_token_share — the number every mixture-
+    controlled sampler (docs_hash_sample with per-source rates)
+    consumes. Exact integer token counts; shares divide as doubles."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    per = (docs.select("source",
+                       F.size(F.split(F.trim("text"), r"\s+")).alias("nt"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"),
+                  F.count("*").alias("n_sources"))
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")
+    target = F.lit(1.0) / F.col("n_sources").cast("double")
+    return (
+        per.join(F.broadcast(tot))
+        .select("source", "n_docs", "n_tokens",
+                F.round(share, 6).alias("token_share"),
+                F.round(target / share, 6).alias("sample_weight"))
+    )
+
+
+SQL_SOURCE_REBALANCE = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         AS token_share,
+       round((1.0 / n_sources)
+             / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)), 6)
+         AS sample_weight
+FROM per, tot
+"""
+
+
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier scan: distance of every vector to the global
+    centroid, flagging those beyond mean + 2*stddev — the cheap
+    first-pass anomaly filter before clustering/ANN. Centroid = per-
+    dimension DECIMAL mean (order-independent); distances use the
+    expansion sqrt(e.e - 2 e.c + c.c) so both engines fold the arrays
+    in the same index order; distance moments again sum as DECIMAL.
+    Shapes: one posexplode pass for the centroid, centroid broadcast
+    back, one scan for distances."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding").cast("array<double>")
+    dims = emb.select(F.posexplode(v).alias("i", "x"))
+    centroid = (
+        dims.groupBy("i")
+        .agg((F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+              / F.count("*")).alias("c"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("sc"))
+        .select(F.transform("sc", lambda s: s["c"]).alias("centroid"))
+    )
+    dot = (lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x))
+    withc = emb.join(F.broadcast(centroid))
+    dist = F.round(F.sqrt(dot(v, v) - 2 * dot(v, F.col("centroid"))
+                          + dot(F.col("centroid"), F.col("centroid"))), 9)
+    d = withc.select("vec_id", "label", dist.alias("dist"))
+    mom = d.agg(
+        (F.sum(F.col("dist").cast("decimal(28,9)")).cast("double")
+         / F.count("*")).alias("mu"),
+        (F.sum((F.col("dist") * F.col("dist")).cast("decimal(28,9)"))
+         .cast("double") / F.count("*")).alias("m2"))
+    thr = mom.select(
+        (F.col("mu") + 2 * F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")))
+        .alias("thr"))
+    return (
+        d.join(F.broadcast(thr))
+        .filter(F.col("dist") > F.col("thr"))
+        .select("vec_id", "label", F.round("dist", 6).alias("dist"))
+    )
+
+
+SQL_EMB_OUTLIERS = """
+WITH dims AS (
+  SELECT i, x FROM (
+    SELECT generate_subscripts(embedding, 1) AS i,
+           unnest(CAST(embedding AS DOUBLE[])) AS x
+    FROM embeddings)),
+cent AS (
+  SELECT list(c ORDER BY i) AS centroid FROM (
+    SELECT i, CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
+    FROM dims GROUP BY i)),
+d AS (
+  SELECT vec_id, label,
+         round(sqrt(list_dot_product(e, e) - 2 * list_dot_product(e, centroid)
+                    + list_dot_product(centroid, centroid)), 9) AS dist
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings), cent),
+mom AS (
+  SELECT CAST(SUM(CAST(dist AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(dist * dist AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+           AS m2
+  FROM d)
+SELECT vec_id, label, round(dist, 6) AS dist
+FROM d, mom
+WHERE dist > mu + 2 * sqrt(m2 - mu * mu)
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_ngram_topk": (q_text_ngram_topk, SQL_NGRAM_TOPK),
     "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
@@ -1456,6 +1653,10 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD),
+    "text_unigram_logprob": (q_text_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "text_char_entropy": (q_text_char_entropy, SQL_CHAR_ENTROPY),
+    "docs_source_rebalance": (q_docs_source_rebalance, SQL_SOURCE_REBALANCE),
+    "emb_outliers": (q_emb_outliers, SQL_EMB_OUTLIERS),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),
     "text_term_freq": (q_text_term_freq, SQL_TERM_FREQ),
     "text_tfidf": (q_text_tfidf, SQL_TFIDF),
