@@ -29,7 +29,8 @@ def interval_join(left: DataFrame, right: DataFrame,
                   left_ts: str, right_ts: str,
                   lower_s: float, upper_s: float,
                   key: str | None = None,
-                  how: str = "inner") -> DataFrame:
+                  how: str = "inner",
+                  left_id: str | None = None) -> DataFrame:
     """Pair each left row with the right rows whose ``right_ts`` lies
     in ``[left_ts + lower_s, left_ts + upper_s]`` (seconds, inclusive),
     optionally also matching on an equi ``key``.
@@ -37,6 +38,13 @@ def interval_join(left: DataFrame, right: DataFrame,
     ``how``: 'inner' or 'left_outer' (left rows with no range match
     survive with null right columns). Integer microsecond arithmetic
     throughout — no float time math.
+
+    ``left_id``: a column the caller GUARANTEES is unique per left
+    row (an event id, a primary key). left_outer needs a per-row
+    identity to decide "no match"; with ``left_id`` it is used
+    directly — zero extra cost. Without it a deterministic id is
+    derived (content hash + row_number within identical rows), which
+    costs one extra hash shuffle of the left side.
     """
     if upper_s <= lower_s:
         raise ValueError("upper_s must be > lower_s")
@@ -50,8 +58,12 @@ def interval_join(left: DataFrame, right: DataFrame,
     if overlap:
         raise ValueError(f"ambiguous columns on both sides: {overlap}")
 
+    if left_id is not None and left_id not in left.columns:
+        raise ValueError(f"left_id column not on left side: {left_id}")
+
     l_base = left.withColumn(_LUS, F.unix_micros(F.col(left_ts)))
-    if how == "left_outer":
+    id_cols = [left_id] if left_id else [_RH, _RN]
+    if how == "left_outer" and not left_id:
         # row id assigned BEFORE the bucket explode: "no match" is a
         # per-original-row fact, and anti-joining on the id avoids the
         # null-key pitfalls of joining back on data columns. The id is
@@ -94,10 +106,10 @@ def interval_join(left: DataFrame, right: DataFrame,
         .drop(_BUCKET, _LUS, _RUS)
     unmatched = (
         l_base.drop(_LUS)
-        .join(matched.select(_RH, _RN).distinct(), [_RH, _RN], "left_anti")
+        .join(matched.select(*id_cols).distinct(), id_cols, "left_anti")
     )
     for c in matched.columns:
         if c not in unmatched.columns:
             unmatched = unmatched.withColumn(c, F.lit(None))
-    return (matched.unionByName(unmatched.select(*matched.columns))
-            .drop(_RH, _RN))
+    out = matched.unionByName(unmatched.select(*matched.columns))
+    return out if left_id else out.drop(_RH, _RN)

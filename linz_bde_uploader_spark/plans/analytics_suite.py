@@ -659,7 +659,7 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value").alias("view_value"))
     j = interval_join(purchases, views, left_ts="ts", right_ts="view_ts",
                       lower_s=-1800.0, upper_s=0.0, key="user_id",
-                      how="left_outer")
+                      how="left_outer", left_id="event_id")
     return (
         j.groupBy("event_id", "user_id")
         .agg(F.count("view_ts").alias("n_views"),

@@ -81,3 +81,13 @@ def test_interval_join_matches_model(spark, lrows, rrows, lo, width):
     assert matched == expected
     assert unmatched == {eid for (eid, _, _) in left
                          if eid not in {e for (e, _) in expected}}
+
+    # the left_id fast path (caller-guaranteed unique key, no derived
+    # row-id shuffle) must give exactly the same outer result
+    outer_fast = interval_join(ldf, rdf, left_ts="ts", right_ts="rts",
+                               lower_s=float(lo), upper_s=float(hi),
+                               key="k", how="left_outer", left_id="eid")
+    fast = outer_fast.collect()
+    assert {(r["eid"], r["reid"]) for r in fast if r["reid"] is not None} \
+        == matched
+    assert {r["eid"] for r in fast if r["reid"] is None} == unmatched
