@@ -133,6 +133,24 @@ def test_tfidf_no_token_window_and_subset_pushdown(spark, allq):
     assert "LessThan(doc_id,20)" in fplan
 
 
+def test_unigram_logprob_vocab_joins_hash_or_broadcast(spark, allq):
+    """The unigram-LM score joins the token stream with a one-row-per-
+    token vocabulary — a hash or broadcast join, never a cartesian,
+    and no unbounded token-keyed window."""
+    plan = _simple(allq["text_unigram_logprob"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(tok" not in plan
+
+
+def test_emb_outliers_centroid_and_threshold_broadcast(spark, allq):
+    """The 64-dim centroid and the 1-row mean+2sigma threshold must
+    broadcast back over the embedding scan — the corpus side never
+    shuffles for either."""
+    plan = _simple(allq["emb_outliers"][0](spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # 1-row joins
+    assert "SortMergeJoin" not in plan
+
+
 def test_simhash_pairs_band_buckets_are_16bit(spark, allq):
     """The SimHash near-pair bucket join must band on 16-bit segments
     (mask 65535 -> 2^16 bucket values per band). 8-bit segments (mask
