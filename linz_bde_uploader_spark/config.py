@@ -166,6 +166,26 @@ def _flt(conf: dict[str, str], key: str, default: float) -> float:
         return default
 
 
+_SQL_HOOK_KEYS = {
+    "db_connect_sql": "connect",
+    "dataset_load_start_sql": "dataset_start",
+    "dataset_load_end_sql": "dataset_end",
+    "db_upload_complete_sql": "upload_complete",
+}
+
+
+def sql_hooks_from_conf(conf: dict[str, str]) -> dict[str, str]:
+    """X2 SQL hook blocks (conf:49-83) -> driver event names, with the
+    reference's ``{{id}}`` runtime placeholder normalized to the
+    ``{id}`` spelling control/hooks.py substitutes."""
+    out = {}
+    for key, event in _SQL_HOOK_KEYS.items():
+        block = conf.get(key, "")
+        if block.strip():
+            out[event] = block.replace("{{id}}", "{id}")
+    return out
+
+
 def upload_config_from_conf(conf: dict[str, str], *,
                             enable_hooks: bool = False,
                             keep_files: bool = False):
@@ -197,6 +217,7 @@ def upload_config_from_conf(conf: dict[str, str], *,
         max_level5_runtime_hours=_flt(conf, "max_level5_runtime_hours", 0.0),
         hooks=hooks_from_conf(conf),
         enable_hooks=enable_hooks,
+        sql_hooks=sql_hooks_from_conf(conf),
         keep_files=keep_files,
     )
 

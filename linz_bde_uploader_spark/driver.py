@@ -49,6 +49,15 @@ class UploadConfig:
     # with {id} {dataset} {level} substitution
     hooks: dict[str, list[str]] = field(default_factory=dict)
     enable_hooks: bool = False
+    # X2 SQL hook blocks (conf:49-83): keys connect / dataset_start /
+    # dataset_end / upload_complete, each a ';'-split statement list
+    # with the conditional DSL of db_upload_complete_sql. Runs through
+    # the uploader's sql_runner (default spark.sql) only when enabled:
+    # a reference conf's blocks are PostgreSQL-dialect (SET
+    # client_encoding ...), so a migrating user opts in after porting
+    # them to Spark SQL.
+    sql_hooks: dict[str, str] = field(default_factory=dict)
+    enable_sql_hooks: bool = False
     # per-level runtime budgets in hours; 0 = unlimited (C5, conf:148-149)
     max_level0_runtime_hours: float = 0.0
     max_level5_runtime_hours: float = 0.0
@@ -107,6 +116,8 @@ class BdeUploader:
             post_level0_functions or [], key=lambda f: getattr(f, "__name__", ""))
         self.results: list[TableResult] = []
         self._start = time.time()
+        # X2 SQL hook executor — replaceable for JDBC targets / tests
+        self.sql_runner = lambda sql: self.spark.sql(sql)
 
     # ----------------------------------------------------------- hooks
     def _run_hooks(self, event: str, dataset: str = "", level: str = "",
@@ -129,6 +140,23 @@ class BdeUploader:
                 subprocess.run(final, shell=True, timeout=60, check=False)
             except Exception as e:  # hooks never fail the upload
                 log.warning("hook %s failed: %s", event, e)
+
+    def _run_sql_hooks(self, event: str, job_id: int,
+                       level0_ran: bool = True) -> None:
+        """X2 hook SQL blocks (lib/LINZ/BdeDatabase.pm:571-636):
+        ';'-split statements, `{id}` substitution, conditional DSL
+        evaluated against the stats ledger."""
+        if not self.config.enable_sql_hooks:
+            return
+        block = self.config.sql_hooks.get(event, "")
+        if not block.strip():
+            return
+        from linz_bde_uploader_spark.control.hooks import run_hook_block
+        try:
+            run_hook_block(block, self.sql_runner, self.ledger, job_id,
+                           level0_ran=level0_ran)
+        except Exception as e:  # parity: log, don't kill the upload
+            log.error("sql hook %s failed: %s", event, e)
 
     def _keep_scratch(self, ds: Dataset, table: TableDef, stg, level: str) -> None:
         """-keep-files: snapshot the cleansed staging frame under
@@ -344,8 +372,11 @@ class BdeUploader:
                 allow_concurrent=self.config.override_locks)
         self.results = []  # each run reports its own results
         failed_tables: set[str] = set()
-        # job-level X3 hooks (start_event_hooks, conf:168-170)
+        # job-level X3 hooks (start_event_hooks, conf:168-170) and the
+        # X2 connect SQL block (db_connect_sql, conf:49-52)
         self._run_hooks("start", job_id=job.id)
+        self._run_sql_hooks("connect", job.id)
+        level0_ran = level0 or full_incremental or rebuild
         try:
             plan: list[tuple[Dataset, list[TableDef], str]] = []
             if level0 or full_incremental or rebuild:
@@ -381,6 +412,8 @@ class BdeUploader:
                         failed_tables.add(t.name)
                     continue
                 self._run_hooks("start_dataset", ds.name, lvl, job.id)
+                self._run_sql_hooks("dataset_start", job.id,
+                                    level0_ran=level0_ran)
                 changes = None
                 if lvl == "5":
                     chg_def = self._change_table_def()
@@ -437,8 +470,14 @@ class BdeUploader:
                     for fn in self.post_level0_functions:
                         fn(job)
                 self._run_hooks("finish_dataset", ds.name, lvl, job.id)
+                self._run_sql_hooks("dataset_end", job.id,
+                                    level0_ran=level0_ran)
             for fn in self.post_upload_functions:
                 fn(job)
+            # db_upload_complete_sql (conf:64-66) with the conditional
+            # DSL evaluated against this job's stats
+            self._run_sql_hooks("upload_complete", job.id,
+                                level0_ran=level0_ran)
             # finish/error job hooks (conf:173-175,191-192): error
             # fires when the job fails at any stage, else finish
             if any(r.status == "error" for r in self.results):

@@ -275,3 +275,45 @@ def test_cli_keep_files_retains_scratch(spark, tmp_path):
     assert any("crs_parcel_bndry" in d and "_L0_" in d for d in kept)
     back = spark.read.parquet(str(scratch / kept[0]))
     assert back.count() == 3  # the staged L0 frame (golden fixture)
+
+
+def test_conf_sql_hooks_run_through_driver(spark, tmp_path):
+    """X2 via conf: db_upload_complete_sql's conditional DSL runs at
+    job end with {{id}} substituted, against the real stats ledger
+    (lib/LINZ/BdeDatabase.pm:571-636; conf:49-83)."""
+    from tests.fixtures import write_repository
+
+    from linz_bde_uploader_spark.catalog.tables import parse_tables_conf
+    from linz_bde_uploader_spark.config import (
+        load_conf, sql_hooks_from_conf, upload_config_from_conf,
+    )
+    from linz_bde_uploader_spark.control.ledger import Ledger
+    from linz_bde_uploader_spark.driver import BdeUploader
+    from linz_bde_uploader_spark.sources.repository import BdeRepository
+    from linz_bde_uploader_spark.sources.store import TableStore
+
+    cfg = tmp_path / "c"
+    cfg.write_text("""
+db_connect_sql <<EOT
+SELECT 'connected job {{id}}' AS banner
+EOT
+db_upload_complete_sql <<EOT
+if any crs_parcel_bndry loaded ? SELECT 'bndry loaded in {{id}}' AS msg;
+if any no_such_table loaded ? SELECT 'never runs' AS msg
+EOT
+""")
+    conf = load_conf(str(cfg))
+    assert "{{id}}" not in sql_hooks_from_conf(conf)["connect"]
+    ucfg = upload_config_from_conf(conf)
+    ucfg.enable_sql_hooks = True
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    up = BdeUploader(spark, repo, TableStore(str(tmp_path / "store")),
+                     Ledger(str(tmp_path / "ctl")),
+                     parse_tables_conf(TABLES_CONF), config=ucfg)
+    ran: list[str] = []
+    up.sql_runner = ran.append
+    up.apply_updates(level0=True)
+    assert any(ran), "connect + conditional complete hooks must fire"
+    assert any("connected job 1" in s for s in ran)
+    assert any("bndry loaded in 1" in s for s in ran)
+    assert not any("never runs" in s for s in ran)
