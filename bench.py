@@ -134,15 +134,22 @@ def main():
     prev_round, prev = _prev_bench()
     if prev and isinstance(prev.get("queries"), dict):
         pq = prev["queries"]
+        shared = [n for n in times
+                  if isinstance(pq.get(n), (int, float)) and pq[n]]
+        shared_now = round(sum(times[n] for n in shared), 3)
+        shared_prev = round(sum(pq[n] for n in shared), 3)
         out["vs_prev"] = {
             "round": prev_round,
-            "total_prev": prev.get("value"),
-            "total_ratio": (round(total / prev["value"], 3)
-                            if prev.get("value") else None),
+            # the headline set grows round-over-round: compare the
+            # SHARED subset so the ratio measures speed, not coverage
+            "shared_queries": len(shared),
+            "shared_total": shared_now,
+            "shared_total_prev": shared_prev,
+            "shared_ratio": (round(shared_now / shared_prev, 3)
+                             if shared_prev else None),
             # ratio > 1 = slower than the recorded round
-            "queries": {n: round(t / pq[n], 3)
-                        for n, t in times.items()
-                        if isinstance(pq.get(n), (int, float)) and pq[n]},
+            "queries": {n: round(times[n] / pq[n], 3) for n in shared},
+            "new_queries": {n: times[n] for n in times if n not in shared},
         }
     print(json.dumps(out))
 
