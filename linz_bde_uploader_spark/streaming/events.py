@@ -278,6 +278,62 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     q.awaitTermination()
 
 
+def stream_corpus_prep(docs: DataFrame, benchmark: DataFrame,
+                       out_path: str, checkpoint: str,
+                       ts_col: str = "ts", text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_quality: float = 0.3, decontam_ngram: int = 8,
+                       chunk_tokens: int = 32, stride: int = 24,
+                       watermark: str = "1 hour"):
+    """Always-on training-corpus ingestion: the streaming form of
+    ``operators/corpus.prepare_training_corpus``.
+
+    Engine-native stages run in the stream: the quality gate is a
+    stateless column filter, exact dedup is
+    ``dropDuplicatesWithinWatermark`` keyed on the content digest
+    (state = one 16-byte digest per in-window distinct document,
+    watermark-evicted). Decontamination + chunking + the shard append
+    run per micro-batch inside ``foreachBatch`` using the SAME batch
+    operators the offline chain uses — the benchmark shingle set is a
+    static relation broadcast into each batch's anti join, exactly
+    like the offline plan, and the sink append is covered by the
+    checkpoint for exactly-once. ``benchmark`` is a static DataFrame.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from linz_bde_uploader_spark.operators import dedup as D
+    from linz_bde_uploader_spark.operators.text_analysis import quality_score
+
+    scored = (docs.withColumn("quality", quality_score(F.col(text_col)))
+              .filter(F.col("quality") >= min_quality))
+    deduped = stream_dedup(scored, ts_col, text_col, watermark)
+    bench_sh = D._shingle_hashes(
+        benchmark, text_col, id_col, decontam_ngram).select("h").distinct()
+
+    def prep_batch(batch: DataFrame, _batch_id: int) -> None:
+        contaminated = (
+            D._shingle_hashes(batch, text_col, id_col, decontam_ngram)
+            .join(F.broadcast(bench_sh), "h")
+            .select(F.col("id").alias(id_col)).distinct())
+        kept = batch.join(contaminated, id_col, "left_anti")
+        nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        chunks = (
+            kept.withColumn("_nt", nt)
+            .withColumn("start", F.explode(
+                F.sequence(F.lit(0), F.col("_nt") - 1, F.lit(stride))))
+            .withColumn("chunk_len",
+                        F.least(F.lit(chunk_tokens),
+                                F.col("_nt") - F.col("start")))
+            .drop("_nt"))
+        chunks.write.mode("append").parquet(out_path)
+
+    return (
+        deduped.writeStream.foreachBatch(prep_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str,
                       output_mode: str = "append") -> None:
     """Drain everything currently available, then stop — the streaming

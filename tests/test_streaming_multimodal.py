@@ -419,3 +419,52 @@ def test_stream_static_enrichment(spark, tmp_path):
     STR.run_available_now(enriched, str(tmp_path / "ckpt"), out)
     got = spark.read.parquet(out).count()
     assert got == expected > 0
+
+
+def test_stream_corpus_prep_matches_batch_chain(spark, tmp_path):
+    """Streaming corpus ingestion == the batch prep chain on the same
+    input: low-quality docs dropped, in-window exact duplicates
+    dropped, benchmark-contaminated docs dropped, identical chunk
+    set. Duplicate copies share a doc_id so survivor identity is
+    deterministic."""
+    import datetime as dt
+
+    from linz_bde_uploader_spark.operators import dedup as D
+    from linz_bde_uploader_spark.operators.text_analysis import quality_score
+    from linz_bde_uploader_spark.streaming.events import stream_corpus_prep
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(40)
+    bench = base.filter("doc_id % 10 = 0")            # contaminates 1 in 10
+    corpus = base.filter("doc_id % 10 != 0")
+    ts = F.lit(dt.datetime(2024, 1, 1, 12, 0, 0)).cast("timestamp")
+    dup = corpus.limit(5)                              # exact duplicate wave
+    src_df = corpus.unionAll(dup).withColumn("ts", ts)
+    src = str(tmp_path / "src")
+    src_df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(src_df.schema).parquet(src)
+    out = str(tmp_path / "chunks")
+    q = stream_corpus_prep(stream, bench, out, str(tmp_path / "ckpt"),
+                           min_quality=0.0)
+    q.awaitTermination()
+
+    # batch expectation: dedup (same-id copies collapse), decontam, chunk
+    kept = corpus.withColumn("quality", quality_score(F.col("text"))) \
+        .dropDuplicates(["doc_id"])
+    bsh = D._shingle_hashes(bench, "text", "doc_id", 8).select("h").distinct()
+    dsh = D._shingle_hashes(kept, "text", "doc_id", 8)
+    bad = dsh.join(bsh, "h").select(F.col("id").alias("doc_id")).distinct()
+    kept = kept.join(bad, "doc_id", "left_anti")
+    nt = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    expected = (kept.withColumn("_nt", nt)
+                .withColumn("start", F.explode(
+                    F.sequence(F.lit(0), F.col("_nt") - 1, F.lit(24))))
+                .select("doc_id", "start"))
+
+    got = spark.read.parquet(out)
+    assert {(r.doc_id, r.start) for r in got.select("doc_id", "start").collect()} \
+        == {(r.doc_id, r.start) for r in expected.collect()}
+    # contaminated and duplicate rows really gone
+    assert got.filter("doc_id % 10 = 0").count() == 0
+    assert got.groupBy("doc_id", "start").count().filter("count > 1").count() == 0
