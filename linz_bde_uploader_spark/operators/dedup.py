@@ -293,25 +293,33 @@ def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
     because frequent shingles sort LAST and rarely enter a prefix.
 
     ``cache_shingles`` persists the shingle stream shared by the
-    frequency count, the ranked prefix index, and the verify sets
-    (three consumers). Same caveat as ``jaccard_pairs``: prefer
-    recompute or an explicit disk persist when the stream exceeds
-    cluster memory.
-    """
-    from pyspark.sql import Window
+    frequency count and the per-doc set aggregate (two consumers).
+    Same caveat as ``jaccard_pairs``: prefer recompute or an explicit
+    disk persist when the stream exceeds cluster memory.
 
+    Physical shape: ONE per-doc aggregate builds the (df, h)-sorted
+    shingle array; the prefix is an array slice of it (no windows —
+    the earlier two-window formulation paid an extra sort+exchange
+    over the doc key and a second groupBy for the verify sets), and
+    the verify step reuses the same array relation on both sides of
+    the candidate join.
+    """
     sh = _shingle_hashes(docs, text_col, id_col, shingle_words)
     if cache_shingles:
         sh = sh.cache()
     freq = sh.groupBy("h").agg(F.count("*").alias("df"))
-    ranked = (
+    sets = (
         sh.join(freq, "h")
-        .withColumn("pos", F.row_number().over(
-            Window.partitionBy("id").orderBy("df", "h")))
-        .withColumn("n", F.count("*").over(Window.partitionBy("id")))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("arr"),
+             F.count("*").alias("n"))
+        .withColumn("hs", F.transform("arr", lambda s: s["h"]))
     )
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1) \
+        .cast("int")
+    prefix = sets.select(
+        "id", F.explode(F.slice(F.transform("arr", lambda s: s["h"]),
+                                F.lit(1), prefix_len)).alias("h"))
     cand = (
         prefix.alias("a").join(prefix.alias("b"),
                                (F.col("a.h") == F.col("b.h"))
@@ -319,8 +327,6 @@ def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sets = sh.groupBy("id").agg(F.collect_set("h").alias("hs"),
-                                F.count("*").alias("n"))
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
     return (
