@@ -1623,6 +1623,124 @@ WHERE dist > mu + 2 * sqrt(m2 - mu * mu)
 """
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the C4/CCNet-style pre-training cleanup pass):
+    emails, IPv4 addresses, and long digit runs are replaced by typed
+    placeholder tokens, with per-doc match counts for the audit
+    ledger. Deterministic synthetic PII is planted on a doc subset so
+    the redaction genuinely fires (the corpus is word-soup). Pure
+    regexp_replace/extract_all column expressions — codegen, no UDF,
+    embarrassingly parallel; patterns restricted to RE2-compatible
+    syntax so any engine reproduces them."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    digits = r"\b\d{9,}\b"
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                 F.lit("@example.com from 10.0.0."),
+                 (F.col("doc_id") % 250).cast("string"),
+                 F.lit(" id 99880077665"))).otherwise(F.col("text"))
+    t = docs.select("doc_id", planted.alias("t"))
+    n = (F.size(F.regexp_extract_all("t", F.lit(email), F.lit(0)))
+         + F.size(F.regexp_extract_all("t", F.lit(ipv4), F.lit(0)))
+         + F.size(F.regexp_extract_all("t", F.lit(digits), F.lit(0))))
+    clean = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.col("t"), email, "<EMAIL>"), ipv4, "<IP>"), digits, "<NUMBER>")
+    return t.select(
+        "doc_id", n.cast("bigint").alias("n_redactions"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_hash"))
+
+
+SQL_REDACT_PII = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com from 10.0.0.' || (doc_id % 250)
+                   || ' id 99880077665'
+              ELSE text END AS t
+  FROM documents),
+pat AS (
+  SELECT doc_id, t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS email,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b' AS ipv4,
+         '\b\d{9,}\b' AS digits
+  FROM t)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, email))
+            + len(regexp_extract_all(t, ipv4))
+            + len(regexp_extract_all(t, digits)) AS BIGINT) AS n_redactions,
+       CAST(len(regexp_replace(regexp_replace(regexp_replace(
+              t, email, '<EMAIL>', 'g'), ipv4, '<IP>', 'g'),
+              digits, '<NUMBER>', 'g')) AS INT) AS clean_len,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+              t, email, '<EMAIL>', 'g'), ipv4, '<IP>', 'g'),
+              digits, '<NUMBER>', 'g')) AS clean_hash
+FROM pat
+"""
+
+
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: chunks are assigned greedily to
+    fixed-budget training sequences by cumulative token count — the
+    batch-packing pass that turns a chunked corpus into model-ready
+    context windows. Packing is inherently sequential, so it runs PER
+    SHARD (deterministic hash of the doc id): each shard's window is
+    an independent partition — the 100 TB plan is |shards|-way
+    parallel with no global sort. Output: one row per (shard, bin)
+    with its chunk count and token fill."""
+    budget = 256
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    nt = F.size(F.split(F.trim("text"), r"\s+"))
+    chunks = (docs.withColumn("_nt", nt)
+              .withColumn("start", F.explode(
+                  F.sequence(F.lit(0), F.col("_nt") - 1, F.lit(24))))
+              .select("doc_id", "start",
+                      F.least(F.lit(32), F.col("_nt") - F.col("start"))
+                      .alias("chunk_len")))
+    from linz_bde_uploader_spark.functions.hashing import hash32
+    sharded = chunks.withColumn(
+        "shard",
+        F.pmod(hash32(F.col("doc_id").cast("string")), F.lit(8)).cast("int"))
+    w = Window.partitionBy("shard").orderBy("doc_id", "start")
+    binned = sharded.withColumn(
+        "bin", F.floor((F.sum("chunk_len").over(w) - F.col("chunk_len"))
+                       / budget).cast("int"))
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum("chunk_len").alias("n_tokens"))
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH chunks AS (
+  SELECT doc_id, 24 * (i - 1) AS start,
+         LEAST(32, nt - 24 * (i - 1)) AS chunk_len
+  FROM (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS nt
+        FROM documents),
+       unnest(generate_series(1, CAST(ceil(nt / 24.0) AS BIGINT))) AS t(i)
+  WHERE 24 * (i - 1) < nt),
+sharded AS (
+  SELECT doc_id, start, chunk_len,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8)
+                   AS BIGINT) % 8 AS INT) AS shard
+  FROM chunks),
+binned AS (
+  SELECT shard,
+         CAST(floor((SUM(chunk_len) OVER (PARTITION BY shard
+                      ORDER BY doc_id, start) - chunk_len) / 256.0)
+              AS INT) AS bin,
+         chunk_len
+  FROM sharded)
+SELECT shard, bin, COUNT(*) AS n_chunks, SUM(chunk_len) AS n_tokens
+FROM binned GROUP BY shard, bin
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_ngram_topk": (q_text_ngram_topk, SQL_NGRAM_TOPK),
     "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
@@ -1654,6 +1772,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD),
     "text_unigram_logprob": (q_text_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "text_redact_pii": (q_text_redact_pii, SQL_REDACT_PII),
+    "docs_pack_sequences": (q_docs_pack_sequences, SQL_PACK_SEQUENCES),
     "text_char_entropy": (q_text_char_entropy, SQL_CHAR_ENTROPY),
     "docs_source_rebalance": (q_docs_source_rebalance, SQL_SOURCE_REBALANCE),
     "emb_outliers": (q_emb_outliers, SQL_EMB_OUTLIERS),

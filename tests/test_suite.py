@@ -19,7 +19,8 @@ FAST_QUERIES = [
     "q4_order_priority", "q13_customer_distribution", "q15_top_supplier",
     "q22_no_order_customers", "events_rollup", "events_lag_delta",
     "text_unigram_logprob", "text_char_entropy", "docs_source_rebalance",
-    "emb_outliers", "multimodal_features",
+    "emb_outliers", "multimodal_features", "text_redact_pii",
+    "docs_pack_sequences",
 ]
 
 
