@@ -96,3 +96,28 @@ def bpe_token_count(col: Column) -> Column:
     estimator a training pipeline runs before real tokenization).
     SQL: len(regexp_extract_all(x, BPE_PATTERN))."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)).cast("bigint")
+
+
+# PII scrubbing (C4/CCNet-style pre-training cleanup). RE2-compatible
+# patterns only, so any SQL engine reproduces them for differential
+# testing; all three run as codegen regexp expressions, no UDF.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONG_DIGITS = r"\b\d{9,}\b"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses, and long digit runs with typed
+    placeholder tokens."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_LONG_DIGITS, "<NUMBER>")
+
+
+def pii_match_count(col: Column) -> Column:
+    """How many PII spans :func:`redact_pii` would replace — the
+    audit-ledger metric logged alongside the scrub."""
+    return (F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), F.lit(0)))
+            + F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), F.lit(0)))
+            + F.size(F.regexp_extract_all(col, F.lit(PII_LONG_DIGITS),
+                                          F.lit(0)))).cast("bigint")

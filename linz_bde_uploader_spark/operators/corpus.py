@@ -169,3 +169,32 @@ def write_corpus_shards(df: DataFrame, path: str, key: str,
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer = writer.partitionBy(*partition_by, SHARD_COL)
     writer.parquet(path)
+
+
+def pack_sequences(chunks: DataFrame, budget: int, key: str = "doc_id",
+                   order: list[str] | None = None,
+                   len_col: str = "chunk_len",
+                   n_shards: int = 64) -> DataFrame:
+    """Token-budget sequence packing: assign chunk rows greedily to
+    fixed-budget training sequences (``bin``) by cumulative token
+    count. Packing is inherently sequential, so it runs PER SHARD
+    (deterministic hash of ``key``): each shard's running-sum window
+    is an independent partition — |shards|-way parallel, no global
+    sort. ``n_shards`` trades parallelism against cross-shard
+    bin-fill fragmentation (each shard's final bin may be partially
+    filled); size it to O(cluster cores) at scale."""
+    from pyspark.sql import Window
+
+    from linz_bde_uploader_spark.functions.hashing import hash32
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    order = order or [key]
+    sharded = chunks.withColumn(
+        "shard",
+        F.pmod(hash32(F.col(key).cast("string")), F.lit(n_shards))
+        .cast("int"))
+    w = Window.partitionBy("shard").orderBy(*order)
+    return sharded.withColumn(
+        "bin", F.floor((F.sum(len_col).over(w) - F.col(len_col))
+                       / budget).cast("int"))

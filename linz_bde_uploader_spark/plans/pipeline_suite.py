@@ -1632,10 +1632,11 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_replace/extract_all column expressions — codegen, no UDF,
     embarrassingly parallel; patterns restricted to RE2-compatible
     syntax so any engine reproduces them."""
+    from linz_bde_uploader_spark.functions.text import (
+        pii_match_count, redact_pii,
+    )
+
     docs = parallelize_small(load_table(spark, sf_dir, "documents"))
-    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-    digits = r"\b\d{9,}\b"
     planted = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
@@ -1643,13 +1644,9 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("doc_id") % 250).cast("string"),
                  F.lit(" id 99880077665"))).otherwise(F.col("text"))
     t = docs.select("doc_id", planted.alias("t"))
-    n = (F.size(F.regexp_extract_all("t", F.lit(email), F.lit(0)))
-         + F.size(F.regexp_extract_all("t", F.lit(ipv4), F.lit(0)))
-         + F.size(F.regexp_extract_all("t", F.lit(digits), F.lit(0))))
-    clean = F.regexp_replace(F.regexp_replace(F.regexp_replace(
-        F.col("t"), email, "<EMAIL>"), ipv4, "<IP>"), digits, "<NUMBER>")
+    clean = redact_pii(F.col("t"))
     return t.select(
-        "doc_id", n.cast("bigint").alias("n_redactions"),
+        "doc_id", pii_match_count(F.col("t")).alias("n_redactions"),
         F.length(clean).alias("clean_len"),
         F.md5(clean).alias("clean_hash"))
 
@@ -1692,7 +1689,8 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     an independent partition — the 100 TB plan is |shards|-way
     parallel with no global sort. Output: one row per (shard, bin)
     with its chunk count and token fill."""
-    budget = 256
+    from linz_bde_uploader_spark.operators.corpus import pack_sequences
+
     docs = parallelize_small(load_table(spark, sf_dir, "documents"))
     nt = F.size(F.split(F.trim("text"), r"\s+"))
     chunks = (docs.withColumn("_nt", nt)
@@ -1701,14 +1699,8 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", "start",
                       F.least(F.lit(32), F.col("_nt") - F.col("start"))
                       .alias("chunk_len")))
-    from linz_bde_uploader_spark.functions.hashing import hash32
-    sharded = chunks.withColumn(
-        "shard",
-        F.pmod(hash32(F.col("doc_id").cast("string")), F.lit(8)).cast("int"))
-    w = Window.partitionBy("shard").orderBy("doc_id", "start")
-    binned = sharded.withColumn(
-        "bin", F.floor((F.sum("chunk_len").over(w) - F.col("chunk_len"))
-                       / budget).cast("int"))
+    binned = pack_sequences(chunks, budget=256, key="doc_id",
+                            order=["doc_id", "start"], n_shards=8)
     return (
         binned.groupBy("shard", "bin")
         .agg(F.count("*").alias("n_chunks"),

@@ -99,3 +99,24 @@ def test_prepare_training_corpus_end_to_end(docs, tmp_path):
     ksh = D._shingle_hashes(
         back.select("doc_id", "text").distinct(), "text", "doc_id", 8)
     assert ksh.join(bsh, "h").count() == 0
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    """Greedy per-shard packing: every bin stays within budget unless
+    a single chunk alone exceeds it; assignment is deterministic."""
+    from linz_bde_uploader_spark.operators.corpus import pack_sequences
+
+    rows = [(i, i % 3, 10 + (i * 7) % 50) for i in range(200)]
+    chunks = spark.createDataFrame(rows, ["doc_id", "start", "chunk_len"])
+    a = pack_sequences(chunks, budget=100, order=["doc_id", "start"],
+                       n_shards=4)
+    fills = a.groupBy("shard", "bin").agg(
+        F.sum("chunk_len").alias("fill"),
+        F.max("chunk_len").alias("biggest")).collect()
+    for r in fills:
+        assert r.fill <= 100 + r.biggest  # greedy overflow bound
+    b = pack_sequences(chunks, budget=100, order=["doc_id", "start"],
+                       n_shards=4)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    with pytest.raises(ValueError):
+        pack_sequences(chunks, budget=100, n_shards=0)
