@@ -151,6 +151,15 @@ def test_emb_outliers_centroid_and_threshold_broadcast(spark, allq):
     assert "SortMergeJoin" not in plan
 
 
+def test_pack_sequences_no_global_sort(spark, allq):
+    """Sequence packing windows per shard — the plan must show a
+    shard-keyed exchange and NO single-partition exchange (a global
+    running sum would serialize the corpus through one task)."""
+    plan = _simple(allq["docs_pack_sequences"][0](spark, SF_DIR))
+    assert "hashpartitioning(shard" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_simhash_pairs_band_buckets_are_16bit(spark, allq):
     """The SimHash near-pair bucket join must band on 16-bit segments
     (mask 65535 -> 2^16 bucket values per band). 8-bit segments (mask
