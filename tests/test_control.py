@@ -250,3 +250,23 @@ def test_publication_schema_publish_parity(spark, tmp_path):
     stats = pub.read(spark, "stats")
     assert stats.filter("table_name = 'crs_parcel_bndry'").count() == 1
     assert pub.read(spark, "jobs").count() == 2
+
+
+def test_publish_cli(spark, tmp_path, capsys):
+    """The schema-publish CLI analog: ready-message on success, error
+    + exit 1 against an uninitialized control area."""
+    from linz_bde_uploader_spark import publish
+
+    ledger = Ledger(str(tmp_path / "ctl"))
+    job = ledger.create_job()
+    ledger.finish_job(job.id)
+    rc = publish.main(["--control", str(tmp_path / "ctl"),
+                       "--out", str(tmp_path / "pub")])
+    assert rc == 0
+    outerr = capsys.readouterr()
+    assert 'Publication "all_bde_control" ready' in outerr.out
+    import os
+    os.remove(str(tmp_path / "ctl" / "ledger.json"))
+    rc = publish.main(["--control", str(tmp_path / "ctl"),
+                       "--out", str(tmp_path / "pub")])
+    assert rc == 1
