@@ -120,3 +120,29 @@ def test_pack_sequences_budget_and_determinism(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     with pytest.raises(ValueError):
         pack_sequences(chunks, budget=100, n_shards=0)
+
+
+def test_redact_pii_patterns(spark):
+    """Typed placeholders replace exactly the PII spans: emails, IPv4,
+    9+ digit runs; short numbers and plain words survive; counts
+    match the replacements."""
+    from linz_bde_uploader_spark.functions.text import (
+        pii_match_count, redact_pii,
+    )
+
+    rows = [
+        (1, "mail a.b-c_1@ex-ample.co.nz now"),
+        (2, "server 192.168.001.1 port 8080"),
+        (3, "card 4111111111111111 pin 1234"),
+        (4, "versions 1.2.3 and 10.20 stay"),
+        (5, "clean text only"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {r.id: (r.c, r.n) for r in df.select(
+        "id", redact_pii(F.col("t")).alias("c"),
+        pii_match_count(F.col("t")).alias("n")).collect()}
+    assert got[1] == ("mail <EMAIL> now", 1)
+    assert got[2] == ("server <IP> port 8080", 1)
+    assert got[3] == ("card <NUMBER> pin 1234", 1)
+    assert got[4] == ("versions 1.2.3 and 10.20 stay", 0)  # not 4 octets
+    assert got[5] == ("clean text only", 0)
