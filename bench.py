@@ -70,6 +70,8 @@ HEADLINE = [
     "text_unigram_logprob",
     "text_char_entropy",
     "emb_outliers",
+    "text_redact_pii",
+    "docs_pack_sequences",
 ]
 
 
