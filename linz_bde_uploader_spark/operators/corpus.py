@@ -182,7 +182,17 @@ def pack_sequences(chunks: DataFrame, budget: int, key: str = "doc_id",
     is an independent partition — |shards|-way parallel, no global
     sort. ``n_shards`` trades parallelism against cross-shard
     bin-fill fragmentation (each shard's final bin may be partially
-    filled); size it to O(cluster cores) at scale."""
+    filled); size it to O(cluster cores) at scale.
+
+    ``order`` MUST be a unique ordering of the rows within each
+    shard (e.g. ``[doc_id, start]`` for chunk rows): the running sum
+    uses an explicit ROWS frame, so with ties the within-tie row
+    order — and therefore the bin assignment — would depend on
+    partition-internal sort stability and not be reproducible
+    run-to-run. (A RANGE frame would be worse: every tied row would
+    receive the full peer-group sum and bins could overfill far past
+    ``budget + max_chunk``.) The default ``[key]`` is only unique
+    when there is at most one chunk per key."""
     from pyspark.sql import Window
 
     from linz_bde_uploader_spark.functions.hashing import hash32
@@ -194,7 +204,8 @@ def pack_sequences(chunks: DataFrame, budget: int, key: str = "doc_id",
         "shard",
         F.pmod(hash32(F.col(key).cast("string")), F.lit(n_shards))
         .cast("int"))
-    w = Window.partitionBy("shard").orderBy(*order)
+    w = (Window.partitionBy("shard").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return sharded.withColumn(
         "bin", F.floor((F.sum(len_col).over(w) - F.col(len_col))
                        / budget).cast("int"))

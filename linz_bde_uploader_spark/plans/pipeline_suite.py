@@ -1520,7 +1520,11 @@ def q_docs_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     across sources, the per-source sampling weight is
     target_share / actual_token_share — the number every mixture-
     controlled sampler (docs_hash_sample with per-source rates)
-    consumes. Exact integer token counts; shares divide as doubles."""
+    consumes. Exact integer token counts; shares are single IEEE-754
+    divisions of exact integers, which round-to-nearest identically
+    in every engine — no post-hoc round() (Spark rounds doubles via
+    BigDecimal HALF_UP, DuckDB via scaled multiply; they differ in
+    the last ulp and break exact-value differential hashing)."""
     docs = parallelize_small(load_table(spark, sf_dir, "documents"))
     per = (docs.select("source",
                        F.size(F.split(F.trim("text"), r"\s+")).alias("nt"))
@@ -1533,8 +1537,8 @@ def q_docs_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per.join(F.broadcast(tot))
         .select("source", "n_docs", "n_tokens",
-                F.round(share, 6).alias("token_share"),
-                F.round(target / share, 6).alias("sample_weight"))
+                share.alias("token_share"),
+                (target / share).alias("sample_weight"))
     )
 
 
@@ -1544,11 +1548,11 @@ WITH per AS (
          SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
   FROM documents GROUP BY source),
 tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per)
-SELECT source, n_docs, n_tokens,
-       round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
          AS token_share,
-       round((1.0 / n_sources)
-             / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)), 6)
+       (CAST(1 AS DOUBLE) / CAST(n_sources AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
          AS sample_weight
 FROM per, tot
 """
@@ -1709,13 +1713,12 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PACK_SEQUENCES = """
-WITH chunks AS (
-  SELECT doc_id, 24 * (i - 1) AS start,
-         LEAST(32, nt - 24 * (i - 1)) AS chunk_len
-  FROM (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS nt
-        FROM documents),
-       unnest(generate_series(1, CAST(ceil(nt / 24.0) AS BIGINT))) AS t(i)
-  WHERE 24 * (i - 1) < nt),
+WITH base AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS nt
+  FROM documents),
+chunks AS (
+  SELECT doc_id, start, LEAST(32, nt - start) AS chunk_len
+  FROM base, unnest(generate_series(0, nt - 1, 24)) AS t(start)),
 sharded AS (
   SELECT doc_id, start, chunk_len,
          CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8)
@@ -1724,11 +1727,14 @@ sharded AS (
 binned AS (
   SELECT shard,
          CAST(floor((SUM(chunk_len) OVER (PARTITION BY shard
-                      ORDER BY doc_id, start) - chunk_len) / 256.0)
+                      ORDER BY doc_id, start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - chunk_len) / 256.0)
               AS INT) AS bin,
          chunk_len
   FROM sharded)
-SELECT shard, bin, COUNT(*) AS n_chunks, SUM(chunk_len) AS n_tokens
+SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_len) AS BIGINT) AS n_tokens
 FROM binned GROUP BY shard, bin
 """
 

@@ -4,7 +4,14 @@ the same parquet tables, then compare row count, schema (column
 names), and an order-insensitive value hash (columns sorted by name,
 rows sorted, values stringified).
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--exact] [sf_dir] [query ...]
+
+``--exact`` hashes float values at full precision (repr round-trip,
+no 9 dp pre-rounding) — the driver's gate hashes exact values, so
+the default rounding can mask a last-ulp Spark/DuckDB divergence
+that the driver then catches (this is exactly how round 2's two red
+rows slipped through). Gate locally with --exact before declaring a
+query done.
 """
 
 from __future__ import annotations
@@ -22,6 +29,9 @@ from linz_bde_uploader_spark.plans.tables import TABLES
 from linz_bde_uploader_spark.session import get_spark
 
 
+EXACT = False
+
+
 def norm_value(v):
     import datetime
     import decimal
@@ -32,9 +42,10 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(v) if EXACT else repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
-        return repr(round(float(v), 9))
+        # exact mode: scale-insensitive but value-exact (1.50 == 1.5)
+        return str(v.normalize()) if EXACT else repr(round(float(v), 9))
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     return str(v)
@@ -53,9 +64,12 @@ def table_hash(rows, columns):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+    global EXACT
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    EXACT = "--exact" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) \
         else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    only = [a for a in args if not os.path.isdir(a)]
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("oracle-check")
