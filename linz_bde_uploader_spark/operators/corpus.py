@@ -191,15 +191,21 @@ def pack_sequences(chunks: DataFrame, budget: int, key: str = "doc_id",
     partition-internal sort stability and not be reproducible
     run-to-run. (A RANGE frame would be worse: every tied row would
     receive the full peer-group sum and bins could overfill far past
-    ``budget + max_chunk``.) The default ``[key]`` is only unique
-    when there is at most one chunk per key."""
+    ``budget + max_chunk``.) ``order`` is therefore required — a
+    caller who cannot name a unique ordering cannot get reproducible
+    bins, and the old silent default of ``[key]`` (only unique with
+    at most one chunk per key) hid exactly that bug."""
     from pyspark.sql import Window
 
     from linz_bde_uploader_spark.functions.hashing import hash32
 
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    order = order or [key]
+    if not order:
+        raise ValueError(
+            "pack_sequences requires an explicit `order`: columns that "
+            "uniquely order rows within each shard (e.g. [key, 'start']) "
+            "— bin assignment is not reproducible otherwise")
     sharded = chunks.withColumn(
         "shard",
         F.pmod(hash32(F.col(key).cast("string")), F.lit(n_shards))

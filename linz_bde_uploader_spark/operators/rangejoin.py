@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from linz_bde_uploader_spark.functions.timeutil import epoch_micros
+
 _BUCKET = "_rj_bucket"
 _LUS = "_rj_l_us"
 _RUS = "_rj_r_us"
@@ -61,7 +63,7 @@ def interval_join(left: DataFrame, right: DataFrame,
     if left_id is not None and left_id not in left.columns:
         raise ValueError(f"left_id column not on left side: {left_id}")
 
-    l_base = left.withColumn(_LUS, F.unix_micros(F.col(left_ts)))
+    l_base = left.withColumn(_LUS, epoch_micros(left_ts))
     id_cols = [left_id] if left_id else [_RH, _RN]
     if how == "left_outer" and not left_id:
         # row id assigned BEFORE the bucket explode: "no match" is a
@@ -87,7 +89,7 @@ def interval_join(left: DataFrame, right: DataFrame,
         F.explode(F.array_distinct(F.array(
             F.floor((F.col(_LUS) + lo_us) / width_us),
             F.floor((F.col(_LUS) + hi_us) / width_us)))))
-    r = right.withColumn(_RUS, F.unix_micros(F.col(right_ts)))
+    r = right.withColumn(_RUS, epoch_micros(right_ts))
     r = r.withColumn(_BUCKET, F.floor(F.col(_RUS) / width_us))
 
     on = [_BUCKET] + ([key] if key else [])

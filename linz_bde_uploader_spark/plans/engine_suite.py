@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from linz_bde_uploader_spark.functions.timeutil import epoch_micros
 from linz_bde_uploader_spark.operators import merge as M
 from linz_bde_uploader_spark.plans.tables import load_table
 
@@ -239,7 +240,7 @@ def q_event_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1e6))
+        ((epoch_micros(F.max("ts")) - epoch_micros(F.min("ts"))) / F.lit(1e6))
         .alias("duration_sec"),
     )
 
@@ -375,8 +376,8 @@ def q_stream_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = (
         events.groupBy(F.col("event_type").alias("table"),
                        F.date_format("ts", "yyyyMMdd").alias("dataset"))
-        .agg(F.min(F.unix_micros("ts") / 1e6).alias("start_ts"),
-             F.max(F.unix_micros("ts") / 1e6).alias("end_ts"))
+        .agg(F.min(epoch_micros("ts") / 1e6).alias("start_ts"),
+             F.max(epoch_micros("ts") / 1e6).alias("end_ts"))
     )
     work = tempfile.mkdtemp(prefix="continuity-")
     src = f"{work}/src"

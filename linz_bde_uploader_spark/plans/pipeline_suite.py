@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from linz_bde_uploader_spark.functions.hashing import (
     MINHASH_PRIME, sql_hash32, sql_hash60, sql_hash64s,
 )
+from linz_bde_uploader_spark.functions.timeutil import epoch_micros
 from linz_bde_uploader_spark.operators import dedup as D
 from linz_bde_uploader_spark.operators import similarity as S
 from linz_bde_uploader_spark.operators import text_analysis as TA
@@ -959,7 +960,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch analog of the streaming session operator."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / 1e6
+    gap = (epoch_micros("ts") - epoch_micros(F.lag("ts").over(w))) / 1e6
     new_sess = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
     return (
         events.select("user_id", new_sess.alias("ns"))

@@ -71,6 +71,18 @@ def parse_crs_stream(lines: DataFrame, schema: T.StructType) -> DataFrame:
     return data.select("dataset", *exprs)
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """``withWatermark`` requires TIMESTAMP (LTZ) event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), but parquet naive
+    timestamps read as TIMESTAMP_NTZ under Spark 4's default
+    ``inferTimestampNTZ``. Cast when needed — with the repo's session
+    tz pinned to UTC the naive wall clock becomes the same UTC
+    instant, and on an already-LTZ column this is a no-op."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_counts(events: DataFrame, ts_col: str = "ts",
                     group_col: str = "event_type",
                     window: str = "1 hour",
@@ -81,7 +93,7 @@ def windowed_counts(events: DataFrame, ts_col: str = "ts",
     and evicted. Works identically on a batch DataFrame (watermark is
     a no-op there), which is how the oracle checks it."""
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), F.col(group_col))
         .agg(F.count("*").alias("n"),
              F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
@@ -96,7 +108,7 @@ def sessionize(events: DataFrame, ts_col: str = "ts",
     """Session windows per key with an inactivity gap — Spark's native
     stateful session operator (state-store merge, no Python UDF)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
         .agg(F.count("*").alias("n_events"))
         .select(key_col,
@@ -122,7 +134,8 @@ def stream_dedup(docs: DataFrame, ts_col: str = "ts",
     re-arrivals after eviction pass through and are left to the
     periodic batch dedup pass)."""
     return (
-        docs.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        ensure_event_time(docs, ts_col)
+        .withColumn("content_hash", F.sha2(F.col(text_col), 256))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
         .drop("content_hash")
@@ -147,8 +160,10 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
     streams forever. Inner join only (the streaming-supported mode
     for both sides being streams on all Spark versions we target);
     the batch operator covers outer variants."""
-    l = left.withWatermark(left_ts, watermark).alias("l")
-    r = right.withWatermark(right_ts, watermark).alias("r")
+    l = ensure_event_time(left, left_ts) \
+        .withWatermark(left_ts, watermark).alias("l")
+    r = ensure_event_time(right, right_ts) \
+        .withWatermark(right_ts, watermark).alias("r")
     cond = F.expr(
         f"l.{key} = r.{key} "
         f"AND r.{right_ts} >= l.{left_ts} - INTERVAL {int(lookback_s)} seconds "

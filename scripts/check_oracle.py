@@ -32,6 +32,14 @@ from linz_bde_uploader_spark.session import get_spark
 EXACT = False
 
 
+def _canon_num(d) -> str:
+    # one fixed-point canonical form for floats AND decimals so a value
+    # equal across engines hashes equally regardless of the Python type
+    # it surfaces as: no exponent (Decimal('150').normalize() would be
+    # '1.5E+2'), no trailing zeros ('150.0' -> '150').
+    return format(d.normalize(), "f")
+
+
 def norm_value(v):
     import datetime
     import decimal
@@ -42,10 +50,15 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v) if EXACT else repr(round(v, 9))
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        # repr() is the exact shortest round-trip of the double, so
+        # Decimal(repr(v)) is still value-exact
+        return _canon_num(decimal.Decimal(repr(v))) if EXACT \
+            else repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
         # exact mode: scale-insensitive but value-exact (1.50 == 1.5)
-        return str(v.normalize()) if EXACT else repr(round(float(v), 9))
+        return _canon_num(v) if EXACT else repr(round(float(v), 9))
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     return str(v)

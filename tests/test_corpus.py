@@ -120,6 +120,10 @@ def test_pack_sequences_budget_and_determinism(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     with pytest.raises(ValueError):
         pack_sequences(chunks, budget=100, n_shards=0)
+    # order is required: a silent [key] default gives non-reproducible
+    # bins whenever a key has more than one chunk
+    with pytest.raises(ValueError, match="order"):
+        pack_sequences(chunks, budget=100)
 
 
 def test_redact_pii_patterns(spark):
