@@ -79,10 +79,21 @@ class Ledger:
         self._state = self._load()
 
     def _load(self) -> dict:
+        from linz_bde_uploader_spark.control.migrations import (
+            LEDGER_PATCHES, LEDGER_SCHEMA_VERSION, migrate_ledger_state,
+        )
+
         if os.path.exists(self._path):
             with open(self._path) as fh:
-                return json.load(fh)
-        return {"jobs": [], "tables": {}, "stats": [], "next_job_id": 1}
+                state = json.load(fh)
+            # upgrade-on-open (the reference applies sql/99-patches.sql
+            # the same way: idempotent, sequential, recorded by name)
+            migrate_ledger_state(state)
+            return state
+        # fresh ledgers are born current: every patch pre-recorded
+        return {"jobs": [], "tables": {}, "stats": [], "next_job_id": 1,
+                "schema_version": LEDGER_SCHEMA_VERSION,
+                "applied_patches": [n for n, _ in LEDGER_PATCHES]}
 
     def _save(self) -> None:
         tmp = self._path + ".tmp"

@@ -41,6 +41,10 @@ class TableStore:
         self._prefix = "bde_" + hashlib.md5(
             os.path.abspath(root).encode()).hexdigest()[:8]
         os.makedirs(root, exist_ok=True)
+        # upgrade-on-open: backfill layouts written by earlier releases
+        # (idempotent via the _SCHEMA stamp — control/migrations.py)
+        from linz_bde_uploader_spark.control.migrations import migrate_store
+        migrate_store(root)
 
     def _tdir(self, table: str) -> str:
         return os.path.join(self.root, table)
