@@ -292,10 +292,16 @@ def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
     frequent shingles (the skew that hurts most at 100 TB) is capped
     because frequent shingles sort LAST and rarely enter a prefix.
 
-    ``cache_shingles`` persists the shingle stream shared by the
-    frequency count and the per-doc set aggregate (two consumers).
-    Same caveat as ``jaccard_pairs``: prefer recompute or an explicit
-    disk persist when the stream exceeds cluster memory.
+    ``cache_shingles`` persists BOTH shared intermediates: the raw
+    shingle stream (consumed by the frequency count and the set
+    aggregate) and, more importantly, the per-doc sorted-array
+    relation ``sets`` itself — it has THREE consumers (prefix explode
+    + both verify sides), and Catalyst does not reuse the exchange
+    across them (they canonicalize differently after pruning), so
+    without the persist the heaviest aggregate in the plan executes
+    three times (measured ~3x wall-clock at sf0.1). MEMORY_AND_DISK:
+    one row per doc (sorted hash array), far smaller than the corpus,
+    and spilling beats recomputing at scale.
 
     Physical shape: ONE per-doc aggregate builds the (df, h)-sorted
     shingle array; the prefix is an array slice of it (no windows —
@@ -304,6 +310,8 @@ def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
     the verify step reuses the same array relation on both sides of
     the candidate join.
     """
+    from pyspark import StorageLevel
+
     sh = _shingle_hashes(docs, text_col, id_col, shingle_words)
     if cache_shingles:
         sh = sh.cache()
@@ -315,6 +323,8 @@ def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
              F.count("*").alias("n"))
         .withColumn("hs", F.transform("arr", lambda s: s["h"]))
     )
+    if cache_shingles:
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1) \
         .cast("int")
     prefix = sets.select(
