@@ -125,21 +125,27 @@ def main():
     # warm the JVM/catalyst path once with the cheapest query
     allq["cdc_stats"][0](spark, sf_dir).collect()
 
-    # steady-state timing: each query runs twice, report the min —
-    # the first execution pays one-time whole-stage-codegen JIT
-    # compilation (measured ~3-10x on the hash-heavy operators),
-    # which a long-running cluster job amortizes to zero.
+    # steady-state timing: each query runs at least twice and keeps
+    # re-running (max 4) while the best time is still improving >15% —
+    # the first executions pay one-time whole-stage-codegen JIT
+    # compilation (measured ~3-10x on the hash-heavy and big-literal
+    # expression operators, e.g. sim_lsh_topk: 6.4s cold, 1.0s warm),
+    # which a long-running cluster job amortizes to zero. A fixed
+    # 2-rep min recorded whichever partially-compiled time the JVM
+    # happened to produce, which read as phantom regressions.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = allq[name][0]
         best, n = None, 0
         try:
-            for _ in range(2):
+            for rep in range(4):
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                prev_best, best = best, dt if best is None else min(best, dt)
+                if rep >= 1 and best > 0.85 * prev_best:
+                    break  # converged
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = str(e).splitlines()[0][:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
