@@ -357,7 +357,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF for a deterministic slice of documents (doc_id < 20);
     document frequencies still computed over the WHOLE corpus."""
     docs = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return TA.tf_idf(docs).filter(F.col("doc_id") < 20)
+    # cache_tf: the tf relation feeds both the whole-corpus df count
+    # and the enriched join; df needs every doc regardless of the
+    # doc-subset filter, so the cached full tf loses no pushdown here
+    # and saves the second corpus tokenize (measured 1.2s -> 0.75s)
+    return TA.tf_idf(docs, cache_tf=True).filter(F.col("doc_id") < 20)
 
 
 SQL_TFIDF = """
