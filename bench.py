@@ -72,6 +72,14 @@ HEADLINE = [
     "emb_outliers",
     "text_redact_pii",
     "docs_pack_sequences",
+    # r4 additions: previously unbenched operators
+    "multimodal_features",
+    "sim_near_pairs",
+    "pipeline_prep",
+    "dedup_clusters",
+    "events_sliding_agg",
+    "q8_market_share",
+    "q17_small_quantity",
 ]
 
 
