@@ -77,6 +77,7 @@ HEADLINE = [
     "sim_near_pairs",
     "pipeline_prep",
     "dedup_clusters",
+    "dedup_near_survivors",
     "events_sliding_agg",
     "q8_market_share",
     "q17_small_quantity",

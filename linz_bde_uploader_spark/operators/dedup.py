@@ -229,6 +229,36 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def verify_pairs_jaccard(docs: DataFrame, pairs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         shingle_words: int = 3, threshold: float = 0.5,
+                         portable: bool = True) -> DataFrame:
+    """Exact-Jaccard verification of CANDIDATE pairs — the verify step
+    between any candidate generator (MinHash-LSH, SimHash bands,
+    prefix filter) and downstream clustering: LSH bands admit false
+    positives by design, and clustering over unverified candidates
+    glues unrelated docs into one component.
+
+    Cost shape at scale: the shingle-set aggregate is one shuffle of
+    the corpus, the pair join touches only |candidates| rows — never
+    the all-pairs blow-up the candidate stage exists to avoid."""
+    sh = _shingle_hashes(docs, text_col, id_col, shingle_words,
+                         portable=portable)
+    sets = sh.groupBy("id").agg(F.collect_set("h").alias("hs"),
+                                F.count("*").alias("n"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
+    return (
+        pairs.join(sa, pairs["id_a"] == F.col("sa.id"))
+        .join(sb, pairs["id_b"] == F.col("sb.id"))
+        .select("id_a", "id_b",
+                (inter.cast("double")
+                 / (F.col("sa.n") + F.col("sb.n") - inter).cast("double")
+                 ).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (id, cluster_id) where cluster_id = min id in the component — the

@@ -245,6 +245,62 @@ SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dedup pipeline in one plan: MinHash-LSH candidate
+    pairs -> exact-Jaccard verification (>= 0.5; LSH bands admit false
+    positives by design) -> connected components over the verified
+    graph -> the docs to DROP: (doc_id, cluster_id) for every member
+    that is not its cluster's canonical (minimum) id. Anti-joining
+    this output against the corpus IS the deduplicated training set."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
+                                  shingle_words=3)
+    verified = D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
+                                      threshold=0.5)
+    clusters = D.duplicate_clusters(verified.select("id_a", "id_b"))
+    return (
+        clusters.filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+    )
+
+
+SQL_DEDUP_NEAR_SURVIVORS = f"""WITH RECURSIVE {_SQL_BASE}, {_SQL_TOKS}, {_SQL_SH3},
+sh AS (SELECT DISTINCT doc_id, {sql_hash32('shingle')} AS h FROM sh3),
+ph AS (
+  SELECT doc_id, i AS perm,
+         ((CAST(2*i+1 AS BIGINT) * h + CAST(i*i+7 AS BIGINT)) % {MINHASH_PRIME}) AS phv
+  FROM sh, unnest(generate_series(0, 15)) AS t(i)),
+sig AS (SELECT doc_id, perm, min(phv) AS minhash FROM ph GROUP BY doc_id, perm),
+bh AS (
+  SELECT doc_id, CAST(floor(perm / 4.0) AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(floor(perm / 4.0) AS INT)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bh a JOIN bh b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY c.id_a, c.id_b),
+verified AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+          UNION SELECT id_b, id_a FROM verified),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT id AS doc_id, cluster_id FROM comp WHERE id <> cluster_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (token bit-votes).
     64 bits so the banded near-pair join gets 16-bit segments
@@ -1769,6 +1825,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_near_survivors": (q_dedup_near_survivors, SQL_DEDUP_NEAR_SURVIVORS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),

@@ -150,3 +150,23 @@ def test_redact_pii_patterns(spark):
     assert got[3] == ("card <NUMBER> pin 1234", 1)
     assert got[4] == ("versions 1.2.3 and 10.20 stay", 0)  # not 4 octets
     assert got[5] == ("clean text only", 0)
+
+
+def test_near_survivors_drop_synthetic_dups(spark):
+    """Every synthetic duplicate (doc_id+10000, identical text) must be
+    dropped with its source as canonical; no original doc may be
+    dropped in favor of a synthetic one (canonical = min id)."""
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        q_dedup_near_survivors,
+    )
+
+    dropped = {r.doc_id: r.cluster_id for r in
+               q_dedup_near_survivors(spark, "/root/testdata/sf0.001").collect()}
+    assert dropped, "expected synthetic duplicates to be dropped"
+    synth = {d: c for d, c in dropped.items() if d >= 10000}
+    # every synthetic dup is dropped; its canonical is at most its
+    # source id (== source, or smaller when the source itself sits in
+    # a genuine near-dup cluster and the component merged)
+    assert synth and all(c <= d - 10000 for d, c in synth.items())
+    # canonical ids are never themselves dropped rows
+    assert not (set(dropped) & set(dropped.values()))

@@ -116,21 +116,18 @@ def test_lag_window_shuffles_once_on_user(spark, allq):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_tfidf_no_token_window_and_subset_pushdown(spark, allq):
+def test_tfidf_no_token_window_and_cached_tf(spark, allq):
     """tf_idf's document frequency must be a groupBy+join, never an
     unbounded window over the token partition — a stopword-class
-    token would buffer ~n_docs rows in one straggler task. Both
-    tokenize passes are map-side explode feeding partial aggregation
-    (exactly two: the doc_id<20 tf branch and the corpus-wide df
-    branch are different relations, so a third pass would mean a
-    re-derived aggregate). The query's doc-subset filter must push
-    into the tf-branch parquet scan."""
+    token would buffer ~n_docs rows in one straggler task. The suite
+    entry caches the shared tf relation (the corpus-wide df count
+    needs every doc regardless of the caller's doc-subset filter, so
+    the cache loses no pruning here and saves the second corpus
+    tokenize): both consumers must read the cache."""
     plan = _simple(allq["text_tfidf"][0](spark, SF_DIR))
     assert "windowspecdefinition(token" not in plan
     assert "windowspecdefinition(doc_id" in plan  # doc-length window stays
-    assert plan.count("Generate explode") == 2
-    fplan = _formatted(allq["text_tfidf"][0](spark, SF_DIR))
-    assert "LessThan(doc_id,20)" in fplan
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_unigram_logprob_vocab_joins_hash_or_broadcast(spark, allq):
@@ -253,3 +250,37 @@ def test_jaccard_prefix_sets_cached_once(spark, allq):
     # itself in text would be meaningless)
     assert plan.count("InMemoryTableScan") >= 3
     assert "StorageLevel(disk, memory" in plan
+
+
+def test_near_pairs_no_cartesian(spark, allq):
+    """Embedding near-dup pairs must come from the bucket equi-join —
+    an all-pairs cartesian is the 100 TB failure mode."""
+    plan = _simple(allq["sim_near_pairs"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_single_python_stage(spark, allq):
+    """Multimodal decode is ONE Arrow-batched Python stage directly
+    over the scan: no exchange before it (per-row work needs no
+    co-location) and no second Python round-trip."""
+    plan = _simple(allq["multimodal_features"][0](spark, SF_DIR))
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") == 1
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q8_dimensions_broadcast(spark, allq):
+    """Q8 market share joins 2 nations + region + part + supplier +
+    customer + orders around lineitem — all dimension joins broadcast,
+    no cartesian fallback."""
+    plan = _simple(allq["q8_market_share"][0](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_avg_subquery_broadcast(spark, allq):
+    """Q17's per-part average quantity is a broadcast aggregate joined
+    back to lineitem, not a correlated re-scan."""
+    plan = _simple(allq["q17_small_quantity"][0](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan

@@ -20,7 +20,7 @@ FAST_QUERIES = [
     "q22_no_order_customers", "events_rollup", "events_lag_delta",
     "text_unigram_logprob", "text_char_entropy", "docs_source_rebalance",
     "emb_outliers", "multimodal_features", "text_redact_pii",
-    "docs_pack_sequences",
+    "docs_pack_sequences", "dedup_near_survivors",
 ]
 
 
