@@ -144,7 +144,8 @@ def seed_centroids(corpus: DataFrame, n_centroids: int = 8,
 
 
 def kmeans_fit(corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               portable: bool = False) -> DataFrame:
     """Spherical-style k-means (Lloyd iterations, cosine assignment)
     as pure DataFrame ops — the centroid-training step for a real IVF
     index, replacing ``seed_centroids`` when reproducible-but-seeded
@@ -158,16 +159,31 @@ def kmeans_fit(corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
     corpus size. The driver loop holds only DataFrames; nothing
     collects. Cells that lose all members drop out (standard Lloyd
     degeneracy; callers wanting k exact cells re-seed).
-    """
+
+    ``portable=True`` computes each per-dimension mean as an exact
+    DECIMAL sum divided in double space and rounds it through a
+    DECIMAL(18,6) cast — the repo's cross-engine bit-stability
+    convention. A plain double ``avg`` is order-dependent under
+    shuffled partial aggregation, so two runs (or two engines) can
+    disagree in the last ulp, and the divergence compounds through
+    the next iteration's assignments. Production runs keep the
+    default (exact means, one engine); the differential-testing
+    oracle uses portable."""
     cent = seed_centroids(corpus, n_centroids, id_col, vec_col)
     vecs = corpus.select(F.col(id_col).alias("id"),
                          _as_double(F.col(vec_col)).alias("v"))
+    if portable:
+        mean_expr = (F.sum(F.col("x").cast("decimal(27,12)"))
+                     .cast("double") / F.count("*")) \
+            .cast("decimal(18,6)").cast("double")
+    else:
+        mean_expr = F.avg("x")
     for _ in range(iters):
         assigned = ivf_assign(vecs, cent, "id", "v", nprobe=1)
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_expr.alias("m"))
         )
         cent = (
             means.groupBy("cell")

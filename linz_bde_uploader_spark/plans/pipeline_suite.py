@@ -637,6 +637,51 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of spherical k-means (8 cells, cosine
+    assignment) — the IVF centroid-training step — exploded to
+    (cent_id, pos, mval) rows. ``portable=True`` pins the per-dim
+    means to the repo's DECIMAL bit-stability convention so the
+    unrolled recursive computation matches DuckDB exactly; the oracle
+    unrolls the same two iterations as CTEs."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    cent = S.kmeans_fit(emb, n_centroids=8, iters=2, portable=True)
+    return cent.select(
+        "cent_id", F.posexplode("cv").alias("pos", "mval")) \
+        .withColumn("mval", F.col("mval").cast("decimal(18,6)"))
+
+
+def _sql_kmeans_iter(prev: str, out: str) -> str:
+    """One Lloyd iteration as CTEs: assign (cosine argmax over the
+    broadcast centroids) then DECIMAL-stable per-dimension means."""
+    return f"""
+a_{out} AS (
+  SELECT e.vec_id, e.v, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+           c.cent_id) AS rnk
+  FROM e CROSS JOIN {prev} c),
+m_{out} AS (
+  SELECT cent_id, i - 1 AS pos,
+         CAST(CAST(SUM(CAST(v[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)
+              AS DECIMAL(18,6)) AS m
+  FROM a_{out}, unnest(generate_series(1, len(v))) AS t(i)
+  WHERE rnk = 1 GROUP BY cent_id, i),
+{out} AS (
+  SELECT cent_id, list(CAST(m AS DOUBLE) ORDER BY pos) AS cv
+  FROM m_{out} GROUP BY cent_id)"""
+
+
+SQL_SIM_KMEANS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+{_sql_kmeans_iter('c0', 'c1')},
+{_sql_kmeans_iter('c1', 'c2')}
+SELECT cent_id, pos, m AS mval FROM m_c2
+"""
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-3: corpus bucketed into 8
     centroid cells (deterministic seed centroids = vec_id < 8), each
@@ -1849,6 +1894,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
+    "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS),
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
     "pipeline_prep": (q_pipeline_prep, SQL_PIPELINE_PREP),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
