@@ -78,6 +78,7 @@ HEADLINE = [
     "pipeline_prep",
     "dedup_clusters",
     "dedup_near_survivors",
+    "sim_kmeans_centroids",
     "events_sliding_agg",
     "q8_market_share",
     "q17_small_quantity",
