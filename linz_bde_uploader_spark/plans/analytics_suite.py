@@ -1107,7 +1107,40 @@ GROUP BY s_name
 """
 
 
+def q_orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join parity: revenue per market segment through
+    operators/skew.salted_join instead of a plain join. The rewrite
+    must hold row-for-row (each fact row meets its key's dim rows in
+    exactly one salted partition), so the aggregate equals the plain
+    SQL join — that equality is exactly what this entry oracles. At
+    scale this is the manual fix for a hot customer key when the dim
+    side is too big to broadcast and AQE's split still leaves a
+    straggler. DECIMAL revenue sum for cross-engine bit stability."""
+    from linz_bde_uploader_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders") \
+        .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_mktsegment")
+    j = salted_join(orders, cust, key="c_custkey", n_salts=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").alias("revenue"))
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "orders_salted_join": (q_orders_salted_join, SQL_SALTED_JOIN),
     "q20_dominant_supplier": (q20_dominant_supplier, SQL_Q20),
     "q12_ship_latency": (q12_ship_latency, SQL_Q12),
     "q21_waiting_supplier": (q21_waiting_supplier, SQL_Q21),
