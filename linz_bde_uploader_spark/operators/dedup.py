@@ -117,6 +117,33 @@ def _minhash_wide(docs: DataFrame, text_col: str, id_col: str,
     return sh.groupBy("id").agg(*aggs)
 
 
+def lsh_band_hashes(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", num_perm: int = 16,
+                    bands: int = 4, shingle_words: int = 3,
+                    portable: bool = True) -> DataFrame:
+    """(id, band, band_hash) — a doc set's LSH index rows: band b's
+    hash = md5 of its minhashes in permutation order, computed
+    straight from the wide signature columns with no extra shuffle
+    (xxhash64 when portable=False, same banding semantics). This IS
+    the persistable near-dup index: docs sharing any (band,
+    band_hash) are near-dup candidates, so matching new docs against
+    stored rows is one equi-join."""
+    rows_per_band = num_perm // bands
+    wide = _minhash_wide(docs, text_col, id_col, num_perm, shingle_words,
+                         portable=portable)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            (F.md5 if portable else F.xxhash64)(F.concat_ws(",", *[
+                F.col(f"m{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ])).cast("string").alias("band_hash"))
+        for b in range(bands)
+    ])
+    return wide.select("id", F.explode(band_structs).alias("bh")) \
+               .select("id", "bh.band", "bh.band_hash")
+
+
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_perm: int = 16,
                         bands: int = 4, shingle_words: int = 3,
@@ -128,23 +155,8 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     tiny buckets, so the pair blow-up is bounded by real similarity,
     not corpus size.
     """
-    rows_per_band = num_perm // bands
-    wide = _minhash_wide(docs, text_col, id_col, num_perm, shingle_words,
-                         portable=portable)
-    # band b's hash = md5 of its minhashes in permutation order —
-    # computed straight from the wide columns, no extra shuffle
-    # (xxhash64 when portable=False, same banding semantics)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            (F.md5 if portable else F.xxhash64)(F.concat_ws(",", *[
-                F.col(f"m{b * rows_per_band + r}")
-                for r in range(rows_per_band)
-            ])).cast("string").alias("band_hash"))
-        for b in range(bands)
-    ])
-    band_hashes = wide.select("id", F.explode(band_structs).alias("bh")) \
-                      .select("id", "bh.band", "bh.band_hash")
+    band_hashes = lsh_band_hashes(docs, text_col, id_col, num_perm,
+                                  bands, shingle_words, portable)
     a = band_hashes.alias("a")
     b = band_hashes.alias("b")
     return (

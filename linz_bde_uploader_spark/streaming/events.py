@@ -349,6 +349,65 @@ def stream_corpus_prep(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def stream_lsh_dedup(docs: DataFrame, index_path: str, out_path: str,
+                     checkpoint: str, text_col: str = "text",
+                     id_col: str = "doc_id", num_perm: int = 16,
+                     bands: int = 4, shingle_words: int = 3):
+    """Always-on NEAR-deduplication against an incremental LSH index.
+
+    Per micro-batch: compute each doc's MinHash band hashes
+    (operators/dedup.lsh_band_hashes), drop docs that collide with
+    the persistent index (near-dups of anything already ingested) or
+    with an earlier doc of the same batch (min id per bucket
+    survives), append survivors to ``out_path`` and THEIR band rows
+    to ``index_path``. Matching history is one equi-join on (band,
+    band_hash) — the index holds bands*1 rows per ingested doc, never
+    signatures or text, so it stays a small fraction of corpus size
+    and the probe broadcasts or hash-joins as AQE sees fit.
+
+    Guarantees are candidate-level, like LSH itself: a band collision
+    means probable near-dup (no verify step — the offline verified
+    pipeline, ``dedup_near_survivors``, is the exact backstop), and a
+    re-run batch after a crash re-appends the same index rows, which
+    only duplicates matching keys (idempotent effect) until a
+    compaction dedupes them. This is the near-dup analog of
+    ``stream_dedup``'s one-sided exact guarantee.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from linz_bde_uploader_spark.operators.dedup import lsh_band_hashes
+
+    def dedup_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        bh = lsh_band_hashes(batch, text_col, id_col, num_perm, bands,
+                             shingle_words)
+        try:
+            idx = spark.read.parquet(index_path) \
+                .select("band", "band_hash").distinct()
+            hist_hits = bh.join(idx, ["band", "band_hash"]) \
+                          .select("id").distinct()
+        except Exception:  # first batch: no index yet
+            hist_hits = bh.select("id").limit(0)
+        keep_first = bh.groupBy("band", "band_hash") \
+                       .agg(F.min("id").alias("keep_id"))
+        batch_dups = (
+            bh.join(keep_first, ["band", "band_hash"])
+            .filter(F.col("id") != F.col("keep_id"))
+            .select("id").distinct())
+        drop = hist_hits.union(batch_dups).distinct() \
+            .withColumnRenamed("id", id_col)
+        kept = batch.join(drop, id_col, "left_anti")
+        kept.write.mode("append").parquet(out_path)
+        bh.join(drop.withColumnRenamed(id_col, "id"), "id", "left_anti") \
+          .write.mode("append").parquet(index_path)
+
+    return (
+        docs.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str,
                       output_mode: str = "append") -> None:
     """Drain everything currently available, then stop — the streaming

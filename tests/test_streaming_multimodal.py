@@ -468,3 +468,45 @@ def test_stream_corpus_prep_matches_batch_chain(spark, tmp_path):
     # contaminated and duplicate rows really gone
     assert got.filter("doc_id % 10 = 0").count() == 0
     assert got.groupBy("doc_id", "start").count().filter("count > 1").count() == 0
+
+
+def test_stream_lsh_dedup_incremental_index(spark, tmp_path):
+    """Near-dedup across RESTARTS: batch 2 runs in a fresh query but
+    its near-dups of batch-1 docs are dropped via the persistent band
+    index; novel docs pass and extend the index."""
+    import linz_bde_uploader_spark.streaming.events as STR
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    batch1 = base.filter(F.col("doc_id") < 20)
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    q = STR.stream_lsh_dedup(
+        spark.readStream.schema(batch1.schema).parquet(src), idx, out, ckpt)
+    q.awaitTermination()
+    kept1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept1  # survivors exist and the index was created
+    n_idx1 = spark.read.parquet(idx).count()
+    assert n_idx1 == 4 * len(kept1)  # bands rows per surviving doc
+
+    # batch 2: one exact near-dup of a batch-1 survivor (new id) + one
+    # clearly novel doc
+    dup_src = min(kept1)
+    batch2 = (
+        base.filter(F.col("doc_id") == dup_src)
+        .withColumn("doc_id", F.lit(900000).cast("long"))
+        .unionByName(spark.createDataFrame(
+            [(900001, "entirely novel zebra quantum " * 8)],
+            ["doc_id", "text"]))
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q = STR.stream_lsh_dedup(
+        spark.readStream.schema(batch1.schema).parquet(src), idx, out, ckpt)
+    q.awaitTermination()
+    kept2 = {r.doc_id for r in spark.read.parquet(out).collect()} - kept1
+    assert 900000 not in kept2  # all-band collision with history
+    assert 900001 in kept2      # novel doc survives
+    assert spark.read.parquet(idx).count() == n_idx1 + 4
