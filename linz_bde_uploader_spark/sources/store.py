@@ -111,6 +111,24 @@ class TableStore:
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
 
+    def compact(self, spark: SparkSession, table: str,
+                key: str | None = None) -> int:
+        """Rewrite the current version into a fresh, well-sized one —
+        the small-files maintenance pass. Streaming ``foreachBatch``
+        sinks and incremental appends accrete one-file-per-trigger
+        parquet directories; at scale that means listing millions of
+        footers per read. Compaction is just a read + ``write`` (the
+        store's normal repartition/bucket path), committed through the
+        same atomic pointer — readers never see a partial rewrite, and
+        the old layout remains a revision until vacuumed. Returns the
+        new version number."""
+        df = self.read(spark, table)
+        meta_key = key
+        if meta_key is None:
+            with open(self._pointer(table)) as fh:
+                meta_key = json.load(fh).get("key")
+        return self.write(table, df, key=meta_key)
+
     def vacuum(self, table: str, keep: int = 2,
                spark: SparkSession | None = None) -> list[int]:
         """C7: drop old revisions (the reference's VACUUM ANALYSE /

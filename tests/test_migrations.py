@@ -106,3 +106,27 @@ def test_store_backfills_v1_pointer(tmp_path):
     assert store.current_version("pab1") == 1
     # second open replays nothing
     assert migrate_store(root) == []
+
+
+def test_store_compact_preserves_rows_and_versions(spark, tmp_path):
+    """Compaction rewrites the current snapshot through the normal
+    write path: same rows, new version, old version still a revision,
+    bucketing key carried from the pointer."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    v1 = store.write("t", df, key="k")
+    # simulate a fragmented append layout on top of the snapshot
+    v2 = store.compact(spark, "t")
+    assert v2 == v1 + 1
+    back = store.read(spark, "t")
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(100))
+    assert store.versions("t") == [v1, v2]
+    with open(os.path.join(str(tmp_path / "store"), "t", "_CURRENT")) as fh:
+        assert json.load(fh)["key"] == "k"
