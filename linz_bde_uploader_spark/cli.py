@@ -217,8 +217,11 @@ def main(argv: list[str] | None = None) -> int:
         _close_log(log_handlers)
         return 1
     if args.maintain_db:
+        # the reference's VACUUM ANALYSE pass: compact the current
+        # snapshot (small-files rewrite), then drop old revisions
         for t in tables:
             if not t.l5_change_table and store.exists(t.name):
+                store.compact(spark, t.name)
                 store.vacuum(t.name, spark=spark)
     if not results:
         print("No dataset updates")  # idempotent re-run message (t:713-725)
