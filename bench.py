@@ -81,6 +81,7 @@ HEADLINE = [
     "sim_kmeans_centroids",
     "events_sliding_agg",
     "q8_market_share",
+    "orders_salted_join",
     "q17_small_quantity",
 ]
 
