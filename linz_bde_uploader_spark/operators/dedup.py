@@ -244,7 +244,8 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 def verify_pairs_jaccard(docs: DataFrame, pairs: DataFrame,
                          text_col: str = "text", id_col: str = "doc_id",
                          shingle_words: int = 3, threshold: float = 0.5,
-                         portable: bool = True) -> DataFrame:
+                         portable: bool = True,
+                         cache_sets: bool = True) -> DataFrame:
     """Exact-Jaccard verification of CANDIDATE pairs — the verify step
     between any candidate generator (MinHash-LSH, SimHash bands,
     prefix filter) and downstream clustering: LSH bands admit false
@@ -254,10 +255,17 @@ def verify_pairs_jaccard(docs: DataFrame, pairs: DataFrame,
     Cost shape at scale: the shingle-set aggregate is one shuffle of
     the corpus, the pair join touches only |candidates| rows — never
     the all-pairs blow-up the candidate stage exists to avoid."""
+    from pyspark import StorageLevel
+
     sh = _shingle_hashes(docs, text_col, id_col, shingle_words,
                          portable=portable)
     sets = sh.groupBy("id").agg(F.collect_set("h").alias("hs"),
                                 F.count("*").alias("n"))
+    if cache_sets:
+        # both join sides consume the aggregate and Catalyst does not
+        # reuse the exchange between them (the prefix-Jaccard lesson);
+        # bounded at one row per doc, so MEMORY_AND_DISK is safe
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
     return (
