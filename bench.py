@@ -82,6 +82,7 @@ HEADLINE = [
     "events_sliding_agg",
     "q8_market_share",
     "orders_salted_join",
+    "emb_near_dedup",
     "q17_small_quantity",
 ]
 

@@ -741,6 +741,44 @@ WHERE round(list_dot_product(a.v, bb.v)
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.4
 """
 
+def q_emb_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup drop list: hyperplane-bucketed
+    near pairs -> connected components -> (vec_id, cluster_id) for
+    every non-canonical member. The embedding-space analog of
+    ``dedup_near_survivors``; the bucket join keeps it off the
+    all-pairs path at corpus scale. Threshold 0.4 exercises the path
+    on the synthetic (near-orthogonal) TESTDATA vectors; a production
+    run against real embeddings sets ~0.95+."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    pairs = S.embedding_near_pairs(emb, threshold=0.4, n_planes=4,
+                                   dim=64) \
+        .select("id_a", "id_b")
+    clusters = D.duplicate_clusters(pairs)
+    return (
+        clusters.filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("vec_id"), "cluster_id")
+    )
+
+
+SQL_EMB_NEAR_DEDUP = f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+  WHERE round(list_dot_product(a.v, bb.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.4),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e2.src, r.r FROM edges e2 JOIN reach r ON e2.dst = r.id),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT id AS vec_id, cluster_id FROM comp WHERE id <> cluster_id
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (pure scan + 3 pushed filters + single sum): the
     whole-stage-codegen floor — no shuffle at all beyond the final
@@ -1895,6 +1933,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS),
+    "emb_near_dedup": (q_emb_near_dedup, SQL_EMB_NEAR_DEDUP),
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
     "pipeline_prep": (q_pipeline_prep, SQL_PIPELINE_PREP),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
