@@ -170,3 +170,26 @@ def test_near_survivors_drop_synthetic_dups(spark):
     assert synth and all(c <= d - 10000 for d, c in synth.items())
     # canonical ids are never themselves dropped rows
     assert not (set(dropped) & set(dropped.values()))
+
+
+def test_verify_pairs_matches_ground_truth_jaccard(spark):
+    """verify_pairs_jaccard over a candidate superset must agree with
+    the ground-truth all-pairs jaccard_pairs on both membership and
+    scores — the verify step may only FILTER candidates, never invent
+    or rescore pairs."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").filter(F.col("doc_id") < 120)
+    truth = {(r.id_a, r.id_b): r.jaccard for r in
+             D.jaccard_pairs(docs, threshold=0.3).collect()}
+    ids = docs.select(F.col("doc_id").alias("id"))
+    all_pairs = (
+        ids.alias("a").join(ids.alias("b"),
+                            F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           D.verify_pairs_jaccard(docs, all_pairs, threshold=0.3).collect()}
+    assert got == truth and truth  # same pairs, same scores, non-empty
