@@ -26,9 +26,10 @@ _ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 
 # The driver's correctness gate snapshots ~50 queries per round in dict
 # order. Lead with entries that have never had a driver-green row across
-# CORRECTNESS_r01-r03 (32 judge-verified-only queries), then the two
-# that were red in r03 (TIMESTAMP_NTZ crash, fixed this round); the
-# already-driver-green rest keeps local coverage via check_oracle.
+# CORRECTNESS_r01-r03: the four operators new in r4, the 32
+# judge-verified-only queries, and the two that were red in r03
+# (TIMESTAMP_NTZ crash, fixed in r4). The already-driver-green rest
+# keeps local coverage via check_oracle / check_determinism.
 _DRIVER_FIRST = [
     "dedup_near_survivors", "sim_kmeans_centroids", "orders_salted_join", "emb_near_dedup",  # new in r4
     "sim_lsh_topk", "sim_ivf_topk", "sim_near_pairs", "pipeline_prep",
