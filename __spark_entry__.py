@@ -31,7 +31,8 @@ _ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 # (TIMESTAMP_NTZ crash, fixed in r4). The already-driver-green rest
 # keeps local coverage via check_oracle / check_determinism.
 _DRIVER_FIRST = [
-    "dedup_near_survivors", "sim_kmeans_centroids", "orders_salted_join", "emb_near_dedup",  # new in r4
+    "dedup_near_survivors", "sim_kmeans_centroids", "orders_salted_join", "emb_near_dedup",
+    "text_paragraph_dedup",  # new in r4
     "sim_lsh_topk", "sim_ivf_topk", "sim_near_pairs", "pipeline_prep",
     "events_sessionize", "events_window_agg", "q20_dominant_supplier",
     "q12_ship_latency", "q21_waiting_supplier", "events_anomaly",

@@ -83,6 +83,7 @@ HEADLINE = [
     "q8_market_share",
     "orders_salted_join",
     "emb_near_dedup",
+    "text_paragraph_dedup",
     "q17_small_quantity",
 ]
 

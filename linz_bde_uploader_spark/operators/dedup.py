@@ -241,6 +241,56 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    para_words: int = 8) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet/Gopher-style pass that
+    removes boilerplate repeated ACROSS documents, which doc-level
+    dedup cannot see): split each doc into word-aligned segments of
+    ``para_words`` words, keep only the globally FIRST occurrence of
+    each distinct segment (ordered by (doc id, position)), and
+    reassemble. Returns (doc_id, n_paras, n_kept, text_dedup) for
+    every input doc — fully-duplicated docs survive with n_kept = 0
+    and empty text.
+
+    First-occurrence is an aggregate ``min(struct(id, pos))`` per
+    segment plus a join back — NOT a window over the segment
+    partition: a boilerplate segment repeated across millions of docs
+    would buffer all its rows in one window task, while the aggregate
+    collapses map-side. Reassembly sorts each doc's surviving
+    segments by position inside one array aggregate."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+    paras = toks.select(
+        "id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size("w") - 1, F.lit(0)),
+                       F.lit(para_words)),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, para_words)),
+        )).alias("pos", "para"))
+    first = paras.groupBy("para").agg(
+        F.min(F.struct("id", "pos")).alias("first"))
+    kept = (
+        paras.join(first, "para")
+        .filter((F.col("id") == F.col("first.id"))
+                & (F.col("pos") == F.col("first.pos")))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_kept"),
+             F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                 lambda s: s["para"])).alias("text_dedup"))
+    )
+    totals = paras.groupBy("id").agg(F.count("*").alias("n_paras"))
+    return (
+        totals.join(kept, "id", "left")
+        .select(F.col("id").alias(id_col), "n_paras",
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                F.coalesce("text_dedup", F.lit("")).alias("text_dedup"))
+    )
+
+
 def verify_pairs_jaccard(docs: DataFrame, pairs: DataFrame,
                          text_col: str = "text", id_col: str = "doc_id",
                          shingle_words: int = 3, threshold: float = 0.5,

@@ -301,6 +301,36 @@ SELECT id AS doc_id, cluster_id FROM comp WHERE id <> cluster_id
 """
 
 
+def q_text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup over the synthetic-dup corpus:
+    every 8-word segment keeps only its global first occurrence, so
+    the +10000 exact-dup docs reassemble empty (n_kept = 0) while
+    originals keep their text."""
+    return D.paragraph_dedup(_dup_corpus(spark, sf_dir), para_words=8)
+
+
+SQL_PARAGRAPH_DEDUP = f"""WITH {_SQL_BASE},
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM base),
+paras AS (
+  SELECT doc_id, CAST((i - 1) / 8 AS BIGINT) AS pos,
+         array_to_string(w[i:i+7], ' ') AS para
+  FROM toks, unnest(generate_series(1, greatest(len(w), 1), 8)) AS t(i)),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras),
+kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(para, ' ' ORDER BY pos) AS text_dedup
+  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+totals AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id)
+SELECT t.doc_id, t.n_paras,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.text_dedup, '') AS text_dedup
+FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (token bit-votes).
     64 bits so the banded near-pair join gets 16-bit segments
@@ -1934,6 +1964,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS),
     "emb_near_dedup": (q_emb_near_dedup, SQL_EMB_NEAR_DEDUP),
+    "text_paragraph_dedup": (q_text_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
     "pipeline_prep": (q_pipeline_prep, SQL_PIPELINE_PREP),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),

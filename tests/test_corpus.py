@@ -193,3 +193,34 @@ def test_verify_pairs_matches_ground_truth_jaccard(spark):
     got = {(r.id_a, r.id_b): r.jaccard for r in
            D.verify_pairs_jaccard(docs, all_pairs, threshold=0.3).collect()}
     assert got == truth and truth  # same pairs, same scores, non-empty
+
+
+def test_paragraph_dedup_drops_cross_doc_repeats(spark):
+    """Synthetic exact-dup docs reassemble EMPTY (all their segments
+    occurred first in the source doc); originals keep all segments."""
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        q_text_paragraph_dedup,
+    )
+
+    out = {r.doc_id: r for r in
+           q_text_paragraph_dedup(spark, "/root/testdata/sf0.001").collect()}
+    dups = [r for d, r in out.items() if d >= 10000]
+    assert dups and all(r.n_kept == 0 and r.text_dedup == "" for r in dups)
+    # exactly one copy of every distinct segment survives corpus-wide
+    # (originals may legitimately lose short tail segments that
+    # collide across docs — "the" as a 1-word tail, etc.)
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.plans.pipeline_suite import _dup_corpus
+    paras = (
+        _dup_corpus(spark, "/root/testdata/sf0.001")
+        .select(F.posexplode(F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(F.split(F.trim("text"), r"\s+")) - 1,
+                                  F.lit(0)), F.lit(8)),
+            lambda i: F.concat_ws(" ", F.slice(
+                F.split(F.trim("text"), r"\s+"), i + 1, 8)))))
+        .select(F.col("col").alias("para")))
+    n_distinct = paras.distinct().count()
+    assert sum(r.n_kept for r in out.values()) == n_distinct
+    assert all(0 <= r.n_kept <= r.n_paras for r in out.values())
