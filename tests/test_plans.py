@@ -284,3 +284,12 @@ def test_q17_avg_subquery_broadcast(spark, allq):
     plan = _simple(allq["q17_small_quantity"][0](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_no_segment_window(spark, allq):
+    """First-occurrence selection must be the aggregate-min + join
+    form: a window partitioned by the segment text would buffer every
+    occurrence of a hot boilerplate segment in one task."""
+    plan = _simple(allq["text_paragraph_dedup"][0](spark, SF_DIR))
+    assert "windowspecdefinition(para" not in plan
+    assert "CartesianProduct" not in plan
