@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from linz_bde_uploader_spark.operators.dedup import release_caches
 from linz_bde_uploader_spark.plans.analytics_suite import ANALYTICS_QUERIES
 from linz_bde_uploader_spark.plans.engine_suite import ENGINE_QUERIES
 from linz_bde_uploader_spark.plans.pipeline_suite import PIPELINE_QUERIES
@@ -139,34 +140,63 @@ def main():
     allq["cdc_stats"][0](spark, sf_dir).collect()
 
     # steady-state timing: each query runs at least twice and keeps
-    # re-running (max 4) while the best time is still improving >15% —
-    # the first executions pay one-time whole-stage-codegen JIT
-    # compilation (measured ~3-10x on the hash-heavy and big-literal
-    # expression operators, e.g. sim_lsh_topk: 6.4s cold, 1.0s warm),
-    # which a long-running cluster job amortizes to zero. A fixed
-    # 2-rep min recorded whichever partially-compiled time the JVM
-    # happened to produce, which read as phantom regressions.
+    # re-running (max 6) while the best time is still improving >15%
+    # OR the warm reps are still noisy (CV > 25%) — the first
+    # executions pay one-time whole-stage-codegen JIT compilation
+    # (measured ~3-10x on the hash-heavy and big-literal expression
+    # operators, e.g. sim_lsh_topk: 6.4s cold, 1.0s warm), which a
+    # long-running cluster job amortizes to zero. A fixed 2-rep min
+    # recorded whichever partially-compiled time the JVM happened to
+    # produce, which read as phantom regressions. Per-query rep
+    # counts + warm-rep CV land in BENCH_DETAIL.json so
+    # round-over-round deltas are attributable; queries still noisy
+    # after 6 reps are listed under "unstable" (and fail the run
+    # under --strict-cv, used by the determinism test).
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    repstats: dict[str, dict] = {}
     for name in HEADLINE:
         fn = allq[name][0]
-        best, n = None, 0
+        best, n, reps = None, 0, []
         try:
-            for rep in range(4):
+            for rep in range(6):
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
+                reps.append(dt)
                 prev_best, best = best, dt if best is None else min(best, dt)
-                if rep >= 1 and best > 0.85 * prev_best:
-                    break  # converged
+                if rep >= 2:
+                    warm = reps[1:]
+                    mu = sum(warm) / len(warm)
+                    cv = (sum((x - mu) ** 2 for x in warm)
+                          / len(warm)) ** 0.5 / mu if mu else 0.0
+                    if best > 0.85 * prev_best and cv <= 0.25:
+                        break  # converged and stable
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = str(e).splitlines()[0][:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
             continue
+        warm = reps[1:]
+        mu = sum(warm) / len(warm)
+        cv = (sum((x - mu) ** 2 for x in warm)
+              / len(warm)) ** 0.5 / mu if mu else 0.0
         times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        repstats[name] = {"reps": len(reps), "cv": round(cv, 3)}
+        print(f"# {name}: {times[name]:.3f}s ({n} rows, "
+              f"{len(reps)} reps, cv {cv:.2f})", file=sys.stderr)
+        release_caches()  # per-query persists must not pile up across reps
 
-    total = round(sum(times.values()), 3)
+    unstable = sorted(n for n, s in repstats.items() if s["cv"] > 0.25)
+    prev_round, prev = _prev_bench()
+    pq = prev["queries"] if (prev and isinstance(prev.get("queries"), dict)) \
+        else {}
+    # a failed query carries its prior-round time into the total so the
+    # headline metric cannot improve by breaking a query; a failure with
+    # no prior time to carry makes the total incomparable, and any
+    # failure exits non-zero (the driver records rc alongside the line)
+    carried = {n: pq[n] for n in errors
+               if isinstance(pq.get(n), (int, float))}
+    total = round(sum(times.values()) + sum(carried.values()), 3)
     # the driver captures only the LAST 2000 chars of stdout: the final
     # line carries the contract keys only (metric/value/unit/queries/sf);
     # vs_prev and error detail go to stderr + a sidecar the judge can read
@@ -179,10 +209,14 @@ def main():
     }
     if errors:
         out["failed"] = len(errors)
-    detail = dict(out, errors=errors)
-    prev_round, prev = _prev_bench()
-    if prev and isinstance(prev.get("queries"), dict):
-        pq = prev["queries"]
+        out["carried_prev"] = len(carried)
+        if len(carried) < len(errors):
+            out["incomparable"] = True
+    if unstable:
+        out["noisy"] = len(unstable)
+    detail = dict(out, errors=errors, repstats=repstats,
+                  unstable=unstable, carried_prev_times=carried)
+    if pq:
         shared = [n for n in times
                   if isinstance(pq.get(n), (int, float)) and pq[n]]
         shared_now = round(sum(times[n] for n in shared), 3)
@@ -212,7 +246,12 @@ def main():
         line = json.dumps(out, separators=(",", ":"))
     print(line)
     if errors:
-        sys.exit(0)  # partial bench is still a bench; detail records it
+        # the line above is still printed (the driver parses the tail
+        # regardless of rc), but a bench with a broken query must not
+        # read as a clean number
+        sys.exit(1)
+    if unstable and "--strict-cv" in sys.argv[1:]:
+        sys.exit(4)
 
 
 if __name__ == "__main__":

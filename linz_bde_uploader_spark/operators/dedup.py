@@ -26,6 +26,31 @@ from linz_bde_uploader_spark.functions.hashing import (
     MINHASH_PRIME, hash32, hash64s, minhash_perm,
 )
 
+# relations persisted by the cache_shingles/cache_sets fast paths; a
+# long-lived session (bench reps, check_determinism double-runs, the
+# full-pipeline entry) re-invokes these operators and would otherwise
+# accumulate cached relations until LRU eviction
+_PERSISTED: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every relation this module persisted. Call between
+    runs in long-lived sessions (the bench/oracle harnesses do); a
+    single pipeline invocation does not need it — the caches are
+    bounded at one row per doc and die with the session."""
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: one row per distinct content with
@@ -315,7 +340,7 @@ def verify_pairs_jaccard(docs: DataFrame, pairs: DataFrame,
         # both join sides consume the aggregate and Catalyst does not
         # reuse the exchange between them (the prefix-Jaccard lesson);
         # bounded at one row per doc, so MEMORY_AND_DISK is safe
-        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        sets = _track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
     return (
@@ -417,7 +442,7 @@ def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
 
     sh = _shingle_hashes(docs, text_col, id_col, shingle_words)
     if cache_shingles:
-        sh = sh.cache()
+        sh = _track(sh.cache())
     freq = sh.groupBy("h").agg(F.count("*").alias("df"))
     sets = (
         sh.join(freq, "h")
@@ -427,7 +452,7 @@ def jaccard_pairs_prefix(docs: DataFrame, text_col: str = "text",
         .withColumn("hs", F.transform("arr", lambda s: s["h"]))
     )
     if cache_shingles:
-        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        sets = _track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1) \
         .cast("int")
     prefix = sets.select(
@@ -470,7 +495,7 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     sh = _shingle_hashes(docs, text_col, id_col, shingle_words,
                          portable=portable)
     if cache_shingles:
-        sh = sh.cache()
+        sh = _track(sh.cache())
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

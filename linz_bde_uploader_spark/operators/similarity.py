@@ -115,16 +115,24 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                id_col: str = "id", vec_col: str = "v",
-               nprobe: int = 1) -> DataFrame:
+               nprobe: int = 1, sim_round: int | None = None) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by cosine:
     (id, v, cell, cell_rank). Centroids are broadcast — assignment is a
-    map-side pass over the corpus, no shuffle of the vectors."""
+    map-side pass over the corpus, no shuffle of the vectors.
+
+    ``sim_round`` quantizes the cosine before the argmax ranking —
+    the cross-engine determinism knob for differential testing: a
+    last-ulp cosine difference between engines would otherwise flip a
+    cell membership (and, in k-means, every downstream mean)."""
     cents = F.broadcast(centroids.select(
         F.col("cent_id"), F.col("cv").alias("_cent_v")))
+    sim = cosine(F.col(vec_col), F.col("_cent_v"))
+    if sim_round is not None:
+        sim = F.round(sim, sim_round)
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id"))
     return (
         vectors.crossJoin(cents)
-        .withColumn("csim", cosine(F.col(vec_col), F.col("_cent_v")))
+        .withColumn("csim", sim)
         .withColumn("cell_rank", F.row_number().over(w))
         .filter(F.col("cell_rank") <= nprobe)
         .select(F.col(id_col), F.col(vec_col),
@@ -163,12 +171,14 @@ def kmeans_fit(corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
     ``portable=True`` computes each per-dimension mean as an exact
     DECIMAL sum divided in double space and rounds it through a
     DECIMAL(18,6) cast — the repo's cross-engine bit-stability
-    convention. A plain double ``avg`` is order-dependent under
-    shuffled partial aggregation, so two runs (or two engines) can
-    disagree in the last ulp, and the divergence compounds through
-    the next iteration's assignments. Production runs keep the
-    default (exact means, one engine); the differential-testing
-    oracle uses portable."""
+    convention — and quantizes the assignment cosine to 9 dp before
+    the argmax, so a last-ulp dot-product difference between engines
+    cannot flip a cell membership. A plain double ``avg`` is
+    order-dependent under shuffled partial aggregation, so two runs
+    (or two engines) can disagree in the last ulp, and the divergence
+    compounds through the next iteration's assignments. Production
+    runs keep the default (exact means, one engine); the
+    differential-testing oracle uses portable."""
     cent = seed_centroids(corpus, n_centroids, id_col, vec_col)
     vecs = corpus.select(F.col(id_col).alias("id"),
                          _as_double(F.col(vec_col)).alias("v"))
@@ -179,7 +189,8 @@ def kmeans_fit(corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
     else:
         mean_expr = F.avg("x")
     for _ in range(iters):
-        assigned = ivf_assign(vecs, cent, "id", "v", nprobe=1)
+        assigned = ivf_assign(vecs, cent, "id", "v", nprobe=1,
+                              sim_round=9 if portable else None)
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")

@@ -822,7 +822,11 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JSON props payload and aggregate it per event type. The JSON
     path runs JVM-side (get_json_object), so the scan stays in
     whole-stage codegen; the average divides exact integer sums as
-    doubles."""
+    doubles, rounded to 6 dp on both engines so the driver hashes the
+    identical float (this was r4's red row: the one unrounded double
+    in the suite). Extraction is cast-tolerant — a non-integer payload
+    nulls out instead of erroring, on both sides (Spark cast already
+    null-on-failure; the oracle uses TRY_CAST)."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.get_json_object("props", "$.k").cast("bigint").alias("k"))
@@ -832,15 +836,16 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("k").alias("sum_k"),
              F.min("k").alias("min_k"),
              F.max("k").alias("max_k"),
-             (F.sum("k").cast("double") / F.count("k")).alias("avg_k"))
+             F.round(F.sum("k").cast("double") / F.count("k"), 6)
+             .alias("avg_k"))
     )
 
 
 SQL_EVENTS_JSON = """
 SELECT event_type,
        COUNT(k) AS n_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
-       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
-FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+       round(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
+FROM (SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events)
 GROUP BY event_type
 """
 

@@ -390,10 +390,66 @@ def q_stream_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/out")
 
 
+def q_dataset_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The level-5 start-time continuity check as a BATCH plan — the
+    hash-checkable projection of ``stream_continuity``. Reference
+    semantics (lib/LINZ/BdeUpload.pm:1070-1100): a dataset's START
+    must sit within tolerance of the previous dataset's recorded END,
+    per table; here that is one ordered window per table over the
+    same (table, dataset, start, end) manifest the streaming operator
+    consumes — no state store needed when the history is at rest.
+    Gap arithmetic stays on exact int64 microseconds until the final
+    division, and ``gap_hours`` is rounded to 6 dp on both engines so
+    the driver hashes identical floats. The stateful streaming twin
+    keeps its rows-only entry (applyInPandasWithState is not
+    SQL-expressible); this entry closes the oracle gap."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    manifest = (
+        events.groupBy(F.col("event_type").alias("table"),
+                       F.date_format("ts", "yyyyMMdd").alias("dataset"))
+        .agg(F.min(epoch_micros("ts")).alias("start_us"),
+             F.max(epoch_micros("ts")).alias("end_us"))
+    )
+    w = Window.partitionBy("table").orderBy("dataset")
+    prev_end = F.lag("end_us").over(w)
+    raw_gap = F.abs(F.col("start_us") - prev_end) / F.lit(3600000000.0)
+    return manifest.select(
+        "table", "dataset",
+        F.coalesce(F.round(raw_gap, 6), F.lit(0.0)).alias("gap_hours"),
+        F.when(prev_end.isNull(), F.lit("ok"))
+         .when(raw_gap > 0.5, F.lit("warning"))
+         .otherwise(F.lit("ok")).alias("status"),
+    )
+
+
+SQL_DATASET_CONTINUITY = """
+WITH m AS (
+  SELECT event_type AS "table",
+         strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS dataset,
+         MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS start_us,
+         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT "table", dataset, start_us,
+         lag(end_us) OVER (PARTITION BY "table" ORDER BY dataset) AS prev_end
+  FROM m)
+SELECT "table", dataset,
+       COALESCE(round(abs(start_us - prev_end) / 3600000000.0, 6), 0.0)
+         AS gap_hours,
+       CASE WHEN prev_end IS NULL THEN 'ok'
+            WHEN abs(start_us - prev_end) / 3600000000.0 > 0.5 THEN 'warning'
+            ELSE 'ok' END AS status
+FROM g
+"""
+
+
 ENGINE_QUERIES.update({
     "union_lock_candidates": (q_union_lock_candidates, SQL_UNION_LOCK),
     "string_agg_owners": (q_string_agg_owners, SQL_STRING_AGG),
     "latest_dataset": (q_latest_dataset, SQL_LATEST_DATASET),
     "active_jobs": (q_active_jobs, SQL_ACTIVE_JOBS),
     "stream_continuity": (q_stream_continuity, None),
+    "dataset_continuity": (q_dataset_continuity, SQL_DATASET_CONTINUITY),
 })

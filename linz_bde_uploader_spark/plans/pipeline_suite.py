@@ -671,25 +671,32 @@ def q_sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of spherical k-means (8 cells, cosine
     assignment) — the IVF centroid-training step — exploded to
     (cent_id, pos, mval) rows. ``portable=True`` pins the per-dim
-    means to the repo's DECIMAL bit-stability convention so the
+    means to the repo's DECIMAL bit-stability convention and
+    quantizes the assignment cosine (9 dp) before the argmax so the
     unrolled recursive computation matches DuckDB exactly; the oracle
-    unrolls the same two iterations as CTEs."""
+    unrolls the same two iterations as CTEs. ``mval`` is emitted as a
+    rounded DOUBLE (not DECIMAL) so both engines hand the driver the
+    identical Python float — DECIMAL scale surfacing differs between
+    engines, which was r4's red row."""
     emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     cent = S.kmeans_fit(emb, n_centroids=8, iters=2, portable=True)
     return cent.select(
         "cent_id", F.posexplode("cv").alias("pos", "mval")) \
-        .withColumn("mval", F.col("mval").cast("decimal(18,6)"))
+        .withColumn("mval", F.round(F.col("mval"), 6))
 
 
 def _sql_kmeans_iter(prev: str, out: str) -> str:
     """One Lloyd iteration as CTEs: assign (cosine argmax over the
-    broadcast centroids) then DECIMAL-stable per-dimension means."""
+    broadcast centroids, quantized to 9 dp to mirror the Spark side's
+    ``sim_round=9`` — a last-ulp dot-product difference between
+    engines must not flip a membership) then DECIMAL-stable
+    per-dimension means."""
     return f"""
 a_{out} AS (
   SELECT e.vec_id, e.v, c.cent_id,
          row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           list_dot_product(e.v, c.cv)
-             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+           round(list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
            c.cent_id) AS rnk
   FROM e CROSS JOIN {prev} c),
 m_{out} AS (
@@ -708,7 +715,7 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
 {_sql_kmeans_iter('c0', 'c1')},
 {_sql_kmeans_iter('c1', 'c2')}
-SELECT cent_id, pos, m AS mval FROM m_c2
+SELECT cent_id, pos, round(CAST(m AS DOUBLE), 6) AS mval FROM m_c2
 """
 
 

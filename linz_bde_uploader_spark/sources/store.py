@@ -120,14 +120,17 @@ class TableStore:
         footers per read. Compaction is just a read + ``write`` (the
         store's normal repartition/bucket path), committed through the
         same atomic pointer — readers never see a partial rewrite, and
-        the old layout remains a revision until vacuumed. Returns the
-        new version number."""
+        the old layout remains a revision until vacuumed. The
+        pointer's ``dataset`` revision comment (C8 lineage) is carried
+        from the current version — maintenance must not erase which
+        dataset a table's contents came from. Returns the new version
+        number."""
         df = self.read(spark, table)
-        meta_key = key
-        if meta_key is None:
-            with open(self._pointer(table)) as fh:
-                meta_key = json.load(fh).get("key")
-        return self.write(table, df, key=meta_key)
+        with open(self._pointer(table)) as fh:
+            meta = json.load(fh)
+        meta_key = key if key is not None else meta.get("key")
+        return self.write(table, df, key=meta_key,
+                          dataset=meta.get("dataset"))
 
     def vacuum(self, table: str, keep: int = 2,
                spark: SparkSession | None = None) -> list[int]:

@@ -28,6 +28,8 @@ file stream.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -367,25 +369,35 @@ def stream_lsh_dedup(docs: DataFrame, index_path: str, out_path: str,
 
     Guarantees are candidate-level, like LSH itself: a band collision
     means probable near-dup (no verify step — the offline verified
-    pipeline, ``dedup_near_survivors``, is the exact backstop), and a
-    re-run batch after a crash re-appends the same index rows, which
-    only duplicates matching keys (idempotent effect) until a
-    compaction dedupes them. This is the near-dup analog of
-    ``stream_dedup``'s one-sided exact guarantee.
+    pipeline, ``dedup_near_survivors``, is the exact backstop).
+    Replays are IDEMPOTENT: each batch writes its survivors and index
+    rows into a ``batch=<id>`` subdirectory with ``overwrite``, so a
+    crash between the two writes (or a foreachBatch redelivery) just
+    rewrites the same subdirectories — no at-least-once duplicates in
+    the output corpus, and no duplicated index keys. Readers see the
+    whole corpus/index via normal parquet partition discovery over
+    the root path. This is the near-dup analog of ``stream_dedup``'s
+    one-sided exact guarantee.
 
     Returns the started StreamingQuery (caller awaits/stops)."""
     from linz_bde_uploader_spark.operators.dedup import lsh_band_hashes
 
-    def dedup_batch(batch: DataFrame, _batch_id: int) -> None:
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         bh = lsh_band_hashes(batch, text_col, id_col, num_perm, bands,
                              shingle_words)
-        try:
+        # explicit existence probe (Hadoop FS, so non-local paths work
+        # too) — a bare try/except here would silently treat corrupt
+        # footers or transient FS errors as "no index yet" and admit
+        # near-duplicates with no signal; real read errors propagate
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             idx = spark.read.parquet(index_path) \
                 .select("band", "band_hash").distinct()
             hist_hits = bh.join(idx, ["band", "band_hash"]) \
                           .select("id").distinct()
-        except Exception:  # first batch: no index yet
+        else:  # first batch: no index yet
             hist_hits = bh.select("id").limit(0)
         keep_first = bh.groupBy("band", "band_hash") \
                        .agg(F.min("id").alias("keep_id"))
@@ -396,9 +408,11 @@ def stream_lsh_dedup(docs: DataFrame, index_path: str, out_path: str,
         drop = hist_hits.union(batch_dups).distinct() \
             .withColumnRenamed("id", id_col)
         kept = batch.join(drop, id_col, "left_anti")
-        kept.write.mode("append").parquet(out_path)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}"))
         bh.join(drop.withColumnRenamed(id_col, "id"), "id", "left_anti") \
-          .write.mode("append").parquet(index_path)
+          .write.mode("overwrite").parquet(
+              os.path.join(index_path, f"batch={batch_id}"))
 
     return (
         docs.writeStream.foreachBatch(dedup_batch)

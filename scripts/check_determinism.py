@@ -43,6 +43,8 @@ def main():
             df = fn(spark, sf_dir)
             rows = [tuple(r) for r in df.collect()]
             hashes.append(check_oracle.table_hash(rows, df.columns))
+            from linz_bde_uploader_spark.operators.dedup import release_caches
+            release_caches()  # double-runs must not accumulate persists
         if hashes[0] != hashes[1]:
             failures.append(name)
             print(f"FLAKY {name}: value hash differs between runs")

@@ -6,12 +6,18 @@ rows sorted, values stringified).
 
 Usage: python scripts/check_oracle.py [--exact] [sf_dir] [query ...]
 
-``--exact`` hashes float values at full precision (repr round-trip,
-no 9 dp pre-rounding) — the driver's gate hashes exact values, so
-the default rounding can mask a last-ulp Spark/DuckDB divergence
-that the driver then catches (this is exactly how round 2's two red
-rows slipped through). Gate locally with --exact before declaring a
-query done.
+``--exact`` hashes values at their *representation* (``str(v)`` —
+scale-preserving for Decimal, shortest-round-trip for float, no
+canonicalization at all) — the strictest plausible form of the
+driver's gate. Round 2's reds slipped through the default 9 dp
+rounding; round 4's reds slipped through a value-canonical exact
+mode (``Decimal.normalize()`` treated 1.50 == 1.5 and float ==
+Decimal, which the driver does not). Under str-exact hashing, a
+query is locally green only if both engines hand back the identical
+Python value — same type, same scale, same bits — which is the only
+state that cannot be red at the driver. Gate with --exact before
+declaring a query done; in practice that means every float-emitting
+projection must round/canonicalize on BOTH sides.
 """
 
 from __future__ import annotations
@@ -36,14 +42,6 @@ from linz_bde_uploader_spark.session import get_spark
 EXACT = False
 
 
-def _canon_num(d) -> str:
-    # one fixed-point canonical form for floats AND decimals so a value
-    # equal across engines hashes equally regardless of the Python type
-    # it surfaces as: no exponent (Decimal('150').normalize() would be
-    # '1.5E+2'), no trailing zeros ('150.0' -> '150').
-    return format(d.normalize(), "f")
-
-
 def norm_value(v):
     import datetime
     import decimal
@@ -56,13 +54,13 @@ def norm_value(v):
             return "NaN"
         if math.isinf(v):
             return "Inf" if v > 0 else "-Inf"
-        # repr() is the exact shortest round-trip of the double, so
-        # Decimal(repr(v)) is still value-exact
-        return _canon_num(decimal.Decimal(repr(v))) if EXACT \
-            else repr(round(v, 9))
+        # exact: repr == shortest round-trip of the double — two
+        # engines hash equal only if they return the identical bits
+        return repr(v) if EXACT else repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
-        # exact mode: scale-insensitive but value-exact (1.50 == 1.5)
-        return _canon_num(v) if EXACT else repr(round(float(v), 9))
+        # exact: scale-preserving str ('1.50' != '1.5' != float 1.5) —
+        # representation-identical or red, matching the driver
+        return str(v) if EXACT else repr(round(float(v), 9))
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     return str(v)
@@ -106,6 +104,8 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            from linz_bde_uploader_spark.operators.dedup import release_caches
+            release_caches()  # per-query persists; 89 queries, one session
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:200]}")
