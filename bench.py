@@ -86,7 +86,58 @@ HEADLINE = [
     "emb_near_dedup",
     "text_paragraph_dedup",
     "q17_small_quantity",
+    # r5 additions
+    "dedup_lsh_capped",
+    "dedup_simhash_capped",
+    "dataset_continuity",
 ]
+
+
+def _skew_soak(spark, sf_dir: str) -> dict:
+    """Hot-key soak recorded per round: a salted join with ~2/3 of the
+    fact rows on one key, and bucket-capped LSH over a corpus where
+    10% of docs share one boilerplate text. Wall seconds plus the
+    partition spread (max/median non-empty output partition rows — the
+    straggler proxy) land in BENCH_DETAIL.json."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.dedup import lsh_candidate_pairs
+    from linz_bde_uploader_spark.operators.skew import salted_join
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    def spread(df):
+        counts = sorted(
+            r["count"] for r in df.withColumn("_p", F.spark_partition_id())
+            .groupBy("_p").count().collect())
+        return round(counts[-1] / counts[len(counts) // 2], 2)
+
+    out = {}
+    orders = load_table(spark, sf_dir, "orders")
+    hot = orders.select(
+        F.when(F.col("o_orderkey") % 3 != 0, F.lit(7).cast("bigint"))
+        .otherwise(F.col("o_custkey")).alias("k"),
+        F.col("o_orderkey").alias("fact_id"))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("dim_val"))
+    j = salted_join(hot, dim, "k", n_salts=64)
+    t0 = _time.perf_counter()
+    n = j.count()
+    out["salted_join"] = {"sec": round(_time.perf_counter() - t0, 3),
+                          "rows": n, "max_over_median": spread(j)}
+    boiler = ("this content is provided as is without any warranty "
+              "of any kind either express or implied")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(boiler))
+        .otherwise(F.col("text")).alias("text"))
+    p = lsh_candidate_pairs(docs, num_perm=16, bands=4, max_bucket_size=16)
+    t0 = _time.perf_counter()
+    n = p.count()
+    out["lsh_capped_boilerplate"] = {
+        "sec": round(_time.perf_counter() - t0, 3), "candidates": n}
+    return out
 
 
 def _prev_bench() -> tuple[str, dict] | tuple[None, None]:
@@ -216,6 +267,12 @@ def main():
         out["noisy"] = len(unstable)
     detail = dict(out, errors=errors, repstats=repstats,
                   unstable=unstable, carried_prev_times=carried)
+    try:
+        detail["skew_soak"] = _skew_soak(spark, sf_dir)
+        print("# skew_soak: " + json.dumps(detail["skew_soak"]),
+              file=sys.stderr)
+    except Exception as e:  # the soak must not sink the headline metric
+        detail["skew_soak"] = {"error": str(e).splitlines()[0][:300]}
     if pq:
         shared = [n for n in times
                   if isinstance(pq.get(n), (int, float)) and pq[n]]

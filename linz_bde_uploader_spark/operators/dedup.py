@@ -7,8 +7,12 @@ for the 100 TB path:
 - minhash:   shingle explode -> per-(doc,perm) min -> band buckets ->
              bucket self-join. The self-join key is (band, band_hash),
              so only real candidate pairs shuffle — never the corpus
-             cross-product. Skewed buckets (boilerplate docs) are
-             handled by AQE skew-join splitting.
+             cross-product. Boilerplate buckets (many near-identical
+             docs on one band key) blow up quadratically in the join
+             OUTPUT, which AQE's skew splitting cannot see (it reads
+             input bytes; proven in tests/test_skew_soak.py) — cap
+             them with lsh_candidate_pairs(max_bucket_size=...),
+             which emits linear star edges for over-sized buckets.
 - simhash:   bit-vote aggregation, one shuffle on (doc, bit) then one
              on doc; hamming-near pairs via banded prefix buckets.
 - jaccard:   exact n-gram overlap via shingle inverted index
@@ -172,25 +176,61 @@ def lsh_band_hashes(docs: DataFrame, text_col: str = "text",
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_perm: int = 16,
                         bands: int = 4, shingle_words: int = 3,
-                        portable: bool = True) -> DataFrame:
+                        portable: bool = True,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """MinHash-LSH near-dup candidates: (id_a, id_b) with id_a < id_b.
 
     Signatures are banded (num_perm/bands rows per band); docs sharing
-    any band hash become candidates. The join is on (band, band_hash) —
-    tiny buckets, so the pair blow-up is bounded by real similarity,
-    not corpus size.
+    any band hash become candidates. The join is on (band, band_hash),
+    so the pair count is bounded by real similarity, not corpus size —
+    but "real similarity" itself explodes on BOILERPLATE: a bucket of
+    B near-identical docs (shared legal footer, templated pages) emits
+    B(B-1)/2 pairs, and a 1M-doc bucket means ~5e11 pairs. AQE's
+    skew-join splitting does NOT rescue this: skew detection reads the
+    join's INPUT partition bytes, and a quadratic blow-up's input is
+    tiny (measured in tests/test_skew_soak.py — the hot bucket never
+    crosses any byte threshold).
+
+    ``max_bucket_size`` is the engine-level guard: buckets larger than
+    the cap emit STAR edges — (bucket-min id, member) — instead of all
+    pairs, linear in bucket size. For downstream connected-components
+    clustering a bucket is a clique, and a star spans a clique's
+    component exactly, so cluster output is unchanged; pairwise
+    verification sees each member against the bucket's canonical doc
+    rather than every sibling (the trade documented for capped
+    near-dedup). ``None`` keeps the exact all-pairs semantics.
     """
     band_hashes = lsh_band_hashes(docs, text_col, id_col, num_perm,
                                   bands, shingle_words, portable)
-    a = band_hashes.alias("a")
-    b = band_hashes.alias("b")
-    return (
+    if max_bucket_size is None:
+        a = band_hashes.alias("a")
+        b = band_hashes.alias("b")
+        return (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    # bucket stats reuse the band-hash exchange (same grouping key);
+    # the join back is co-partitioned — no extra shuffle of the index
+    stats = band_hashes.groupBy("band", "band_hash").agg(
+        F.count("*").alias("_n"), F.min("id").alias("_hub"))
+    bhs = band_hashes.join(stats, ["band", "band_hash"])
+    small = bhs.filter(F.col("_n") <= max_bucket_size)
+    a, b = small.alias("a"), small.alias("b")
+    all_pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    star = (
+        bhs.filter((F.col("_n") > max_bucket_size)
+                   & (F.col("id") != F.col("_hub")))
+        .select(F.col("_hub").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return all_pairs.unionByName(star).distinct()
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -235,16 +275,40 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 64,
                        bands: int = 4, max_hamming: int = 3,
-                       portable: bool = True) -> DataFrame:
+                       portable: bool = True,
+                       collapse_identical: bool = False) -> DataFrame:
     """Hamming-near SimHash pairs via banded buckets: split the
     fingerprint into ``bands`` segments; any pair within
     ``max_hamming < bands`` distance must agree on >=1 full segment
     (pigeonhole), so bucket-join on segments then verify exactly with
     bit_count(xor). At the 64-bit default each band segment is 16
     bits -> 65,536 bucket values per band, which keeps the bucket
-    self-join sparse at corpus scale."""
+    self-join sparse at corpus scale.
+
+    ``collapse_identical`` is the boilerplate guard (same class of
+    100 TB failure as LSH's ``max_bucket_size``): B docs with the
+    IDENTICAL fingerprint — exact copies, templated pages — would
+    emit B(B-1)/2 hamming-0 pairs through every band's bucket join,
+    and AQE cannot split output-side blow-up. Collapsed mode runs the
+    quadratic banded join over DISTINCT fingerprints only (one
+    representative = min id per fingerprint) and emits linear star
+    edges (rep -> member, hamming 0) for the identical groups. The
+    candidate graph's connected components are unchanged: an
+    identical-fingerprint group is a clique spanned exactly by its
+    star, and any cross-group near-pair is represented by its
+    rep-to-rep edge."""
     seg_bits = bits // bands
     sh = simhash(docs, text_col, id_col, bits, portable=portable)
+    star = None
+    if collapse_identical:
+        groups = sh.groupBy("simhash").agg(F.min("id").alias("rep"))
+        star = (
+            sh.join(groups, "simhash")
+            .filter(F.col("id") != F.col("rep"))
+            .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"),
+                    F.lit(0).cast("integer").alias("hamming"))
+        )
+        sh = groups.select(F.col("rep").alias("id"), "simhash")
     segs = sh.select(
         "id", "simhash",
         F.explode(F.array(*[
@@ -263,7 +327,8 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                 F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    near = pairs.filter(F.col("hamming") <= max_hamming)
+    return near if star is None else near.unionByName(star)
 
 
 def paragraph_dedup(docs: DataFrame, text_col: str = "text",

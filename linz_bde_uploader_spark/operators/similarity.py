@@ -151,9 +151,91 @@ def seed_centroids(corpus: DataFrame, n_centroids: int = 8,
         F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cv"))
 
 
+def kmeans_parallel_seeds(corpus: DataFrame, n_centroids: int = 8,
+                          oversample: int | None = None, rounds: int = 3,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Scalable k-means|| seeding (Bahmani et al., VLDB 2012 — the
+    public algorithm pyspark.ml's KMeans also initializes with):
+    instead of k sequential k-means++ passes over the corpus, run
+    ``rounds`` passes that each sample ~``oversample`` points with
+    probability proportional to their distance to the current
+    candidate set, then recluster the O(rounds * oversample) weighted
+    candidates to k centers driver-side. Returns (cent_id, cv).
+
+    Scale shape: every pass is one map-side scoring of the corpus
+    against the BROADCAST candidate set plus one scalar aggregate —
+    no corpus shuffle at all; only the tiny candidate set (tens of
+    rows) ever reaches the driver, exactly like the production
+    implementations. Sampling uses a deterministic per-(id, round)
+    hash instead of an RNG, so the seeds — and everything trained
+    from them — are reproducible run-to-run.
+
+    Distance is cosine (1 - cos), matching the spherical assignment
+    in ``kmeans_fit``/``ivf_assign``. The final driver-side
+    reclustering is deterministic greedy weighted farthest-point
+    (k-means++ with argmax selection) over the candidates.
+    """
+    import numpy as np
+
+    from linz_bde_uploader_spark.functions.hashing import hash32
+
+    if oversample is None:
+        oversample = 2 * n_centroids
+    vecs = corpus.select(F.col(id_col).alias("id"),
+                         _as_double(F.col(vec_col)).alias("v"))
+    first = vecs.orderBy("id").limit(1) \
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    cand = first
+    for rnd in range(rounds):
+        c = F.broadcast(cand.select(F.col("cid"), F.col("cv").alias("_cv")))
+        scored = (
+            vecs.crossJoin(c)
+            .withColumn("_d", F.lit(1.0) - cosine(F.col("v"), F.col("_cv")))
+            .groupBy("id").agg(F.min("_d").alias("d"),
+                               F.first("v").alias("v"))
+        )
+        total = F.broadcast(scored.agg(F.sum("d").alias("_total")))
+        u = (F.pmod(hash32(F.concat_ws(":", F.col("id").cast("string"),
+                                       F.lit(str(rnd)))),
+                    F.lit(1_000_000)) / F.lit(1_000_000.0))
+        picked = (
+            scored.crossJoin(total)
+            .filter(u < F.least(F.lit(1.0),
+                                F.lit(float(oversample)) * F.col("d")
+                                / F.col("_total")))
+            .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+        )
+        cand = cand.unionByName(picked).dropDuplicates(["cid"])
+    # weight candidates by how many corpus points they are nearest to
+    weights = (
+        ivf_assign(vecs, cand.select(F.col("cid").alias("cent_id"),
+                                     "cv"), "id", "v", nprobe=1)
+        .groupBy("cell").agg(F.count("*").alias("w"))
+    )
+    rows = (cand.join(weights, cand["cid"] == weights["cell"], "left")
+            .select("cid", "cv", F.coalesce("w", F.lit(0)).alias("w"))
+            .orderBy("cid").collect())  # tens of rows by construction
+    cvs = np.array([r["cv"] for r in rows])
+    ws = np.array([float(r["w"]) for r in rows])
+    norms = np.linalg.norm(cvs, axis=1)
+    unit = cvs / np.where(norms == 0, 1, norms)[:, None]
+    chosen = [0]
+    d = 1.0 - unit @ unit[0]
+    for _ in range(min(n_centroids, len(rows)) - 1):
+        nxt = int(np.argmax(ws * d))
+        chosen.append(nxt)
+        d = np.minimum(d, 1.0 - unit @ unit[nxt])
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in cvs[c]]) for i, c in enumerate(chosen)],
+        "cent_id INT, cv ARRAY<DOUBLE>")
+
+
 def kmeans_fit(corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               portable: bool = False) -> DataFrame:
+               portable: bool = False,
+               init: str = "min_id") -> DataFrame:
     """Spherical-style k-means (Lloyd iterations, cosine assignment)
     as pure DataFrame ops — the centroid-training step for a real IVF
     index, replacing ``seed_centroids`` when reproducible-but-seeded
@@ -178,8 +260,17 @@ def kmeans_fit(corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
     (or two engines) can disagree in the last ulp, and the divergence
     compounds through the next iteration's assignments. Production
     runs keep the default (exact means, one engine); the
-    differential-testing oracle uses portable."""
-    cent = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    differential-testing oracle uses portable.
+
+    ``init`` picks the seeding: ``min_id`` (deterministic lowest-id
+    vectors — reproducible and SQL-expressible, the oracle path) or
+    ``parallel`` (k-means|| — the production path when seed quality
+    matters; see kmeans_parallel_seeds)."""
+    if init == "parallel":
+        cent = kmeans_parallel_seeds(corpus, n_centroids,
+                                     id_col=id_col, vec_col=vec_col)
+    else:
+        cent = seed_centroids(corpus, n_centroids, id_col, vec_col)
     vecs = corpus.select(F.col(id_col).alias("id"),
                          _as_double(F.col(vec_col)).alias("v"))
     if portable:

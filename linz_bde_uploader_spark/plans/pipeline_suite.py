@@ -210,6 +210,60 @@ FROM bh a JOIN bh b
 """
 
 
+_BOILER = ("this content is provided as is without any warranty "
+           "of any kind either express or implied")
+
+
+def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-capped MinHash-LSH candidates on a corpus with a HOT
+    boilerplate bucket (every 37th doc's text replaced by a shared
+    legal-footer string). Buckets above ``max_bucket_size`` emit star
+    edges (bucket-min hub -> member) instead of all pairs — the
+    quadratic-blow-up guard for boilerplate at 100 TB, where a
+    million-doc bucket would otherwise emit ~5e11 pairs that AQE
+    cannot split (input-byte skew detection never sees output
+    blow-up; measured in tests/test_skew_soak.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = parallelize_small(docs.withColumn(
+        "text", F.when(F.col("doc_id") % 37 == 0, F.lit(_BOILER))
+                 .otherwise(F.col("text"))))
+    return D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
+                                 shingle_words=3, max_bucket_size=8)
+
+
+SQL_DEDUP_LSH_CAPPED = f"""WITH
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 37 = 0 THEN '{_BOILER}' ELSE text END AS text
+  FROM documents),
+{_SQL_TOKS}, {_SQL_SH3},
+sh AS (SELECT DISTINCT doc_id, {sql_hash32('shingle')} AS h FROM sh3),
+ph AS (
+  SELECT doc_id, i AS perm,
+         ((CAST(2*i+1 AS BIGINT) * h + CAST(i*i+7 AS BIGINT)) % {MINHASH_PRIME}) AS phv
+  FROM sh, unnest(generate_series(0, 15)) AS t(i)),
+sig AS (SELECT doc_id, perm, min(phv) AS minhash FROM ph GROUP BY doc_id, perm),
+bh AS (
+  SELECT doc_id, CAST(floor(perm / 4.0) AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(floor(perm / 4.0) AS INT)),
+stats AS (
+  SELECT band, band_hash, COUNT(*) AS n, MIN(doc_id) AS hub
+  FROM bh GROUP BY band, band_hash),
+bhs AS (
+  SELECT bh.doc_id, bh.band, bh.band_hash, s.n, s.hub
+  FROM bh JOIN stats s USING (band, band_hash))
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bhs a JOIN bhs b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id AND a.n <= 8
+  UNION ALL
+  SELECT hub AS id_a, doc_id AS id_b FROM bhs
+  WHERE n > 8 AND doc_id <> hub)
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH candidate graph:
     each near-duplicate group labeled by its minimum doc_id. The
@@ -1135,6 +1189,65 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs with identical-fingerprint collapse on a
+    boilerplate-heavy corpus (every 37th doc's text replaced by a
+    shared footer — the same hot corpus as ``dedup_lsh_capped``).
+    The B identical-fingerprint docs emit B-1 star edges instead of
+    B(B-1)/2 hamming-0 pairs through the band buckets; near-pairs are
+    computed over distinct fingerprints only. Component structure is
+    unchanged (see operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = parallelize_small(docs.withColumn(
+        "text", F.when(F.col("doc_id") % 37 == 0, F.lit(_BOILER))
+                 .otherwise(F.col("text"))))
+    pairs = D.simhash_near_pairs(corpus, bits=64, bands=4, max_hamming=3,
+                                 collapse_identical=True)
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("bigint").alias("hamming"))
+
+
+SQL_SIMHASH_CAPPED = f"""WITH
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 37 = 0 THEN '{_BOILER}' ELSE text END AS text
+  FROM documents),
+{_SQL_TOKS},
+sh AS (SELECT DISTINCT doc_id, {sql_hash64s('tok')} AS h
+       FROM (SELECT doc_id, unnest(w) AS tok FROM toks)),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM sh, unnest(generate_series(0, 63)) AS t(bit)
+  GROUP BY doc_id, bit),
+fp AS (
+  SELECT doc_id AS id,
+         CAST(SUM(CASE WHEN v >= 0 THEN
+                   CASE WHEN bit = 63 THEN -9223372036854775808
+                        ELSE CAST(1 AS BIGINT) << bit END
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id),
+groups AS (SELECT simhash, MIN(id) AS rep FROM fp GROUP BY simhash),
+star AS (
+  SELECT g.rep AS id_a, f.id AS id_b, 0 AS hamming
+  FROM fp f JOIN groups g USING (simhash) WHERE f.id <> g.rep),
+reps AS (SELECT rep AS id, simhash FROM groups),
+segs AS (
+  SELECT id, simhash, seg,
+         (simhash >> (seg * 16)) & 65535 AS segval
+  FROM reps, unnest(generate_series(0, 3)) AS s(seg)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM segs a JOIN segs b
+    ON a.seg = b.seg AND a.segval = b.segval AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+UNION ALL
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM star
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) -> sessions per user.
     Batch analog of the streaming session operator."""
@@ -1944,6 +2057,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "events_sliding_agg": (q_events_sliding_agg, SQL_SLIDING_AGG),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_lsh_capped": (q_dedup_lsh_capped, SQL_DEDUP_LSH_CAPPED),
+    "dedup_simhash_capped": (q_dedup_simhash_capped, SQL_SIMHASH_CAPPED),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_near_survivors": (q_dedup_near_survivors, SQL_DEDUP_NEAR_SURVIVORS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

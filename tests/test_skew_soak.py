@@ -1,0 +1,201 @@
+"""Skew soak: hot-key inputs at test scale, asserting the PLAN SHAPE
+that prevents stragglers at 100 TB — work spread across shuffle
+partitions instead of concentrating in one task.
+
+Partition row volume is the local-mode proxy for task wall-time (the
+UI/task-metric API is disabled in the session): a task's time is
+~proportional to its input+output volume for these join shapes, so
+the straggler rule of thumb — no task > 4x the median — maps to
+max/median rows per non-empty partition.
+
+Fixtures follow the soak spec: one key holding >= 30% of all fact
+rows (salted join), and a boilerplate shingle block shared by 10% of
+documents (MinHash LSH).
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.operators.dedup import (
+    lsh_band_hashes, lsh_candidate_pairs,
+)
+from linz_bde_uploader_spark.operators.skew import salted_join
+
+
+@contextlib.contextmanager
+def set_confs(spark, conf: dict):
+    old = {}
+    for k in conf:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _partition_rows(df) -> list[int]:
+    rows = (df.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid").count().collect())
+    return sorted(r["count"] for r in rows)
+
+
+def _max_over_median(counts: list[int]) -> float:
+    nonempty = [c for c in counts if c > 0]
+    med = nonempty[len(nonempty) // 2]
+    return max(nonempty) / med
+
+
+HOT_KEY = 7
+N_FACT = 60_000
+
+
+def _hot_fact(spark):
+    # 50% of rows on one key (>= the 30% soak bar), rest uniform
+    return spark.range(N_FACT).select(
+        F.when(F.col("id") % 2 == 0, HOT_KEY)
+        .otherwise(F.pmod(F.col("id"), 1000) + 1000).alias("k"),
+        F.col("id").alias("fact_id"))
+
+
+def _dim(spark):
+    return spark.range(2200).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), "id").alias("dim_val"))
+
+
+def test_salted_join_soak_no_straggler_partition(spark):
+    """With AQE off (raw hash partitioning, nothing rescues skew at
+    runtime) the plain shuffle join concentrates the hot key's half
+    of the data in one partition; the salted rewrite spreads it to
+    within 4x of the median — same rows, no straggler."""
+    with set_confs(spark, {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "32",
+    }):
+        fact, dim = _hot_fact(spark), _dim(spark)
+        plain = fact.join(dim, "k")
+        plain_counts = _partition_rows(plain)
+        # fixture sanity: unsalted DOES concentrate >= 30% in one task
+        assert max(plain_counts) >= 0.3 * N_FACT
+        salted = salted_join(fact, dim, "k", n_salts=64)
+        assert salted.count() == plain.count()
+        ratio = _max_over_median(_partition_rows(salted))
+        assert ratio <= 4.0, f"straggler partition: max/median {ratio:.2f}"
+
+
+def _soak_docs(spark, n_docs: int = 2000, pct_boiler: float = 0.10):
+    """10% of docs are an identical boilerplate block; the rest are
+    unique 12-word texts (no cross-doc shingle collisions)."""
+    boiler = "terms of service apply to all content on this site inc"
+    n_b = int(n_docs * pct_boiler)
+    rows = [(i, boiler if i < n_b else
+             f"unique doc {i} alpha {i * 7} beta {i * 13} gamma "
+             f"{i * 31} delta {i * 57} epsilon end")
+            for i in range(n_docs)]
+    return spark.createDataFrame(rows, ["doc_id", "text"]), n_b
+
+
+def test_lsh_boilerplate_candidates_bounded(spark):
+    """The candidate blow-up on a boilerplate bucket is bounded by the
+    real duplicate group — C(n_boiler, 2) pairs, never corpus^2."""
+    docs, n_b = _soak_docs(spark)
+    pairs = lsh_candidate_pairs(docs, num_perm=16, bands=4)
+    n = pairs.count()
+    exact = n_b * (n_b - 1) // 2
+    assert exact <= n <= int(exact * 1.05), (n, exact)
+
+
+def test_lsh_hot_bucket_aqe_cannot_split_output_blowup(spark):
+    """Documents the finding that motivates the bucket cap: AQE's
+    skew-join splitting reads the join's INPUT partition bytes, and a
+    boilerplate bucket's quadratic OUTPUT blow-up comes from a tiny
+    input (200 band rows ~ 10KB) — so even with the skew thresholds
+    forced far below the hot bucket's input size, one task still
+    computes an entire C(200,2) bucket. AQE is the wrong tool here;
+    the mitigation is ``max_bucket_size`` (next test)."""
+    docs, n_b = _soak_docs(spark)
+    bh = lsh_band_hashes(docs, num_perm=16, bands=4)
+    a, b = bh.alias("a"), bh.alias("b")
+    joined = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    bucket_pairs = n_b * (n_b - 1) // 2  # one band's hot-bucket output
+    with set_confs(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }):
+        max_rows = max(_partition_rows(joined))
+    assert max_rows >= bucket_pairs, \
+        f"expected an unsplit hot bucket; max partition {max_rows}"
+
+
+def test_lsh_bucket_cap_linearizes_boilerplate(spark):
+    """``max_bucket_size`` is the guard AQE cannot be: the hot bucket
+    emits star edges (hub -> member, linear) instead of all pairs
+    (quadratic), no task computes a quadratic bucket, and the
+    connected-components clusters are IDENTICAL — a bucket is a
+    clique, and a star spans a clique's component exactly."""
+    from linz_bde_uploader_spark.operators.dedup import (
+        duplicate_clusters, lsh_candidate_pairs,
+    )
+
+    docs, n_b = _soak_docs(spark)
+    capped = lsh_candidate_pairs(docs, num_perm=16, bands=4,
+                                 max_bucket_size=16)
+    n_capped = capped.count()
+    assert n_capped == n_b - 1, (n_capped, n_b - 1)  # linear, not C(n,2)
+    # no task carries more than the star's row count
+    assert max(_partition_rows(capped)) <= n_b
+    uncapped = lsh_candidate_pairs(docs, num_perm=16, bands=4)
+    c_capped = {(r["id"], r["cluster_id"])
+                for r in duplicate_clusters(capped).collect()}
+    c_uncapped = {(r["id"], r["cluster_id"])
+                  for r in duplicate_clusters(uncapped).collect()}
+    assert c_capped == c_uncapped
+
+
+def test_simhash_collapse_linearizes_identical_fingerprints(spark):
+    """collapse_identical: the boilerplate docs' identical fingerprint
+    group emits n-1 star edges instead of C(n,2) hamming-0 pairs, and
+    the candidate graph's connected components are unchanged."""
+    from linz_bde_uploader_spark.operators.dedup import (
+        duplicate_clusters, simhash_near_pairs,
+    )
+
+    docs, n_b = _soak_docs(spark)
+    collapsed = simhash_near_pairs(docs, bits=64, bands=4, max_hamming=3,
+                                   collapse_identical=True)
+    full = simhash_near_pairs(docs, bits=64, bands=4, max_hamming=3)
+    n_collapsed, n_full = collapsed.count(), full.count()
+    # the full form pays the quadratic group; the collapsed form is
+    # linear in it (plus whatever cross-fingerprint near-pairs exist)
+    quad = n_b * (n_b - 1) // 2
+    assert n_full >= quad
+    assert n_collapsed <= n_full - quad + n_b
+    c_a = {(r["id"], r["cluster_id"]) for r in
+           duplicate_clusters(collapsed.select("id_a", "id_b")).collect()}
+    c_b = {(r["id"], r["cluster_id"]) for r in
+           duplicate_clusters(full.select("id_a", "id_b")).collect()}
+    assert c_a == c_b

@@ -197,6 +197,54 @@ def test_kmeans_fit_matches_numpy_reference(spark):
         assert np.allclose(got[c], v, atol=1e-9), c
 
 
+def test_kmeans_parallel_parity_with_spark_ml(spark):
+    """k-means|| seeding + Lloyd (init='parallel') must land within
+    25% of pyspark.ml's KMeans (cosine distance, its own k-means||
+    init) on mean cosine-distance-to-nearest-centroid, over four
+    well-separated direction blobs — the seed-quality bar for the
+    production IVF path. The deterministic min-id seeding stays as
+    the oracle path; this proves the scalable seeding is competitive
+    with the reference library implementation."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import similarity as S
+
+    rng = np.random.RandomState(0)
+    dim, per = 16, 60
+    rows = []
+    for c in range(4):
+        base = np.zeros(dim)
+        base[c * 4:(c + 1) * 4] = 1.0
+        for i in range(per):
+            v = base + 0.15 * rng.randn(dim)
+            rows.append((c * per + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    def mean_cos_dist(cent_df):
+        c = F.broadcast(cent_df.select(F.col("cv").alias("_cv")))
+        return (
+            emb.crossJoin(c)
+            .withColumn("_d", 1 - S.cosine(F.col("embedding"), F.col("_cv")))
+            .groupBy("vec_id").agg(F.min("_d").alias("d"))
+            .agg(F.avg("d")).collect()[0][0]
+        )
+
+    ours = S.kmeans_fit(emb, n_centroids=4, iters=3, init="parallel")
+    cost_ours = mean_cos_dist(ours)
+
+    feat = emb.select("vec_id", array_to_vector("embedding").alias("features"))
+    model = KMeans(k=4, seed=1, distanceMeasure="cosine", maxIter=3) \
+        .fit(feat)
+    ml_cent = spark.createDataFrame(
+        [([float(x) for x in c],) for c in model.clusterCenters()],
+        "cv ARRAY<DOUBLE>")
+    cost_ml = mean_cos_dist(ml_cent)
+    assert cost_ours <= cost_ml * 1.25 + 1e-6, (cost_ours, cost_ml)
+
+
 def test_ivf_topk_with_trained_centroids(spark):
     """ivf_topk accepts kmeans_fit output; full probe over trained
     cells is still exact (partition completeness doesn't depend on
