@@ -177,7 +177,8 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_perm: int = 16,
                         bands: int = 4, shingle_words: int = 3,
                         portable: bool = True,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        cache_index: bool = False) -> DataFrame:
     """MinHash-LSH near-dup candidates: (id_a, id_b) with id_a < id_b.
 
     Signatures are banded (num_perm/bands rows per band); docs sharing
@@ -199,9 +200,20 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     verification sees each member against the bucket's canonical doc
     rather than every sibling (the trade documented for capped
     near-dedup). ``None`` keeps the exact all-pairs semantics.
+
+    ``cache_index`` persists the (id, band, band_hash) relation: the
+    capped plan consumes it in three branches (both self-join sides +
+    the star filter) and Catalyst re-executes the signature aggregate
+    per branch otherwise. One row per (doc, band) — far smaller than
+    the corpus; callers in long-lived sessions release it via
+    ``release_caches()``.
     """
     band_hashes = lsh_band_hashes(docs, text_col, id_col, num_perm,
                                   bands, shingle_words, portable)
+    if cache_index:
+        from pyspark import StorageLevel
+        band_hashes = _track(
+            band_hashes.persist(StorageLevel.MEMORY_AND_DISK))
     if max_bucket_size is None:
         a = band_hashes.alias("a")
         b = band_hashes.alias("b")

@@ -176,6 +176,34 @@ def test_lsh_bucket_cap_linearizes_boilerplate(spark):
     assert c_capped == c_uncapped
 
 
+def test_capped_candidates_through_survivorship_pipeline(spark):
+    """The production composition: capped LSH candidates -> exact
+    Jaccard verify -> components must produce the SAME drop list as
+    the all-pairs path on the boilerplate corpus. The star's
+    member-vs-hub verification is sufficient because boilerplate
+    members are near-identical to the hub (Jaccard 1.0 here), so
+    every star edge survives verification and the clusters match."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.dedup import (
+        duplicate_clusters, lsh_candidate_pairs, verify_pairs_jaccard,
+    )
+
+    docs, _ = _soak_docs(spark)
+
+    def drop_list(pairs):
+        verified = verify_pairs_jaccard(docs, pairs, shingle_words=3,
+                                        threshold=0.5)
+        clusters = duplicate_clusters(verified.select("id_a", "id_b"))
+        return {(r["id"], r["cluster_id"]) for r in
+                clusters.filter(F.col("id") != F.col("cluster_id")).collect()}
+
+    capped = drop_list(lsh_candidate_pairs(docs, num_perm=16, bands=4,
+                                           max_bucket_size=16))
+    full = drop_list(lsh_candidate_pairs(docs, num_perm=16, bands=4))
+    assert capped == full and capped
+
+
 def test_simhash_collapse_linearizes_identical_fingerprints(spark):
     """collapse_identical: the boilerplate docs' identical fingerprint
     group emits n-1 star edges instead of C(n,2) hamming-0 pairs, and
