@@ -35,7 +35,8 @@ _ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 _DRIVER_FIRST = [
     "events_json_props", "sim_kmeans_centroids",  # red in r4, fixed
     "dataset_continuity",  # new in r5: batch twin of stream_continuity
-    "dedup_lsh_capped", "dedup_simhash_capped",  # new in r5: blow-up guards
+    # new in r5: the boilerplate blow-up guard family
+    "dedup_lsh_capped", "dedup_simhash_capped", "sim_near_pairs_capped",
     "active_jobs", "text_ngram_topk", "dedup_decontaminate",
     "docs_source_mix", "docs_chunking", "docs_length_percentiles",
     "text_repetition", "docs_stratified_sample", "events_value_winsorize",

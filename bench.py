@@ -89,6 +89,7 @@ HEADLINE = [
     # r5 additions
     "dedup_lsh_capped",
     "dedup_simhash_capped",
+    "sim_near_pairs_capped",
     "dataset_continuity",
 ]
 

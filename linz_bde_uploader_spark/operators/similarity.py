@@ -340,17 +340,42 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
 
 def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         n_planes: int = 4, dim: int = 64) -> DataFrame:
+                         n_planes: int = 4, dim: int = 64,
+                         collapse_identical: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine_sim >=
-    threshold), pruned by shared hyperplane bucket."""
+    threshold), pruned by shared hyperplane bucket.
+
+    ``collapse_identical`` completes the repo's boilerplate-guard
+    family (LSH ``max_bucket_size``, SimHash ``collapse_identical``):
+    B exact-copy embeddings — re-crawled pages, template docs — share
+    a bucket and emit B(B-1)/2 cosine-1.0 pairs through the self-join,
+    a quadratic output blow-up AQE's input-byte skew detection cannot
+    split. Collapsed mode dedups identical vectors first (one
+    representative = min id per distinct vector), scores the bucket
+    join over distinct vectors only, and emits linear star edges
+    (rep -> member, cosine 1.0) for the identical groups. Component
+    structure downstream is unchanged: an identical-vector group is a
+    clique spanned exactly by its star; cross-group near-pairs keep
+    their rep-to-rep edge."""
     c = corpus.select(F.col(id_col).alias("id"),
-                      _as_double(F.col(vec_col)).alias("v")) \
-              .withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, dim))
+                      _as_double(F.col(vec_col)).alias("v"))
+    star = None
+    if collapse_identical:
+        groups = c.groupBy("v").agg(F.min("id").alias("rep"))
+        star = (
+            c.join(groups, "v")
+            .filter(F.col("id") != F.col("rep"))
+            .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"),
+                    F.lit(1.0).alias("cosine_sim"))
+        )
+        c = groups.select(F.col("rep").alias("id"), "v")
+    c = c.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, dim))
     a, b = c.alias("a"), c.alias("b")
-    return (
+    near = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+    return near if star is None else near.unionByName(star)

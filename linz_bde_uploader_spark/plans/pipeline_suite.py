@@ -832,6 +832,47 @@ WHERE round(list_dot_product(a.v, bb.v)
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.4
 """
 
+def q_sim_near_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-pairs with identical-vector collapse on a hot
+    corpus: every 29th vector replaced by vec 0's embedding (an
+    exact-copy group, the re-crawl/template case). The group emits
+    linear star edges (rep -> member, cosine 1.0) instead of
+    B(B-1)/2 bucket-join pairs — the third member of the boilerplate
+    guard family (LSH max_bucket_size, SimHash collapse_identical)."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    v0 = F.broadcast(emb.filter(F.col("vec_id") == 0)
+                     .select(F.col("embedding").alias("_v0")))
+    corpus = emb.crossJoin(v0).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 29 == 0, F.col("_v0"))
+         .otherwise(F.col("embedding")).alias("embedding"))
+    return S.embedding_near_pairs(corpus, threshold=0.4, n_planes=4,
+                                  dim=64, collapse_identical=True)
+
+
+SQL_SIM_NEAR_PAIRS_CAPPED = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id,
+             CASE WHEN vec_id % 29 = 0
+                  THEN (SELECT v FROM e0 WHERE vec_id = 0) ELSE v END AS v
+      FROM e0),
+groups AS (SELECT v, MIN(vec_id) AS rep FROM e GROUP BY v),
+star AS (
+  SELECT g.rep AS id_a, x.vec_id AS id_b, CAST(1.0 AS DOUBLE) AS cosine_sim
+  FROM e x JOIN groups g ON x.v = g.v WHERE x.vec_id <> g.rep),
+reps AS (SELECT rep AS vec_id, v FROM groups),
+b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM reps)
+SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+       round(list_dot_product(a.v, bb.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) AS cosine_sim
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE round(list_dot_product(a.v, bb.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.4
+UNION ALL
+SELECT id_a, id_b, cosine_sim FROM star
+"""
+
+
 def q_emb_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dedup drop list: hyperplane-bucketed
     near pairs -> connected components -> (vec_id, cluster_id) for
@@ -2088,6 +2129,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "emb_near_dedup": (q_emb_near_dedup, SQL_EMB_NEAR_DEDUP),
     "text_paragraph_dedup": (q_text_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
+    "sim_near_pairs_capped": (q_sim_near_pairs_capped, SQL_SIM_NEAR_PAIRS_CAPPED),
     "pipeline_prep": (q_pipeline_prep, SQL_PIPELINE_PREP),
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
     "events_window_agg": (q_events_window_agg, SQL_WINDOW_AGG),

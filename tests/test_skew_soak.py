@@ -176,6 +176,39 @@ def test_lsh_bucket_cap_linearizes_boilerplate(spark):
     assert c_capped == c_uncapped
 
 
+def test_embedding_collapse_linearizes_identical_vectors(spark):
+    """collapse_identical on embedding_near_pairs: an exact-copy
+    vector group (10% of the corpus) emits n-1 star edges at cosine
+    1.0 instead of C(n,2) bucket-join pairs; components unchanged."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.dedup import duplicate_clusters
+    from linz_bde_uploader_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    shared = [float(x) for x in rng.randn(64)]
+    rows = [(i, shared if i % 10 == 0 else
+             [float(x) for x in rng.randn(64)]) for i in range(500)]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    n_b = 50
+    collapsed = embedding_near_pairs(emb, threshold=0.4,
+                                     collapse_identical=True)
+    full = embedding_near_pairs(emb, threshold=0.4)
+    n_c, n_f = collapsed.count(), full.count()
+    quad = n_b * (n_b - 1) // 2
+    assert n_f >= quad
+    assert n_c <= n_f - quad + n_b
+    assert collapsed.filter(F.col("cosine_sim") == 1.0).count() >= n_b - 1
+    c_a = {(r["id"], r["cluster_id"]) for r in
+           duplicate_clusters(collapsed.select("id_a", "id_b")).collect()}
+    c_b = {(r["id"], r["cluster_id"]) for r in
+           duplicate_clusters(full.select("id_a", "id_b")).collect()}
+    assert c_a == c_b
+
+
 def test_capped_candidates_through_survivorship_pipeline(spark):
     """The production composition: capped LSH candidates -> exact
     Jaccard verify -> components must produce the SAME drop list as
