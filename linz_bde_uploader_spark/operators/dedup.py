@@ -288,7 +288,8 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 64,
                        bands: int = 4, max_hamming: int = 3,
                        portable: bool = True,
-                       collapse_identical: bool = False) -> DataFrame:
+                       collapse_identical: bool = False,
+                       cache_fp: bool = False) -> DataFrame:
     """Hamming-near SimHash pairs via banded buckets: split the
     fingerprint into ``bands`` segments; any pair within
     ``max_hamming < bands`` distance must agree on >=1 full segment
@@ -308,9 +309,18 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     candidate graph's connected components are unchanged: an
     identical-fingerprint group is a clique spanned exactly by its
     star, and any cross-group near-pair is represented by its
-    rep-to-rep edge."""
+    rep-to-rep edge.
+
+    ``cache_fp`` persists the (id, simhash) relation: collapsed mode
+    consumes it in the group aggregate AND the star join, and the
+    64-column vote aggregate behind it is the plan's most expensive
+    stage — without the persist Catalyst executes it once per branch.
+    One 16-byte row per doc; released via ``release_caches()``."""
     seg_bits = bits // bands
     sh = simhash(docs, text_col, id_col, bits, portable=portable)
+    if cache_fp:
+        from pyspark import StorageLevel
+        sh = _track(sh.persist(StorageLevel.MEMORY_AND_DISK))
     star = None
     if collapse_identical:
         groups = sh.groupBy("simhash").agg(F.min("id").alias("rep"))

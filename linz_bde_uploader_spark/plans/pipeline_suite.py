@@ -1243,7 +1243,7 @@ def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.when(F.col("doc_id") % 37 == 0, F.lit(_BOILER))
                  .otherwise(F.col("text"))))
     pairs = D.simhash_near_pairs(corpus, bits=64, bands=4, max_hamming=3,
-                                 collapse_identical=True)
+                                 collapse_identical=True, cache_fp=True)
     return pairs.select("id_a", "id_b",
                         F.col("hamming").cast("bigint").alias("hamming"))
 

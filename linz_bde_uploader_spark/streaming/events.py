@@ -371,16 +371,25 @@ def stream_lsh_dedup(docs: DataFrame, index_path: str, out_path: str,
     means probable near-dup (no verify step — the offline verified
     pipeline, ``dedup_near_survivors``, is the exact backstop).
     Replays are IDEMPOTENT: each batch writes its survivors and index
-    rows into a ``batch=<id>`` subdirectory with ``overwrite``, so a
-    crash between the two writes (or a foreachBatch redelivery) just
-    rewrites the same subdirectories — no at-least-once duplicates in
-    the output corpus, and no duplicated index keys. Readers see the
-    whole corpus/index via normal parquet partition discovery over
-    the root path. This is the near-dup analog of ``stream_dedup``'s
+    rows into a ``batch=<querytag>x<id>`` subdirectory with
+    ``overwrite``, so a crash between the two writes (or a
+    foreachBatch redelivery) just rewrites the same subdirectories —
+    no at-least-once duplicates in the output corpus, and no
+    duplicated index keys. The ``querytag`` (hash of the checkpoint
+    path) is load-bearing: batch ids are PER-CHECKPOINT, so without
+    it a fresh query writing into an existing index would restart at
+    batch 0 and silently overwrite another query's history. Readers
+    see the whole corpus/index via normal parquet partition discovery
+    over the root path; ``compact_lsh_index`` bounds the directory
+    count. This is the near-dup analog of ``stream_dedup``'s
     one-sided exact guarantee.
 
     Returns the started StreamingQuery (caller awaits/stops)."""
+    import hashlib
+
     from linz_bde_uploader_spark.operators.dedup import lsh_band_hashes
+
+    qtag = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
 
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -409,10 +418,10 @@ def stream_lsh_dedup(docs: DataFrame, index_path: str, out_path: str,
             .withColumnRenamed("id", id_col)
         kept = batch.join(drop, id_col, "left_anti")
         kept.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={batch_id}"))
+            os.path.join(out_path, f"batch={qtag}x{batch_id}"))
         bh.join(drop.withColumnRenamed(id_col, "id"), "id", "left_anti") \
           .write.mode("overwrite").parquet(
-              os.path.join(index_path, f"batch={batch_id}"))
+              os.path.join(index_path, f"batch={qtag}x{batch_id}"))
 
     return (
         docs.writeStream.foreachBatch(dedup_batch)
@@ -420,6 +429,54 @@ def stream_lsh_dedup(docs: DataFrame, index_path: str, out_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_lsh_index(spark: SparkSession, index_path: str,
+                      keep_last: int = 1) -> int:
+    """Small-files maintenance for the ``stream_lsh_dedup`` index: the
+    idempotent per-batch layout accretes one ``batch=<n>`` directory
+    per trigger, and an always-on stream means listing thousands of
+    footers per history probe. Consolidate every batch directory
+    except the ``keep_last`` most recent PER QUERY TAG into one
+    distinct-rows directory named ``batch=c<generation>``.
+
+    Replay safety: Structured Streaming only redelivers batches not
+    yet committed to the checkpoint — at most the most recent one per
+    query — so with ``keep_last >= 1`` a replayed overwrite can never
+    target a compacted directory, and the consolidated directory's
+    name (prefix ``c``) is outside the ``<tag>x<n>`` namespace. Prior
+    consolidated dirs are folded in every time, so repeated
+    compaction converges to one consolidated dir instead of
+    accreting them. Dedup semantics are unchanged: the probe reads
+    (band, band_hash) rows regardless of file layout. Returns the
+    number of source directories compacted."""
+    import re
+    import shutil
+
+    tdir = index_path
+    entries = sorted(os.listdir(tdir))
+    tagged: dict[str, list[tuple[int, str]]] = {}
+    for e in entries:
+        if m := re.fullmatch(r"batch=(\w{8})x(\d+)", e):
+            tagged.setdefault(m.group(1), []).append((int(m.group(2)), e))
+    compacted = [(int(m.group(1)), e) for e in entries
+                 if (m := re.fullmatch(r"batch=c(\d+)", e))]
+    victims = []
+    for runs in tagged.values():
+        runs.sort()
+        victims += [e for _, e in (runs[:-keep_last] if keep_last else runs)]
+    if not victims and len(compacted) <= 1:
+        return 0  # nothing to consolidate
+    victims += [e for _, e in compacted]
+    gen = (max((n for n, _ in compacted), default=0)) + 1
+    paths = [os.path.join(tdir, e) for e in victims]
+    merged = spark.read.parquet(*paths).distinct()
+    tmp_out = os.path.join(tdir, f"_compact_c{gen}")
+    merged.write.mode("overwrite").parquet(tmp_out)
+    for p in paths:
+        shutil.rmtree(p)
+    os.replace(tmp_out, os.path.join(tdir, f"batch=c{gen}"))
+    return len(victims)
 
 
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str,

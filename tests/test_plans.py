@@ -293,3 +293,21 @@ def test_paragraph_dedup_no_segment_window(spark, allq):
     plan = _simple(allq["text_paragraph_dedup"][0](spark, SF_DIR))
     assert "windowspecdefinition(para" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_capped_guard_family_plans_stay_bucketed(spark, allq):
+    """The three boilerplate-guard queries must keep their join
+    bucketed: no cartesian/nested-loop fallback, and the star branch
+    must not introduce a window over the bucket key (which would
+    re-concentrate the hot bucket in one task)."""
+    for name in ("dedup_lsh_capped", "dedup_simhash_capped",
+                 "sim_near_pairs_capped"):
+        plan = _simple(allq[name][0](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "windowspecdefinition(band" not in plan, name
+        assert "windowspecdefinition(bucket" not in plan, name
+    # sim_near_pairs_capped's one BroadcastNestedLoopJoin is the
+    # deliberate 1-row v0 crossJoin in the fixture corpus, not the
+    # pair join — the pair join itself must be a hash/merge join
+    plan = _simple(allq["dedup_lsh_capped"][0](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -510,3 +510,57 @@ def test_stream_lsh_dedup_incremental_index(spark, tmp_path):
     assert 900000 not in kept2  # all-band collision with history
     assert 900001 in kept2      # novel doc survives
     assert spark.read.parquet(idx).count() == n_idx1 + 4
+
+
+def test_compact_lsh_index_preserves_dedup(spark, tmp_path):
+    """Index compaction folds the per-batch directories into one
+    consolidated dir: fewer directories, identical (band, band_hash)
+    probe behavior — a near-dup of pre-compaction history is still
+    dropped afterward, and repeated compaction converges instead of
+    accreting consolidated dirs."""
+    import os
+
+    import linz_bde_uploader_spark.streaming.events as STR
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    # two separate runs -> at least two batch=N dirs in the index
+    for lo, hi, ck in ((0, 10, "ck1"), (10, 20, "ck2")):
+        batch = base.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        batch.coalesce(1).write.mode("append").parquet(src)
+        q = STR.stream_lsh_dedup(
+            spark.readStream.schema(batch.schema).parquet(src), idx, out,
+            str(tmp_path / ck))
+        q.awaitTermination()
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    dirs_before = sorted(os.listdir(idx))
+    # two distinct checkpoints -> two query tags, no overwrite of the
+    # first run's history by the second run's batch 0
+    assert len([d for d in dirs_before if d.startswith("batch=")]) >= 2
+    rows_before = spark.read.parquet(idx).select(
+        "band", "band_hash").distinct().count()
+
+    # both runs are complete -> no replay risk -> keep_last=0
+    n = STR.compact_lsh_index(spark, idx, keep_last=0)
+    assert n >= 2
+    dirs_after = [d for d in os.listdir(idx) if d.startswith("batch=")]
+    assert dirs_after == ["batch=c1"]
+    assert spark.read.parquet(idx).select(
+        "band", "band_hash").distinct().count() == rows_before
+    # idempotent: nothing left to fold
+    assert STR.compact_lsh_index(spark, idx, keep_last=0) == 0
+
+    # a near-dup of pre-compaction history is still dropped
+    dup_src = min(kept)
+    b3 = (base.filter(F.col("doc_id") == dup_src)
+          .withColumn("doc_id", F.lit(900100).cast("long")))
+    b3.coalesce(1).write.mode("append").parquet(src)
+    q = STR.stream_lsh_dedup(
+        spark.readStream.schema(b3.schema).parquet(src), idx, out,
+        str(tmp_path / "ck3"))
+    q.awaitTermination()
+    kept3 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 900100 not in kept3
