@@ -90,10 +90,19 @@ def prepare_training_corpus(docs: DataFrame, benchmark: DataFrame,
     scored = docs.withColumn("quality", quality_score(F.col(text_col)))
     kept = scored.filter(F.col("quality") >= min_quality)
 
-    # 2. exact-dedup survivorship: keep the lowest id per identical text
-    w = Window.partitionBy(text_col).orderBy(id_col)
-    kept = (kept.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    # 2. exact-dedup survivorship: keep the lowest id per identical
+    # text. Aggregate-min on the content digest + join back — NOT a
+    # window over the text: min() collapses a boilerplate group
+    # map-side before the exchange, and the shuffle key is a 16-byte
+    # digest instead of the full document (same reasoning as
+    # paragraph_dedup; a window would buffer every copy of a hot
+    # text in one straggler task).
+    h = F.md5(F.col(text_col))
+    firsts = (kept.select(h.alias("_h"), F.col(id_col).alias("_mid"))
+              .groupBy("_h").agg(F.min("_mid").alias("_keep")))
+    kept = (kept.withColumn("_h", h).join(firsts, "_h")
+            .filter(F.col(id_col) == F.col("_keep"))
+            .drop("_h", "_keep"))
 
     # 3. decontamination: drop docs sharing any n-gram with the benchmark
     bench_sh = D._shingle_hashes(

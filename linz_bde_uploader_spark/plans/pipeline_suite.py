@@ -1576,17 +1576,25 @@ FROM c
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The apply side of exact dedup: keep the lowest doc_id of each
-    identical-text group, report kept/dropped per language. One
-    window over the text key (same shuffle the dedup_exact grouping
-    takes) and a tiny aggregate — this is the materialization step
-    that turns duplicate *detection* into a deduplicated corpus."""
+    identical-text group, report kept/dropped per language. The
+    first-occurrence pick is an aggregate min over the content digest
+    plus a join back — NOT a window over the text key: the aggregate
+    collapses a hot boilerplate group map-side and the exchange
+    carries 16-byte digests, where a window would buffer every copy
+    of a repeated text in one straggler task and shuffle whole
+    documents as the sort key (same reasoning as paragraph_dedup)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
-    r = docs.select("lang", F.row_number().over(w).alias("rn"))
+    firsts = (docs.select(F.md5("text").alias("_h"),
+                          F.col("doc_id").alias("_mid"))
+              .groupBy("_h").agg(F.min("_mid").alias("_keep")))
+    r = (docs.select("lang", "doc_id", F.md5("text").alias("_h"))
+         .join(firsts, "_h"))
     return (
         r.groupBy("lang")
-        .agg(F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
-             F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"))
+        .agg(F.count(F.when(F.col("doc_id") == F.col("_keep"), 1))
+             .alias("n_kept"),
+             F.count(F.when(F.col("doc_id") != F.col("_keep"), 1))
+             .alias("n_dropped"))
     )
 
 

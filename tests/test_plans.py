@@ -311,3 +311,13 @@ def test_capped_guard_family_plans_stay_bucketed(spark, allq):
     # pair join — the pair join itself must be a hash/merge join
     plan = _simple(allq["dedup_lsh_capped"][0](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_survivorship_no_text_window(spark, allq):
+    """First-occurrence selection for exact dedup must be the
+    digest-aggregate + join form: a window partitioned by the text
+    would buffer every copy of a hot boilerplate text in one task
+    and shuffle whole documents as the sort key."""
+    plan = _simple(allq["dedup_survivors"][0](spark, SF_DIR))
+    assert "windowspecdefinition(text" not in plan
+    assert "md5" in plan
