@@ -993,18 +993,24 @@ def q_docs_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 quality documents per language (ranking window over the
-    scored corpus — the per-group top-k pattern)."""
+    """Top-3 quality documents per language. Uses the two-phase
+    grouped_topk, not a single window over ``lang``: languages are a
+    handful of groups, so a one-window plan funnels the ENTIRE corpus
+    through ~5 tasks at 100 TB. Phase 1 ranks within (lang, salt) in
+    parallel; phase 2 ranks the bounded survivors. Same rows as the
+    one-window form (exactness proven in operators/topk.py and
+    asserted by test_suite)."""
+    from linz_bde_uploader_spark.functions.hashing import hash32
+    from linz_bde_uploader_spark.operators.topk import grouped_topk
+
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select("doc_id", "lang",
                          F.round(quality_expr(), 6).alias("quality"))
-    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
+    return grouped_topk(
+        scored, ["lang"], [F.col("quality").desc(), F.col("doc_id")], 3,
+        hash32(F.col("doc_id").cast("string"))) \
         .select("lang", F.col("rank").cast("bigint").alias("rank"),
                 "doc_id", "quality")
-    )
 
 
 def quality_expr():
@@ -1743,11 +1749,16 @@ def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ngram"))
     )
     counts = ngrams.groupBy("lang", "ngram").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("ngram"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 5)
-            .select("lang", F.col("rank").cast("bigint").alias("rank"),
-                    "ngram", "n"))
+    # two-phase top-k: a single window over `lang` would rank every
+    # distinct ngram of a language (vocabulary-sized) in one task
+    from linz_bde_uploader_spark.functions.hashing import hash32
+    from linz_bde_uploader_spark.operators.topk import grouped_topk
+
+    return grouped_topk(
+        counts, ["lang"], [F.desc("n"), F.asc("ngram")], 5,
+        hash32(F.col("ngram"))) \
+        .select("lang", F.col("rank").cast("bigint").alias("rank"),
+                "ngram", "n")
 
 
 SQL_NGRAM_TOPK = """

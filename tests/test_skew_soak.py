@@ -260,3 +260,31 @@ def test_simhash_collapse_linearizes_identical_fingerprints(spark):
     c_b = {(r["id"], r["cluster_id"]) for r in
            duplicate_clusters(full.select("id_a", "id_b")).collect()}
     assert c_a == c_b
+
+
+def test_grouped_topk_equals_single_window(spark):
+    """Two-phase grouped_topk returns exactly the rows of the
+    one-window form on a skewed fixture (one group holding 90% of
+    rows, duplicate order values broken by the unique id), for
+    several k and salt counts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.functions.hashing import hash32
+    from linz_bde_uploader_spark.operators.topk import grouped_topk
+
+    rows = [(i, "hot" if i % 10 else f"g{i % 7}", (i * 37) % 50)
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, ["id", "grp", "score"])
+    order = [F.col("score").desc(), F.col("id")]
+    w = Window.partitionBy("grp").orderBy(*order)
+    for k in (1, 5, 40):
+        for n_salts in (2, 32):
+            got = {tuple(r) for r in grouped_topk(
+                df, ["grp"], order, k, hash32(F.col("id").cast("string")),
+                n_salts=n_salts).select("grp", "rank", "id").collect()}
+            want = {tuple(r) for r in
+                    df.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k)
+                    .select("grp", "rank", "id").collect()}
+            assert got == want, (k, n_salts)
