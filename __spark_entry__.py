@@ -35,8 +35,9 @@ _ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 _DRIVER_FIRST = [
     "events_json_props", "sim_kmeans_centroids",  # red in r4, fixed
     "dataset_continuity",  # new in r5: batch twin of stream_continuity
-    # new in r5: the boilerplate blow-up guard family
+    # new in r5: the boilerplate blow-up guard family + budget sampler
     "dedup_lsh_capped", "dedup_simhash_capped", "sim_near_pairs_capped",
+    "docs_budget_sample",
     "active_jobs", "text_ngram_topk", "dedup_decontaminate",
     "docs_source_mix", "docs_chunking", "docs_length_percentiles",
     "text_repetition", "docs_stratified_sample", "events_value_winsorize",
@@ -50,7 +51,7 @@ _DRIVER_FIRST = [
     "docs_pack_sequences", "text_char_entropy", "docs_source_rebalance",
     "emb_outliers", "text_token_stats", "text_term_freq", "text_tfidf",
     "text_bpe_tokens", "docs_hash_sample", "docs_length_histogram",
-    "text_quality", "text_lang_id", "text_fingerprint", "sim_cosine_topk",
+    "text_quality", "text_lang_id", "text_fingerprint",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_simhash_capped",
     "sim_near_pairs_capped",
     "dataset_continuity",
+    "docs_budget_sample",
 ]
 
 

@@ -1912,6 +1912,66 @@ FROM per, tot
 """
 
 
+def q_docs_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the rebalance weights: deterministic mixture-controlled
+    sampling toward a uniform per-source token budget. Each source's
+    keep rate is min(1, sample_weight) — over-represented sources are
+    downsampled, under-represented ones kept whole (upsampling is an
+    epoch/repetition concern, not a keep/drop sampler's) — and a doc
+    survives iff its portable id-hash falls under the rate, so the
+    sample is reproducible run-to-run and engine-identical (the same
+    hash-threshold trick as docs_hash_sample, with per-source rates).
+    One corpus pass + a broadcast of the tiny rate table; output is
+    the per-source realized sample (docs kept, tokens kept, rate)."""
+    from linz_bde_uploader_spark.functions.hashing import hash32
+
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("nt"))
+    per = toks.groupBy("source").agg(F.sum("nt").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"),
+                  F.count("*").alias("n_sources"))
+    share = (F.col("n_tokens").cast("double")
+             / F.col("total_tokens").cast("double"))
+    target = F.lit(1.0) / F.col("n_sources").cast("double")
+    rates = (per.join(F.broadcast(tot))
+             .select("source",
+                     F.least(F.lit(1.0), target / share).alias("rate")))
+    u = (F.pmod(hash32(F.col("doc_id").cast("string")), F.lit(1_000_000))
+         / F.lit(1_000_000.0))
+    kept = (toks.join(F.broadcast(rates), "source")
+            .filter(u < F.col("rate")))
+    return (kept.groupBy("source", "rate")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("nt").cast("bigint").alias("kept_tokens")))
+
+
+SQL_BUDGET_SAMPLE = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS nt
+  FROM documents),
+per AS (SELECT source, SUM(nt) AS n_tokens FROM t GROUP BY source),
+tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per),
+rates AS (
+  SELECT source,
+         least(CAST(1 AS DOUBLE),
+               (CAST(1 AS DOUBLE) / CAST(n_sources AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)))
+           AS rate
+  FROM per, tot),
+kept AS (
+  SELECT t.source, r.rate, t.nt
+  FROM t JOIN rates r ON t.source = r.source
+  WHERE ({sql_hash32("CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0
+        < r.rate)
+SELECT source, rate, COUNT(*) AS n_kept,
+       CAST(SUM(nt) AS BIGINT) AS kept_tokens
+FROM kept GROUP BY source, rate
+"""
+
+
 def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding outlier scan: distance of every vector to the global
     centroid, flagging those beyond mean + 2*stddev — the cheap
@@ -2131,6 +2191,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "docs_pack_sequences": (q_docs_pack_sequences, SQL_PACK_SEQUENCES),
     "text_char_entropy": (q_text_char_entropy, SQL_CHAR_ENTROPY),
     "docs_source_rebalance": (q_docs_source_rebalance, SQL_SOURCE_REBALANCE),
+    "docs_budget_sample": (q_docs_budget_sample, SQL_BUDGET_SAMPLE),
     "emb_outliers": (q_emb_outliers, SQL_EMB_OUTLIERS),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),
     "text_term_freq": (q_text_term_freq, SQL_TERM_FREQ),
