@@ -821,12 +821,18 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: extract an integer field from
     the JSON props payload and aggregate it per event type. The JSON
     path runs JVM-side (get_json_object), so the scan stays in
-    whole-stage codegen; the average divides exact integer sums as
-    doubles, rounded to 6 dp on both engines so the driver hashes the
-    identical float (this was r4's red row: the one unrounded double
-    in the suite). Extraction is cast-tolerant — a non-integer payload
-    nulls out instead of erroring, on both sides (Spark cast already
-    null-on-failure; the oracle uses TRY_CAST)."""
+    whole-stage codegen. The average is published as integer
+    micro-units (``avg_k_micro = (sum_k * 1000000) DIV n_k``) rather
+    than a rounded double: two rounds of driver snapshots proved that
+    ``round(DOUBLE, 6)`` is not bit-identical across engine builds
+    (Spark routes through BigDecimal HALF_UP; DuckDB divides in
+    binary), while truncating integer division is. k is non-negative
+    in this domain, so Spark's ``DIV`` (toward zero) and DuckDB's
+    ``//`` (also toward zero for integers) agree exactly, and
+    ``sum_k * 1e6`` stays far below the BIGINT range. Extraction is
+    cast-tolerant — a non-integer payload nulls out instead of
+    erroring, on both sides (Spark cast already null-on-failure; the
+    oracle uses TRY_CAST)."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.get_json_object("props", "$.k").cast("bigint").alias("k"))
@@ -835,16 +841,16 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("k").alias("n_k"),
              F.sum("k").alias("sum_k"),
              F.min("k").alias("min_k"),
-             F.max("k").alias("max_k"),
-             F.round(F.sum("k").cast("double") / F.count("k"), 6)
-             .alias("avg_k"))
+             F.max("k").alias("max_k"))
+        .withColumn("avg_k_micro",
+                    F.expr("CAST((sum_k * 1000000) DIV n_k AS BIGINT)"))
     )
 
 
 SQL_EVENTS_JSON = """
 SELECT event_type,
        COUNT(k) AS n_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
-       round(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
+       CAST((SUM(k) * 1000000) // COUNT(k) AS BIGINT) AS avg_k_micro
 FROM (SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events)
 GROUP BY event_type
 """

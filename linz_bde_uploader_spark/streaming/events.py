@@ -375,7 +375,15 @@ def stream_lsh_dedup(docs: DataFrame, index_path: str, out_path: str,
     ``overwrite``, so a crash between the two writes (or a
     foreachBatch redelivery) just rewrites the same subdirectories —
     no at-least-once duplicates in the output corpus, and no
-    duplicated index keys. The ``querytag`` (hash of the checkpoint
+    duplicated index keys. The history probe lists the index's
+    ``batch=*`` directories explicitly and EXCLUDES the current
+    batch's own — on a redelivery after both writes already succeeded
+    (crash before the checkpoint commit), a whole-root read would
+    match every survivor of the batch against its own just-written
+    index rows, classify the entire batch as historical dups, and the
+    ``overwrite`` would replace the previously written survivors with
+    an empty set; excluding the self directory makes the replay
+    recompute exactly the original kept set. The ``querytag`` (hash of the checkpoint
     path) is load-bearing: batch ids are PER-CHECKPOINT, so without
     it a fresh query writing into an existing index would restart at
     batch 0 and silently overwrite another query's history. Readers
@@ -401,12 +409,24 @@ def stream_lsh_dedup(docs: DataFrame, index_path: str, out_path: str,
         # near-duplicates with no signal; real read errors propagate
         jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        self_dir = f"batch={qtag}x{batch_id}"
+        hist_dirs = []
         if fs.exists(jpath):
-            idx = spark.read.parquet(index_path) \
+            # list batch=* dirs and read all EXCEPT this batch's own:
+            # on replay the self directory already holds this batch's
+            # index rows and must not be probed against itself
+            hist_dirs = [
+                st.getPath().toString()
+                for st in fs.listStatus(jpath)
+                if st.isDirectory()
+                and st.getPath().getName().startswith("batch=")
+                and st.getPath().getName() != self_dir]
+        if hist_dirs:
+            idx = spark.read.parquet(*hist_dirs) \
                 .select("band", "band_hash").distinct()
             hist_hits = bh.join(idx, ["band", "band_hash"]) \
                           .select("id").distinct()
-        else:  # first batch: no index yet
+        else:  # first batch: no history yet
             hist_hits = bh.select("id").limit(0)
         keep_first = bh.groupBy("band", "band_hash") \
                        .agg(F.min("id").alias("keep_id"))
@@ -448,13 +468,24 @@ def compact_lsh_index(spark: SparkSession, index_path: str,
     consolidated dirs are folded in every time, so repeated
     compaction converges to one consolidated dir instead of
     accreting them. Dedup semantics are unchanged: the probe reads
-    (band, band_hash) rows regardless of file layout. Returns the
-    number of source directories compacted."""
+    (band, band_hash) rows regardless of file layout. Concurrency:
+    the consolidated directory becomes VISIBLE (rename to
+    ``batch=c<gen>``) before any victim is deleted, so a stream's
+    probe running concurrently always sees a superset of the history
+    — a transient duplicate row is harmless (the probe does
+    ``distinct``), whereas the reverse order would open a window
+    where compacted history is missing and near-duplicates slip
+    through. All file ops go through the Hadoop FS API, matching the
+    probe, so non-local index paths work. Returns the number of
+    source directories compacted."""
     import re
-    import shutil
 
-    tdir = index_path
-    entries = sorted(os.listdir(tdir))
+    jroot = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    entries = sorted(
+        st.getPath().getName() for st in fs.listStatus(jroot)
+        if st.isDirectory())
     tagged: dict[str, list[tuple[int, str]]] = {}
     for e in entries:
         if m := re.fullmatch(r"batch=(\w{8})x(\d+)", e):
@@ -469,13 +500,17 @@ def compact_lsh_index(spark: SparkSession, index_path: str,
         return 0  # nothing to consolidate
     victims += [e for _, e in compacted]
     gen = (max((n for n, _ in compacted), default=0)) + 1
-    paths = [os.path.join(tdir, e) for e in victims]
+    paths = [os.path.join(index_path, e) for e in victims]
     merged = spark.read.parquet(*paths).distinct()
-    tmp_out = os.path.join(tdir, f"_compact_c{gen}")
+    # underscore prefix keeps the in-progress dir invisible to Spark's
+    # partition discovery until the rename publishes it
+    tmp_out = os.path.join(index_path, f"_compact_c{gen}")
     merged.write.mode("overwrite").parquet(tmp_out)
-    for p in paths:
-        shutil.rmtree(p)
-    os.replace(tmp_out, os.path.join(tdir, f"batch=c{gen}"))
+    if not fs.rename(jp(tmp_out), jp(os.path.join(index_path,
+                                                  f"batch=c{gen}"))):
+        raise IOError(f"compact rename failed: {tmp_out}")
+    for p in paths:  # only after the consolidated dir is visible
+        fs.delete(jp(p), True)
     return len(victims)
 
 

@@ -23,6 +23,7 @@ projection must round/canonicalize on BOTH sides.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 
@@ -66,6 +67,35 @@ def norm_value(v):
     return str(v)
 
 
+def value_diff(srows, scols, drows, dcols, max_diffs=5):
+    """Forensics for a hash mismatch: align both result sets on their
+    sorted normalized-row order and report the first ``max_diffs``
+    differing cells as (row_index, column, spark_repr, duck_repr).
+    Names the exact diverging byte so a driver-red row that is locally
+    green can still be diagnosed from the sidecar instead of guessed
+    at (rounds 4 and 5 each burned a round on such a guess)."""
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    cols = [scols[i] for i in sorder]
+    snorm = sorted([norm_value(r[i]) for i in sorder] for r in srows)
+    dnorm = sorted([norm_value(r[i]) for i in dorder] for r in drows)
+    diffs = []
+    for ri, (sr, dr) in enumerate(zip(snorm, dnorm)):
+        for ci, col in enumerate(cols):
+            if sr[ci] != dr[ci]:
+                diffs.append({"row": ri, "column": col,
+                              "spark": sr[ci][:200], "duck": dr[ci][:200]})
+                if len(diffs) >= max_diffs:
+                    return diffs
+        if diffs and len(diffs) >= max_diffs:
+            break
+    if len(snorm) != len(dnorm):
+        diffs.append({"row": min(len(snorm), len(dnorm)), "column": "*",
+                      "spark": f"<{len(snorm)} rows>",
+                      "duck": f"<{len(dnorm)} rows>"})
+    return diffs
+
+
 def table_hash(rows, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     lines = sorted(
@@ -97,6 +127,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    diff_sidecar = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -130,22 +161,23 @@ def main():
             sh, dh = table_hash(srows, scols), table_hash(drows, dcols)
             if sh != dh:
                 problems.append("value hash mismatch")
-                sset = set("\x1f".join(norm_value(r[i]) for i in
-                                       sorted(range(len(scols)), key=lambda i: scols[i]))
-                           for r in srows)
-                dset = set("\x1f".join(norm_value(r[i]) for i in
-                                       sorted(range(len(dcols)), key=lambda i: dcols[i]))
-                           for r in drows)
-                for x in list(sset - dset)[:2]:
-                    print(f"        spark-only: {x[:160]}")
-                for x in list(dset - sset)[:2]:
-                    print(f"        duck-only:  {x[:160]}")
+                diffs = value_diff(srows, scols, drows, dcols)
+                diff_sidecar[name] = diffs
+                for d in diffs:
+                    print(f"        row {d['row']} col {d['column']}: "
+                          f"spark={d['spark'][:80]!r} "
+                          f"duck={d['duck'][:80]!r}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"OK    {name}: {len(srows)} rows")
     print()
+    if diff_sidecar:
+        sidecar = os.path.join(_ROOT, "ORACLE_DIFFS.json")
+        with open(sidecar, "w") as f:
+            json.dump(diff_sidecar, f, indent=2, sort_keys=True)
+        print(f"value diffs written to {sidecar}")
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         sys.exit(1)

@@ -512,6 +512,49 @@ def test_stream_lsh_dedup_incremental_index(spark, tmp_path):
     assert spark.read.parquet(idx).count() == n_idx1 + 4
 
 
+def test_stream_lsh_dedup_replay_idempotent(spark, tmp_path):
+    """foreachBatch redelivery after BOTH writes succeeded (crash
+    before the checkpoint commit): the replayed batch must not probe
+    its own just-written index rows. Pre-fix, the whole-root index
+    read matched every survivor against itself, classified the entire
+    batch as historical dups, and mode('overwrite') replaced the
+    previously written survivors with an empty set. Simulated by
+    deleting the checkpoint's commit marker so Structured Streaming
+    redelivers batch 0 with the same batch_id into the same
+    directories."""
+    import os
+
+    import linz_bde_uploader_spark.streaming.events as STR
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    batch1 = base.filter(F.col("doc_id") < 20)
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    q = STR.stream_lsh_dedup(
+        spark.readStream.schema(batch1.schema).parquet(src), idx, out, ckpt)
+    q.awaitTermination()
+    kept1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    n_idx1 = spark.read.parquet(idx).count()
+    assert kept1
+
+    # crash window: both parquet writes landed, commit marker did not
+    # (drop the local-FS checksum twin too or the replay's commit
+    # rename trips over the stale .crc)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q = STR.stream_lsh_dedup(
+        spark.readStream.schema(batch1.schema).parquet(src), idx, out, ckpt)
+    q.awaitTermination()
+    # replay recomputed the identical kept set — not an empty overwrite
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == kept1
+    assert spark.read.parquet(idx).count() == n_idx1
+
+
 def test_compact_lsh_index_preserves_dedup(spark, tmp_path):
     """Index compaction folds the per-batch directories into one
     consolidated dir: fewer directories, identical (band, band_hash)
