@@ -25,33 +25,39 @@ from linz_bde_uploader_spark.plans.pipeline_suite import PIPELINE_QUERIES
 _ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 
 # The driver's correctness gate snapshots ~50 queries per round in dict
-# order. Round-5 rotation: lead with the two r4 reds (float
-# canonicalization fixed this round), the new hash-checked
-# dataset_continuity, then the 44 entries the r4 snapshot rotated out
-# (green in r1-r3 but not recently driver-checked) — so every entry
-# lands a driver-green row in two consecutive snapshots across r4+r5.
-# The r4-green remainder keeps local coverage via check_oracle /
-# check_determinism (both run strict --exact this round).
+# order. Round-6 rotation — finish the two-consecutive-green promise:
+# lead with events_json_props (the one never-green row, now published
+# as integer micro-units), then the entries whose only green so far is
+# r5's snapshot (the capped-guard family, budget sampler, kmeans,
+# continuity twin, active_jobs), the r1-only sim_cosine_topk, the 26
+# analytics entries last checked in r4, and the r4-only pipeline
+# windows/similarity entries. The tail tops up a handful of engine
+# rows. Everything else already has >=2 driver-green snapshots and
+# keeps local coverage via check_oracle --exact.
 _DRIVER_FIRST = [
-    "events_json_props", "sim_kmeans_centroids",  # red in r4, fixed
-    "dataset_continuity",  # new in r5: batch twin of stream_continuity
-    # new in r5: the boilerplate blow-up guard family + budget sampler
-    "dedup_lsh_capped", "dedup_simhash_capped", "sim_near_pairs_capped",
-    "docs_budget_sample",
-    "active_jobs", "text_ngram_topk", "dedup_decontaminate",
-    "docs_source_mix", "docs_chunking", "docs_length_percentiles",
-    "text_repetition", "docs_stratified_sample", "events_value_winsorize",
-    "emb_norm_stats", "emb_quantize", "dedup_survivors",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q18_large_orders", "docs_topk_quality",
-    "docs_sketch_stats", "events_sliding_agg", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
-    "dedup_simhash_pairs", "multimodal_features", "dedup_jaccard",
-    "dedup_jaccard_prefix", "text_unigram_logprob", "text_redact_pii",
-    "docs_pack_sequences", "text_char_entropy", "docs_source_rebalance",
-    "emb_outliers", "text_token_stats", "text_term_freq", "text_tfidf",
-    "text_bpe_tokens", "docs_hash_sample", "docs_length_histogram",
-    "text_quality", "text_lang_id", "text_fingerprint",
+    "events_json_props",  # red r4+r5 (float round); integer-exact now
+    # first green in r5 -> second confirmation
+    "sim_kmeans_centroids", "dataset_continuity", "dedup_lsh_capped",
+    "dedup_simhash_capped", "sim_near_pairs_capped", "docs_budget_sample",
+    "active_jobs",
+    "sim_cosine_topk",  # green r1 only
+    # analytics suite: green r4 only
+    "orders_salted_join", "q20_dominant_supplier", "q12_ship_latency",
+    "q21_waiting_supplier", "events_anomaly", "events_running_total",
+    "q9_profit_nation_year", "events_funnel", "events_retention",
+    "events_pivot", "q2_min_cost_supplier", "events_asof",
+    "events_interval_join", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q10_returned_items", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_quantity", "q19_disjunctive", "q22_no_order_customers",
+    "events_rollup", "events_lag_delta",
+    # pipeline entries: green r4 only
+    "pipeline_prep", "sim_ivf_topk", "sim_lsh_topk", "sim_near_pairs",
+    "emb_near_dedup", "dedup_near_survivors", "text_paragraph_dedup",
+    "events_sessionize", "events_window_agg",
+    # engine top-up (already >=2 greens; cheap reconfirmation)
+    "cdc_classify", "cdc_apply", "full_diff", "keyswap_repair",
+    "tolerance_check", "dataset_watermark",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 
