@@ -199,11 +199,16 @@ def kmeans_parallel_seeds(corpus: DataFrame, n_centroids: int = 8,
         u = (F.pmod(hash32(F.concat_ws(":", F.col("id").cast("string"),
                                        F.lit(str(rnd)))),
                     F.lit(1_000_000)) / F.lit(1_000_000.0))
+        # try_divide: when the candidate set already covers every
+        # point exactly (_total = 0) there is nothing left worth
+        # sampling — the NULL probability makes the filter false
+        # instead of raising DIVIDE_BY_ZERO under ANSI mode
         picked = (
             scored.crossJoin(total)
             .filter(u < F.least(F.lit(1.0),
-                                F.lit(float(oversample)) * F.col("d")
-                                / F.col("_total")))
+                                F.try_divide(
+                                    F.lit(float(oversample)) * F.col("d"),
+                                    F.col("_total"))))
             .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
         )
         cand = cand.unionByName(picked).dropDuplicates(["cid"])
@@ -223,7 +228,15 @@ def kmeans_parallel_seeds(corpus: DataFrame, n_centroids: int = 8,
     chosen = [0]
     d = 1.0 - unit @ unit[0]
     for _ in range(min(n_centroids, len(rows)) - 1):
-        nxt = int(np.argmax(ws * d))
+        score = ws * d
+        # mask already-chosen candidates: without this, an all-zero
+        # score row (fewer distinct directions than k, or all
+        # remaining weights zero) makes argmax return index 0 forever
+        # and the result silently contains duplicate centroids
+        score[chosen] = -np.inf
+        if not np.isfinite(score.max()) or score.max() <= 0.0:
+            break  # degenerate input: return fewer, distinct centers
+        nxt = int(np.argmax(score))
         chosen.append(nxt)
         d = np.minimum(d, 1.0 - unit @ unit[nxt])
     spark = corpus.sparkSession

@@ -227,8 +227,13 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = parallelize_small(docs.withColumn(
         "text", F.when(F.col("doc_id") % 37 == 0, F.lit(_BOILER))
                  .otherwise(F.col("text"))))
+    # cache_index: the capped plan consumes the (id, band, band_hash)
+    # relation in three branches; without the persist Catalyst re-runs
+    # the full signature aggregate per branch (release_caches() in the
+    # harness bounds the persist per query)
     return D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
-                                 shingle_words=3, max_bucket_size=8)
+                                 shingle_words=3, max_bucket_size=8,
+                                 cache_index=True)
 
 
 SQL_DEDUP_LSH_CAPPED = f"""WITH

@@ -245,6 +245,27 @@ def test_kmeans_parallel_parity_with_spark_ml(spark):
     assert cost_ours <= cost_ml * 1.25 + 1e-6, (cost_ours, cost_ml)
 
 
+def test_kmeans_parallel_seeds_degenerate_returns_distinct(spark):
+    """Fewer distinct directions than k: the greedy reclustering's
+    score vector goes all-zero once every direction is covered —
+    pre-fix np.argmax(0-vector) returned index 0 forever and the
+    seed set contained duplicate centroids. Now chosen indices are
+    masked and the loop breaks early, returning fewer but DISTINCT
+    centers."""
+    from linz_bde_uploader_spark.operators import similarity as S
+
+    # 40 vectors but only 2 distinct directions
+    rows = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    got = S.kmeans_parallel_seeds(emb, n_centroids=4).collect()
+    cvs = [tuple(r["cv"]) for r in got]
+    assert len(cvs) == len(set(cvs))  # no duplicate centroids
+    assert 1 <= len(cvs) <= 2  # cannot exceed distinct directions
+    dirs = {tuple(1.0 if x > 0.5 else 0.0 for x in cv) for cv in cvs}
+    assert dirs <= {(1.0, 0.0), (0.0, 1.0)}
+
+
 def test_ivf_topk_with_trained_centroids(spark):
     """ivf_topk accepts kmeans_fit output; full probe over trained
     cells is still exact (partition completeness doesn't depend on
