@@ -128,6 +128,17 @@ def _skew_soak(spark, sf_dir: str) -> dict:
     n = j.count()
     out["salted_join"] = {"sec": round(_time.perf_counter() - t0, 3),
                           "rows": n, "max_over_median": spread(j)}
+    # left_outer with a dim covering only half the keys: row
+    # preservation (one salt per skewed row -> unmatched rows survive
+    # exactly once with nulls) under the same spread bound
+    dim_half = dim.filter(F.col("k") % 2 == 0)
+    j2 = salted_join(hot, dim_half, "k", n_salts=64, how="left_outer")
+    t0 = _time.perf_counter()
+    n2 = j2.count()
+    out["salted_join_left_outer"] = {
+        "sec": round(_time.perf_counter() - t0, 3), "rows": n2,
+        "null_dim_rows": j2.filter(F.col("dim_val").isNull()).count(),
+        "max_over_median": spread(j2)}
     boiler = ("this content is provided as is without any warranty "
               "of any kind either express or implied")
     docs = load_table(spark, sf_dir, "documents").select(
@@ -139,6 +150,44 @@ def _skew_soak(spark, sf_dir: str) -> dict:
     n = p.count()
     out["lsh_capped_boilerplate"] = {
         "sec": round(_time.perf_counter() - t0, 3), "candidates": n}
+
+    # identical-vector collapse vs raw bucket join on the same hot
+    # corpus: embeddings replicated 10x under fresh ids (every vector
+    # becomes a 10-copy exact group — the re-crawl case) plus one
+    # mega-group (every 10th id carries vec 0's embedding). The
+    # uncapped join scores every within-bucket pair of all copies;
+    # collapse scores distinct vectors only and emits linear star
+    # edges — the candidates ratio IS the guard's value claim.
+    from linz_bde_uploader_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    # fixed-size slice: the claim is the candidates RATIO, which is
+    # size-independent — the uncapped side is quadratic and would
+    # dominate the whole bench at full sf0.1 (38 s measured)
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .filter(F.col("vec_id") < 500)
+    v0 = F.broadcast(emb.filter(F.col("vec_id") == 0)
+                     .select(F.col("embedding").alias("_v0")))
+    reps = F.broadcast(
+        spark.range(10).select(F.col("id").alias("_r")))
+    hot_emb = (
+        emb.crossJoin(reps).crossJoin(v0)
+        .select((F.col("vec_id") * 10 + F.col("_r")).alias("vec_id"),
+                F.when((F.col("vec_id") * 10 + F.col("_r")) % 10 == 0,
+                       F.col("_v0"))
+                .otherwise(F.col("embedding")).alias("embedding"))
+        .repartition(32)
+    )
+    near = {}
+    for label, collapse in (("collapsed", True), ("uncapped", False)):
+        pairs = embedding_near_pairs(hot_emb, threshold=0.4,
+                                     collapse_identical=collapse)
+        t0 = _time.perf_counter()
+        n = pairs.count()
+        near[label] = {"sec": round(_time.perf_counter() - t0, 3),
+                       "pairs": n}
+    out["near_pairs_collapse_vs_uncapped"] = near
     return out
 
 

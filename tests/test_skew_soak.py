@@ -96,6 +96,30 @@ def test_salted_join_soak_no_straggler_partition(spark):
         assert ratio <= 4.0, f"straggler partition: max/median {ratio:.2f}"
 
 
+def test_salted_join_left_outer_soak_preserves_rows(spark):
+    """left_outer under the same hot-key fixture, with a dim that
+    covers only part of the fact keys — the delicate property is row
+    preservation (operators/skew.py: every skewed row carries exactly
+    ONE salt, so an unmatched row appears exactly once with nulls,
+    never n_salts times and never zero times), on top of the same
+    no-straggler spread bound as inner."""
+    with set_confs(spark, {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "32",
+    }):
+        fact = _hot_fact(spark)
+        dim = _dim(spark).filter(F.col("k") < 1500)  # 1500..1999 unmatched
+        plain = fact.join(dim, "k", "left_outer")
+        salted = salted_join(fact, dim, "k", n_salts=64, how="left_outer")
+        # dim keys unique -> left_outer preserves exactly the fact rows
+        assert salted.count() == plain.count() == N_FACT
+        assert (salted.filter(F.col("dim_val").isNull()).count()
+                == plain.filter(F.col("dim_val").isNull()).count() > 0)
+        ratio = _max_over_median(_partition_rows(salted))
+        assert ratio <= 4.0, f"straggler partition: max/median {ratio:.2f}"
+
+
 def _soak_docs(spark, n_docs: int = 2000, pct_boiler: float = 0.10):
     """10% of docs are an identical boilerplate block; the rest are
     unique 12-word texts (no cross-doc shingle collisions)."""
