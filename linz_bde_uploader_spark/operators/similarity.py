@@ -36,15 +36,37 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k of a (query_id, neighbor_id, sim) relation via
+    the salted two-phase ``grouped_topk``. query_id is LOW-CARDINALITY
+    by construction in every caller (the query side broadcasts), so
+    the textbook single window over (query_id) would funnel each
+    query's entire candidate set — the whole corpus for the exact
+    path — into one task. Phase 1 ranks within (query_id, salt) in
+    parallel; phase 2 ranks the <= k*n_salts survivors. Exact under
+    the same total order (sim desc, unique neighbor_id); salt is a
+    deterministic hash of neighbor_id so reruns and differential
+    tests see the identical split."""
+    from linz_bde_uploader_spark.operators.topk import grouped_topk
+
+    ranked = grouped_topk(
+        scored, ["query_id"],
+        [F.col("sim").desc(), F.col("neighbor_id")], k,
+        salt_expr=F.xxhash64(F.col("neighbor_id")), n_salts=32)
+    return ranked.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
+        F.round(F.col("sim"), 6).alias("cosine_sim"))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors for each query vector:
     (query_id, neighbor_id, rank, cosine_sim).
 
     Scale shape: queries broadcast (BroadcastNestedLoopJoin over a few
-    rows), corpus partition-parallel, per-query top-k via window on
-    (query_id) — the shuffle carries only |queries|*|corpus_partition|
-    pre-filtered candidates. Self-matches excluded.
+    rows), corpus partition-parallel, per-query top-k via the salted
+    two-phase rank (_rank_topk) — no single task ever holds a whole
+    query's candidate set. Self-matches excluded.
     """
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
                                    _as_double(F.col(vec_col)).alias("qv")))
@@ -56,13 +78,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         .select("query_id", "neighbor_id",
                 cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
-                F.round(F.col("sim"), 6).alias("cosine_sim"))
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplane_bucket(vec: Column, n_planes: int = 4, dim: int = 64) -> Column:
@@ -104,13 +120,7 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
-                F.round(F.col("sim"), 6).alias("cosine_sim"))
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
@@ -123,7 +133,13 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     ``sim_round`` quantizes the cosine before the argmax ranking —
     the cross-engine determinism knob for differential testing: a
     last-ulp cosine difference between engines would otherwise flip a
-    cell membership (and, in k-means, every downstream mean)."""
+    cell membership (and, in k-means, every downstream mean).
+
+    The single window here is cardinality-safe (unlike the per-query
+    ranks, which use the salted two-phase form): it partitions by the
+    VECTOR id — every corpus row its own group — and each group holds
+    exactly n_centroids candidate rows, so no task ever aggregates
+    more than the (tiny, broadcast) centroid count."""
     cents = F.broadcast(centroids.select(
         F.col("cent_id"), F.col("cv").alias("_cent_v")))
     sim = cosine(F.col(vec_col), F.col("_cent_v"))
@@ -342,13 +358,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         # each corpus vector lives in exactly one cell (nprobe=1 on the
         # inverted lists) so (query, neighbor) pairs are already unique
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"),
-                F.round(F.col("sim"), 6).alias("cosine_sim"))
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,

@@ -412,6 +412,10 @@ def q_dataset_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(epoch_micros("ts")).alias("start_us"),
              F.max(epoch_micros("ts")).alias("end_us"))
     )
+    # low-cardinality partition key, but cardinality-safe: the window
+    # runs over the per-(table, dataset) MANIFEST (one row per dataset
+    # directory — metadata scale, thousands of rows), never over event
+    # rows, so a group can't exceed the dataset count
     w = Window.partitionBy("table").orderBy("dataset")
     prev_end = F.lag("end_us").over(w)
     raw_gap = F.abs(F.col("start_us") - prev_end) / F.lit(3600000000.0)
