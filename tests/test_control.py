@@ -270,3 +270,152 @@ def test_publish_cli(spark, tmp_path, capsys):
     rc = publish.main(["--control", str(tmp_path / "ctl"),
                        "--out", str(tmp_path / "pub")])
     assert rc == 1
+
+
+_CONTENDER = r"""
+import json, sys, time
+from linz_bde_uploader_spark.control.ledger import Ledger
+
+root, expiry_h = sys.argv[1], float(sys.argv[2])
+led = Ledger(root, lock_expiry_hours=expiry_h)
+j2 = led.create_job(allow_concurrent=True)
+out = {"job2": j2.id,
+       "first_acquire": led.acquire_lock("tbl", j2.id)}
+holder = led._load()["tables"]["tbl"]["upl_id_lock"]
+out["holder"] = holder
+
+def holder_alive():
+    j = [x for x in led._load()["jobs"] if x["id"] == holder][0]
+    return j["status"] == "A" and j["end_time"] > time.time() - expiry_h * 3600
+
+deadline = time.time() + 30
+out["acquired"] = False
+while time.time() < deadline:
+    if not holder_alive():
+        # holder's heartbeat went stale: its lock row is still held
+        # (nobody swept it) -> this is a genuine steal, then the
+        # zombie sweep retires the dead job
+        out["holder_at_takeover"] = led._load()["tables"]["tbl"]["upl_id_lock"]
+        out["acquired"] = led.acquire_lock("tbl", j2.id, steal=True)
+        out["success_time"] = time.time()
+        led.remove_zombies()
+        break
+    time.sleep(0.05)
+
+class S:
+    ninsert, nupdate, nnullupdate, ndelete = 1, 0, 0, 0
+
+if out["acquired"]:
+    led.record_dataset_loaded(j2.id, "tbl", "20990101000000", "5", S())
+    led.release_lock("tbl", j2.id)
+    led.finish_job(j2.id, ok=True)
+print(json.dumps(out))
+"""
+
+
+def test_two_process_lock_contention_steal_after_expiry(spark, tmp_path):
+    """Reference lock scenarios (t/linz_bde_uploader.t:908-992) across
+    REAL processes: a second uploader in its own OS process is refused
+    the table lock while the holder heartbeats, takes it over only
+    after the holder's heartbeat expires (zombie expiry + steal), and
+    the store's version pointer stays consistent through the whole
+    episode."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "ctl")
+    expiry_h = 1.0 / 3600  # heartbeats go stale after 1 s
+    led = Ledger(root, lock_expiry_hours=expiry_h)
+    job1 = led.create_job()
+    assert led.acquire_lock("tbl", job1.id)
+
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    df1 = spark.createDataFrame([(1, "a")], ["k", "v"])
+    store.write("tbl", df1)
+    assert store.current_version("tbl") == 1
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", "")
+    # the store write above can outlast the 1 s expiry — refresh the
+    # holder's heartbeat so the contender starts against a LIVE holder
+    led.heartbeat(job1.id)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _CONTENDER, root, str(expiry_h)],
+        stdout=subprocess.PIPE, env=env, text=True)
+
+    # keep job1 alive: while heartbeats continue the contender's
+    # steal+zombie loop must NOT win the lock
+    for _ in range(8):
+        time.sleep(0.25)
+        led.heartbeat(job1.id)
+    last_hb = time.time()
+    stdout, _ = proc.communicate(timeout=60)  # stop heartbeating; let it expire
+    out = _json.loads(stdout.strip().splitlines()[-1])
+
+    assert out["first_acquire"] is False  # blocked while holder lived
+    assert out["acquired"] is True
+    # the takeover cannot predate the heartbeat going stale
+    assert out["success_time"] >= last_hb + 0.9, out
+    # and it was a real steal: job1 still held the lock row when the
+    # contender took over (no sweep had freed it)
+    assert out["holder"] == job1.id
+    assert out["holder_at_takeover"] == job1.id
+
+    # post-episode ledger is consistent: job1 expired to E by the
+    # contender's zombie sweep, job2 completed, lock free, watermark
+    # advanced by the contender
+    led2 = Ledger(root)
+    jobs = {j["id"]: j["status"] for j in led2._state["jobs"]}
+    assert jobs[job1.id] == "E"
+    assert jobs[out["job2"]] == "C"
+    assert led2.table("tbl")["upl_id_lock"] is None
+    assert led2.table("tbl")["last_upload_dataset"] == "20990101000000"
+    assert not led2.any_active()
+
+    # version pointer survived the contention and still advances
+    assert store.current_version("tbl") == 1
+    store.write("tbl", spark.createDataFrame([(2, "b")], ["k", "v"]))
+    assert store.current_version("tbl") == 2
+    assert store.read(spark, "tbl").count() == 1
+
+
+_JOB_STORM = r"""
+import json, sys
+from linz_bde_uploader_spark.control.ledger import Ledger
+
+led = Ledger(sys.argv[1])
+ids = [led.create_job(allow_concurrent=True).id for _ in range(50)]
+print(json.dumps(ids))
+"""
+
+
+def test_two_process_job_ids_no_lost_updates(tmp_path):
+    """Two OS processes hammering create_job concurrently: the flock'd
+    read-modify-write must serialize — 100 jobs, 100 distinct ids, no
+    lost update on next_job_id (the reference gets this from
+    PostgreSQL row locks; the JSON ledger gets it from flock)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "ctl")
+    Ledger(root)  # init the file
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, "-c", _JOB_STORM, root],
+                              stdout=subprocess.PIPE, env=env, text=True)
+             for _ in range(2)]
+    ids = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=120)
+        ids += _json.loads(stdout.strip().splitlines()[-1])
+    assert len(ids) == 100
+    assert len(set(ids)) == 100  # no id ever handed out twice
+    led = Ledger(root)
+    assert led._state["next_job_id"] == 101
+    assert len(led._state["jobs"]) == 100
