@@ -81,6 +81,14 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     return _rank_topk(scored, k)
 
 
+def _plane_dot(vec: Column, p: int, dim: int) -> Column:
+    signs = F.array(*[
+        F.lit(1.0 if _parity(p * dim + d) else -1.0) for d in range(dim)
+    ])
+    return F.aggregate(F.zip_with(vec, signs, lambda x, s: x * s),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
 def hyperplane_bucket(vec: Column, n_planes: int = 4, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of dot products with
     n_planes deterministic pseudo-random hyperplanes. Plane p's
@@ -88,13 +96,35 @@ def hyperplane_bucket(vec: Column, n_planes: int = 4, dim: int = 64) -> Column:
     (p*dim + d), so the same buckets are computable in plain SQL."""
     b = F.lit(0)
     for p in range(n_planes):
-        signs = F.array(*[
-            F.lit(1.0 if _parity(p * dim + d) else -1.0) for d in range(dim)
-        ])
-        dp = F.aggregate(F.zip_with(vec, signs, lambda x, s: x * s),
-                         F.lit(0.0), lambda acc, v: acc + v)
+        dp = _plane_dot(vec, p, dim)
         b = b + F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return b
+
+
+def multiprobe_buckets(vec: Column, n_planes: int = 4, dim: int = 64,
+                       n_probes: int = 1) -> Column:
+    """Multi-probe bucket list (array<int>, length ``n_probes``): the
+    vector's own hyperplane bucket first, then the buckets reached by
+    flipping the sign bits whose hyperplane margin |dot| is smallest —
+    the planes the vector sits closest to, i.e. where a true near
+    neighbor most plausibly landed on the other side (multi-probe LSH,
+    Lv et al., VLDB 2007 — public algorithm). Recall rises with
+    ``n_probes`` at probe cost n_probes/2^n_planes of the corpus, with
+    no second index."""
+    dps = [_plane_dot(vec, p, dim) for p in range(n_planes)]
+    b = F.lit(0)
+    for p, dp in enumerate(dps):
+        b = b + F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    # planes ordered by |margin| ascending; ties break on plane id so
+    # the probe sequence is deterministic
+    order = F.array_sort(F.array(*[
+        F.struct(F.abs(dp).alias("m"), F.lit(p).alias("p"))
+        for p, dp in enumerate(dps)]))
+    flips = F.transform(
+        F.slice(order, 1, min(n_probes - 1, n_planes)),
+        # 2^p as int (DSL shiftleft needs a literal shift amount)
+        lambda s: F.pow(F.lit(2.0), s["p"]).cast("int").bitwiseXOR(b))
+    return F.concat(F.array(b), flips)
 
 
 def _parity(n: int) -> bool:
@@ -104,21 +134,31 @@ def _parity(n: int) -> bool:
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = 4, dim: int = 64) -> DataFrame:
+                      n_planes: int = 4, dim: int = 64,
+                      n_probes: int = 1) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
-    hyperplane bucket. At 100 TB the bucket join replaces the cross
-    join — each query touches ~|corpus|/2^n_planes rows."""
+    hyperplane bucket(s). At 100 TB the bucket join replaces the cross
+    join — each query touches ~n_probes*|corpus|/2^n_planes rows.
+
+    ``n_probes`` > 1 is the recall knob: the query also probes the
+    buckets across its smallest-margin hyperplanes (multi-probe LSH),
+    recovering neighbors that landed one sign flip away. Only the
+    (tiny, broadcast) query side explodes — the corpus is still
+    indexed into exactly one bucket per vector."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("cv")) \
               .withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes, dim))
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
-        .withColumn("bucket", hyperplane_bucket(F.col("qv"), n_planes, dim)))
+        .withColumn("bucket", F.explode(multiprobe_buckets(
+            F.col("qv"), n_planes, dim, n_probes))))
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        # a (query, neighbor) pair can only repeat if two probes hit
+        # the same bucket, which the distinct probe list precludes
     )
     return _rank_topk(scored, k)
 

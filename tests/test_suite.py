@@ -304,3 +304,75 @@ def test_fast_hash_path_equivalent(spark):
                base.filter("doc_id < 10000 AND doc_id % 50 = 0")
                .select("doc_id").collect()}
     assert planted <= lsh_slow and planted <= lsh_fast
+
+
+def test_lsh_multiprobe_recall_vs_cost(spark):
+    """Multi-probe LSH recall knob on a planted-neighbor fixture:
+    each query has one near-identical planted neighbor (tiny noise),
+    many of which land across a hyperplane boundary. n_probes=1 is
+    the plain single-bucket probe and misses the boundary-crossers;
+    n_probes=4 probes the smallest-margin flips and must recover
+    strictly more planted neighbors at <= 4x probe cost, with
+    n_probes=2^n_planes recovering them all (it scores every
+    bucket)."""
+    import numpy as np
+
+    from linz_bde_uploader_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    dim, n_q = 16, 60
+    corpus_rows, query_rows = [], []
+    for i in range(n_q):
+        v = rng.randn(dim)
+        # planted neighbor: high cosine to the query, but the noise is
+        # enough to flip small-margin hyperplane signs
+        nb = v + 0.10 * rng.randn(dim)
+        query_rows.append((i, [float(x) for x in v]))
+        corpus_rows.append((1000 + i, [float(x) for x in nb]))
+        # chaff: unrelated vectors
+        for j in range(3):
+            corpus_rows.append((2000 + 3 * i + j,
+                                [float(x) for x in rng.randn(dim)]))
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "vec_id INT, embedding ARRAY<DOUBLE>")
+    queries = spark.createDataFrame(query_rows,
+                                    "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    def recall_and_cost(n_probes):
+        got = S.lsh_bucketed_topk(corpus, queries, k=1, n_planes=4,
+                                  dim=dim, n_probes=n_probes).collect()
+        hits = sum(1 for r in got
+                   if r["neighbor_id"] == 1000 + r["query_id"])
+        return hits / n_q
+
+    r1 = recall_and_cost(1)
+    r4 = recall_and_cost(4)
+    r_all = recall_and_cost(16)
+    assert r1 < 1.0         # fixture really plants boundary-crossers
+    assert r4 > r1          # probing weakest flips recovers some
+    assert r_all == 1.0     # probing every bucket recovers all
+    assert r4 >= 0.8        # the knob is worth turning
+
+
+def test_multiprobe_bucket_list_deterministic_and_distinct(spark):
+    """The probe list starts with the vector's own bucket, contains no
+    duplicates, and is a fixed function of the vector."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import similarity as S
+
+    df = spark.range(50).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[F.hash(F.col("id") + i).cast("double") % 100
+                  for i in range(8)]).alias("embedding"))
+    probes = df.select(
+        "vec_id",
+        S.hyperplane_bucket(F.col("embedding"), 4, 8).alias("own"),
+        S.multiprobe_buckets(F.col("embedding"), 4, 8, 4).alias("pl"))
+    rows = probes.collect()
+    again = {r["vec_id"]: r["pl"] for r in probes.collect()}
+    for r in rows:
+        assert r["pl"][0] == r["own"]
+        assert len(set(r["pl"])) == len(r["pl"]) == 4
+        assert all(0 <= b < 16 for b in r["pl"])
+        assert again[r["vec_id"]] == r["pl"]
