@@ -40,6 +40,8 @@ _DRIVER_FIRST = [
     "sim_kmeans_centroids", "dataset_continuity", "dedup_lsh_capped",
     "dedup_simhash_capped", "sim_near_pairs_capped", "docs_budget_sample",
     "active_jobs",
+    "sim_lsh_probes",  # new in r6: multi-probe LSH recall knob
+    "docs_dsir_topk",  # new in r6: DSIR importance selection
     "sim_cosine_topk",  # green r1 only
     # analytics suite: green r4 only
     "orders_salted_join", "q20_dominant_supplier", "q12_ship_latency",
@@ -57,7 +59,6 @@ _DRIVER_FIRST = [
     "events_sessionize", "events_window_agg",
     # engine top-up (already >=2 greens; cheap reconfirmation)
     "cdc_classify", "cdc_apply", "full_diff", "keyswap_repair",
-    "tolerance_check", "dataset_watermark",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

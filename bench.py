@@ -92,6 +92,9 @@ HEADLINE = [
     "sim_near_pairs_capped",
     "dataset_continuity",
     "docs_budget_sample",
+    # r6 additions
+    "sim_lsh_probes",
+    "docs_dsir_topk",
 ]
 
 

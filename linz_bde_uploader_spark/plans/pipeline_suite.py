@@ -726,6 +726,62 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_sim_lsh_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-3 (n_probes=3): each query also scores the
+    buckets across its two smallest-margin hyperplanes — the recall
+    knob over the same single-bucket index (similarity.py
+    multiprobe_buckets; recall-vs-cost asserted in
+    tests/test_suite.py::test_lsh_multiprobe_recall_vs_cost)."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_bucketed_topk(emb, queries, k=3, n_planes=4, dim=64,
+                               n_probes=3)
+
+
+def _sql_probe_flips(n_probes: int = 3, n_planes: int = 4) -> str:
+    """UNION ALL branches for the flip probes: plane p is probed iff
+    its (margin, p) tuple ranks among the ``n_probes - 1`` smallest —
+    the rank computed by counting strictly-smaller tuples, matching
+    the Spark side's array_sort over (abs(dot), p) structs."""
+    branches = []
+    for p in range(n_planes):
+        less = " + ".join(
+            f"(CASE WHEN m{q} < m{p} OR (m{q} = m{p} AND {q} < {p}) "
+            f"THEN 1 ELSE 0 END)"
+            for q in range(n_planes) if q != p)
+        branches.append(
+            f"SELECT vec_id, v, xor(bucket, {1 << p}) AS pb FROM q0 "
+            f"WHERE ({less}) <= {n_probes - 2}")
+    return "\nUNION ALL\n".join(branches)
+
+
+SQL_SIM_LSH_PROBES = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+q0 AS (SELECT vec_id, v, bucket,
+{",".join(f"abs(list_dot_product(v, {_sql_signs(p)})) AS m{p}" for p in range(4))}
+       FROM b WHERE vec_id < 10),
+probes AS (
+  SELECT vec_id, v, bucket AS pb FROM q0
+  UNION ALL
+{_sql_probe_flips(3, 4)}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+  FROM probes q JOIN b c ON q.pb = c.bucket AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank,
+         sim
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(sim, 6) AS cosine_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of spherical k-means (8 cells, cosine
     assignment) — the IVF centroid-training step — exploded to
@@ -1917,6 +1973,92 @@ FROM per, tot
 """
 
 
+def q_docs_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al., NeurIPS 2023 —
+    public algorithm): score every RAW-pool document by its unigram
+    likelihood ratio against a TARGET domain (sources src0-src3 stand
+    in for the curated set), then keep the top 50 by weight.
+
+    Plan shape at 100 TB: both LMs train in ONE tokenize + one
+    (tok, side) aggregate; the vocabulary is a distinct-token relation
+    that broadcasts back over the token stream (same shape as the
+    unigram-LM scorer). Per-token log-ratio terms round to 12 dp and
+    sum as exact DECIMAL (order-independent across engines); the doc
+    weight surfaces as a 6-dp double and the GLOBAL top-50 — a
+    one-group, i.e. worst-case low-cardinality, ranking — runs through
+    the salted two-phase grouped_topk, never a single-task window.
+    Ranking order is (rounded weight desc, doc_id), a total order both
+    engines share bit-for-bit."""
+    from linz_bde_uploader_spark.operators.topk import grouped_topk
+
+    target_srcs = ["src0", "src1", "src2", "src3"]
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source",
+        F.col("source").isin(target_srcs).alias("is_target"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("n_p"))
+    totals = counts.agg(F.sum("n_t").alias("tt"), F.sum("n_p").alias("tp"),
+                        F.count("*").alias("vv"))
+    # add-one smoothing over the joint vocabulary on both sides
+    ratio = (counts.join(F.broadcast(totals))
+             .select("tok", F.round(
+                 F.log((F.col("n_t") + 1).cast("double")
+                       / (F.col("tt") + F.col("vv")).cast("double"))
+                 - F.log((F.col("n_p") + 1).cast("double")
+                         / (F.col("tp") + F.col("vv")).cast("double")),
+                 12).alias("term")))
+    pool = toks.filter(~F.col("is_target"))
+    weighted = (
+        pool.join(ratio, "tok")
+        .groupBy("doc_id", "source")
+        .agg((F.sum(F.col("term").cast("decimal(28,12)")).cast("double")
+              / F.count("*")).alias("w_raw"),
+             F.count("*").alias("n_tokens"))
+        .select("doc_id", "source", "n_tokens",
+                F.round("w_raw", 6).alias("w"), F.lit(0).alias("_g"))
+    )
+    top = grouped_topk(weighted, ["_g"],
+                       [F.col("w").desc(), F.col("doc_id")], 50,
+                       salt_expr=F.xxhash64("doc_id"), n_salts=32)
+    return top.select("doc_id", "source", "n_tokens", "w",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+SQL_DSIR_TOPK = """
+WITH toks AS (
+  SELECT doc_id, source, source IN ('src0','src1','src2','src3') AS is_target,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+counts AS (
+  SELECT tok,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_t,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS n_p
+  FROM toks GROUP BY tok),
+totals AS (SELECT SUM(n_t) AS tt, SUM(n_p) AS tp, COUNT(*) AS vv FROM counts),
+ratio AS (
+  SELECT tok, round(
+           ln(CAST(n_t + 1 AS DOUBLE) / CAST(tt + vv AS DOUBLE))
+         - ln(CAST(n_p + 1 AS DOUBLE) / CAST(tp + vv AS DOUBLE)), 12) AS term
+  FROM counts, totals),
+weighted AS (
+  SELECT doc_id, source, COUNT(*) AS n_tokens,
+         round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+           AS w
+  FROM toks JOIN ratio USING (tok)
+  WHERE NOT is_target
+  GROUP BY doc_id, source),
+ranked AS (
+  SELECT doc_id, source, n_tokens, w,
+         row_number() OVER (ORDER BY w DESC, doc_id) AS rank
+  FROM weighted)
+SELECT doc_id, source, n_tokens, w, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 50
+"""
+
+
 def q_docs_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the rebalance weights: deterministic mixture-controlled
     sampling toward a uniform per-source token budget. Each source's
@@ -2197,6 +2339,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_char_entropy": (q_text_char_entropy, SQL_CHAR_ENTROPY),
     "docs_source_rebalance": (q_docs_source_rebalance, SQL_SOURCE_REBALANCE),
     "docs_budget_sample": (q_docs_budget_sample, SQL_BUDGET_SAMPLE),
+    "docs_dsir_topk": (q_docs_dsir_topk, SQL_DSIR_TOPK),
     "emb_outliers": (q_emb_outliers, SQL_EMB_OUTLIERS),
     "text_token_stats": (q_text_token_stats, SQL_TOKEN_STATS),
     "text_term_freq": (q_text_term_freq, SQL_TERM_FREQ),
@@ -2209,6 +2352,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
+    "sim_lsh_probes": (q_sim_lsh_probes, SQL_SIM_LSH_PROBES),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS),
     "emb_near_dedup": (q_emb_near_dedup, SQL_EMB_NEAR_DEDUP),
