@@ -95,6 +95,7 @@ HEADLINE = [
     # r6 additions
     "sim_lsh_probes",
     "docs_dsir_topk",
+    "sim_pq_topk",
 ]
 
 

@@ -442,3 +442,126 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
         .filter(F.col("cosine_sim") >= threshold)
     )
     return near if star is None else near.unionByName(star)
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def pq_seed_codebooks(corpus: DataFrame, m: int = 4, n_codes: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      dim: int = 64) -> DataFrame:
+    """Deterministic product-quantization codebooks: subspace s's
+    codewords are the s-th slices of the ``n_codes`` lowest-id corpus
+    vectors — the PQ analog of ``seed_centroids`` (production trains
+    them with k-means per subspace; the index mechanics — encode /
+    LUT / ADC scan — are identical either way and that is what the
+    oracle checks). Returns (sub, code_id, cw) with |cw| = dim/m."""
+    d = dim // m
+    base = corpus.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).cast("int").alias("code_id"),
+        _as_double(F.col(vec_col)).alias("v"))
+    subs = base.select(
+        "code_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice("v", s * d + 1, d).alias("cw"))
+            for s in range(m)])).alias("e"))
+    return subs.select(F.col("e.sub").alias("sub"), "code_id",
+                       F.col("e.cw").alias("cw"))
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two equal-length array<double> columns
+    (pure codegen, same sequential fold both engines reproduce)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int = 64) -> DataFrame:
+    """Encode each vector as (id, sub, code): per subspace, the
+    codeword minimizing squared L2 (quantized to 9 dp before the
+    argmin, code_id tiebreak — the repo's cross-engine argmin
+    convention). Codebooks BROADCAST (m * n_codes rows); encoding is
+    a map-side pass over the corpus — no shuffle of the vectors. At
+    100 TB the stored index is m single-byte codes per vector, a
+    ~256x compression of a 64-dim float corpus."""
+    d = dim // m
+    cb = F.broadcast(codebooks.select(
+        "sub", "code_id", F.col("cw").alias("_cw")))
+    sliced = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice(_as_double(F.col(vec_col)),
+                             s * d + 1, d).alias("sv"))
+            for s in range(m)])).alias("e")
+    ).select("id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+    scored = sliced.join(cb, "sub").select(
+        "id", "sub", "code_id",
+        F.round(_sq_l2(F.col("sv"), F.col("_cw")), 9).alias("d2"))
+    best = scored.groupBy("id", "sub").agg(
+        F.min(F.struct("d2", "code_id")).alias("b"))
+    return best.select("id", "sub", F.col("b.code_id").alias("code"))
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                m: int = 4, n_codes: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int = 64,
+                codebooks: DataFrame | None = None) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al., TPAMI 2011 —
+    public algorithm): encode the corpus once (m small codes per
+    vector), then score each query against the CODES, not the
+    vectors — the query-to-codeword LUT (|queries| * m * n_codes
+    rows) broadcasts, and the scan reduces each doc to the sum of m
+    LUT lookups.
+
+    Scale shape: the corpus-side relation after encoding is (id, sub,
+    code) — m ints per doc; the LUT join is a broadcast hash join and
+    the per-doc sum a partial aggregate, so the scan never touches
+    the original embeddings and shuffles only (id, partial) pairs.
+    Returns (query_id, neighbor_id, rank, adc_dist) ranked ascending
+    by the 6-dp ADC distance (doc_id tiebreak) through the salted
+    two-phase grouped_topk."""
+    from linz_bde_uploader_spark.operators.topk import grouped_topk
+
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(corpus, m, n_codes, id_col,
+                                      vec_col, dim)
+    d = dim // m
+    codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    qsub = q.select(
+        "query_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice("qv", s * d + 1, d).alias("qs"))
+            for s in range(m)])).alias("e")
+    ).select("query_id", F.col("e.sub").alias("sub"),
+             F.col("e.qs").alias("qs"))
+    lut = F.broadcast(
+        qsub.join(codebooks.withColumnRenamed("code_id", "code"), "sub")
+        .select("query_id", "sub", "code",
+                F.round(_sq_l2(F.col("qs"), F.col("cw")), 9).alias("pd")))
+    scored = (
+        codes.join(lut, ["sub", "code"])
+        .filter(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        # 9-dp partials sum as exact DECIMAL: the m-term fold is
+        # order-independent across engines and retries (repo
+        # convention for every cross-engine float aggregate)
+        .agg(F.round(F.sum(F.col("pd").cast("decimal(20,9)"))
+                     .cast("double"), 6).alias("adc"))
+    )
+    ranked = grouped_topk(
+        scored, ["query_id"],
+        [F.col("adc").asc(), F.col("neighbor_id")], k,
+        salt_expr=F.xxhash64("neighbor_id"), n_salts=32)
+    return ranked.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("adc").alias("adc_dist"))

@@ -782,6 +782,61 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (PQ/ADC, Jegou et al. TPAMI 2011):
+    corpus encoded as 4 subspace codes against deterministic seed
+    codebooks, queries scored via the broadcast query-to-codeword
+    LUT — the scan reads codes, never embeddings. The third ANN
+    scale path beside LSH and IVF (similarity.py pq_adc_topk)."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_adc_topk(emb, queries, k=3, m=4, n_codes=8, dim=64)
+
+
+def _sql_sq_l2(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"x -> (x[1]-x[2])*(x[1]-x[2])))")
+
+
+SQL_SIM_PQ_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(sub)),
+cb AS (
+  SELECT sub, vec_id AS code_id, v[sub*16+1 : sub*16+16] AS cw
+  FROM e, subs WHERE vec_id < 8),
+sliced AS (
+  SELECT vec_id AS id, sub, v[sub*16+1 : sub*16+16] AS sv FROM e, subs),
+scored AS (
+  SELECT id, sub, code_id, round({_sql_sq_l2('sv', 'cw')}, 9) AS d2
+  FROM sliced JOIN cb USING (sub)),
+codes AS (
+  SELECT id, sub, code_id AS code FROM (
+    SELECT id, sub, code_id,
+           row_number() OVER (PARTITION BY id, sub
+                              ORDER BY d2, code_id) AS rn
+    FROM scored) WHERE rn = 1),
+qsub AS (SELECT vec_id AS query_id, sub, v[sub*16+1 : sub*16+16] AS qs
+         FROM e, subs WHERE vec_id < 10),
+lut AS (
+  SELECT query_id, sub, code_id AS code,
+         round({_sql_sq_l2('qs', 'cw')}, 9) AS pd
+  FROM qsub JOIN cb USING (sub)),
+adc AS (
+  SELECT query_id, id AS neighbor_id,
+         round(CAST(SUM(CAST(pd AS DECIMAL(20,9))) AS DOUBLE), 6) AS adc_dist
+  FROM codes JOIN lut USING (sub, code)
+  WHERE query_id <> id
+  GROUP BY query_id, id),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_dist
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of spherical k-means (8 cells, cosine
     assignment) — the IVF centroid-training step — exploded to
@@ -2353,6 +2408,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
     "sim_lsh_probes": (q_sim_lsh_probes, SQL_SIM_LSH_PROBES),
+    "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_PQ_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS),
     "emb_near_dedup": (q_emb_near_dedup, SQL_EMB_NEAR_DEDUP),

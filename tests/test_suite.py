@@ -376,3 +376,55 @@ def test_multiprobe_bucket_list_deterministic_and_distinct(spark):
         assert len(set(r["pl"])) == len(r["pl"]) == 4
         assert all(0 <= b < 16 for b in r["pl"])
         assert again[r["vec_id"]] == r["pl"]
+
+
+def test_pq_encode_and_adc_match_numpy(spark):
+    """PQ plumbing exactness: (a) a vector that IS a codeword source
+    encodes to its own code in every subspace (zero distance beats
+    every other codeword); (b) the ADC distance of each (query, doc)
+    pair equals a straightforward numpy recomputation — sum over
+    subspaces of squared L2 between the query slice and the codeword
+    of the doc's assigned code; (c) PQ top-3 keeps sane recall vs the
+    exact scan (seed codebooks are crude — this is a sanity bar, not
+    a quality claim)."""
+    import numpy as np
+
+    from linz_bde_uploader_spark.operators import similarity as S
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    m, n_codes, dim = 4, 8, 64
+    d = dim // m
+    cb = S.pq_seed_codebooks(emb, m, n_codes, dim=dim)
+    codes = S.pq_encode(emb, cb, m, dim=dim)
+
+    # (a) codeword sources self-encode
+    own = {(r["id"], r["sub"]): r["code"] for r in
+           codes.filter(f"id < {n_codes}").collect()}
+    for (i, s), c in own.items():
+        assert c == i, (i, s, c)
+
+    # (b) ADC == numpy recomputation
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+         for r in emb.collect()}
+    CW = {(r["sub"], r["code_id"]): np.array(r["cw"], dtype=float)
+          for r in cb.collect()}
+    CODE = {(r["id"], r["sub"]): r["code"] for r in codes.collect()}
+    q = emb.filter("vec_id < 3")
+    got = S.pq_adc_topk(emb, q, k=3, m=m, n_codes=n_codes, dim=dim).collect()
+    for r in got:
+        expect = sum(
+            round(float(np.sum((X[r["query_id"]][s * d:(s + 1) * d]
+                                - CW[(s, CODE[(r["neighbor_id"], s)])]) ** 2)),
+                  9)
+            for s in range(m))
+        assert abs(r["adc_dist"] - round(expect, 6)) < 1e-9, r
+
+    # (c) recall sanity vs exact
+    q = emb.filter("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk(emb, q, k=3).collect()}
+    pq = {(r.query_id, r.neighbor_id)
+          for r in S.pq_adc_topk(emb, q, k=3, m=m, n_codes=n_codes,
+                                 dim=dim).collect()}
+    assert len(exact & pq) / len(exact) >= 0.2
