@@ -103,27 +103,36 @@ def hyperplane_bucket(vec: Column, n_planes: int = 4, dim: int = 64) -> Column:
 
 def multiprobe_buckets(vec: Column, n_planes: int = 4, dim: int = 64,
                        n_probes: int = 1) -> Column:
-    """Multi-probe bucket list (array<int>, length ``n_probes``): the
-    vector's own hyperplane bucket first, then the buckets reached by
-    flipping the sign bits whose hyperplane margin |dot| is smallest —
-    the planes the vector sits closest to, i.e. where a true near
-    neighbor most plausibly landed on the other side (multi-probe LSH,
-    Lv et al., VLDB 2007 — public algorithm). Recall rises with
-    ``n_probes`` at probe cost n_probes/2^n_planes of the corpus, with
-    no second index."""
+    """Multi-probe bucket list (array<int>, length
+    ``min(n_probes, 2^n_planes)``): the vector's own hyperplane
+    bucket first, then perturbed buckets in the standard probing
+    order — every non-empty SUBSET of planes ranked by the summed
+    |margin| of the flipped planes (Lv et al., VLDB 2007 — public
+    algorithm; multi-bit perturbations, not just single flips, so
+    ``n_probes = 2^n_planes`` provably scores every bucket). A true
+    near neighbor most plausibly sits across the planes the vector is
+    closest to, so low-margin subsets are probed first. Recall rises
+    with ``n_probes`` at probe cost n_probes/2^n_planes of the
+    corpus, with no second index. The subset enumeration is static
+    (2^n_planes bounded small — this is a bucket-count knob, not a
+    data knob); ties break on the flip mask so the sequence is
+    deterministic."""
     dps = [_plane_dot(vec, p, dim) for p in range(n_planes)]
     b = F.lit(0)
     for p, dp in enumerate(dps):
         b = b + F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    # planes ordered by |margin| ascending; ties break on plane id so
-    # the probe sequence is deterministic
-    order = F.array_sort(F.array(*[
-        F.struct(F.abs(dp).alias("m"), F.lit(p).alias("p"))
-        for p, dp in enumerate(dps)]))
+    margins = [F.abs(dp) for dp in dps]
+    subsets = []
+    for mask in range(1, 1 << n_planes):
+        cost = None
+        for p in range(n_planes):
+            if mask & (1 << p):
+                cost = margins[p] if cost is None else cost + margins[p]
+        subsets.append(F.struct(cost.alias("m"), F.lit(mask).alias("k")))
+    order = F.array_sort(F.array(*subsets))
     flips = F.transform(
-        F.slice(order, 1, min(n_probes - 1, n_planes)),
-        # 2^p as int (DSL shiftleft needs a literal shift amount)
-        lambda s: F.pow(F.lit(2.0), s["p"]).cast("int").bitwiseXOR(b))
+        F.slice(order, 1, max(0, min(n_probes - 1, (1 << n_planes) - 1))),
+        lambda s: s["k"].bitwiseXOR(b))
     return F.concat(F.array(b), flips)
 
 

@@ -739,20 +739,22 @@ def q_sim_lsh_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_probe_flips(n_probes: int = 3, n_planes: int = 4) -> str:
-    """UNION ALL branches for the flip probes: plane p is probed iff
-    its (margin, p) tuple ranks among the ``n_probes - 1`` smallest —
-    the rank computed by counting strictly-smaller tuples, matching
-    the Spark side's array_sort over (abs(dot), p) structs."""
-    branches = []
-    for p in range(n_planes):
-        less = " + ".join(
-            f"(CASE WHEN m{q} < m{p} OR (m{q} = m{p} AND {q} < {p}) "
-            f"THEN 1 ELSE 0 END)"
-            for q in range(n_planes) if q != p)
-        branches.append(
-            f"SELECT vec_id, v, xor(bucket, {1 << p}) AS pb FROM q0 "
-            f"WHERE ({less}) <= {n_probes - 2}")
-    return "\nUNION ALL\n".join(branches)
+    """Flip-probe branch: every non-empty plane SUBSET (flip mask k)
+    costed by the summed margins of its flipped planes, ranked by
+    (cost, k), first ``n_probes - 1`` kept — the same multi-bit
+    probing sequence the Spark side builds with array_sort over
+    (cost, mask) structs; the cost sum adds planes in ascending-p
+    order on both engines so the doubles are bit-identical."""
+    cost = " + ".join(
+        f"(CASE WHEN (k & {1 << p}) > 0 THEN m{p} ELSE 0.0 END)"
+        for p in range(n_planes))
+    masks = ", ".join(f"({k})" for k in range(1, 1 << n_planes))
+    return f"""SELECT vec_id, v, xor(bucket, k) AS pb FROM (
+    SELECT vec_id, v, bucket, k,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cost, k) AS rn
+    FROM (SELECT q0.*, mk.k, {cost} AS cost
+          FROM q0, (VALUES {masks}) mk(k))
+  ) WHERE rn <= {n_probes - 1}"""
 
 
 SQL_SIM_LSH_PROBES = f"""
