@@ -43,6 +43,7 @@ _DRIVER_FIRST = [
     "sim_lsh_probes",  # new in r6: multi-probe LSH recall knob
     "docs_dsir_topk",  # new in r6: DSIR importance selection
     "sim_pq_topk",  # new in r6: product-quantization ADC scan
+    "emb_semantic_dedup",  # new in r6: SemDeDup cluster-scoped dedup
     "sim_cosine_topk",  # green r1 only
     # analytics suite: green r4 only
     "orders_salted_join", "q20_dominant_supplier", "q12_ship_latency",
@@ -59,7 +60,7 @@ _DRIVER_FIRST = [
     "emb_near_dedup", "dedup_near_survivors", "text_paragraph_dedup",
     "events_sessionize", "events_window_agg",
     # engine top-up (already >=2 greens; cheap reconfirmation)
-    "cdc_classify", "cdc_apply", "full_diff",
+    "cdc_classify", "cdc_apply",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

@@ -96,6 +96,7 @@ HEADLINE = [
     "sim_lsh_probes",
     "docs_dsir_topk",
     "sim_pq_topk",
+    "emb_semantic_dedup",
 ]
 
 

@@ -2,14 +2,20 @@
 
 - ``cosine_topk``    — brute-force exact top-k: broadcast the (small)
   query set against the (huge) corpus; dot products via zip_with +
-  aggregate (JVM-side, codegen), per-query top-k via window. The
-  corpus is scanned once, partition-parallel; nothing ever collects.
-- ``lsh_bucketed_topk`` — the scale path: random-hyperplane sign
-  buckets prune the corpus before scoring. Probe the query's own
-  bucket (optionally with multi-probe neighbors); recall < 1 traded
-  for touching only |corpus|/2^planes rows per query.
+  aggregate (JVM-side, codegen), per-query top-k via the salted
+  two-phase rank. The corpus is scanned once, partition-parallel;
+  nothing ever collects.
+- ``lsh_bucketed_topk`` — scale path #1: random-hyperplane sign
+  buckets prune the corpus before scoring; ``n_probes`` turns the
+  multi-probe recall knob. Touches ~n_probes/2^planes of the corpus
+  per query.
+- ``ivf_topk`` / ``kmeans_fit`` — scale path #2: inverted centroid
+  cells, partition-pruned probes, trainable codebook.
+- ``pq_adc_topk`` — scale path #3: product-quantization codes +
+  broadcast LUT; the scan never reads embeddings at query time.
 - ``embedding_near_pairs`` — corpus-vs-corpus near-duplicate pairs
-  above a cosine threshold, bucketed the same way.
+  above a cosine threshold, bucketed the same way, with
+  ``collapse_identical`` guarding the exact-copy blow-up.
 """
 
 from __future__ import annotations
@@ -574,3 +580,58 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         "query_id", "neighbor_id",
         F.col("rank").cast("bigint").alias("rank"),
         F.col("adc").alias("adc_dist"))
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.92,
+                   n_centroids: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup-style cluster-scoped near-dedup (Abbas et al., 2023 —
+    public algorithm): assign every vector to a centroid cell
+    (broadcast, map-side), find cosine >= threshold pairs ONLY within
+    a cell, and keep the minimum id of every near-duplicate
+    neighborhood. Returns (vec_id, cell, kept).
+
+    Drop rule (exact, deterministic): doc b is dropped iff some doc
+    a < b in the same cell has cos(a, b) >= threshold. Computed
+    WITHOUT pairing identical copies quadratically: vectors group by
+    exact value (rep = group min id; identical copies share a cell by
+    determinism of the assignment), the pair join runs over DISTINCT
+    vectors only, and membership falls out arithmetically —
+    b survives iff b IS its group's rep and no near-neighbor group's
+    rep is smaller (a neighbor group's smallest member IS its rep, so
+    comparing reps decides "exists a < b" exactly). A million-copy
+    boilerplate embedding therefore costs one group row, not 5e11
+    pairs — the same guard family as collapse_identical.
+
+    At 100 TB the cell assignment is the only corpus-wide pass
+    (centroids broadcast); the pair join is bounded by distinct
+    vectors per cell, tuned by n_centroids exactly as SemDeDup tunes
+    its k-means k."""
+    if centroids is None:
+        centroids = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    vecs = corpus.select(F.col(id_col).alias("id"),
+                         _as_double(F.col(vec_col)).alias("v"))
+    groups = vecs.groupBy("v").agg(F.min("id").alias("rep"))
+    asgn = ivf_assign(groups.select(F.col("rep").alias("id"), "v"),
+                      centroids, "id", "v", nprobe=1) \
+        .select(F.col("id").alias("rep"), F.col("v"), F.col("cell"))
+    a, b = asgn.alias("a"), asgn.alias("b")
+    near = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.rep") != F.col("b.rep")))
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+                >= threshold)
+        .groupBy(F.col("b.rep").alias("rep"))
+        .agg(F.min(F.col("a.rep")).alias("nmin"))
+    )
+    members = vecs.join(groups, "v").join(
+        asgn.select("rep", "cell"), "rep").join(near, "rep", "left")
+    return members.select(
+        F.col("id").alias(id_col), "cell",
+        ((F.col("id") == F.col("rep"))
+         & (F.col("nmin").isNull() | (F.col("nmin") > F.col("id"))))
+        .alias("kept"))

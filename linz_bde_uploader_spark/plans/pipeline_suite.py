@@ -839,6 +839,55 @@ FROM ranked WHERE rank <= 3
 """
 
 
+_SQL_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            " * sqrt(list_dot_product({b}, {b})))")
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped near-dedup on a hot corpus
+    (every 29th vector an exact copy of vec 0 — the re-crawl case):
+    assign to centroid cells, keep the min id of every within-cell
+    cosine >= 0.5 neighborhood. Identical-vector groups cost one
+    distinct row each, never quadratic pairs
+    (similarity.py semantic_dedup)."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    v0 = F.broadcast(emb.filter(F.col("vec_id") == 0)
+                     .select(F.col("embedding").alias("_v0")))
+    corpus = emb.crossJoin(v0).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 29 == 0, F.col("_v0"))
+         .otherwise(F.col("embedding")).alias("embedding"))
+    return S.semantic_dedup(corpus, threshold=0.5, n_centroids=8)
+
+
+SQL_EMB_SEMANTIC_DEDUP = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id,
+             CASE WHEN vec_id % 29 = 0
+                  THEN (SELECT v FROM e0 WHERE vec_id = 0) ELSE v END AS v
+      FROM e0),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+grp AS (SELECT v, MIN(vec_id) AS rep FROM e GROUP BY v),
+asgn AS (
+  SELECT g.rep, g.v, c.cent_id,
+         row_number() OVER (PARTITION BY g.rep ORDER BY
+           {_SQL_COS.format(a='g.v', b='c.cv')} DESC, c.cent_id) AS cell_rank
+  FROM grp g CROSS JOIN cents c),
+cells AS (SELECT rep, v, cent_id AS cell FROM asgn WHERE cell_rank = 1),
+near AS (
+  SELECT b.rep AS rep, MIN(a.rep) AS nmin
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.rep <> b.rep
+  WHERE round({_SQL_COS.format(a='a.v', b='b.v')}, 6) >= 0.5
+  GROUP BY b.rep),
+members AS (
+  SELECT e.vec_id, g.rep, c.cell
+  FROM e JOIN grp g ON e.v = g.v JOIN cells c ON g.rep = c.rep)
+SELECT m.vec_id, m.cell,
+       (m.vec_id = m.rep AND (n.nmin IS NULL OR n.nmin > m.vec_id)) AS kept
+FROM members m LEFT JOIN near n ON m.rep = n.rep
+"""
+
+
 def q_sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of spherical k-means (8 cells, cosine
     assignment) — the IVF centroid-training step — exploded to
@@ -2411,6 +2460,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
     "sim_lsh_probes": (q_sim_lsh_probes, SQL_SIM_LSH_PROBES),
     "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_PQ_TOPK),
+    "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS),
     "emb_near_dedup": (q_emb_near_dedup, SQL_EMB_NEAR_DEDUP),

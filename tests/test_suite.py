@@ -428,3 +428,53 @@ def test_pq_encode_and_adc_match_numpy(spark):
           for r in S.pq_adc_topk(emb, q, k=3, m=m, n_codes=n_codes,
                                  dim=dim).collect()}
     assert len(exact & pq) / len(exact) >= 0.2
+
+
+def test_semantic_dedup_matches_naive_member_level_rule(spark):
+    """semantic_dedup's distinct-vector formulation must equal the
+    naive member-level rule — b dropped iff some a < b in the same
+    cell has cos(a,b) >= tau — computed directly in numpy over every
+    member pair, on a corpus with planted identical copies (every 7th
+    vector = vec 0's embedding) so the identical-group shortcut is
+    actually load-bearing."""
+    import numpy as np
+
+    from linz_bde_uploader_spark.operators import similarity as S
+    from linz_bde_uploader_spark.plans.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter("vec_id < 80")
+    v0 = F.broadcast(emb.filter(F.col("vec_id") == 0)
+                     .select(F.col("embedding").alias("_v0")))
+    corpus = emb.crossJoin(v0).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 0, F.col("_v0"))
+         .otherwise(F.col("embedding")).alias("embedding"))
+    tau, k = 0.5, 8
+    got = {r["vec_id"]: (r["cell"], r["kept"])
+           for r in S.semantic_dedup(corpus, threshold=tau,
+                                     n_centroids=k).collect()}
+
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+         for r in corpus.collect()}
+    C = np.stack([X[i] for i in range(k)])
+
+    def cell_of(v):
+        sims = (C @ v) / (np.linalg.norm(C, axis=1) * np.linalg.norm(v))
+        return int(np.argmax(sims))  # first max -> lowest cent_id
+
+    cells = {i: cell_of(v) for i, v in X.items()}
+    ids = sorted(X)
+    for b in ids:
+        dropped = any(
+            a < b and cells[a] == cells[b]
+            and round(float(X[a] @ X[b]
+                            / (np.linalg.norm(X[a]) * np.linalg.norm(X[b]))),
+                      6) >= tau
+            for a in ids)
+        assert got[b] == (cells[b], not dropped), (b, got[b])
+
+    # the planted copy group: only vec 0 survives of the %7 family
+    fam = [i for i in ids if i % 7 == 0]
+    assert got[0][1] is True
+    assert all(got[i][1] is False for i in fam if i != 0)
