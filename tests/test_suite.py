@@ -478,3 +478,43 @@ def test_semantic_dedup_matches_naive_member_level_rule(spark):
     fam = [i for i in ids if i % 7 == 0]
     assert got[0][1] is True
     assert all(got[i][1] is False for i in fam if i != 0)
+
+
+def test_pq_with_kmeans_trained_codebooks(spark):
+    """The production PQ path: per-subspace codebooks TRAINED with the
+    DataFrame k-means (kmeans_fit on each 16-dim slice) slot into
+    pq_adc_topk via codebooks= without changing index mechanics, and
+    trained codebooks must not lose recall vs the crude seed
+    codebooks on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import similarity as S
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    m, n_codes, dim = 4, 8, 64
+    d = dim // m
+    trained = None
+    for s in range(m):
+        sl = emb.select("vec_id",
+                        F.slice(S._as_double(F.col("embedding")),
+                                s * d + 1, d).alias("embedding"))
+        cents = S.kmeans_fit(sl, n_centroids=n_codes, iters=2)
+        part = cents.select(F.lit(s).alias("sub"),
+                            F.col("cent_id").cast("int").alias("code_id"),
+                            F.col("cv").alias("cw"))
+        trained = part if trained is None else trained.unionByName(part)
+
+    q = emb.filter("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk(emb, q, k=3).collect()}
+
+    def recall(cb):
+        pq = {(r.query_id, r.neighbor_id)
+              for r in S.pq_adc_topk(emb, q, k=3, m=m, n_codes=n_codes,
+                                     dim=dim, codebooks=cb).collect()}
+        return len(exact & pq) / len(exact)
+
+    r_seed = recall(None)
+    r_trained = recall(trained)
+    assert r_trained >= r_seed - 1e-9, (r_trained, r_seed)
