@@ -142,3 +142,107 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     sh = word_shingles(F.col(text_col), shingle_words)
     fp = F.array_min(F.transform(sh, lambda s: hash60(s)))
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# ------------------------------------------------------- BPE training
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge training (Sennrich et al., ACL 2016 —
+    public algorithm) as iterative DataFrame passes: learn the
+    ``n_merges`` highest-frequency adjacent-symbol merges over the
+    corpus, returned in merge order.
+
+    Scale shape: the corpus collapses ONCE to its (word, freq) table
+    — the classic BPE trick; at 100 TB the word table is orders of
+    magnitude smaller than the corpus and that groupBy is the only
+    pass that ever reads the text. Each iteration then runs on the
+    word table alone: adjacent pairs come from one zip+explode, the
+    winning pair is a 1-row argmax (the only driver traffic, same
+    scalar-per-round shape as kmeans_fit), and the merge applies as
+    one codegen ``regexp_replace`` whose lookahead keeps greedy
+    left-to-right semantics on runs ("a a a a" -> "aa aa", never a
+    consumed-separator miss). No Python touches a row at any point.
+
+    Ties break lexicographically on the pair — deterministic across
+    runs and partitionings. The returned merges feed a tokenizer
+    directly; re-tokenizing a corpus with them is the same
+    regexp_replace chain applied to documents."""
+    import re as _re
+
+    sep = "\x1f"
+    words = (
+        docs.select(F.explode(F.split(F.trim(F.col(text_col)),
+                                      r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        # symbol string: ␟c␟c␟ boundaries around every char symbol
+        .withColumn("s", F.concat(F.lit(sep),
+                                  F.array_join(F.split("w", ""), sep),
+                                  F.lit(sep)))
+        .select("s", "freq")
+    )
+    words = words.persist()
+    words.count()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            toks = F.filter(F.split("s", sep),
+                            lambda x: x != F.lit(""))
+            pairs = F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+                .alias("a"),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+                .alias("b"))
+            top = (
+                words.select(F.explode(pairs).alias("p"), "freq")
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), "a", "b")
+                .limit(1).collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            pat = (_re.escape(sep + a + sep + b)
+                   + f"(?={_re.escape(sep)})")
+            nxt = words.withColumn(
+                "s", F.regexp_replace("s", pat, sep + a + b)).persist()
+            nxt.count()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
+              text_col: str = "text",
+              out_col: str = "bpe_tokens") -> DataFrame:
+    """Tokenize with a trained merge list: the same lookahead
+    regexp_replace chain applied per word, all codegen — the
+    token array column is ready for packing/counting."""
+    import re as _re
+
+    sep = "\x1f"
+    s = F.concat(F.lit(sep), F.array_join(
+        F.split(F.col("w"), ""), sep), F.lit(sep))
+    for a, b in merges:
+        pat = _re.escape(sep + a + sep + b) + f"(?={_re.escape(sep)})"
+        s = F.regexp_replace(s, pat, sep + a + b)
+    per_word = F.filter(F.split(s, sep), lambda x: x != F.lit(""))
+    exploded = (docs.select(
+        *docs.columns,
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("_pos", "w"))
+        .filter(F.col("w") != ""))
+    other = list(docs.columns)
+    # collect_list is NOT order-preserving after a shuffle: carry the
+    # word position and sort before flattening
+    return (exploded.withColumn("_t", per_word)
+            .groupBy(*other)
+            .agg(F.flatten(F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_t"))),
+                lambda st: st["_t"])).alias(out_col)))

@@ -518,3 +518,62 @@ def test_pq_with_kmeans_trained_codebooks(spark):
     r_seed = recall(None)
     r_trained = recall(trained)
     assert r_trained >= r_seed - 1e-9, (r_trained, r_seed)
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """bpe_train's merge list must equal a pure-Python reference BPE
+    (word-frequency table, greedy left-to-right merge application,
+    (freq desc, pair) tie-break) on the same corpus — including runs
+    like 'aaaa' where consumed-separator regex bugs would diverge —
+    and bpe_apply must re-tokenize exactly as the reference does."""
+    import collections
+
+    from linz_bde_uploader_spark.operators import text_analysis as TA
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaaa aaa aa aaaa",
+        "wide wider wide widest",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 ["doc_id", "text"])
+
+    def ref_bpe(texts, n_merges):
+        freqs = collections.Counter(
+            w for t in texts for w in t.split() if w)
+        words = {w: list(w) for w in freqs}
+        merges = []
+        for _ in range(n_merges):
+            counts = collections.Counter()
+            for w, toks in words.items():
+                for i in range(len(toks) - 1):
+                    counts[(toks[i], toks[i + 1])] += freqs[w]
+            if not counts:
+                break
+            best = min(counts, key=lambda p: (-counts[p], p))
+            merges.append(best)
+            a, b = best
+            for w, toks in words.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == a
+                            and toks[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                words[w] = out
+        return merges, words
+
+    n = 8
+    expect_merges, ref_words = ref_bpe(texts, n)
+    got_merges = TA.bpe_train(docs, n_merges=n)
+    assert got_merges == expect_merges
+
+    toked = {r["doc_id"]: r["bpe_tokens"]
+             for r in TA.bpe_apply(docs, got_merges).collect()}
+    for i, t in enumerate(texts):
+        expect = [tok for w in t.split() for tok in ref_words[w]]
+        assert toked[i] == expect, (i, toked[i], expect)
