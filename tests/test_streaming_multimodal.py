@@ -607,3 +607,54 @@ def test_compact_lsh_index_preserves_dedup(spark, tmp_path):
     q.awaitTermination()
     kept3 = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 900100 not in kept3
+
+
+def test_audio_spectral_features_sine_closed_form(spark):
+    """A pure sine at a known frequency concentrates rfft power in
+    one band: dominant_band and spectral centroid must match the
+    closed form, and the band energies sum to ~1."""
+    import numpy as np
+
+    rate, n = 8000, 2048
+    rows = []
+    for i, f_hz in enumerate([500.0, 1500.0, 3500.0]):
+        t = np.arange(n) / rate
+        s = (10000 * np.sin(2 * np.pi * f_hz * t)).astype(np.int16)
+        rows.append((i, "audio", bytearray(MM.encode_wav(s, rate)),
+                     (None, None, rate, None, "audio/wav")))
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           MM.audio_spectral_features(media, n_bands=8).collect()}
+    nyq = rate / 2  # 4000 Hz -> 8 bands of 500 Hz
+    for i, f_hz in enumerate([500.0, 1500.0, 3500.0]):
+        r = got[i]
+        assert r.sample_rate == rate and r.n_samples == n
+        assert abs(sum(r.band_energy) - 1.0) < 1e-9
+        assert r.dominant_band == int(f_hz / nyq * 8)
+        assert abs(r.spectral_centroid_hz - f_hz) < 25.0  # leakage slack
+        assert max(r.band_energy) > 0.95  # energy concentrated
+
+
+def test_video_motion_stats_closed_form(spark):
+    """Motion energy over hand-built frame sequences: a static pair
+    (duplicate frames) scores zero with one static transition; a
+    sequence whose second frame adds +10 to every pixel scores
+    exactly 10."""
+    import numpy as np
+
+    f0 = np.zeros((4, 4, 3), dtype=np.uint8)
+    f1 = np.full((4, 4, 3), 10, dtype=np.uint8)
+    static = MM.encode_fvid([MM.encode_bmp(f0), MM.encode_bmp(f0)])
+    moving = MM.encode_fvid([MM.encode_bmp(f0), MM.encode_bmp(f1),
+                             MM.encode_bmp(f1)])
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(static), (4, 4, None, 2, "video/x-fvid")),
+         (1, "video", bytearray(moving), (4, 4, None, 3, "video/x-fvid"))],
+        MM.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in MM.video_motion_stats(media).collect()}
+    assert got[0].n_frames == 2
+    assert got[0].mean_motion == 0.0 and got[0].max_motion == 0.0
+    assert got[0].static_transitions == 1
+    assert got[1].n_frames == 3
+    assert got[1].max_motion == 10.0 and abs(got[1].mean_motion - 5.0) < 1e-12
+    assert got[1].static_transitions == 1  # f1 -> f1
