@@ -658,3 +658,22 @@ def test_video_motion_stats_closed_form(spark):
     assert got[1].n_frames == 3
     assert got[1].max_motion == 10.0 and abs(got[1].mean_motion - 5.0) < 1e-12
     assert got[1].static_transitions == 1  # f1 -> f1
+
+
+def test_extract_features_streaming_matches_batch(spark, tmp_path):
+    """The multimodal extractors compose with Structured Streaming
+    unchanged: mapInPandas feature extraction over a readStream of
+    the same media parquet yields exactly the batch feature set —
+    payload bytes stay inside the scan partition in both modes."""
+    media = MM.synthetic_media(spark, n=20)
+    src = str(tmp_path / "media_src")
+    media.write.parquet(src)
+    batch = {(r.media_id, tuple(r.features))
+             for r in MM.extract_features(spark.read.parquet(src)).collect()}
+    stream = spark.readStream.schema(media.schema).parquet(src)
+    out = str(tmp_path / "feat_out")
+    STR.run_available_now(MM.extract_features(stream),
+                          str(tmp_path / "feat_ckpt"), out)
+    streamed = {(r.media_id, tuple(r.features))
+                for r in spark.read.parquet(out).collect()}
+    assert streamed == batch
