@@ -44,6 +44,7 @@ _DRIVER_FIRST = [
     "docs_dsir_topk",  # new in r6: DSIR importance selection
     "sim_pq_topk",  # new in r6: product-quantization ADC scan
     "emb_semantic_dedup",  # new in r6: SemDeDup cluster-scoped dedup
+    "sim_ivfpq_topk",  # new in r6: composed IVF-PQ ANN
     "sim_cosine_topk",  # green r1 only
     # analytics suite: green r4 only
     "orders_salted_join", "q20_dominant_supplier", "q12_ship_latency",
@@ -60,7 +61,7 @@ _DRIVER_FIRST = [
     "emb_near_dedup", "dedup_near_survivors", "text_paragraph_dedup",
     "events_sessionize", "events_window_agg",
     # engine top-up (already >=2 greens; cheap reconfirmation)
-    "cdc_classify", "cdc_apply",
+    "cdc_classify",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

@@ -97,6 +97,7 @@ HEADLINE = [
     "docs_dsir_topk",
     "sim_pq_topk",
     "emb_semantic_dedup",
+    "sim_ivfpq_topk",
 ]
 
 

@@ -635,3 +635,66 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.92,
         ((F.col("id") == F.col("rep"))
          & (F.col("nmin").isNull() | (F.col("nmin") > F.col("id"))))
         .alias("kept"))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+               n_centroids: int = 8, nprobe: int = 2,
+               m: int = 4, n_codes: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64) -> DataFrame:
+    """IVF-PQ: the canonical production ANN composition (coarse
+    inverted-file quantizer + product-quantized residual scan — the
+    FAISS IVFPQ structure, Jégou et al. TPAMI 2011). Queries probe
+    their ``nprobe`` nearest centroid cells and ADC-score ONLY those
+    cells' PQ codes: at 100 TB the scan reads
+    nprobe/n_centroids of an already ~256x-compressed code table,
+    with centroids, codebooks, probes, and the query LUT all
+    broadcast — no corpus shuffle anywhere in the query path.
+
+    Returns (query_id, neighbor_id, rank, adc_dist) ascending by the
+    6-dp ADC distance through the salted two-phase rank."""
+    from linz_bde_uploader_spark.operators.topk import grouped_topk
+
+    cents = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    codebooks = pq_seed_codebooks(corpus, m, n_codes, id_col,
+                                  vec_col, dim)
+    d = dim // m
+    c = corpus.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    inv = ivf_assign(c, cents, "id", "v", nprobe=1) \
+        .select("id", "cell")
+    codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim) \
+        .join(inv, "id")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    probes = F.broadcast(
+        ivf_assign(q, cents, "query_id", "qv", nprobe=nprobe)
+        .select("query_id", "cell"))
+    qsub = q.select(
+        "query_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice("qv", s * d + 1, d).alias("qs"))
+            for s in range(m)])).alias("e")
+    ).select("query_id", F.col("e.sub").alias("sub"),
+             F.col("e.qs").alias("qs"))
+    lut = F.broadcast(
+        qsub.join(codebooks.withColumnRenamed("code_id", "code"), "sub")
+        .select("query_id", "sub", "code",
+                F.round(_sq_l2(F.col("qs"), F.col("cw")), 9).alias("pd")))
+    scored = (
+        codes.join(probes, "cell")
+        .join(lut, ["query_id", "sub", "code"])
+        .filter(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.round(F.sum(F.col("pd").cast("decimal(20,9)"))
+                     .cast("double"), 6).alias("adc"))
+    )
+    ranked = grouped_topk(
+        scored, ["query_id"],
+        [F.col("adc").asc(), F.col("neighbor_id")], k,
+        salt_expr=F.xxhash64("neighbor_id"), n_salts=32)
+    return ranked.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("adc").alias("adc_dist"))

@@ -888,6 +888,67 @@ FROM members m LEFT JOIN near n ON m.rep = n.rep
 """
 
 
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (coarse cell probe + ADC over PQ codes —
+    the FAISS IVFPQ structure): each query scores only its 2 probed
+    cells' code rows (similarity.py ivfpq_topk)."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivfpq_topk(emb, queries, k=3, n_centroids=8, nprobe=2,
+                        m=4, n_codes=8, dim=64)
+
+
+SQL_SIM_IVFPQ_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+asgn AS (
+  SELECT e.vec_id, e.v, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           {_SQL_COS.format(a='e.v', b='c.cv')} DESC, c.cent_id) AS cell_rank
+  FROM e CROSS JOIN cents c),
+inv AS (SELECT vec_id AS id, cent_id AS cell FROM asgn WHERE cell_rank = 1),
+subs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(sub)),
+cb AS (
+  SELECT sub, vec_id AS code_id, v[sub*16+1 : sub*16+16] AS cw
+  FROM e, subs WHERE vec_id < 8),
+sliced AS (
+  SELECT vec_id AS id, sub, v[sub*16+1 : sub*16+16] AS sv FROM e, subs),
+pqd AS (
+  SELECT id, sub, code_id, round({_sql_sq_l2('sv', 'cw')}, 9) AS d2
+  FROM sliced JOIN cb USING (sub)),
+codes AS (
+  SELECT c.id, c.sub, c.code_id AS code, i.cell FROM (
+    SELECT id, sub, code_id,
+           row_number() OVER (PARTITION BY id, sub
+                              ORDER BY d2, code_id) AS rn
+    FROM pqd) c JOIN inv i USING (id) WHERE c.rn = 1),
+probes AS (SELECT vec_id AS query_id, cent_id AS cell
+           FROM asgn WHERE vec_id < 10 AND cell_rank <= 2),
+qsub AS (SELECT vec_id AS query_id, sub, v[sub*16+1 : sub*16+16] AS qs
+         FROM e, subs WHERE vec_id < 10),
+lut AS (
+  SELECT query_id, sub, code_id AS code,
+         round({_sql_sq_l2('qs', 'cw')}, 9) AS pd
+  FROM qsub JOIN cb USING (sub)),
+adc AS (
+  SELECT p.query_id, c.id AS neighbor_id,
+         round(CAST(SUM(CAST(l.pd AS DECIMAL(20,9))) AS DOUBLE), 6)
+           AS adc_dist
+  FROM codes c JOIN probes p USING (cell)
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub
+            AND l.code = c.code
+  WHERE p.query_id <> c.id
+  GROUP BY p.query_id, c.id),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_dist
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of spherical k-means (8 cells, cosine
     assignment) — the IVF centroid-training step — exploded to
@@ -2461,6 +2522,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "sim_lsh_probes": (q_sim_lsh_probes, SQL_SIM_LSH_PROBES),
     "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_PQ_TOPK),
     "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
+    "sim_ivfpq_topk": (q_sim_ivfpq_topk, SQL_SIM_IVFPQ_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS),
     "emb_near_dedup": (q_emb_near_dedup, SQL_EMB_NEAR_DEDUP),

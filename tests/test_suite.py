@@ -577,3 +577,46 @@ def test_bpe_train_matches_reference_implementation(spark):
     for i, t in enumerate(texts):
         expect = [tok for w in t.split() for tok in ref_words[w]]
         assert toked[i] == expect, (i, toked[i], expect)
+
+
+def test_ivfpq_subset_of_full_pq_and_scale_shape(spark):
+    """IVF-PQ must agree with plain PQ wherever it looked: every
+    (query, neighbor) it returns scores the identical ADC distance as
+    the full PQ scan, its neighbors all live in the query's probed
+    cells, and full probing (nprobe = n_centroids) reproduces the
+    plain PQ ranking exactly."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import similarity as S
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 5")
+    full = {(r.query_id, r.neighbor_id): r.adc_dist
+            for r in S.pq_adc_topk(emb, q, k=3, m=4, n_codes=8,
+                                   dim=64).collect()}
+    part = S.ivfpq_topk(emb, q, k=3, n_centroids=8, nprobe=2,
+                        m=4, n_codes=8, dim=64).collect()
+    # probed-cell containment
+    c = emb.select(F.col("vec_id").alias("id"),
+                   S._as_double(F.col("embedding")).alias("v"))
+    cents = S.seed_centroids(emb, 8)
+    cells = {r["id"]: r["cell"]
+             for r in S.ivf_assign(c, cents, "id", "v").collect()}
+    probed = {}
+    for r in S.ivf_assign(c.filter("id < 5"), cents, "id", "v",
+                          nprobe=2).collect():
+        probed.setdefault(r["id"], set()).add(r["cell"])
+    for r in part:
+        assert cells[r.neighbor_id] in probed[r.query_id]
+        if (r.query_id, r.neighbor_id) in full:
+            assert r.adc_dist == full[(r.query_id, r.neighbor_id)]
+    # full probe == plain PQ
+    allprobe = {(r.query_id, r.neighbor_id, r.rank, r.adc_dist)
+                for r in S.ivfpq_topk(emb, q, k=3, n_centroids=8,
+                                      nprobe=8, m=4, n_codes=8,
+                                      dim=64).collect()}
+    plain = {(r.query_id, r.neighbor_id, r.rank, r.adc_dist)
+             for r in S.pq_adc_topk(emb, q, k=3, m=4, n_codes=8,
+                                    dim=64).collect()}
+    assert allprobe == plain
