@@ -45,6 +45,7 @@ _DRIVER_FIRST = [
     "sim_pq_topk",  # new in r6: product-quantization ADC scan
     "emb_semantic_dedup",  # new in r6: SemDeDup cluster-scoped dedup
     "sim_ivfpq_topk",  # new in r6: composed IVF-PQ ANN
+    "docs_gopher_rules",  # new in r6: integer-exact quality gate
     "sim_cosine_topk",  # green r1 only
     # analytics suite: green r4 only
     "orders_salted_join", "q20_dominant_supplier", "q12_ship_latency",
@@ -60,8 +61,6 @@ _DRIVER_FIRST = [
     "pipeline_prep", "sim_ivf_topk", "sim_lsh_topk", "sim_near_pairs",
     "emb_near_dedup", "dedup_near_survivors", "text_paragraph_dedup",
     "events_sessionize", "events_window_agg",
-    # engine top-up (already >=2 greens; cheap reconfirmation)
-    "cdc_classify",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

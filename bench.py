@@ -98,6 +98,7 @@ HEADLINE = [
     "sim_pq_topk",
     "emb_semantic_dedup",
     "sim_ivfpq_topk",
+    "docs_gopher_rules",
 ]
 
 

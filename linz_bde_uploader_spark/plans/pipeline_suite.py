@@ -597,6 +597,74 @@ GROUP BY 1
 """
 
 
+def q_docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 /
+    C4-style heuristics — public filter set): per-document boolean
+    flags for word count bounds, mean word length, symbol-to-word
+    ratio, alphabetic-word fraction, and stopword presence, plus the
+    AND of all rules. Every ratio threshold compares via integer
+    cross-multiplication (``alpha*5 >= n*4`` instead of
+    ``alpha/n >= 0.8``), so the booleans are bit-identical on any
+    engine — no float ever reaches the output. Pure codegen
+    expressions over one split; embarrassingly parallel at any
+    scale."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    words = F.filter(F.split(F.trim("text"), r"\s+"),
+                     lambda w: w != F.lit(""))
+    n = F.size(words)
+    sumlen = F.aggregate(words, F.lit(0),
+                         lambda acc, w: acc + F.length(w))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    sym = F.size(F.filter(
+        words, lambda w: w.startswith("#") | w.endswith("...")))
+    sw = F.size(F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"),
+        lambda w: w.isin("the", "a", "of", "and", "to")))
+    out = docs.select(
+        "doc_id", n.alias("n_words"),
+        ((n >= 20) & (n <= 10000)).alias("ok_word_count"),
+        ((sumlen >= 3 * n) & (sumlen <= 10 * n)).alias("ok_mean_word_len"),
+        (sym * 10 <= n).alias("ok_symbol_ratio"),
+        (alpha * 5 >= n * 4).alias("ok_alpha_words"),
+        (sw >= F.lit(2)).alias("ok_stopwords"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("ok_word_count") & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio") & F.col("ok_alpha_words")
+        & F.col("ok_stopwords"))
+
+
+SQL_GOPHER_RULES = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t <> '') AS ws,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> list_contains(['the','a','of','and','to'], t))
+           AS sws
+  FROM documents),
+m AS (
+  SELECT doc_id, len(ws) AS n,
+         list_sum(list_transform(ws, t -> len(t))) AS sumlen,
+         len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+         len(list_filter(ws, t -> starts_with(t, '#')
+                                  OR suffix(t, '...'))) AS sym,
+         len(sws) AS sw
+  FROM w)
+SELECT doc_id, CAST(n AS INT) AS n_words,
+       (n >= 20 AND n <= 10000) AS ok_word_count,
+       (sumlen >= 3 * n AND sumlen <= 10 * n) AS ok_mean_word_len,
+       (sym * 10 <= n) AS ok_symbol_ratio,
+       (alpha * 5 >= n * 4) AS ok_alpha_words,
+       (sw >= 2) AS ok_stopwords,
+       (n >= 20 AND n <= 10000 AND sumlen >= 3 * n AND sumlen <= 10 * n
+        AND sym * 10 <= n AND alpha * 5 >= n * 4 AND sw >= 2)
+         AS gopher_pass
+FROM m
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.quality(parallelize_small(load_table(spark, sf_dir, "documents")))
 
@@ -2515,6 +2583,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "docs_hash_sample": (q_docs_hash_sample, SQL_HASH_SAMPLE),
     "docs_length_histogram": (q_docs_length_histogram, SQL_LENGTH_HISTOGRAM),
     "text_quality": (q_text_quality, SQL_QUALITY),
+    "docs_gopher_rules": (q_docs_gopher_rules, SQL_GOPHER_RULES),
     "text_lang_id": (q_text_lang_id, SQL_LANG_ID),
     "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
