@@ -68,3 +68,101 @@ def test_capped_lsh_components_equal_property(spark, docs, cap):
     c_b = {(r["id"], r["cluster_id"])
            for r in duplicate_clusters(full).collect()}
     assert c_a == c_b
+
+
+# --------------------------------------------------- r6 equivalences
+
+
+@SLOW
+@given(words=st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=1, max_size=25),
+    n_merges=st.integers(1, 5))
+def test_bpe_train_matches_reference_property(spark, words, n_merges):
+    """bpe_train == pure-Python reference BPE for ANY corpus over a
+    tiny alphabet — hammers runs ('aaaa'), ties (lexicographic pair
+    break), multi-char merged symbols re-merging, and merge counts
+    exceeding the distinct-pair supply."""
+    import collections
+
+    from linz_bde_uploader_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame([(0, " ".join(words))],
+                                 ["doc_id", "text"])
+
+    freqs = collections.Counter(words)
+    toks = {w: list(w) for w in freqs}
+    expect = []
+    for _ in range(n_merges):
+        counts = collections.Counter()
+        for w, ts in toks.items():
+            for i in range(len(ts) - 1):
+                counts[(ts[i], ts[i + 1])] += freqs[w]
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        expect.append(best)
+        a, b = best
+        for w, ts in toks.items():
+            out, i = [], 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == a and ts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(ts[i])
+                    i += 1
+            toks[w] = out
+
+    assert TA.bpe_train(docs, n_merges=n_merges) == expect
+
+
+@SLOW
+@given(vecs=st.lists(
+    st.tuples(st.integers(-2, 2), st.integers(-2, 2),
+              st.integers(-2, 2)),
+    min_size=3, max_size=25),
+    tau_pct=st.integers(30, 95))
+def test_semantic_dedup_matches_naive_property(spark, vecs, tau_pct):
+    """semantic_dedup's distinct-vector formulation == the naive
+    member-level rule for ANY integer vector set — hammers identical
+    groups whose ids straddle other groups' reps, all-identical
+    corpora, and thresholds near cosine ties. Zero vectors excluded
+    (cosine undefined; the operator's contract requires non-null
+    norms)."""
+    import numpy as np
+
+    from linz_bde_uploader_spark.operators import similarity as S
+
+    rows = [(i, [float(a), float(b), float(c)])
+            for i, (a, b, c) in enumerate(vecs)
+            if (a, b, c) != (0, 0, 0)]
+    if len(rows) < 2:
+        return
+    k_probe = min(4, len(rows))
+    if not any(i < k_probe for i, _ in rows):
+        return  # zero-vector filtering emptied the seed range
+    tau = tau_pct / 100.0
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    k = min(4, len(rows))
+    got = {r["vec_id"]: (r["cell"], r["kept"])
+           for r in S.semantic_dedup(emb, threshold=tau,
+                                     n_centroids=k).collect()}
+
+    X = dict((i, np.array(v)) for i, v in rows)
+    # seed_centroids: vec_id < n_centroids (ids are dense here)
+    C = [X[i] for i in sorted(X) if i < k]
+
+    def cell_of(v):
+        sims = [float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+                for c in C]
+        return int(np.argmax(sims))  # first max -> lowest cent_id
+
+    cells = {i: cell_of(v) for i, v in X.items()}
+    for b in X:
+        dropped = any(
+            a < b and cells[a] == cells[b]
+            and round(float(X[a] @ X[b] / (np.linalg.norm(X[a])
+                                           * np.linalg.norm(X[b]))), 6) >= tau
+            for a in X)
+        assert got[b] == (cells[b], not dropped), (b, got[b], tau)
