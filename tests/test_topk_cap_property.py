@@ -150,13 +150,15 @@ def test_semantic_dedup_matches_naive_property(spark, vecs, tau_pct):
                                      n_centroids=k).collect()}
 
     X = dict((i, np.array(v)) for i, v in rows)
-    # seed_centroids: vec_id < n_centroids (ids are dense here)
-    C = [X[i] for i in sorted(X) if i < k]
+    # seed_centroids keeps vec_id < n_centroids and its cell ids ARE
+    # those vec_ids — with zero-vector gaps they are not positional
+    cands = [i for i in sorted(X) if i < k]
+    C = [X[i] for i in cands]
 
     def cell_of(v):
         sims = [float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
                 for c in C]
-        return int(np.argmax(sims))  # first max -> lowest cent_id
+        return cands[int(np.argmax(sims))]  # first max -> lowest cent_id
 
     cells = {i: cell_of(v) for i, v in X.items()}
     for b in X:
