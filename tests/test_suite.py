@@ -620,3 +620,27 @@ def test_ivfpq_subset_of_full_pq_and_scale_shape(spark):
              for r in S.pq_adc_topk(emb, q, k=3, m=4, n_codes=8,
                                     dim=64).collect()}
     assert allprobe == plain
+
+
+def test_check_oracle_value_diff_names_the_diverging_cell():
+    """The gate's forensics: on a hash mismatch, value_diff reports
+    the exact (row, column, spark, duck) cells after aligning both
+    result sets on their sorted normalized-row order — including
+    column reordering, rowcount mismatches, and float representation
+    differences (the class of red that burned rounds 4 and 5)."""
+    import scripts.check_oracle as co
+
+    # column order differs; one float cell diverges in the last digit
+    d = co.value_diff(
+        [(1, "x", 0.123456), (2, "y", 9.0)], ["id", "name", "v"],
+        [(0.123457, 1, "x"), (9.0, 2, "y")], ["v", "id", "name"])
+    assert d == [{"row": 0, "column": "v",
+                  "spark": "0.123456", "duck": "0.123457"}]
+
+    # identical values, any order -> no diffs
+    assert co.value_diff([(2, "b"), (1, "a")], ["id", "s"],
+                         [(1, "a"), (2, "b")], ["id", "s"]) == []
+
+    # rowcount mismatch surfaces as a '*' sentinel row
+    d = co.value_diff([(1,)], ["id"], [(1,), (2,)], ["id"])
+    assert d[-1]["column"] == "*"
