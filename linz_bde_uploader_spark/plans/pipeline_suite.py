@@ -2232,9 +2232,16 @@ def q_docs_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.col("source").isin(target_srcs).alias("is_target"),
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
-    counts = toks.groupBy("tok").agg(
+    from linz_bde_uploader_spark.operators.dedup import _track
+
+    # the vocabulary IS the trained LM artifact: persist it — totals
+    # and the scoring join both read it, and without the persist
+    # Catalyst re-runs the tokenize + vocab aggregate per consumer
+    # (the harnesses release via release_caches per query)
+    counts = _track(toks.groupBy("tok").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("n_t"),
         F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("n_p"))
+        .persist())
     totals = counts.agg(F.sum("n_t").alias("tt"), F.sum("n_p").alias("tp"),
                         F.count("*").alias("vv"))
     # add-one smoothing over the joint vocabulary on both sides
