@@ -616,6 +616,9 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.92,
     vecs = corpus.select(F.col(id_col).alias("id"),
                          _as_double(F.col(vec_col)).alias("v"))
     groups = vecs.groupBy("v").agg(F.min("id").alias("rep"))
+    # the assignment feeds several branches, but a persist measured
+    # SLOWER than recompute here — the self-join sides share their
+    # exchange (ReusedExchange), so only the cheap projection re-runs
     asgn = ivf_assign(groups.select(F.col("rep").alias("id"), "v"),
                       centroids, "id", "v", nprobe=1) \
         .select(F.col("id").alias("rep"), F.col("v"), F.col("cell"))
