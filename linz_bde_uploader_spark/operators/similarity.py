@@ -156,10 +156,10 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     join — each query touches ~n_probes*|corpus|/2^n_planes rows.
 
     ``n_probes`` > 1 is the recall knob: the query also probes the
-    buckets across its smallest-margin hyperplanes (multi-probe LSH),
-    recovering neighbors that landed one sign flip away. Only the
-    (tiny, broadcast) query side explodes — the corpus is still
-    indexed into exactly one bucket per vector."""
+    buckets across its smallest-margin hyperplane SUBSETS (multi-probe
+    LSH with multi-bit perturbations — n_probes = 2^n_planes scores
+    every bucket). Only the (tiny, broadcast) query side explodes —
+    the corpus is still indexed into exactly one bucket per vector."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("cv")) \
               .withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes, dim))
