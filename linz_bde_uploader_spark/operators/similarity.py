@@ -613,15 +613,27 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.92,
     its k-means k."""
     if centroids is None:
         centroids = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    from pyspark import StorageLevel
+
+    from linz_bde_uploader_spark.operators.dedup import _track
+
     vecs = corpus.select(F.col(id_col).alias("id"),
                          _as_double(F.col(vec_col)).alias("v"))
-    groups = vecs.groupBy("v").agg(F.min("id").alias("rep"))
-    # the assignment feeds several branches, but a persist measured
-    # SLOWER than recompute here — the self-join sides share their
-    # exchange (ReusedExchange), so only the cheap projection re-runs
-    asgn = ivf_assign(groups.select(F.col("rep").alias("id"), "v"),
-                      centroids, "id", "v", nprobe=1) \
+    # groups feeds the assignment AND the membership join; asgn feeds
+    # both self-join sides plus the near aggregate. Without persists
+    # the plan audit shows the corpus-wide groupBy replicated per
+    # branch (40 exchanges at sf0.01) — a recompute that grows with
+    # the corpus, while both persisted relations are one row per
+    # DISTINCT vector. Costs ~0.2 s of materialization at sf0.1;
+    # scale-safety over micro-bench, same trade as dedup_survivors.
+    # Harnesses release via release_caches().
+    groups = _track(vecs.groupBy("v").agg(F.min("id").alias("rep"))
+                    .persist(StorageLevel.MEMORY_AND_DISK))
+    asgn = _track(
+        ivf_assign(groups.select(F.col("rep").alias("id"), "v"),
+                   centroids, "id", "v", nprobe=1)
         .select(F.col("id").alias("rep"), F.col("v"), F.col("cell"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     a, b = asgn.alias("a"), asgn.alias("b")
     near = (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
