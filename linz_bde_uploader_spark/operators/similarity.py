@@ -419,7 +419,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
 def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          n_planes: int = 4, dim: int = 64,
-                         collapse_identical: bool = False) -> DataFrame:
+                         collapse_identical: bool = False,
+                         n_probes: int = 1) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine_sim >=
     threshold), pruned by shared hyperplane bucket.
 
@@ -448,10 +449,25 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
         )
         c = groups.select(F.col("rep").alias("id"), "v")
     c = c.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, dim))
-    a, b = c.alias("a"), c.alias("b")
+    # n_probes > 1: one-sided multi-probe — the LEFT side also probes
+    # its smallest-margin perturbed buckets, recovering near-pairs
+    # that straddle a hyperplane (a recall knob, not exhaustive: the
+    # pair is found when the perturbation is probed from the a side).
+    # Cost is an n_probes-way replication of one side's index rows;
+    # the b side stays single-bucket, so a pair can match at most
+    # once (the probe list is duplicate-free).
+    if n_probes > 1:
+        ap = c.withColumn("pbucket", F.explode(multiprobe_buckets(
+            F.col("v"), n_planes, dim, n_probes)))
+        a, b = ap.alias("a"), c.alias("b")
+        join_on = (F.col("a.pbucket") == F.col("b.bucket")) \
+            & (F.col("a.id") < F.col("b.id"))
+    else:
+        a, b = c.alias("a"), c.alias("b")
+        join_on = (F.col("a.bucket") == F.col("b.bucket")) \
+            & (F.col("a.id") < F.col("b.id"))
     near = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
+        a.join(b, join_on)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)

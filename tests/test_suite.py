@@ -644,3 +644,37 @@ def test_check_oracle_value_diff_names_the_diverging_cell():
     # rowcount mismatch surfaces as a '*' sentinel row
     d = co.value_diff([(1,)], ["id"], [(1,), (2,)], ["id"])
     assert d[-1]["column"] == "*"
+
+
+def test_embedding_near_pairs_multiprobe_recall(spark):
+    """One-sided multi-probe for corpus near-pairs: planted near-dup
+    pairs (tiny noise) sometimes straddle a hyperplane; n_probes=1
+    misses those, larger n_probes recovers strictly more without
+    emitting duplicates or losing same-bucket pairs."""
+    import numpy as np
+
+    from linz_bde_uploader_spark.operators import similarity as S
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    rows = []
+    for i in range(60):
+        v = rng.randn(dim)
+        rows.append((2 * i, [float(x) for x in v]))
+        nb = v + 0.08 * rng.randn(dim)
+        rows.append((2 * i + 1, [float(x) for x in nb]))
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    def planted_recall(n_probes):
+        pairs = S.embedding_near_pairs(emb, threshold=0.9, n_planes=4,
+                                       dim=dim, n_probes=n_probes)
+        got = [(r.id_a, r.id_b) for r in pairs.collect()]
+        assert len(got) == len(set(got))  # no duplicate pairs
+        hits = sum(1 for a, b in got if b == a + 1 and a % 2 == 0)
+        return hits / 60, set(got)
+
+    r1, p1 = planted_recall(1)
+    r4, p4 = planted_recall(4)
+    assert r1 < 1.0      # fixture plants boundary-crossers
+    assert r4 > r1       # probing recovers some
+    assert p1 <= p4      # monotone: never loses a same-bucket pair
