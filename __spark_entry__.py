@@ -46,6 +46,8 @@ _DRIVER_FIRST = [
     "emb_semantic_dedup",  # new in r6: SemDeDup cluster-scoped dedup
     "sim_ivfpq_topk",  # new in r6: composed IVF-PQ ANN
     "docs_gopher_rules",  # new in r6: integer-exact quality gate
+    "docs_bloom_decontam",  # new in r6: broadcast-bitmap contamination gate
+    "docs_dup_spans",  # new in r6: duplicated-substring coverage
     "sim_cosine_topk",  # green r1 only
     # analytics suite: green r4 only
     "orders_salted_join", "q20_dominant_supplier", "q12_ship_latency",

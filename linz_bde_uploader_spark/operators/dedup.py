@@ -602,3 +602,74 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
              ).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str = "h",
+                 n_bits: int = 1 << 16, n_hashes: int = 3) -> DataFrame:
+    """Bloom filter over a key relation, packed as 32-bit words:
+    (word BIGINT, bits BIGINT) with word = position DIV 32.
+
+    Built with one explode (``n_hashes`` rows per key) and one
+    ``bit_or`` aggregate — map-side partial combine collapses each
+    partition to at most ``n_bits/32`` rows before the shuffle, so
+    the exchange is O(partitions x words), independent of key count.
+    The result is kilobytes for millions of keys: it broadcasts where
+    the exact key set cannot, which is the point — a contamination /
+    blocklist probe at 100 TB becomes a broadcast-bitmap scan instead
+    of a shuffle join against the key relation. No false negatives;
+    false-positive rate ~ (1-exp(-kn/m))^k, the standard bound.
+
+    Probe positions use the portable md5-derived 32-bit hash with a
+    per-probe salt prefix, so any ANSI engine reproduces the filter
+    bit-for-bit (the differential-testing contract; reference analog:
+    the reference has no sketch structures — this extends the
+    pipeline surface). Words are 32-bit so the set bit (1 << pos%32)
+    stays positive in a signed 64-bit lane on every engine."""
+    probes = F.array(*[
+        F.pmod(hash32(F.concat(F.lit(f"b{i}:"),
+                               F.col(key_col).cast("string"))),
+               F.lit(n_bits))
+        for i in range(n_hashes)])
+    pos = keys.select(F.explode(probes).alias("pos"))
+    return (
+        pos.select(
+            F.expr("pos DIV 32").alias("word"),
+            # shiftleft via expr: the Python wrapper takes only a
+            # literal bit count, the SQL function takes a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            .alias("b"))
+        .groupBy("word").agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_probe(items: DataFrame, bloom: DataFrame, key_col: str = "h",
+                n_bits: int = 1 << 16, n_hashes: int = 3) -> DataFrame:
+    """Rows of ``items`` whose ``key_col`` hits ALL ``n_hashes``
+    positions of ``bloom`` (possible false positives, never false
+    negatives). ``items`` may carry any extra columns; they pass
+    through.
+
+    Plan shape: explode to n_hashes probe rows, LEFT join the bitmap
+    broadcast on the word index (the bitmap is <= n_bits/32 rows —
+    always broadcastable by construction), then count hits back on
+    the items' own grain. A probe whose word is absent or whose bit
+    is unset is a miss; a key survives iff every probe row hit, so
+    duplicate probe positions (two salts landing on one bit) stay
+    correct — the count is over probe rows, not distinct bits."""
+    cols = [c for c in items.columns]
+    probes = F.array(*[
+        F.pmod(hash32(F.concat(F.lit(f"b{i}:"),
+                               F.col(key_col).cast("string"))),
+               F.lit(n_bits))
+        for i in range(n_hashes)])
+    p = items.select(*cols, F.explode(probes).alias("pos")) \
+             .withColumn("word", F.expr("pos DIV 32"))
+    j = p.join(F.broadcast(bloom), "word", "left")
+    hit = F.expr("shiftright(COALESCE(bits, CAST(0 AS BIGINT)),"
+                 " CAST(pos % 32 AS INT)) % 2 = 1")
+    return (
+        j.select(*cols, hit.cast("int").alias("_hit"))
+        .groupBy(*cols).agg(F.sum("_hit").alias("_hits"))
+        .filter(F.col("_hits") == n_hashes)
+        .select(*cols)
+    )

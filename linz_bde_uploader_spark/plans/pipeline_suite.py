@@ -2542,9 +2542,142 @@ FROM binned GROUP BY shard, bin
 """
 
 
+def q_docs_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the benchmark 8-gram set packs
+    into a 64 Kbit / 3-hash Bloom bitmap (one bit_or aggregate); the
+    corpus probes the broadcast bitmap instead of joining the shingle
+    relation. Same bench/corpus split as ``dedup_decontaminate`` —
+    which is the exact-join twin this approximates: at 100 TB the
+    benchmark n-gram set can reach billions of rows (too big to
+    broadcast as a set, still kilobytes as a bitmap), and the bloom
+    path trades a bounded, deterministic false-positive count for a
+    shuffle-free corpus scan. Flags are bit-exact reproducible by the
+    oracle because the probe hashes are portable md5 arithmetic."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    bucket = (F.col("doc_id") % 1000000007) * 2654435761 % 1000
+    bench = docs.filter(bucket < 50)
+    corpus = docs.filter(bucket >= 50)
+    bsh = D._shingle_hashes(bench, "text", "doc_id", 8).select("h").distinct()
+    bloom = D.bloom_bitmap(bsh, "h", n_bits=1 << 16, n_hashes=3)
+    csh = D._shingle_hashes(corpus, "text", "doc_id", 8)
+    flagged = D.bloom_probe(csh, bloom, "h", n_bits=1 << 16, n_hashes=3)
+    return (
+        flagged.groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("n_flagged_ngrams"))
+    )
+
+
+SQL_BLOOM_DECONTAM = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+sh8 AS (
+  SELECT DISTINCT doc_id,
+         {sql_hash32("array_to_string(w[i:i+7], ' ')")} AS h
+  FROM toks,
+       unnest(generate_series(1, greatest(len(w)-7, 0))) AS t(i)),
+bench AS (SELECT DISTINCT h FROM sh8
+          WHERE (doc_id % 1000000007) * 2654435761 % 1000 < 50),
+corpus AS (SELECT doc_id, h FROM sh8
+           WHERE (doc_id % 1000000007) * 2654435761 % 1000 >= 50),
+bpos AS (
+  SELECT {sql_hash32("'b' || CAST(k AS VARCHAR) || ':' || CAST(h AS VARCHAR)")}
+         % 65536 AS pos
+  FROM bench, unnest([0, 1, 2]) AS u(k)),
+bloom AS (
+  SELECT pos // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+         AS bits
+  FROM bpos GROUP BY pos // 32),
+probe AS (
+  SELECT doc_id, h,
+         {sql_hash32("'b' || CAST(k AS VARCHAR) || ':' || CAST(h AS VARCHAR)")}
+         % 65536 AS pos
+  FROM corpus, unnest([0, 1, 2]) AS u(k)),
+hits AS (
+  SELECT p.doc_id, p.h,
+         CASE WHEN (COALESCE(bloom.bits, 0) >> CAST(p.pos % 32 AS INT)) % 2 = 1
+              THEN 1 ELSE 0 END AS hit
+  FROM probe p LEFT JOIN bloom ON bloom.word = p.pos // 32),
+flagged AS (
+  SELECT doc_id, h FROM hits GROUP BY doc_id, h HAVING SUM(hit) = 3)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_ngrams
+FROM flagged GROUP BY doc_id
+"""
+
+
+def q_docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring coverage (the span statistic behind
+    exact-substring dedup, Lee et al. ACL 2022 'Deduplicating
+    Training Data Makes Language Models Better'): every 8-token
+    shingle occurring in MORE THAN ONE document marks its 8 token
+    positions as duplicated; a document reports how many of its
+    tokens sit inside at least one cross-document span. Plan: one
+    positional shingle explode, a distinct-(doc,hash) aggregate to
+    find cross-doc hashes, a co-partitioned equi-join back on the
+    hash, an 8-wide position explode, and a distinct count — every
+    stage linear in shingle count, shuffles keyed on the 32-bit hash
+    (uniform), no pairwise doc x doc stage anywhere (the classic
+    suffix-array formulation is replaced by hash-join coverage,
+    which is the scalable reformulation)."""
+    from linz_bde_uploader_spark.functions.hashing import hash32
+    K = 8
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    length = F.greatest(n - (K - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, length) for j in range(K)])
+    sh = (
+        docs.select(F.col("doc_id"), n.alias("n_tokens"),
+                    F.posexplode(zipped).alias("pos", "z"))
+        .select("doc_id", "n_tokens", "pos",
+                hash32(F.concat_ws(
+                    " ", *[F.col("z")[str(j)] for j in range(K)])
+                ).alias("h"))
+    )
+    dup_h = (sh.select("doc_id", "h").distinct()
+             .groupBy("h").agg(F.count("*").alias("nd"))
+             .filter(F.col("nd") > 1).select("h"))
+    cov = (
+        sh.join(dup_h, "h")
+        .select("doc_id", "n_tokens",
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + F.lit(K - 1))).alias("idx"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.count_distinct("idx").alias("dup_tokens"))
+    )
+    return cov.select(
+        "doc_id", "n_tokens", "dup_tokens",
+        F.expr("dup_tokens * 1000 DIV n_tokens").alias("dup_permille"))
+
+
+SQL_DUP_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id, len(w) AS n_tokens, i,
+         {sql_hash32("array_to_string(w[i:i+7], ' ')")} AS h
+  FROM toks,
+       unnest(generate_series(1, greatest(len(w)-7, 0))) AS t(i)),
+duph AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM sh)
+  GROUP BY h HAVING COUNT(*) > 1),
+cov AS (
+  SELECT s.doc_id, s.n_tokens, u.idx
+  FROM sh s JOIN duph USING (h),
+       unnest(generate_series(s.i, s.i + 7)) AS u(idx))
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT idx) AS BIGINT) AS dup_tokens,
+       CAST(COUNT(DISTINCT idx) AS BIGINT) * 1000 // n_tokens AS dup_permille
+FROM cov GROUP BY doc_id, n_tokens
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_ngram_topk": (q_text_ngram_topk, SQL_NGRAM_TOPK),
     "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
+    "docs_bloom_decontam": (q_docs_bloom_decontam, SQL_BLOOM_DECONTAM),
+    "docs_dup_spans": (q_docs_dup_spans, SQL_DUP_SPANS),
     "docs_source_mix": (q_docs_source_mix, SQL_SOURCE_MIX),
     "docs_chunking": (q_docs_chunking, SQL_CHUNKING),
     "docs_length_percentiles": (q_docs_length_percentiles,

@@ -224,3 +224,70 @@ def test_paragraph_dedup_drops_cross_doc_repeats(spark):
     n_distinct = paras.distinct().count()
     assert sum(r.n_kept for r in out.values()) == n_distinct
     assert all(0 <= r.n_kept <= r.n_paras for r in out.values())
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key must survive its own probe — the Bloom
+    contract (false positives allowed, false negatives never)."""
+    from linz_bde_uploader_spark.operators.dedup import (
+        bloom_bitmap, bloom_probe,
+    )
+    keys = spark.range(0, 2000).select(F.col("id").alias("h"))
+    bloom = bloom_bitmap(keys, "h")
+    back = bloom_probe(keys, bloom, "h")
+    assert back.count() == 2000
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Probing 5000 keys that were NEVER inserted: with n=5000
+    inserts into m=65536 bits / k=3 hashes the theoretical FP rate is
+    ~(1-e^{-kn/m})^k ~= 0.9% — assert a loose 3% ceiling so the test
+    is deterministic-friendly but still catches a broken bitmap
+    (which flags ~100%)."""
+    from linz_bde_uploader_spark.operators.dedup import (
+        bloom_bitmap, bloom_probe,
+    )
+    inserted = spark.range(0, 5000).select(F.col("id").alias("h"))
+    absent = spark.range(1_000_000, 1_005_000).select(F.col("id").alias("h"))
+    bloom = bloom_bitmap(inserted, "h")
+    fp = bloom_probe(absent, bloom, "h").count()
+    assert fp / 5000.0 < 0.03
+
+
+def test_bloom_decontam_superset_of_exact(spark):
+    """The bloom gate may over-flag (false positives) but must flag
+    every document the exact-join decontamination flags, with a
+    per-doc count >= the exact contaminated-ngram count."""
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    exact = {r["doc_id"]: r["n_contaminated_ngrams"]
+             for r in qs["dedup_decontaminate"](spark, SF_DIR).collect()}
+    bloom = {r["doc_id"]: r["n_flagged_ngrams"]
+             for r in qs["docs_bloom_decontam"](spark, SF_DIR).collect()}
+    for doc_id, n_exact in exact.items():
+        assert doc_id in bloom
+        assert bloom[doc_id] >= n_exact
+
+
+def test_dup_spans_flags_shared_substring(spark):
+    """Two docs sharing one 8-token run report exactly 8 duplicated
+    token positions each; a doc with no cross-doc shingle is absent."""
+    from linz_bde_uploader_spark.plans.pipeline_suite import q_docs_dup_spans
+    import tempfile
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"one two three {shared} four five six", "en", "web", 0),
+        (2, f"{shared} seven eight nine ten eleven twelve", "en", "web", 0),
+        (3, "completely unrelated words with no shared run at all x y z a b",
+         "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in q_docs_dup_spans(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["dup_tokens"] == 8 and out[2]["dup_tokens"] == 8
+    assert out[1]["dup_permille"] == 8 * 1000 // out[1]["n_tokens"]

@@ -21,6 +21,7 @@ FAST_QUERIES = [
     "text_unigram_logprob", "text_char_entropy", "docs_source_rebalance",
     "emb_outliers", "multimodal_features", "text_redact_pii",
     "docs_pack_sequences", "dedup_near_survivors",
+    "docs_bloom_decontam", "docs_dup_spans",
     "sim_kmeans_centroids", "orders_salted_join", "emb_near_dedup", "text_paragraph_dedup",
 ]
 
