@@ -48,6 +48,9 @@ _DRIVER_FIRST = [
     "docs_gopher_rules",  # new in r6: integer-exact quality gate
     "docs_bloom_decontam",  # new in r6: broadcast-bitmap contamination gate
     "docs_dup_spans",  # new in r6: duplicated-substring coverage
+    "emb_pca_cov",  # new in r6: PCA covariance moments (integer nano-units)
+    "docs_split_leakage_safe",  # new in r6: near-dup-aware train/valid split
+    "docs_quality_margin",  # new in r6: linear quality-model scoring
     "sim_cosine_topk",  # green r1 only
     # analytics suite: green r4 only
     "orders_salted_join", "q20_dominant_supplier", "q12_ship_latency",

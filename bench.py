@@ -99,6 +99,9 @@ HEADLINE = [
     "emb_semantic_dedup",
     "sim_ivfpq_topk",
     "docs_gopher_rules",
+    "docs_bloom_decontam",
+    "docs_dup_spans",
+    "emb_pca_cov",
 ]
 
 

@@ -729,3 +729,128 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         "query_id", "neighbor_id",
         F.col("rank").cast("bigint").alias("rank"),
         F.col("adc").alias("adc_dist"))
+
+
+def pca_covariance(emb: DataFrame, vec_col: str = "embedding",
+                   exact: bool = False) -> DataFrame:
+    """Upper-triangle covariance moments of an embedding column:
+    (i, j, n BIGINT, s_ij, s_i, s_j DECIMAL) with i <= j, population
+    covariance recoverable as (s_ij - s_i*s_j/n)/n.
+
+    Two physical strategies, same results:
+
+    - ``exact=False`` (default, the 100 TB path): one Arrow-batched
+      ``mapInPandas`` pass emits each partition's partial Gram matrix
+      (d x d values per batch — X^T X is computed vectorized in
+      NumPy), so the shuffle carries O(partitions x d^2) rows no
+      matter how many vectors there are; per-dimension sums ride the
+      same pass. This is the classic single-pass moment aggregate:
+      nothing quadratic in n anywhere.
+    - ``exact=True``: pure-expression posexplode + self-join on
+      vec_id with DECIMAL(28,12) per-row products — O(n x d^2) rows
+      through the shuffle, but every arithmetic step is portable
+      ANSI SQL, which is what the differential-testing oracle needs.
+      Sums are DECIMAL so they are order-independent and
+      engine-identical.
+
+    d is assumed driver-friendly (d^2 cells collect for the eigen
+    step) — true for every embedding model in practice."""
+    v = F.col(vec_col).cast("array<double>")
+    if exact:
+        dims = emb.select("vec_id", F.posexplode(v).alias("i", "x"))
+        a, b = dims.alias("a"), dims.alias("b")
+        prods = (
+            a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
+                   & (F.col("a.i") <= F.col("b.i")))
+            .select(F.col("a.i").alias("i"), F.col("b.i").alias("j"),
+                    (F.col("a.x") * F.col("b.x"))
+                    .cast("decimal(28,12)").alias("p")))
+        sij = prods.groupBy("i", "j").agg(F.sum("p").alias("s_ij"))
+    else:
+        import numpy as np
+        import pandas as pd
+
+        def gram(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["_v"].to_numpy())
+                C = X.T @ X
+                iu = np.triu_indices(C.shape[0])
+                yield pd.DataFrame(
+                    {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                     "p": C[iu]})
+
+        sij = (emb.select(v.alias("_v"))
+               .mapInPandas(gram, "i int, j int, p double")
+               .groupBy("i", "j")
+               .agg(F.sum(F.col("p").cast("decimal(28,12)")).alias("s_ij")))
+    dims = emb.select(F.posexplode(v).alias("i", "x"))
+    sums = dims.groupBy("i").agg(
+        F.sum(F.col("x").cast("decimal(28,12)")).alias("s"))
+    nrow = emb.agg(F.count("*").alias("n"))
+    return (
+        sij.join(F.broadcast(sums.select(F.col("i"), F.col("s").alias("s_i"))),
+                 "i")
+        .join(F.broadcast(sums.select(F.col("i").alias("j"),
+                                      F.col("s").alias("s_j"))), "j")
+        .join(F.broadcast(nrow))
+        .select("i", "j", F.col("n").cast("long").alias("n"),
+                "s_ij", "s_i", "s_j")
+    )
+
+
+def pca_fit(emb: DataFrame, vec_col: str = "embedding",
+            n_components: int = 8, exact: bool = False):
+    """Top-r principal axes from the distributed covariance: collects
+    the d x d moment cells (d^2 scalars — KBs), assembles the
+    covariance matrix, and runs a driver-side ``numpy.linalg.eigh``
+    (O(d^3), microseconds for any real embedding width; the same
+    driver-sided final reduction k-means|| and the sketch mergers
+    use). Eigenvector signs are canonicalized (largest-|component|
+    positive) so results are reproducible run-to-run. Returns
+    (components: list[list[float]] of length n_components, mean:
+    list[float])."""
+    import numpy as np
+
+    cells = pca_covariance(emb, vec_col, exact=exact).collect()
+    d = max(r["j"] for r in cells) + 1
+    n = cells[0]["n"]
+    C = np.zeros((d, d))
+    mu = np.zeros(d)
+    for r in cells:
+        cov = (float(r["s_ij"])
+               - float(r["s_i"]) * float(r["s_j"]) / n) / n
+        C[r["i"], r["j"]] = cov
+        C[r["j"], r["i"]] = cov
+        if r["i"] == r["j"]:
+            mu[r["i"]] = float(r["s_i"]) / n
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = []
+    for k in order:
+        vec = V[:, k]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+    return comps, [float(x) for x in mu]
+
+
+def pca_project(emb: DataFrame, components, mean,
+                vec_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Project embeddings onto fitted principal axes: the components
+    and mean enter the plan as broadcast literals and the projection
+    is a pure zip_with/aggregate expression per row — map-side only,
+    no shuffle, no Python in the hot path. Appends ``out_col`` as
+    array<double> of length len(components)."""
+    v = F.col(vec_col).cast("array<double>")
+    centered = F.zip_with(v, F.array(*[F.lit(m) for m in mean]),
+                          lambda x, m: x - m)
+    proj = F.array(*[
+        F.aggregate(
+            F.zip_with(centered, F.array(*[F.lit(c) for c in comp]),
+                       lambda x, c: x * c),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for comp in components])
+    return emb.withColumn(out_col, proj)

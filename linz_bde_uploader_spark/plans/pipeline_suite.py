@@ -2673,11 +2673,163 @@ FROM cov GROUP BY doc_id, n_tokens
 """
 
 
+def q_emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA covariance moments of the embedding table, published as
+    integer nano-units: (i, j, n, cov_nano) for the upper triangle.
+    Uses the ``exact=True`` strategy of :func:`S.pca_covariance` —
+    DECIMAL moment sums are order-independent and engine-identical,
+    and the only floating-point steps (two divisions, one multiply,
+    one floor) are IEEE-deterministic in both engines, so no float
+    ever reaches the output (the events_json_props lesson). The
+    default single-pass Gram strategy is the production path and is
+    property-tested equal to this one; eigen decomposition +
+    projection (pca_fit / pca_project) are pytest-pinned against
+    NumPy since an eigensolver has no SQL twin."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    mom = S.pca_covariance(emb, "embedding", exact=True)
+    cov = ((F.col("s_ij").cast("double")
+            - F.col("s_i").cast("double") * F.col("s_j").cast("double")
+            / F.col("n")) / F.col("n"))
+    return mom.select(
+        "i", "j", F.col("n").cast("long").alias("n"),
+        F.floor(cov * F.lit(1000000000.0)).cast("long").alias("cov_nano"))
+
+
+SQL_EMB_PCA_COV = """
+WITH dims AS (
+  SELECT vec_id, i, x FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+           unnest(CAST(embedding AS DOUBLE[])) AS x
+    FROM embeddings)),
+sums AS (
+  SELECT i, SUM(CAST(x AS DECIMAL(28,12))) AS s FROM dims GROUP BY i),
+prods AS (
+  SELECT a.i AS i, b.i AS j, CAST(a.x * b.x AS DECIMAL(28,12)) AS p
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i <= b.i),
+sij AS (SELECT i, j, SUM(p) AS s_ij FROM prods GROUP BY i, j),
+nn AS (SELECT COUNT(*) AS n FROM embeddings)
+SELECT sij.i AS i, sij.j AS j, CAST(n AS BIGINT) AS n,
+       CAST(floor(((CAST(s_ij AS DOUBLE)
+                    - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / n) / n)
+                  * 1000000000.0) AS BIGINT) AS cov_nano
+FROM sij JOIN sums si ON sij.i = si.i
+         JOIN sums sj ON sij.j = sj.i, nn
+"""
+
+
+def q_docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid split: near-duplicate documents must
+    land on the SAME side (a near-copy of a training doc inside the
+    validation set inflates eval — the standard contamination-by-
+    split failure). Docs are grouped by their LSH near-dup component;
+    the split decision hashes the component's canonical (minimum) id,
+    so every member inherits one verdict; singletons hash their own
+    id. Plan: candidate pairs -> min-label components (O(diameter)
+    rounds) -> one left join + a map-side hash — the split itself
+    adds nothing beyond the dedup pass a pipeline already runs."""
+    corpus = _dup_corpus(spark, sf_dir)
+    from linz_bde_uploader_spark.functions.hashing import hash32
+    pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
+                                  shingle_words=3)
+    clusters = D.duplicate_clusters(pairs) \
+        .withColumnRenamed("id", "doc_id")
+    rep = (
+        corpus.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("rep")))
+    bucket = F.pmod(
+        hash32(F.concat(F.lit("sp:"), F.col("rep").cast("string"))),
+        F.lit(100))
+    return rep.select(
+        "doc_id", "rep",
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("valid"))
+        .alias("split"))
+
+
+SQL_SPLIT_LEAKAGE_SAFE = f"""WITH RECURSIVE {_SQL_BASE}, {_SQL_TOKS}, {_SQL_SH3},
+sh AS (SELECT DISTINCT doc_id, {sql_hash32('shingle')} AS h FROM sh3),
+ph AS (
+  SELECT doc_id, i AS perm,
+         ((CAST(2*i+1 AS BIGINT) * h + CAST(i*i+7 AS BIGINT)) % {MINHASH_PRIME}) AS phv
+  FROM sh, unnest(generate_series(0, 15)) AS t(i)),
+sig AS (SELECT doc_id, perm, min(phv) AS minhash FROM ph GROUP BY doc_id, perm),
+bh AS (
+  SELECT doc_id, CAST(floor(perm / 4.0) AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(floor(perm / 4.0) AS INT)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bh a JOIN bh b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+rep AS (
+  SELECT b.doc_id, COALESCE(cl.cluster_id, b.doc_id) AS rep
+  FROM base b LEFT JOIN cl ON cl.id = b.doc_id)
+SELECT doc_id, rep,
+       CASE WHEN {sql_hash32("'sp:' || CAST(rep AS VARCHAR)")} % 100 < 90
+            THEN 'train' ELSE 'valid' END AS split
+FROM rep
+"""
+
+
+def q_docs_quality_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-model scoring (the fastText-style filter
+    stage): hashed bag-of-words features x a fixed weight vector,
+    published as integer milli-units — the weights here are a
+    deterministic hash-derived stand-in in [-1000, 1000] so the
+    WHOLE scoring path (tokenize -> hash -> sparse count -> weighted
+    sum) is integer-exact and oracle-checkable; a trained model
+    (operators/classifier.py train_logreg, pytest-pinned to a NumPy
+    reference) plugs into the same score_margin plan. Broadcast
+    weights, one bounded-key aggregate, one doc-key aggregate —
+    nothing collects."""
+    from linz_bde_uploader_spark.functions.hashing import hash32
+    from linz_bde_uploader_spark.operators import classifier as C
+
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    feats = C.hashed_features(docs, n_features=1024)
+    wm = (F.pmod(hash32(F.concat(F.lit("w:"), F.col("feat").cast("string"))),
+                 F.lit(2001)) - 1000)
+    return (
+        feats.withColumn("w", wm)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_feats"),
+             F.sum(F.col("cnt") * F.col("w")).alias("margin_milli"))
+        .select(F.col("id").alias("doc_id"), "n_feats", "margin_milli")
+    )
+
+
+SQL_QUALITY_MARGIN = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents),
+feats AS (
+  SELECT doc_id, {sql_hash32("'f:' || word")} % 1024 AS feat,
+         COUNT(*) AS cnt
+  FROM words GROUP BY doc_id, {sql_hash32("'f:' || word")} % 1024)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(cnt * ({sql_hash32("'w:' || CAST(feat AS VARCHAR)")} % 2001
+                       - 1000)) AS BIGINT) AS margin_milli
+FROM feats GROUP BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_ngram_topk": (q_text_ngram_topk, SQL_NGRAM_TOPK),
     "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
     "docs_bloom_decontam": (q_docs_bloom_decontam, SQL_BLOOM_DECONTAM),
     "docs_dup_spans": (q_docs_dup_spans, SQL_DUP_SPANS),
+    "emb_pca_cov": (q_emb_pca_cov, SQL_EMB_PCA_COV),
+    "docs_split_leakage_safe": (q_docs_split_leakage_safe,
+                                SQL_SPLIT_LEAKAGE_SAFE),
+    "docs_quality_margin": (q_docs_quality_margin, SQL_QUALITY_MARGIN),
     "docs_source_mix": (q_docs_source_mix, SQL_SOURCE_MIX),
     "docs_chunking": (q_docs_chunking, SQL_CHUNKING),
     "docs_length_percentiles": (q_docs_length_percentiles,

@@ -679,3 +679,63 @@ def test_embedding_near_pairs_multiprobe_recall(spark):
     assert r1 < 1.0      # fixture plants boundary-crossers
     assert r4 > r1       # probing recovers some
     assert p1 <= p4      # monotone: never loses a same-bucket pair
+
+
+def test_pca_fast_gram_matches_exact_decimal(spark):
+    """The single-pass mapInPandas Gram strategy (the 100 TB path)
+    and the portable exploded-DECIMAL strategy (the oracle path)
+    recover the same covariance to float tolerance."""
+    from linz_bde_uploader_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def cov_map(df):
+        out = {}
+        for r in df.collect():
+            n = r["n"]
+            out[(r["i"], r["j"])] = (
+                float(r["s_ij"]) - float(r["s_i"]) * float(r["s_j"]) / n) / n
+        return out
+
+    fast = cov_map(S.pca_covariance(emb, exact=False))
+    exact = cov_map(S.pca_covariance(emb, exact=True))
+    assert set(fast) == set(exact)
+    for k, v in exact.items():
+        assert abs(fast[k] - v) < 1e-9
+
+
+def test_pca_fit_project_matches_numpy(spark):
+    """pca_fit + pca_project against a full NumPy PCA on the
+    collected table: same principal subspace, same projections (sign
+    canonicalized on both sides), and projecting onto all d axes
+    preserves total variance."""
+    import numpy as np
+
+    from linz_bde_uploader_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in emb.select("embedding").collect()])
+    mu = X.mean(axis=0)
+    C = (X - mu).T @ (X - mu) / X.shape[0]
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:4]
+    ref = []
+    for k in order:
+        vec = V[:, k]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        ref.append(vec)
+
+    comps, mean = S.pca_fit(emb, n_components=4)
+    assert np.allclose(mean, mu, atol=1e-9)
+    for got, want in zip(comps, ref):
+        assert np.allclose(got, want, atol=1e-6)
+
+    proj = {r["vec_id"]: np.asarray(r["pca"])
+            for r in S.pca_project(emb, comps, mean)
+            .select("vec_id", "pca").collect()}
+    want_proj = (X - mu) @ np.asarray(ref).T
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    for vid, wp in zip(ids, want_proj):
+        assert np.allclose(proj[vid], wp, atol=1e-6)
