@@ -51,6 +51,7 @@ _DRIVER_FIRST = [
     "emb_pca_cov",  # new in r6: PCA covariance moments (integer nano-units)
     "docs_split_leakage_safe",  # new in r6: near-dup-aware train/valid split
     "docs_quality_margin",  # new in r6: linear quality-model scoring
+    "docs_contrastive_pairs",  # new in r6: leak-guarded triplet mining
     "sim_cosine_topk",  # green r1 only
     # analytics suite: green r4 only
     "orders_salted_join", "q20_dominant_supplier", "q12_ship_latency",
@@ -63,9 +64,15 @@ _DRIVER_FIRST = [
     "q17_small_quantity", "q19_disjunctive", "q22_no_order_customers",
     "events_rollup", "events_lag_delta",
     # pipeline entries: green r4 only
-    "pipeline_prep", "sim_ivf_topk", "sim_lsh_topk", "sim_near_pairs",
-    "emb_near_dedup", "dedup_near_survivors", "text_paragraph_dedup",
-    "events_sessionize", "events_window_agg",
+    "pipeline_prep", "sim_ivf_topk", "sim_lsh_topk",
+    # --- 50-slot cutoff lands here: the six r4-green entries below
+    # are deliberately deferred to r7's snapshot because each has
+    # compensating coverage this round — sim_near_pairs/emb_near_dedup
+    # share their exact code path with the driver-green *_capped twins,
+    # and the other four run in the sf0.001 pytest differential
+    # (FAST_QUERIES) every session.
+    "sim_near_pairs", "emb_near_dedup", "dedup_near_survivors",
+    "text_paragraph_dedup", "events_sessionize", "events_window_agg",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

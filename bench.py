@@ -102,6 +102,9 @@ HEADLINE = [
     "docs_bloom_decontam",
     "docs_dup_spans",
     "emb_pca_cov",
+    "docs_split_leakage_safe",
+    "docs_quality_margin",
+    "docs_contrastive_pairs",
 ]
 
 

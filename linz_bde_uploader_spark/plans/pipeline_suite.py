@@ -2821,6 +2821,126 @@ FROM feats GROUP BY doc_id
 """
 
 
+def q_docs_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: (anchor, positive, negative)
+    triplets for embedding-model training. Positives are VERIFIED
+    near-duplicates (LSH candidates filtered by exact Jaccard >= 0.5
+    — band collisions alone would pollute the signal); negatives are
+    drawn deterministically from a hash-sampled negative pool with a
+    leakage guard: a probe sequence (k = 0,1,2) walks the pool until
+    the candidate shares no near-dup cluster with the anchor and is
+    neither endpoint; a triplet whose three probes all leak is
+    dropped (deterministic, never random).
+
+    Scale shape: the pool is a fixed-rate hash sample, so its ranked
+    form is bounded and broadcastable — the global row_number runs
+    over the POOL, never the corpus (a corpus-wide rank would be the
+    classic single-task window trap). Verified pairs + components are
+    the dedup pass the pipeline already runs; the negative join is
+    broadcast."""
+    from linz_bde_uploader_spark.functions.hashing import hash32
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
+                                  shingle_words=3)
+    pos = D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
+                                 threshold=0.5).select("id_a", "id_b")
+    clusters = D.duplicate_clusters(pairs)
+    pool = corpus.select("doc_id").filter(
+        F.pmod(hash32(F.concat(F.lit("np:"),
+                               F.col("doc_id").cast("string"))),
+               F.lit(1000)) < 100)
+    wr = Window.orderBy("doc_id")
+    ranked = pool.select(
+        "doc_id", (F.row_number().over(wr) - 1).alias("r"))
+    pool_n = ranked.agg(F.count("*").alias("pn"))
+    h = hash32(F.concat(F.lit("neg:"), F.col("id_a").cast("string"),
+                        F.lit(":"), F.col("id_b").cast("string")))
+    probes = (
+        pos.join(F.broadcast(pool_n))
+        .select("id_a", "id_b", "pn",
+                F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"))
+        .withColumn("r", F.pmod(h + F.col("k"), F.col("pn")))
+        .join(F.broadcast(ranked), "r")
+        .withColumnRenamed("doc_id", "neg_id"))
+    ca = clusters.select(F.col("id").alias("id_a"),
+                         F.col("cluster_id").alias("cl_a"))
+    cn = clusters.select(F.col("id").alias("neg_id"),
+                         F.col("cluster_id").alias("cl_n"))
+    ok = (
+        probes.join(F.broadcast(ca), "id_a", "left")
+        .join(F.broadcast(cn), "neg_id", "left")
+        .filter((F.col("neg_id") != F.col("id_a"))
+                & (F.col("neg_id") != F.col("id_b"))
+                & (F.col("cl_n").isNull() | F.col("cl_a").isNull()
+                   | (F.col("cl_n") != F.col("cl_a")))))
+    return (
+        ok.groupBy("id_a", "id_b")
+        .agg(F.min_by("neg_id", "k").alias("negative_id"))
+        .select(F.col("id_a").alias("anchor_id"),
+                F.col("id_b").alias("positive_id"), "negative_id")
+    )
+
+
+SQL_CONTRASTIVE_PAIRS = f"""WITH RECURSIVE {_SQL_BASE}, {_SQL_TOKS}, {_SQL_SH3},
+sh AS (SELECT DISTINCT doc_id, {sql_hash32('shingle')} AS h FROM sh3),
+ph AS (
+  SELECT doc_id, i AS perm,
+         ((CAST(2*i+1 AS BIGINT) * h + CAST(i*i+7 AS BIGINT)) % {MINHASH_PRIME}) AS phv
+  FROM sh, unnest(generate_series(0, 15)) AS t(i)),
+sig AS (SELECT doc_id, perm, min(phv) AS minhash FROM ph GROUP BY doc_id, perm),
+bh AS (
+  SELECT doc_id, CAST(floor(perm / 4.0) AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(floor(perm / 4.0) AS INT)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bh a JOIN bh b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a
+              JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+  GROUP BY c.id_a, c.id_b),
+pos AS (
+  SELECT i.id_a, i.id_b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+reach(id, rr) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.rr FROM edges e JOIN reach r ON e.dst = r.id),
+cl AS (SELECT id, min(rr) AS cluster_id FROM reach GROUP BY id),
+pool AS (
+  SELECT doc_id FROM base
+  WHERE {sql_hash32("'np:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM pool),
+pn AS (SELECT COUNT(*) AS pn FROM pool),
+probes AS (
+  SELECT p.id_a, p.id_b, u.k,
+         ({sql_hash32("'neg:' || CAST(p.id_a AS VARCHAR) || ':' || CAST(p.id_b AS VARCHAR)")}
+          + u.k) % pn.pn AS r
+  FROM pos p, pn, unnest([0, 1, 2]) AS u(k)),
+ok AS (
+  SELECT pr.id_a, pr.id_b, pr.k, rk.doc_id AS neg_id
+  FROM probes pr
+  JOIN ranked rk ON rk.r = pr.r
+  LEFT JOIN cl ca ON ca.id = pr.id_a
+  LEFT JOIN cl cn ON cn.id = rk.doc_id
+  WHERE rk.doc_id <> pr.id_a AND rk.doc_id <> pr.id_b
+    AND (cn.cluster_id IS NULL OR ca.cluster_id IS NULL
+         OR cn.cluster_id <> ca.cluster_id))
+SELECT id_a AS anchor_id, id_b AS positive_id,
+       arg_min(neg_id, k) AS negative_id
+FROM ok GROUP BY id_a, id_b
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_ngram_topk": (q_text_ngram_topk, SQL_NGRAM_TOPK),
     "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
@@ -2830,6 +2950,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "docs_split_leakage_safe": (q_docs_split_leakage_safe,
                                 SQL_SPLIT_LEAKAGE_SAFE),
     "docs_quality_margin": (q_docs_quality_margin, SQL_QUALITY_MARGIN),
+    "docs_contrastive_pairs": (q_docs_contrastive_pairs,
+                               SQL_CONTRASTIVE_PAIRS),
     "docs_source_mix": (q_docs_source_mix, SQL_SOURCE_MIX),
     "docs_chunking": (q_docs_chunking, SQL_CHUNKING),
     "docs_length_percentiles": (q_docs_length_percentiles,

@@ -291,3 +291,34 @@ def test_dup_spans_flags_shared_substring(spark):
     assert set(out) == {1, 2}
     assert out[1]["dup_tokens"] == 8 and out[2]["dup_tokens"] == 8
     assert out[1]["dup_permille"] == 8 * 1000 // out[1]["n_tokens"]
+
+
+def test_contrastive_pairs_leak_free_and_verified(spark):
+    """Every triplet: positive is a verified near-dup of the anchor
+    (exact Jaccard >= 0.5), the negative never shares a candidate
+    cluster with the anchor, and negatives are deterministic across
+    runs."""
+    from linz_bde_uploader_spark.operators import dedup as D
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        _dup_corpus, q_docs_contrastive_pairs)
+
+    trip = q_docs_contrastive_pairs(spark, SF_DIR).collect()
+    assert trip
+    corpus = _dup_corpus(spark, SF_DIR)
+    pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
+                                  shingle_words=3)
+    verified = {(r["id_a"], r["id_b"]) for r in
+                D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
+                                       threshold=0.5).collect()}
+    cluster = {r["id"]: r["cluster_id"]
+               for r in D.duplicate_clusters(pairs).collect()}
+    for t in trip:
+        a, p, n = t["anchor_id"], t["positive_id"], t["negative_id"]
+        assert (a, p) in verified
+        assert n not in (a, p)
+        if n in cluster and a in cluster:
+            assert cluster[n] != cluster[a]
+    again = {(t["anchor_id"], t["positive_id"]): t["negative_id"]
+             for t in q_docs_contrastive_pairs(spark, SF_DIR).collect()}
+    assert again == {(t["anchor_id"], t["positive_id"]): t["negative_id"]
+                     for t in trip}
