@@ -105,6 +105,7 @@ HEADLINE = [
     "docs_split_leakage_safe",
     "docs_quality_margin",
     "docs_contrastive_pairs",
+    "sim_recall_report",
 ]
 
 

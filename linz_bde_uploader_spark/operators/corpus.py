@@ -60,7 +60,10 @@ def prepare_training_corpus(docs: DataFrame, benchmark: DataFrame,
                             chunk_tokens: int = 32, stride: int = 24,
                             n_shards: int = 8,
                             partition_by: list[str] | None = None,
-                            seed: int = 0) -> dict:
+                            seed: int = 0,
+                            model_weights: list[float] | None = None,
+                            model_bias: float = 0.0,
+                            min_margin: float = 0.0) -> dict:
     """The whole data-prep chain as one lazy plan: quality filter →
     exact-dedup survivorship → benchmark decontamination →
     context-window chunking → deterministic shard export.
@@ -111,6 +114,24 @@ def prepare_training_corpus(docs: DataFrame, benchmark: DataFrame,
     contaminated = (doc_sh.join(F.broadcast(bench_sh), "h")
                     .select(F.col("id").alias(id_col)).distinct())
     kept = kept.join(contaminated, id_col, "left_anti")
+
+    # 3b. optional model-based quality gate (fastText-style linear
+    # margin, operators/classifier.py): weights broadcast as an
+    # n_features-row relation; docs below min_margin (or with no
+    # features at all) drop. Composes after the rule gate the same
+    # way production filters stack cheap-rule -> model.
+    if model_weights is not None:
+        from linz_bde_uploader_spark.operators import classifier as C
+        wdf = docs.sparkSession.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(model_weights)],
+            ["feat", "w"])
+        feats = C.hashed_features(kept, text_col, id_col,
+                                  len(model_weights))
+        pass_ids = (C.score_margin(feats, wdf, bias=model_bias)
+                    .filter(F.col("margin") >= min_margin)
+                    .select(F.col("id").alias(id_col)))
+        kept = kept.join(pass_ids, id_col, "left_semi")
+
     obs_kept = Observation("prep_n_kept")
     kept = kept.observe(obs_kept, F.count(F.lit(1)).alias("n"))
 

@@ -649,27 +649,29 @@ def bloom_probe(items: DataFrame, bloom: DataFrame, key_col: str = "h",
     negatives). ``items`` may carry any extra columns; they pass
     through.
 
-    Plan shape: explode to n_hashes probe rows, LEFT join the bitmap
-    broadcast on the word index (the bitmap is <= n_bits/32 rows —
-    always broadcastable by construction), then count hits back on
-    the items' own grain. A probe whose word is absent or whose bit
-    is unset is a miss; a key survives iff every probe row hit, so
-    duplicate probe positions (two salts landing on one bit) stay
-    correct — the count is over probe rows, not distinct bits."""
+    Plan shape: one broadcast LEFT join per probe on the word index
+    (the bitmap is <= n_bits/32 rows — always broadcastable by
+    construction), then a conjunction filter. All n_hashes joins are
+    map-side broadcast hash joins inside one codegen stage: the probe
+    adds ZERO shuffles to the items relation (the earlier explode +
+    count-hits formulation re-aggregated every probed row on the
+    items' grain — a corpus-sized shuffle the join form doesn't
+    need). A probe whose word is absent or whose bit is unset is a
+    miss; a key survives iff every probe hits."""
     cols = [c for c in items.columns]
-    probes = F.array(*[
-        F.pmod(hash32(F.concat(F.lit(f"b{i}:"),
-                               F.col(key_col).cast("string"))),
-               F.lit(n_bits))
-        for i in range(n_hashes)])
-    p = items.select(*cols, F.explode(probes).alias("pos")) \
-             .withColumn("word", F.expr("pos DIV 32"))
-    j = p.join(F.broadcast(bloom), "word", "left")
-    hit = F.expr("shiftright(COALESCE(bits, CAST(0 AS BIGINT)),"
-                 " CAST(pos % 32 AS INT)) % 2 = 1")
-    return (
-        j.select(*cols, hit.cast("int").alias("_hit"))
-        .groupBy(*cols).agg(F.sum("_hit").alias("_hits"))
-        .filter(F.col("_hits") == n_hashes)
-        .select(*cols)
-    )
+    out = items
+    keep = None
+    for i in range(n_hashes):
+        pos = F.pmod(hash32(F.concat(F.lit(f"b{i}:"),
+                                     F.col(key_col).cast("string"))),
+                     F.lit(n_bits))
+        out = (
+            out.withColumn(f"_p{i}", pos)
+            .withColumn(f"_w{i}", F.expr(f"_p{i} DIV 32"))
+            .join(F.broadcast(bloom.select(F.col("word").alias(f"_w{i}"),
+                                           F.col("bits").alias(f"_b{i}"))),
+                  f"_w{i}", "left"))
+        hit = F.expr(f"shiftright(COALESCE(_b{i}, CAST(0 AS BIGINT)),"
+                     f" CAST(_p{i} % 32 AS INT)) % 2 = 1")
+        keep = hit if keep is None else (keep & hit)
+    return out.filter(keep).select(*cols)

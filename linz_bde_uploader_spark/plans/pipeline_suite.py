@@ -2941,6 +2941,71 @@ FROM ok GROUP BY id_a, id_b
 """
 
 
+def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval AS a query: recall@3 of the single-bucket LSH
+    index against exact brute-force cosine, per query vector — the
+    measurement loop an index-tuning pipeline runs after every
+    (n_planes, n_probes) change. Integer permille output; both the
+    exact and approximate rankings reuse the already-oracled plans,
+    and the report is two aggregates over their set intersection (the
+    eval joins top-k relations, never re-scores the corpus). At scale
+    this runs over a hash-sampled query panel instead of vec_id<10 —
+    the panel size, not the corpus, bounds the brute-force side."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, k=3) \
+        .select("query_id", "neighbor_id")
+    approx = S.lsh_bucketed_topk(emb, queries, k=3, n_planes=4, dim=64) \
+        .select("query_id", "neighbor_id")
+    hits = (exact.join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hit")))
+    den = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        den.join(hits, "query_id", "left")
+        .select("query_id", "n_exact",
+                F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"))
+        .withColumn("recall_permille", F.expr("n_hit * 1000 DIV n_exact"))
+    )
+
+
+SQL_SIM_RECALL_REPORT = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+ex_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+  FROM q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM ex_scored) WHERE rank <= 3),
+b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+qb AS (SELECT * FROM b WHERE vec_id < 10),
+l_scored AS (
+  SELECT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qb.v, c.v)
+           / (sqrt(list_dot_product(qb.v, qb.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+  FROM qb JOIN b c ON qb.bucket = c.bucket AND qb.vec_id <> c.vec_id),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rank
+    FROM l_scored) WHERE rank <= 3),
+hits AS (
+  SELECT ex.query_id, COUNT(*) AS n_hit
+  FROM ex JOIN lsh USING (query_id, neighbor_id)
+  GROUP BY ex.query_id),
+den AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY query_id)
+SELECT den.query_id, n_exact, COALESCE(n_hit, 0) AS n_hit,
+       COALESCE(n_hit, 0) * 1000 // n_exact AS recall_permille
+FROM den LEFT JOIN hits ON den.query_id = hits.query_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_ngram_topk": (q_text_ngram_topk, SQL_NGRAM_TOPK),
     "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
@@ -2952,6 +3017,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "docs_quality_margin": (q_docs_quality_margin, SQL_QUALITY_MARGIN),
     "docs_contrastive_pairs": (q_docs_contrastive_pairs,
                                SQL_CONTRASTIVE_PAIRS),
+    "sim_recall_report": (q_sim_recall_report, SQL_SIM_RECALL_REPORT),
     "docs_source_mix": (q_docs_source_mix, SQL_SOURCE_MIX),
     "docs_chunking": (q_docs_chunking, SQL_CHUNKING),
     "docs_length_percentiles": (q_docs_length_percentiles,

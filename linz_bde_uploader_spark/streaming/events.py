@@ -301,7 +301,10 @@ def stream_corpus_prep(docs: DataFrame, benchmark: DataFrame,
                        id_col: str = "doc_id",
                        min_quality: float = 0.3, decontam_ngram: int = 8,
                        chunk_tokens: int = 32, stride: int = 24,
-                       watermark: str = "1 hour"):
+                       watermark: str = "1 hour",
+                       model_weights: list[float] | None = None,
+                       model_bias: float = 0.0,
+                       min_margin: float = 0.0):
     """Always-on training-corpus ingestion: the streaming form of
     ``operators/corpus.prepare_training_corpus``.
 
@@ -325,6 +328,13 @@ def stream_corpus_prep(docs: DataFrame, benchmark: DataFrame,
     deduped = stream_dedup(scored, ts_col, text_col, watermark)
     bench_sh = D._shingle_hashes(
         benchmark, text_col, id_col, decontam_ngram).select("h").distinct()
+    wdf = None
+    if model_weights is not None:
+        # static weight relation, broadcast into every micro-batch's
+        # margin join — same stage shape as the offline chain's 3b
+        wdf = docs.sparkSession.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(model_weights)],
+            ["feat", "w"])
 
     def prep_batch(batch: DataFrame, _batch_id: int) -> None:
         contaminated = (
@@ -332,6 +342,14 @@ def stream_corpus_prep(docs: DataFrame, benchmark: DataFrame,
             .join(F.broadcast(bench_sh), "h")
             .select(F.col("id").alias(id_col)).distinct())
         kept = batch.join(contaminated, id_col, "left_anti")
+        if wdf is not None:
+            from linz_bde_uploader_spark.operators import classifier as C
+            feats = C.hashed_features(kept, text_col, id_col,
+                                      len(model_weights))
+            pass_ids = (C.score_margin(feats, wdf, bias=model_bias)
+                        .filter(F.col("margin") >= min_margin)
+                        .select(F.col("id").alias(id_col)))
+            kept = kept.join(pass_ids, id_col, "left_semi")
         nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
         chunks = (
             kept.withColumn("_nt", nt)

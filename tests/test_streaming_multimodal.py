@@ -677,3 +677,75 @@ def test_extract_features_streaming_matches_batch(spark, tmp_path):
     streamed = {(r.media_id, tuple(r.features))
                 for r in spark.read.parquet(out).collect()}
     assert streamed == batch
+
+
+def test_stream_corpus_prep_model_gate_matches_batch(spark, tmp_path):
+    """With a trained margin gate plugged in, the streaming chain
+    keeps exactly the docs the same weights keep offline (score via
+    the same score_margin plan), composed after decontamination."""
+    import datetime as dt
+
+    from linz_bde_uploader_spark.operators import classifier as C
+    from linz_bde_uploader_spark.streaming.events import stream_corpus_prep
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(30)
+    bench = base.limit(0)  # no contamination — isolate the model gate
+    ts = F.lit(dt.datetime(2024, 1, 1, 12, 0, 0)).cast("timestamp")
+    src_df = base.withColumn("ts", ts)
+    src = str(tmp_path / "src")
+    src_df.coalesce(1).write.parquet(src)
+
+    nf = 64
+    # deterministic synthetic weights: enough spread that the gate
+    # actually splits the corpus
+    weights = [((i * 37) % 21 - 10) / 10.0 for i in range(nf)]
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], ["feat", "w"])
+    feats = C.hashed_features(base, n_features=nf)
+    margins = {r["id"]: r["margin"]
+               for r in C.score_margin(feats, wdf).collect()}
+    med = sorted(margins.values())[len(margins) // 2]
+    expect_keep = {i for i, m in margins.items() if m >= med}
+    assert 0 < len(expect_keep) < base.count()
+
+    stream = spark.readStream.schema(src_df.schema).parquet(src)
+    out = str(tmp_path / "chunks")
+    q = stream_corpus_prep(stream, bench, out, str(tmp_path / "ckpt"),
+                           min_quality=0.0, model_weights=weights,
+                           min_margin=med)
+    q.awaitTermination()
+    got = {r["doc_id"] for r in
+           spark.read.parquet(out).select("doc_id").distinct().collect()}
+    assert got == expect_keep
+
+
+def test_prepare_training_corpus_model_gate(spark, tmp_path):
+    """The batch chain's optional 3b stage drops exactly the
+    below-margin docs and the run ledger's n_kept reflects it."""
+    from linz_bde_uploader_spark.operators import classifier as C
+    from linz_bde_uploader_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(30)
+    bench = base.limit(0)
+    nf = 64
+    weights = [((i * 37) % 21 - 10) / 10.0 for i in range(nf)]
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], ["feat", "w"])
+    margins = {r["id"]: r["margin"] for r in
+               C.score_margin(C.hashed_features(base, n_features=nf),
+                              wdf).collect()}
+    med = sorted(margins.values())[len(margins) // 2]
+    expect_keep = {i for i, m in margins.items() if m >= med}
+
+    out = str(tmp_path / "corpus")
+    stats = prepare_training_corpus(
+        base, bench, out, min_quality=0.0, model_weights=weights,
+        min_margin=med)
+    got = {r["doc_id"] for r in
+           spark.read.parquet(out).select("doc_id").distinct().collect()}
+    assert got == expect_keep
+    assert stats["n_kept"] == len(expect_keep)

@@ -22,7 +22,7 @@ FAST_QUERIES = [
     "emb_outliers", "multimodal_features", "text_redact_pii",
     "docs_pack_sequences", "dedup_near_survivors",
     "docs_bloom_decontam", "docs_dup_spans", "events_window_agg",
-    "docs_quality_margin", "docs_split_leakage_safe",
+    "docs_quality_margin", "docs_split_leakage_safe", "sim_recall_report",
     "sim_kmeans_centroids", "orders_salted_join", "emb_near_dedup", "text_paragraph_dedup",
 ]
 
