@@ -106,6 +106,7 @@ HEADLINE = [
     "docs_quality_margin",
     "docs_contrastive_pairs",
     "sim_recall_report",
+    "multimodal_ahash_groups",
 ]
 
 

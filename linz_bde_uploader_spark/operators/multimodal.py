@@ -542,3 +542,81 @@ def video_motion_stats(media: DataFrame) -> DataFrame:
 
     return media.filter(F.col("kind") == "video") \
         .mapInPandas(run, MOTION_SCHEMA)
+
+
+def synthetic_images(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Image fixture for perceptual-hash testing: reflected linear
+    gradients with varying brightness. Image i:
+
+    - w = 16 + (i % 4) * 2, h = 12 + i % 4
+    - orient = (i // 4) % 4: bit 0 mirrors x, bit 1 mirrors y
+    - base = (i * 17) % 60 (pure brightness offset)
+    - pixel(y, x) = RGB(base + u + v, u, v) with u = x or w-1-x,
+      v = y or h-1-y per orient (all channels < 256 by construction)
+
+    (geometry, orient) repeats with period 16, base does not — so
+    ids i and i+16 are brightness-shifted copies of the same image:
+    exactly the near-duplicate class an average hash must collapse,
+    while reflections of the same geometry must NOT collapse."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 4) * 2, 12 + i % 4
+        base, orient = (i * 17) % 60, (i // 4) % 4
+        y, x = np.mgrid[0:h, 0:w]
+        u = x if orient & 1 == 0 else (w - 1 - x)
+        v = y if orient & 2 == 0 else (h - 1 - y)
+        px = np.stack([base + u + v, u, v], axis=-1).astype(np.uint8)
+        rows.append((i, "image", bytearray(encode_bmp(px)),
+                     (w, h, None, None, "image/bmp")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image: the
+    grid x grid block-mean-vs-global-mean bit matrix, hex-encoded —
+    the standard cheap near-duplicate signal for images (brightness
+    /contrast-shift tolerant where a byte hash is not).
+
+    Integer-exact by construction: luminance is the integer ITU
+    weighting 299R + 587G + 114B (x1000), and each bit compares
+    block_sum * n_total_pixels > total_sum * n_block_pixels — pure
+    integer cross-multiplication, no float mean ever computed. A
+    constant brightness offset adds base * 1000 * n_block * n_total
+    to BOTH sides, so shifted copies hash identically (exactly, not
+    approximately). This is what lets an independent engine verify
+    the hash from closed forms when pixel content is symbolic
+    (multimodal_ahash_groups oracle) — and what makes the operator a
+    DEDUP key: groupBy(ahash) buckets near-copies without any
+    pairwise image comparison, the same one-shuffle shape as text
+    exact-dedup. Arrow-batched mapInPandas, no shuffle itself."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                mime = (row["meta"] or {}).get("mime") or ""
+                if mime not in ("image/bmp", "image/x-ppm"):
+                    continue
+                px = _decode_image(bytes(row["payload"])).astype(np.int64)
+                h, w = px.shape[:2]
+                L = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                tot, n_tot = int(L.sum()), w * h
+                bits = []
+                for by in range(grid):
+                    y0, y1 = by * h // grid, (by + 1) * h // grid
+                    for bx in range(grid):
+                        x0, x1 = bx * w // grid, (bx + 1) * w // grid
+                        s = int(L[y0:y1, x0:x1].sum())
+                        n_blk = (y1 - y0) * (x1 - x0)
+                        bits.append(1 if s * n_tot > tot * n_blk else 0)
+                hexd = "0123456789abcdef"
+                ahash = "".join(
+                    hexd[bits[4 * k] * 8 + bits[4 * k + 1] * 4
+                         + bits[4 * k + 2] * 2 + bits[4 * k + 3]]
+                    for k in range(grid * grid // 4))
+                recs.append((int(row["media_id"]), ahash))
+            yield pd.DataFrame(recs, columns=["media_id", "ahash"])
+
+    return media.mapInPandas(run, "media_id long, ahash string")

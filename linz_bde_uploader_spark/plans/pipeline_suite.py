@@ -3006,6 +3006,85 @@ FROM den LEFT JOIN hits ON den.query_id = hits.query_id
 """
 
 
+def q_multimodal_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup grouping by average hash: REAL BMP payloads
+    decode to pixels, the integer-exact aHash collapses
+    brightness-shifted copies into one group (and must NOT collapse
+    reflections). The oracle recomputes every bit symbolically from
+    the id — block sums of the reflected linear gradients have
+    closed forms (sums of arithmetic ranges), and the bit rule is
+    integer cross-multiplication, so the hex fingerprints match
+    bit-for-bit although DuckDB never decodes a byte. Grouping is
+    one groupBy(ahash) — the same one-shuffle dedup shape as text
+    exact-dedup, no pairwise image comparison anywhere."""
+    from linz_bde_uploader_spark.operators import multimodal as MM
+
+    media = MM.synthetic_images(spark, n=24)
+    ah = MM.image_ahash(media)
+    groups = ah.groupBy("ahash").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count("*").alias("n_members"))
+    return ah.join(groups, "ahash") \
+        .select("media_id", "ahash", "canonical_id", "n_members")
+
+
+# closed forms (operators/multimodal.py synthetic_images): luminance
+# L(y,x) = 299*(base+u+v) + 587*u + 114*v = 299*base + 886*u + 413*v
+# with u,v the (possibly mirrored) x,y — block sums are arithmetic-
+# range sums; the 299*base term cancels in the cross-multiplied bit
+# rule, total u-sum w(w-1)/2 is reflection-invariant.
+SQL_MULTIMODAL_AHASH = """
+WITH ids AS (SELECT i AS media_id FROM range(0, 24) t(i)),
+p AS (
+  SELECT media_id, 16 + (media_id % 4) * 2 AS w, 12 + media_id % 4 AS h,
+         (media_id // 4) % 4 AS orient
+  FROM ids),
+blocks AS (
+  SELECT media_id, w, h, orient, byt.by_ AS by_, bxt.bx_ AS bx_,
+         (bxt.bx_ * w) // 8 AS x0, ((bxt.bx_ + 1) * w) // 8 AS x1,
+         (byt.by_ * h) // 8 AS y0, ((byt.by_ + 1) * h) // 8 AS y1
+  FROM p,
+       unnest(generate_series(0, 7)) byt(by_),
+       unnest(generate_series(0, 7)) bxt(bx_)),
+sums AS (
+  SELECT media_id, w, h, by_, bx_,
+         (x1 - x0) AS nx, (y1 - y0) AS ny,
+         CASE WHEN orient % 2 = 0
+              THEN (x1 - x0) * (x0 + x1 - 1) // 2
+              ELSE (x1 - x0) * (w - 1) - (x1 - x0) * (x0 + x1 - 1) // 2
+         END AS su,
+         CASE WHEN (orient // 2) % 2 = 0
+              THEN (y1 - y0) * (y0 + y1 - 1) // 2
+              ELSE (y1 - y0) * (h - 1) - (y1 - y0) * (y0 + y1 - 1) // 2
+         END AS sv
+  FROM blocks),
+bits AS (
+  SELECT media_id, by_, bx_,
+         CASE WHEN (886 * su * ny + 413 * sv * nx) * (w * h)
+                   > (886 * (w * (w - 1) // 2) * h
+                      + 413 * (h * (h - 1) // 2) * w) * (nx * ny)
+              THEN 1 ELSE 0 END AS bit
+  FROM sums),
+nib AS (
+  SELECT media_id, (by_ * 8 + bx_) // 4 AS n,
+         SUM(bit * (CASE (by_ * 8 + bx_) % 4
+                    WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
+         AS val
+  FROM bits GROUP BY media_id, (by_ * 8 + bx_) // 4),
+ah AS (
+  SELECT media_id,
+         string_agg(substr('0123456789abcdef', CAST(val AS INT) + 1, 1),
+                    '' ORDER BY n) AS ahash
+  FROM nib GROUP BY media_id),
+g AS (SELECT ahash, min(media_id) AS canonical_id,
+             COUNT(*) AS n_members
+      FROM ah GROUP BY ahash)
+SELECT ah.media_id, ah.ahash, g.canonical_id,
+       CAST(g.n_members AS BIGINT) AS n_members
+FROM ah JOIN g USING (ahash)
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_ngram_topk": (q_text_ngram_topk, SQL_NGRAM_TOPK),
     "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
@@ -3018,6 +3097,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "docs_contrastive_pairs": (q_docs_contrastive_pairs,
                                SQL_CONTRASTIVE_PAIRS),
     "sim_recall_report": (q_sim_recall_report, SQL_SIM_RECALL_REPORT),
+    "multimodal_ahash_groups": (q_multimodal_ahash_groups,
+                                SQL_MULTIMODAL_AHASH),
     "docs_source_mix": (q_docs_source_mix, SQL_SOURCE_MIX),
     "docs_chunking": (q_docs_chunking, SQL_CHUNKING),
     "docs_length_percentiles": (q_docs_length_percentiles,

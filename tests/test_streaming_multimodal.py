@@ -749,3 +749,22 @@ def test_prepare_training_corpus_model_gate(spark, tmp_path):
            spark.read.parquet(out).select("doc_id").distinct().collect()}
     assert got == expect_keep
     assert stats["n_kept"] == len(expect_keep)
+
+
+def test_image_ahash_collapses_brightness_not_reflection(spark):
+    """synthetic_images plants (i, i+16) as brightness-shifted copies
+    — aHash must give them IDENTICAL fingerprints (exact, by the
+    cross-multiplication cancellation) — while reflected variants of
+    the same geometry must not all collapse together."""
+    from linz_bde_uploader_spark.operators import multimodal as MM
+
+    ah = {r["media_id"]: r["ahash"]
+          for r in MM.image_ahash(MM.synthetic_images(spark, n=24)).collect()}
+    assert len(ah) == 24
+    for i in range(8):
+        assert ah[i] == ah[i + 16], f"brightness pair ({i},{i+16}) split"
+    # same geometry (i%4), four orientations i, i+4, i+8, i+12:
+    # mirroring must change the fingerprint for at least the x flip
+    for i in range(4):
+        variants = {ah[i], ah[i + 4], ah[i + 8], ah[i + 12]}
+        assert len(variants) >= 2, f"orientations of geometry {i} collapsed"
