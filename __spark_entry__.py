@@ -77,11 +77,13 @@ _DRIVER_FIRST = [
     # (FAST_QUERIES) every session.
     "sim_near_pairs", "emb_near_dedup", "dedup_near_survivors",
     "text_paragraph_dedup", "events_sessionize", "events_window_agg",
-    # sim_recall_report (new r6) also waits for r7: it is a pure
-    # join+aggregate composition of two plans the driver has already
-    # hash-checked (sim_cosine_topk, sim_lsh_topk), and it runs in the
-    # sf0.001 pytest differential meanwhile.
-    "sim_recall_report",
+    # sim_recall_report / q11 (new r6) also wait for r7:
+    # sim_recall_report is a pure join+aggregate composition of two
+    # plans the driver has already hash-checked (sim_cosine_topk,
+    # sim_lsh_topk); q11_important_parts is the same broadcast-dim +
+    # global-scalar shape as the driver-green q* family. Both run in
+    # the sf0.001 pytest differential meanwhile.
+    "sim_recall_report", "q11_important_parts",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

@@ -107,6 +107,7 @@ HEADLINE = [
     "docs_contrastive_pairs",
     "sim_recall_report",
     "multimodal_ahash_groups",
+    "q11_important_parts",
 ]
 
 

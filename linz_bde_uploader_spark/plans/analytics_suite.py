@@ -1150,7 +1150,46 @@ GROUP BY c_mktsegment
 """
 
 
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp in TESTDATA): per part supplied
+    by NATION_7 suppliers, total lineitem value; keep parts above
+    1.5x the average share — the HAVING-against-global-aggregate
+    pattern. The global (total, n_parts) aggregate is one row,
+    broadcast back; the threshold compares DECIMAL x integer
+    cross-multiplications (value*np*2 > total*3), so no float ratio
+    exists to diverge between engines. Supplier dim broadcasts into
+    the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier") \
+        .filter(F.col("s_nationkey") == 7).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+             .alias("value")))
+    tot = v.agg(F.sum("value").alias("total"),
+                F.count("*").alias("np"))
+    return (
+        v.join(F.broadcast(tot))
+        .filter(F.col("value") * F.col("np") * 2 > F.col("total") * 3)
+        .select("l_partkey", F.col("value").cast("decimal(38,2)")
+                .alias("value"))
+    )
+
+
+SQL_Q11 = """
+WITH v AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 7 GROUP BY l_partkey),
+t AS (SELECT SUM(value) AS total, COUNT(*) AS np FROM v)
+SELECT l_partkey, CAST(value AS DECIMAL(38,2)) AS value
+FROM v, t WHERE value * np * 2 > total * 3
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "q11_important_parts": (q11_important_parts, SQL_Q11),
     "orders_salted_join": (q_orders_salted_join, SQL_SALTED_JOIN),
     "q20_dominant_supplier": (q20_dominant_supplier, SQL_Q20),
     "q12_ship_latency": (q12_ship_latency, SQL_Q12),

@@ -2841,6 +2841,12 @@ def q_docs_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linz_bde_uploader_spark.functions.hashing import hash32
 
     corpus = _dup_corpus(spark, sf_dir)
+    # pairs feeds both the verify join and the components pass, but
+    # stays UNPERSISTED on audit: duplicate_clusters materializes its
+    # edges via localCheckpoint immediately (one execution), and the
+    # verify consumer's cost is dominated by its own shingle-set
+    # aggregate (which verify_pairs_jaccard persists internally) — an
+    # A/B at sf0.1 measured no win from persisting pairs here.
     pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
                                   shingle_words=3)
     pos = D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
