@@ -53,6 +53,7 @@ _DRIVER_FIRST = [
     "docs_quality_margin",  # new in r6: linear quality-model scoring
     "docs_contrastive_pairs",  # new in r6: leak-guarded triplet mining
     "multimodal_ahash_groups",  # new in r6: integer-exact image near-dup
+    "cdc_incremental_agg",  # new in r6: materialized-view delta algebra
     "sim_cosine_topk",  # green r1 only
     # analytics suite: green r4 only
     "orders_salted_join", "q20_dominant_supplier", "q12_ship_latency",
@@ -65,12 +66,14 @@ _DRIVER_FIRST = [
     "q17_small_quantity", "q19_disjunctive", "q22_no_order_customers",
     "events_rollup", "events_lag_delta",
     # pipeline entries: green r4 only
-    "pipeline_prep", "sim_lsh_topk",
+    "sim_lsh_topk",
     # --- 50-slot cutoff lands here: the r4-green entries below are
     # deliberately deferred to r7's snapshot; sim_ivf_topk defers with
     # the exactness pytest test_ivf_topk_full_probe_is_exact plus the
-    # driver-gated sim_ivfpq_topk exercising the same ivf_assign path.
-    "sim_ivf_topk",
+    # driver-gated sim_ivfpq_topk exercising the same ivf_assign path;
+    # pipeline_prep defers with the end-to-end/model-gate/stream==batch
+    # pytests over the identical chain.
+    "sim_ivf_topk", "pipeline_prep",
     # --- the six below: sim_near_pairs/emb_near_dedup share their
     # exact code path with the driver-green *_capped twins, and the
     # other four run in the sf0.001 pytest differential

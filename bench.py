@@ -108,6 +108,7 @@ HEADLINE = [
     "sim_recall_report",
     "multimodal_ahash_groups",
     "q11_important_parts",
+    "cdc_incremental_agg",
 ]
 
 

@@ -457,3 +457,39 @@ ENGINE_QUERIES.update({
     "stream_continuity": (q_stream_continuity, None),
     "dataset_continuity": (q_dataset_continuity, SQL_DATASET_CONTINUITY),
 })
+
+
+def q_cdc_incremental_agg(spark, sf_dir: str):
+    """Incrementally-maintained aggregate through the CDC merge: the
+    per-status (count, total price) materialized view updated by the
+    action delta algebra (operators/merge.py maintain_aggregate) —
+    NEVER recomputed from the merged table. The oracle recomputes the
+    same aggregate directly from the merged state, so a hash match
+    differentially proves the delta algebra (insert adds, delete
+    subtracts, update moves between groups) is exactly equivalent to
+    a from-scratch refresh; DECIMAL accumulation makes the equality
+    exact rather than within-float-drift."""
+    cur, stg, chg = cdc_frames(spark, sf_dir)
+    actions = M.classify_actions(cur, stg, chg, "o_orderkey",
+                                 ORDER_COLS).cache()
+    return M.maintain_aggregate(cur, stg, actions, "o_orderkey",
+                                ["o_orderstatus"], "o_totalprice")
+
+
+SQL_CDC_INCR_AGG = f"""WITH {_CDC_CTES},
+merged AS (
+  SELECT o_orderstatus, o_totalprice FROM cur
+  WHERE o_orderkey NOT IN (SELECT key FROM act WHERE action IN ('D','U','X'))
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM stg
+  WHERE o_orderkey IN (SELECT key FROM act WHERE action IN ('I','U','X')))
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+       AS total
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+ENGINE_QUERIES.update({
+    "cdc_incremental_agg": (q_cdc_incremental_agg, SQL_CDC_INCR_AGG),
+})

@@ -149,3 +149,28 @@ def test_prepare_change_table(spark):
 ])
 def test_tolerance(new, prev, tol_e, tol_w, want):
     assert M.check_tolerance(new, prev, tol_e, tol_w) == want
+
+
+def test_maintain_aggregate_handles_group_moves(spark):
+    """Incremental aggregate maintenance: U that changes the GROUP
+    column must move the row's contribution between groups; I adds,
+    D subtracts, a group emptied by deletes disappears."""
+    from decimal import Decimal
+
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cols = "k long, grp string, v double"
+    cur = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0), (9, "C", 7.0)], cols)
+    stg = spark.createDataFrame(
+        [(1, "B", 10.0),            # U: moves A -> B
+         (2, "A", 25.0),            # U: value change in place
+         (4, "A", 40.0)], cols)     # I: new row
+    # 3 deleted (only member of ... no, B keeps k=1), 9 deleted (C empties)
+    chg = spark.createDataFrame([(1,), (2,), (3,), (4,), (9,)], ["key"])
+    actions = M.classify_actions(cur, stg, chg, "k", ["k", "grp", "v"])
+    got = {r["grp"]: (r["n"], r["total"]) for r in
+           M.maintain_aggregate(cur, stg, actions, "k",
+                                ["grp"], "v").collect()}
+    assert got == {"A": (2, Decimal("65.00")),   # 25 (k2) + 40 (k4)
+                   "B": (1, Decimal("10.00"))}   # k1 moved in, k3 deleted
