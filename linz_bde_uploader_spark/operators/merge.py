@@ -325,7 +325,8 @@ def check_tolerance(new_count: int, prev_count: int,
 def maintain_aggregate(current: DataFrame, staged: DataFrame,
                        actions: DataFrame, key: str,
                        group_cols: list[str], value_col: str,
-                       value_type: str = "decimal(12,2)") -> DataFrame:
+                       value_type: str = "decimal(12,2)",
+                       old_agg: DataFrame | None = None) -> DataFrame:
     """Incremental materialized-aggregate maintenance over a CDC
     action set: given per-group (n, total) computed over ``current``,
     produce the post-merge aggregate WITHOUT rescanning the merged
@@ -365,8 +366,16 @@ def maintain_aggregate(current: DataFrame, staged: DataFrame,
         actions.filter(F.col("action").isin(
             ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
         .select(F.col("key").alias(key)))
-    old = current.groupBy(*group_cols).agg(
-        F.count("*").alias("_dn"), F.sum(v).cast(acc).alias("_ds"))
+    if old_agg is not None:
+        # the stored view (group_cols, n, total) from the previous
+        # refresh — the truly-incremental path: no scan of current
+        # beyond the changed keys below
+        old = old_agg.select(
+            *group_cols, F.col("n").cast("long").alias("_dn"),
+            F.col("total").cast(acc).alias("_ds"))
+    else:
+        old = current.groupBy(*group_cols).agg(
+            F.count("*").alias("_dn"), F.sum(v).cast(acc).alias("_ds"))
     neg = current.join(del_keys, key, "left_semi").select(
         *group_cols, F.lit(-1).cast("long").alias("_dn"),
         (-v).cast(acc).alias("_ds"))

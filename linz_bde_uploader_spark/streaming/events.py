@@ -239,7 +239,9 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                          table_name: str, key: str,
                          schema: T.StructType, file_tag: str,
                          checkpoint: str,
-                         max_files_per_trigger: int | None = None) -> None:
+                         max_files_per_trigger: int | None = None,
+                         view_group_cols: list[str] | None = None,
+                         view_value_col: str | None = None) -> None:
     """The poll-run upload loop as a stream: watch the level_5
     repository, and for every micro-batch of new dataset files run the
     REAL CDC merge (classify -> apply) against the versioned store via
@@ -255,6 +257,14 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     inside one micro-batch apply in dataset order, preserving the
     reference's sequential semantics; ``maxFilesPerTrigger`` bounds
     per-batch work.
+
+    With ``view_group_cols``/``view_value_col`` set, a continuously-
+    maintained aggregate view ``<table>__agg`` refreshes alongside
+    every merge via the O(changes) delta algebra
+    (operators/merge.maintain_aggregate): the STORED view is the old
+    state, so each refresh touches only changed-key rows — a
+    streaming materialized view with the same versioned-store
+    atomicity as the base table.
     """
     from linz_bde_uploader_spark.operators import merge as M
     from linz_bde_uploader_spark.sources.crs import read_crs
@@ -262,6 +272,18 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     lines = stream_repository(spark, root, 5, schema, file_tag,
                               max_files_per_trigger)
     parsed = parse_crs_stream(lines, schema)
+
+    view_table = f"{table_name}__agg"
+
+    def refresh_view(cur, stg, actions, ds) -> None:
+        if view_group_cols is None or view_value_col is None:
+            return
+        old = (store.read(spark, view_table)
+               if store.exists(view_table) else None)
+        view = M.maintain_aggregate(cur, stg, actions, key,
+                                    view_group_cols, view_value_col,
+                                    old_agg=old)
+        store.write(view_table, view, dataset=ds)
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.cache()
@@ -273,6 +295,14 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                            .select(*[f.name for f in schema.fields])
                 if not store.exists(table_name):
                     store.write(table_name, stg, key=key, dataset=ds)
+                    if view_group_cols is not None and view_value_col:
+                        # bootstrap: direct aggregate of the seed state
+                        seed = stg.groupBy(*view_group_cols).agg(
+                            F.count("*").alias("n"),
+                            F.sum(F.col(view_value_col)
+                                  .cast("decimal(12,2)"))
+                            .cast("decimal(38,2)").alias("total"))
+                        store.write(view_table, seed, dataset=ds)
                     continue
                 cur = store.read(spark, table_name)
                 chg = M.prepare_change_table(
@@ -281,6 +311,7 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                 actions = M.classify_actions(cur, stg, chg, key,
                                              cur.columns).cache()
                 merged = M.apply_actions(cur, stg, actions, key)
+                refresh_view(cur, stg, actions, ds)
                 store.write(table_name, merged, key=key, dataset=ds)
                 actions.unpersist()
         finally:

@@ -768,3 +768,51 @@ def test_image_ahash_collapses_brightness_not_reflection(spark):
     for i in range(4):
         variants = {ah[i], ah[i + 4], ah[i + 8], ah[i + 12]}
         assert len(variants) >= 2, f"orientations of geometry {i} collapsed"
+
+
+def test_streaming_cdc_maintained_view(spark, tmp_path):
+    """Continuously-maintained aggregate view alongside the streaming
+    CDC merge: after every drain the stored <table>__agg must equal a
+    direct aggregate over the stored base table. The second drain
+    exercises the truly-incremental path (old state = the STORED
+    view, delta from changed keys only)."""
+    from decimal import Decimal
+
+    from linz_bde_uploader_spark.sources.crs import parse_header, read_crs
+    from linz_bde_uploader_spark.sources.store import TableStore
+    from tests.fixtures import write_crs
+
+    root = write_repository(str(tmp_path / "repo"))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    l0_file = os.path.join(root, "level_0", "20160601000000", "pab1.crs")
+    store.write("crs_parcel_bndry", read_crs(spark, l0_file), key="audit_id")
+    schema = parse_header(l0_file).schema()
+    ckpt = str(tmp_path / "ckpt")
+
+    def direct():
+        t = store.read(spark, "crs_parcel_bndry")
+        return {r["reversed"]: (r["n"], r["total"]) for r in
+                t.groupBy("reversed")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("sequence").cast("decimal(12,2)"))
+                     .cast("decimal(38,2)").alias("total")).collect()}
+
+    def stored_view():
+        v = store.read(spark, "crs_parcel_bndry__agg")
+        return {r["reversed"]: (r["n"], r["total"]) for r in v.collect()}
+
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt,
+                             view_group_cols=["reversed"],
+                             view_value_col="sequence")
+    assert stored_view() == direct()
+    assert isinstance(next(iter(stored_view().values()))[1], Decimal)
+
+    ds2 = os.path.join(root, "level_5", "20160602000000")
+    write_crs(os.path.join(ds2, "pab1.crs"), PAB1_L5B)
+    write_crs(os.path.join(ds2, "xaud.crs"), XAUD_B)
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt,
+                             view_group_cols=["reversed"],
+                             view_value_col="sequence")
+    assert stored_view() == direct()
