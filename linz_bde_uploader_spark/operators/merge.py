@@ -328,10 +328,11 @@ def maintain_aggregate(current: DataFrame, staged: DataFrame,
                        value_type: str = "decimal(12,2)",
                        old_agg: DataFrame | None = None) -> DataFrame:
     """Incremental materialized-aggregate maintenance over a CDC
-    action set: given per-group (n, total) computed over ``current``,
-    produce the post-merge aggregate WITHOUT rescanning the merged
-    table — the materialized-view delta algebra (count and sum are
-    self-maintainable aggregates).
+    action set: given per-group (n, n_vals, total) state, produce the
+    post-merge aggregate WITHOUT rescanning the merged table — the
+    materialized-view delta algebra (count and sum are
+    self-maintainable aggregates; the non-null value count rides
+    along so SQL's NULL-sum-of-no-values semantics survive).
 
     Delta relation:
       action D/U/X  -> the current row's (group, -1, -value)
@@ -358,6 +359,7 @@ def maintain_aggregate(current: DataFrame, staged: DataFrame,
     same idea to user-facing aggregates."""
     v = F.col(value_col).cast(value_type)
     acc = "decimal(38,2)"
+    vn = F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("long")
     del_keys = F.broadcast(
         actions.filter(F.col("action").isin(
             ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
@@ -367,25 +369,37 @@ def maintain_aggregate(current: DataFrame, staged: DataFrame,
             ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
         .select(F.col("key").alias(key)))
     if old_agg is not None:
-        # the stored view (group_cols, n, total) from the previous
-        # refresh — the truly-incremental path: no scan of current
-        # beyond the changed keys below
+        # the stored view (group_cols, n, n_vals, total) from the
+        # previous refresh — the truly-incremental path: no scan of
+        # current beyond the changed keys below
         old = old_agg.select(
             *group_cols, F.col("n").cast("long").alias("_dn"),
+            F.col("n_vals").cast("long").alias("_dv"),
             F.col("total").cast(acc).alias("_ds"))
     else:
         old = current.groupBy(*group_cols).agg(
-            F.count("*").alias("_dn"), F.sum(v).cast(acc).alias("_ds"))
+            F.count("*").alias("_dn"),
+            F.count(v).alias("_dv"),
+            F.sum(v).cast(acc).alias("_ds"))
     neg = current.join(del_keys, key, "left_semi").select(
         *group_cols, F.lit(-1).cast("long").alias("_dn"),
-        (-v).cast(acc).alias("_ds"))
+        (-vn).alias("_dv"), (-v).cast(acc).alias("_ds"))
     pos = staged.join(ins_keys, key, "left_semi").select(
         *group_cols, F.lit(1).cast("long").alias("_dn"),
-        v.cast(acc).alias("_ds"))
+        vn.alias("_dv"), v.cast(acc).alias("_ds"))
+    # n_vals (count of NON-NULL values) is maintained alongside n so
+    # the sum can be reported as SQL does: NULL when a group retains
+    # rows but no non-null values — the delta arithmetic alone would
+    # report 0 there (sum-of-nothing vs empty-sum, the classic IVM
+    # trap; caught by the hypothesis property test).
     return (
         old.unionByName(neg).unionByName(pos)
         .groupBy(*group_cols)
         .agg(F.sum("_dn").cast("long").alias("n"),
-             F.sum("_ds").cast(acc).alias("total"))
+             F.sum("_dv").cast("long").alias("n_vals"),
+             F.sum("_ds").cast(acc).alias("_total"))
         .filter(F.col("n") > 0)
+        .withColumn("total", F.when(F.col("n_vals") > 0, F.col("_total"))
+                    .otherwise(F.lit(None).cast(acc)))
+        .drop("_total")
     )

@@ -483,7 +483,7 @@ merged AS (
   UNION ALL
   SELECT o_orderstatus, o_totalprice FROM stg
   WHERE o_orderkey IN (SELECT key FROM act WHERE action IN ('I','U','X')))
-SELECT o_orderstatus, COUNT(*) AS n,
+SELECT o_orderstatus, COUNT(*) AS n, COUNT(o_totalprice) AS n_vals,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
        AS total
 FROM merged GROUP BY o_orderstatus

@@ -299,6 +299,7 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                         # bootstrap: direct aggregate of the seed state
                         seed = stg.groupBy(*view_group_cols).agg(
                             F.count("*").alias("n"),
+                            F.count(view_value_col).alias("n_vals"),
                             F.sum(F.col(view_value_col)
                                   .cast("decimal(12,2)"))
                             .cast("decimal(38,2)").alias("total"))

@@ -106,3 +106,37 @@ def test_full_diff_matches_model(spark, cur, stg):
     got = {r.key: r.action for r in
            M.full_diff(curdf, stgdf, "id", ["id", "a", "b"]).collect()}
     assert got == diff_model(cur, stg)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cur=table, stg=table, chg=keys)
+def test_maintain_aggregate_equals_direct_refresh(spark, cur, stg, chg):
+    """IVM property over the randomized CDC state space: the
+    incrementally-maintained per-group aggregate must equal a direct
+    aggregate over apply_actions' merged output — for every
+    combination of inserts, deletes, in-place updates, group-moving
+    updates, and no-ops, with null group keys and null values."""
+    from decimal import Decimal
+
+    curdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(cur.items())], SCHEMA)
+    stgdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(stg.items())], SCHEMA)
+    chgdf = spark.createDataFrame(
+        [(k,) for k in sorted(chg)],
+        T.StructType([T.StructField("key", T.LongType(), False)]))
+    actions = M.classify_actions(curdf, stgdf, chgdf, "id", ["id", "a", "b"])
+    # group by the nullable string col, sum the nullable int col
+    got = {r["b"]: (r["n"], r["n_vals"], r["total"]) for r in
+           M.maintain_aggregate(curdf, stgdf, actions, "id",
+                                ["b"], "a").collect()}
+    merged = M.apply_actions(curdf, stgdf, actions, "id")
+    from pyspark.sql import functions as F
+    want = {r["b"]: (r["n"], r["n_vals"], r["total"]) for r in
+            merged.groupBy("b").agg(
+                F.count("*").alias("n"),
+                F.count("a").alias("n_vals"),
+                F.sum(F.col("a").cast("decimal(12,2)"))
+                .cast("decimal(38,2)").alias("total")).collect()}
+    assert got == want

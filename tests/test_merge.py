@@ -169,8 +169,8 @@ def test_maintain_aggregate_handles_group_moves(spark):
     # 3 deleted (only member of ... no, B keeps k=1), 9 deleted (C empties)
     chg = spark.createDataFrame([(1,), (2,), (3,), (4,), (9,)], ["key"])
     actions = M.classify_actions(cur, stg, chg, "k", ["k", "grp", "v"])
-    got = {r["grp"]: (r["n"], r["total"]) for r in
+    got = {r["grp"]: (r["n"], r["n_vals"], r["total"]) for r in
            M.maintain_aggregate(cur, stg, actions, "k",
                                 ["grp"], "v").collect()}
-    assert got == {"A": (2, Decimal("65.00")),   # 25 (k2) + 40 (k4)
-                   "B": (1, Decimal("10.00"))}   # k1 moved in, k3 deleted
+    assert got == {"A": (2, 2, Decimal("65.00")),  # 25 (k2) + 40 (k4)
+                   "B": (1, 1, Decimal("10.00"))}  # k1 moved in, k3 gone
