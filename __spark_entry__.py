@@ -87,6 +87,11 @@ _DRIVER_FIRST = [
     # global-scalar shape as the driver-green q* family. Both run in
     # the sf0.001 pytest differential meanwhile.
     "sim_recall_report", "q11_important_parts",
+    # cdc_minmax_refresh (new r6) waits for r7 with its sibling
+    # cdc_incremental_agg holding the IVM family's r6 slot; the
+    # partial-refresh path runs in the sf0.001 pytest differential
+    # and the randomized hypothesis property test meanwhile.
+    "cdc_minmax_refresh",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

@@ -109,6 +109,7 @@ HEADLINE = [
     "multimodal_ahash_groups",
     "q11_important_parts",
     "cdc_incremental_agg",
+    "cdc_minmax_refresh",
 ]
 
 

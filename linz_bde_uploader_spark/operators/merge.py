@@ -403,3 +403,66 @@ def maintain_aggregate(current: DataFrame, staged: DataFrame,
                     .otherwise(F.lit(None).cast(acc)))
         .drop("_total")
     )
+
+
+def maintain_extrema(current: DataFrame, staged: DataFrame,
+                     actions: DataFrame, key: str,
+                     group_cols: list[str], value_col: str,
+                     merged: DataFrame,
+                     old_extrema: DataFrame | None = None,
+                     value_type: str = "decimal(12,2)") -> DataFrame:
+    """Partial-refresh maintenance for NON-self-maintainable
+    aggregates (min/max): deleting a group's extremum cannot be
+    undone by delta arithmetic, so the standard technique recomputes
+    ONLY the touched groups from the merged state and carries every
+    untouched group forward from the stored view.
+
+    Touched groups = groups of current rows named by D/U/X actions
+    union groups of staged rows named by I/U/X (an update can move a
+    row between groups, touching both). The touched-group relation is
+    |changed keys|-bounded and broadcasts; the recompute scans only
+    those groups' merged rows (partition-pruned on a store bucketed
+    by the group key), and untouched view rows pass through with an
+    anti join — O(|touched groups' rows|) per refresh instead of a
+    full re-aggregation. Group keys compare null-safely so a NULL
+    group is one group, exactly as GROUP BY treats it.
+
+    Returns (group_cols, n, vmin, vmax). With ``old_extrema=None``
+    the untouched side is computed from ``merged`` directly (the
+    bootstrap / differential-test path — same result, not O(changes))."""
+    v = F.col(value_col).cast(value_type)
+    del_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    ins_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    touched = F.broadcast(
+        current.join(del_keys, key, "left_semi").select(*group_cols)
+        .unionByName(
+            staged.join(ins_keys, key, "left_semi").select(*group_cols))
+        .distinct())
+
+    def null_safe_on(left, right):
+        cond = None
+        for g in group_cols:
+            c = left[g].eqNullSafe(right[g])
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    t = touched.alias("t")
+    m = merged.alias("m")
+    recomputed = (
+        m.join(t, null_safe_on(m, t), "left_semi")
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("n"), F.min(v).alias("vmin"),
+             F.max(v).alias("vmax")))
+    base = old_extrema if old_extrema is not None else (
+        merged.groupBy(*group_cols)
+        .agg(F.count("*").alias("n"), F.min(v).alias("vmin"),
+             F.max(v).alias("vmax")))
+    b = base.alias("b")
+    untouched = b.join(t, null_safe_on(b, t), "left_anti")
+    return untouched.unionByName(recomputed)

@@ -493,3 +493,45 @@ FROM merged GROUP BY o_orderstatus
 ENGINE_QUERIES.update({
     "cdc_incremental_agg": (q_cdc_incremental_agg, SQL_CDC_INCR_AGG),
 })
+
+
+def q_cdc_minmax_refresh(spark, sf_dir: str):
+    """Partial-refresh maintenance for the NON-self-maintainable
+    aggregates: per-status (count, min, max) carried forward from the
+    pre-merge view for untouched groups and recomputed from the
+    merged state ONLY for groups the action set touches
+    (operators/merge.py maintain_extrema — deleting an extremum
+    cannot be undone by delta arithmetic, so touched groups rescan).
+    The oracle recomputes everything directly from the merged state:
+    a hash match proves the carry-forward/recompute split is exactly
+    equivalent to a full refresh."""
+    cur, stg, chg = cdc_frames(spark, sf_dir)
+    actions = M.classify_actions(cur, stg, chg, "o_orderkey",
+                                 ORDER_COLS).cache()
+    merged = M.apply_actions(cur, stg, actions, "o_orderkey")
+    v = F.col("o_totalprice").cast("decimal(12,2)")
+    old = cur.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"))
+    return M.maintain_extrema(cur, stg, actions, "o_orderkey",
+                              ["o_orderstatus"], "o_totalprice",
+                              merged, old_extrema=old)
+
+
+SQL_CDC_MINMAX = f"""WITH {_CDC_CTES},
+merged AS (
+  SELECT o_orderstatus, o_totalprice FROM cur
+  WHERE o_orderkey NOT IN (SELECT key FROM act WHERE action IN ('D','U','X'))
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM stg
+  WHERE o_orderkey IN (SELECT key FROM act WHERE action IN ('I','U','X')))
+SELECT o_orderstatus, COUNT(*) AS n,
+       MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS vmin,
+       MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS vmax
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+ENGINE_QUERIES.update({
+    "cdc_minmax_refresh": (q_cdc_minmax_refresh, SQL_CDC_MINMAX),
+})

@@ -140,3 +140,37 @@ def test_maintain_aggregate_equals_direct_refresh(spark, cur, stg, chg):
                 F.sum(F.col("a").cast("decimal(12,2)"))
                 .cast("decimal(38,2)").alias("total")).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cur=table, stg=table, chg=keys)
+def test_maintain_extrema_equals_direct_refresh(spark, cur, stg, chg):
+    """Partial-refresh min/max over the randomized CDC state space:
+    carry-forward (untouched groups, from the pre-merge view) +
+    recompute (touched groups, from the merged state) must equal a
+    direct aggregate over the merged table — including NULL group
+    keys, extremum deletions, and group-moving updates."""
+    from pyspark.sql import functions as F
+
+    curdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(cur.items())], SCHEMA)
+    stgdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(stg.items())], SCHEMA)
+    chgdf = spark.createDataFrame(
+        [(k,) for k in sorted(chg)],
+        T.StructType([T.StructField("key", T.LongType(), False)]))
+    actions = M.classify_actions(curdf, stgdf, chgdf, "id", ["id", "a", "b"])
+    merged = M.apply_actions(curdf, stgdf, actions, "id")
+    v = F.col("a").cast("decimal(12,2)")
+    old = curdf.groupBy("b").agg(
+        F.count("*").alias("n"), F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"))
+    got = {r["b"]: (r["n"], r["vmin"], r["vmax"]) for r in
+           M.maintain_extrema(curdf, stgdf, actions, "id", ["b"], "a",
+                              merged, old_extrema=old).collect()}
+    want = {r["b"]: (r["n"], r["vmin"], r["vmax"]) for r in
+            merged.groupBy("b").agg(
+                F.count("*").alias("n"), F.min(v).alias("vmin"),
+                F.max(v).alias("vmax")).collect()}
+    assert got == want

@@ -23,7 +23,7 @@ FAST_QUERIES = [
     "docs_pack_sequences", "dedup_near_survivors",
     "docs_bloom_decontam", "docs_dup_spans", "events_window_agg",
     "docs_quality_margin", "docs_split_leakage_safe", "sim_recall_report",
-    "q11_important_parts", "cdc_incremental_agg",
+    "q11_important_parts", "cdc_incremental_agg", "cdc_minmax_refresh",
     "sim_kmeans_centroids", "orders_salted_join", "emb_near_dedup", "text_paragraph_dedup",
 ]
 
