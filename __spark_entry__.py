@@ -92,6 +92,10 @@ _DRIVER_FIRST = [
     # partial-refresh path runs in the sf0.001 pytest differential
     # and the randomized hypothesis property test meanwhile.
     "cdc_minmax_refresh",
+    # docs_quality_deciles (new r6) waits for r7: composed of the
+    # driver-slotted margin scoring plus integer histogram-cumsum
+    # bucketing; property-tested + sf0.001 differential meanwhile.
+    "docs_quality_deciles",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

@@ -110,6 +110,7 @@ HEADLINE = [
     "q11_important_parts",
     "cdc_incremental_agg",
     "cdc_minmax_refresh",
+    "docs_quality_deciles",
 ]
 
 

@@ -3091,6 +3091,70 @@ FROM ah JOIN g USING (ahash)
 """
 
 
+def q_docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quality-decile bucketing by model margin — the
+    'keep the top-N% by classifier score' stage. A global ntile()
+    would sort the whole corpus in one task; instead the margins
+    (integers) collapse to a VALUE HISTOGRAM first, the cumulative
+    count runs over the histogram (bounded by distinct margin values,
+    not corpus rows — the only unpartitioned window), and each doc
+    joins its value's decile through the broadcast histogram. Ties
+    share a decile by construction (decile of a value = decile of its
+    last tied element: (cum_le - 1) * 10 DIV n), so the result is
+    set-deterministic with no ordering dependency — pure integer
+    arithmetic end to end."""
+    from linz_bde_uploader_spark.functions.hashing import hash32
+    from linz_bde_uploader_spark.operators import classifier as C
+
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    feats = C.hashed_features(docs, n_features=1024)
+    wm = (F.pmod(hash32(F.concat(F.lit("w:"), F.col("feat").cast("string"))),
+                 F.lit(2001)) - 1000)
+    margins = (
+        feats.withColumn("w", wm)
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("margin_milli"))
+        .select(F.col("id").alias("doc_id"), "margin_milli"))
+    hist = margins.groupBy("margin_milli").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("margin_milli") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    total = margins.agg(F.count("*").alias("n"))
+    dec = (cum.join(F.broadcast(total))
+           .select("margin_milli",
+                   F.expr("(cum - 1) * 10 DIV n").alias("decile")))
+    return margins.join(F.broadcast(dec), "margin_milli") \
+        .select("doc_id", "margin_milli", "decile")
+
+
+SQL_QUALITY_DECILES = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents),
+feats AS (
+  SELECT doc_id, {sql_hash32("'f:' || word")} % 1024 AS feat,
+         COUNT(*) AS cnt
+  FROM words GROUP BY doc_id, {sql_hash32("'f:' || word")} % 1024),
+margins AS (
+  SELECT doc_id,
+         CAST(SUM(cnt * ({sql_hash32("'w:' || CAST(feat AS VARCHAR)")}
+                         % 2001 - 1000)) AS BIGINT) AS margin_milli
+  FROM feats GROUP BY doc_id),
+hist AS (SELECT margin_milli, COUNT(*) AS c FROM margins
+         GROUP BY margin_milli),
+cum AS (
+  SELECT margin_milli,
+         SUM(c) OVER (ORDER BY margin_milli
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum
+  FROM hist),
+n AS (SELECT COUNT(*) AS n FROM margins),
+dec AS (SELECT margin_milli, (cum - 1) * 10 // n.n AS decile FROM cum, n)
+SELECT m.doc_id, m.margin_milli, d.decile
+FROM margins m JOIN dec d USING (margin_milli)
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_ngram_topk": (q_text_ngram_topk, SQL_NGRAM_TOPK),
     "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
@@ -3100,6 +3164,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "docs_split_leakage_safe": (q_docs_split_leakage_safe,
                                 SQL_SPLIT_LEAKAGE_SAFE),
     "docs_quality_margin": (q_docs_quality_margin, SQL_QUALITY_MARGIN),
+    "docs_quality_deciles": (q_docs_quality_deciles, SQL_QUALITY_DECILES),
     "docs_contrastive_pairs": (q_docs_contrastive_pairs,
                                SQL_CONTRASTIVE_PAIRS),
     "sim_recall_report": (q_sim_recall_report, SQL_SIM_RECALL_REPORT),

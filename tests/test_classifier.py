@@ -94,3 +94,28 @@ def test_split_leakage_safe_no_cluster_straddles(spark):
     train_reps = {rep for rep, s in split.values() if s == "train"}
     frac = len(train_reps) / len(reps)
     assert 0.75 < frac <= 1.0
+
+
+def test_quality_deciles_monotone_and_balanced(spark):
+    """Deciles are monotone in margin, ties share a bucket, and
+    bucket sizes are near n/10 (exact up to tie granularity)."""
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        q_docs_quality_deciles,
+    )
+
+    rows = q_docs_quality_deciles(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    by_margin = {}
+    for r in rows:
+        by_margin.setdefault(r["margin_milli"], set()).add(r["decile"])
+    for deciles in by_margin.values():
+        assert len(deciles) == 1  # ties share a decile
+    ordered = sorted(rows, key=lambda r: r["margin_milli"])
+    decs = [r["decile"] for r in ordered]
+    assert decs == sorted(decs)  # monotone
+    assert decs[0] == 0 and decs[-1] == 9
+    from collections import Counter
+    sizes = Counter(decs)
+    assert all(abs(sizes.get(d, 0) - n / 10) <= max(3, n * 0.05)
+               for d in range(10))
