@@ -203,3 +203,76 @@ def test_wkt_cleanse(spark):
     df = spark.range(1).select(F.lit("12 POINT(10.5 -41.2)").alias("g"))
     out = df.select(cleanse_wkt(F.col("g"), cfg).alias("g")).first().g
     assert out == "SRID=4167;POINT(170.5 -41.2)"
+
+
+def _render_crs(cols, rows):
+    """Render a minimal valid .crs file for (name, sqltype) cols."""
+    header = ["HEDR\t 2.0.0", "SOFTWARE prop V1", "SCHEMA\t V1.0",
+              "USER\t crs_bde", "START\t 2016-06-01 17:12:25",
+              "END\t 2016-06-01 17:12:25", "SQL\t SELECT 1",
+              "TABLE\tprop_table"]
+    for name, sqltype in cols:
+        header.append(f"COLUMN\t {name:<30} {sqltype} NULL")
+    header += ["DESC", "SIZE          1", "{CRS-DATA}"]
+    body = []
+    for row in rows:
+        body.append("|".join("" if v is None else str(v)
+                             for v in row) + "|")
+    return "\n".join(header + body) + "\n"
+
+
+def test_crs_roundtrip_property(spark, tmp_path):
+    """Randomized S4/S5 roundtrip: any mix of int/bigint/varchar/
+    datetime/decimal columns with NULLs must read back exactly (the
+    golden fixtures pin one file; this pins the parser across the
+    type/NULL space)."""
+    from decimal import Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from linz_bde_uploader_spark.sources.crs import read_crs
+
+    ints = st.one_of(st.none(), st.integers(-2**31 + 1, 2**31 - 1))
+    longs = st.one_of(st.none(), st.integers(-2**62, 2**62))
+    texts = st.one_of(st.none(), st.text(
+        alphabet=st.characters(
+            codec="ascii", min_codepoint=33, max_codepoint=126,
+            exclude_characters="|"),
+        min_size=1, max_size=12))
+    decs = st.one_of(st.none(), st.decimals(
+        min_value=Decimal("-999999.9999"), max_value=Decimal("999999.9999"),
+        allow_nan=False, allow_infinity=False, places=4))
+    rowstrat = st.tuples(ints, longs, texts, decs)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(rowstrat, min_size=1, max_size=6),
+           idx=st.integers(0, 10**6))
+    def run(rows, idx):
+        cols = [("c_int", "integer"), ("c_big", "bigint"),
+                ("c_txt", "varchar(20)"), ("c_dec", "decimal(12,4)")]
+        p = str(tmp_path / f"prop_{idx}_{len(rows)}.crs")
+        with open(p, "w") as f:
+            f.write(_render_crs(cols, rows))
+        got = [tuple(r) for r in
+               read_crs(spark, p).orderBy("c_int", "c_big", "c_txt").collect()]
+        want = sorted(
+            [(a, b, t, None if d is None else Decimal(d).scaleb(0)
+              .quantize(Decimal("1.0000000000")))
+             for (a, b, t, d) in rows],
+            key=lambda r: (r[0] is not None, r[0], r[1] is not None, r[1],
+                           r[2] is not None, r[2]))
+        got = sorted(got, key=lambda r: (r[0] is not None, r[0],
+                                         r[1] is not None, r[1],
+                                         r[2] is not None, r[2]))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[0] == w[0] and g[1] == w[1] and g[2] == w[2]
+            if w[3] is None:
+                assert g[3] is None
+            else:
+                assert g[3] == w[3]
+
+    run()
