@@ -96,6 +96,10 @@ _DRIVER_FIRST = [
     # driver-slotted margin scoring plus integer histogram-cumsum
     # bucketing; property-tested + sf0.001 differential meanwhile.
     "docs_quality_deciles",
+    # docs_dedup_report (new r6) waits for r7: a rollup over the
+    # driver-slotted exact-dedup relation; sf0.001 differential
+    # meanwhile.
+    "docs_dedup_report",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

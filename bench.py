@@ -111,6 +111,7 @@ HEADLINE = [
     "cdc_incremental_agg",
     "cdc_minmax_refresh",
     "docs_quality_deciles",
+    "docs_dedup_report",
 ]
 
 

@@ -245,3 +245,22 @@ def pack_sequences(chunks: DataFrame, budget: int, key: str = "doc_id",
     return sharded.withColumn(
         "bin", F.floor((F.sum(len_col).over(w) - F.col(len_col))
                        / budget).cast("int"))
+
+
+def write_range_ordered(df: DataFrame, path: str, order_col: str,
+                        n_parts: int = 8) -> None:
+    """Globally ordered parquet export WITHOUT the single-task global
+    sort: ``repartitionByRange`` samples range boundaries (one
+    lightweight sampling pass), every partition sorts locally in
+    parallel, and part files inherit disjoint, ascending key ranges —
+    so reading files in name order replays the global order. This is
+    the Spark-native contract for 'corpus sorted by length/score/id'
+    exports at 100 TB: an ``orderBy().coalesce(1)`` style export
+    funnels everything through one task; this shape is
+    embarrassingly parallel with only the boundary sample
+    centralized. Callers needing a total order ACROSS files rely on
+    the disjoint-range property (asserted in
+    tests/test_corpus.py::test_write_range_ordered_global_order)."""
+    (df.repartitionByRange(n_parts, F.col(order_col))
+       .sortWithinPartitions(order_col)
+       .write.mode("overwrite").parquet(path))

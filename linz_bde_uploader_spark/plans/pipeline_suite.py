@@ -3155,6 +3155,54 @@ FROM margins m JOIN dec d USING (margin_milli)
 """
 
 
+def q_docs_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report per source — the accounting artifact every
+    dedup run ships with: how many documents each source loses to
+    exact duplication and the per-source duplicate share in integer
+    permille. Non-canonical copies (content hash shared, not the
+    minimum doc_id) count as duplicates; sources join back through
+    the planted-corpus id mapping. One content-hash aggregate + one
+    broadcast-dim join — report cost is the dedup pass itself."""
+    corpus = _dup_corpus(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.md5(F.col("text"))
+    canon = (corpus.select(h.alias("_h"), F.col("doc_id"))
+             .groupBy("_h").agg(F.min("doc_id").alias("_keep")))
+    flagged = (
+        corpus.withColumn("_h", h).join(canon, "_h")
+        .withColumn("is_dup",
+                    (F.col("doc_id") != F.col("_keep")).cast("long"))
+        .withColumn("base_id",
+                    F.when(F.col("doc_id") >= 10000,
+                           F.col("doc_id") - 10000)
+                    .otherwise(F.col("doc_id"))))
+    return (
+        flagged.join(src, flagged["base_id"] == src["doc_id"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("is_dup").alias("n_dups"))
+        .withColumn("dup_permille", F.expr("n_dups * 1000 DIV n_docs"))
+    )
+
+
+SQL_DEDUP_REPORT = f"""
+WITH {_SQL_BASE},
+canon AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep FROM base GROUP BY md5(text)),
+flagged AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id <> c.keep THEN 1 ELSE 0 END AS is_dup,
+         CASE WHEN b.doc_id >= 10000 THEN b.doc_id - 10000
+              ELSE b.doc_id END AS base_id
+  FROM base b JOIN canon c ON md5(b.text) = c.h)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+       CAST(SUM(is_dup) AS BIGINT) * 1000 // COUNT(*) AS dup_permille
+FROM flagged f JOIN documents d ON f.base_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "text_ngram_topk": (q_text_ngram_topk, SQL_NGRAM_TOPK),
     "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
@@ -3165,6 +3213,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
                                 SQL_SPLIT_LEAKAGE_SAFE),
     "docs_quality_margin": (q_docs_quality_margin, SQL_QUALITY_MARGIN),
     "docs_quality_deciles": (q_docs_quality_deciles, SQL_QUALITY_DECILES),
+    "docs_dedup_report": (q_docs_dedup_report, SQL_DEDUP_REPORT),
     "docs_contrastive_pairs": (q_docs_contrastive_pairs,
                                SQL_CONTRASTIVE_PAIRS),
     "sim_recall_report": (q_sim_recall_report, SQL_SIM_RECALL_REPORT),

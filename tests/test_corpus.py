@@ -322,3 +322,31 @@ def test_contrastive_pairs_leak_free_and_verified(spark):
              for t in q_docs_contrastive_pairs(spark, SF_DIR).collect()}
     assert again == {(t["anchor_id"], t["positive_id"]): t["negative_id"]
                      for t in trip}
+
+
+def test_write_range_ordered_global_order(spark, docs, tmp_path):
+    """Range-ordered export: part files carry disjoint ascending key
+    ranges, rows inside each file are sorted, and the union equals
+    the input — the global order holds with no single-task sort."""
+    import glob
+
+    from linz_bde_uploader_spark.operators.corpus import write_range_ordered
+
+    out = str(tmp_path / "ordered")
+    write_range_ordered(docs.select("doc_id", "n_chars"), out,
+                        "n_chars", n_parts=4)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) > 1
+    ranges = []
+    all_rows = []
+    for f in files:
+        vals = [r["n_chars"] for r in spark.read.parquet(f).collect()]
+        if not vals:
+            continue
+        assert vals == sorted(vals)  # sorted within file
+        ranges.append((min(vals), max(vals)))
+        all_rows.extend(vals)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint ascending ranges across files
+    want = sorted(r["n_chars"] for r in docs.select("n_chars").collect())
+    assert sorted(all_rows) == want

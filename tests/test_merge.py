@@ -174,3 +174,32 @@ def test_maintain_aggregate_handles_group_moves(spark):
                                 ["grp"], "v").collect()}
     assert got == {"A": (2, 2, Decimal("65.00")),  # 25 (k2) + 40 (k4)
                    "B": (1, 1, Decimal("10.00"))}  # k1 moved in, k3 gone
+
+
+def test_maintain_aggregate_from_full_diff(spark):
+    """The L0 full-incremental path: full_diff's I/U/D action set
+    drives the same view maintenance — the refreshed aggregate must
+    equal a direct aggregate over the staged snapshot (which IS the
+    merged state under full-replace semantics)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cols = "k long, grp string, v double"
+    cur = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0)], cols)
+    stg = spark.createDataFrame(
+        [(1, "B", 10.0), (2, "A", 25.0), (5, "C", 50.0)], cols)
+    actions = M.full_diff(cur, stg, "k", ["k", "grp", "v"]) \
+        .select("key", "action")
+    got = {r["grp"]: (r["n"], r["n_vals"], r["total"]) for r in
+           M.maintain_aggregate(cur, stg, actions, "k",
+                                ["grp"], "v").collect()}
+    want = {r["grp"]: (r["n"], r["n_vals"], r["total"]) for r in
+            stg.groupBy("grp").agg(
+                F.count("*").alias("n"), F.count("v").alias("n_vals"),
+                F.sum(F.col("v").cast("decimal(12,2)"))
+                .cast("decimal(38,2)").alias("total")).collect()}
+    assert got == want and got["C"] == (1, 1, Decimal("50.00"))
