@@ -100,6 +100,10 @@ _DRIVER_FIRST = [
     # driver-slotted exact-dedup relation; sf0.001 differential
     # meanwhile.
     "docs_dedup_report",
+    # docs_epoch_plan (new r6) waits for r7: integer sibling of the
+    # driver-green docs_budget_sample/docs_source_rebalance pair;
+    # sf0.001 differential + repeat-structure pytest meanwhile.
+    "docs_epoch_plan",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

@@ -112,6 +112,7 @@ HEADLINE = [
     "cdc_minmax_refresh",
     "docs_quality_deciles",
     "docs_dedup_report",
+    "docs_epoch_plan",
 ]
 
 

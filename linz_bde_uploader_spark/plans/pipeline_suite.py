@@ -3203,7 +3203,65 @@ GROUP BY d.source
 """
 
 
+def q_docs_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch upsampling plan: how many times each document
+    repeats in one training pass so every source contributes a
+    uniform token share (the LLaMA/Gopher-style mixture: scarce
+    sources run multiple epochs, abundant sources less than one).
+    The per-source repeat factor lives in integer milli-units
+    (total*1000 DIV (n_sources*tokens), capped at 4000 = 4 epochs —
+    unbounded upsampling degrades quality); each doc gets
+    floor(r/1000) guaranteed repeats plus one more iff its portable
+    id-hash falls under r%1000 — the deterministic fractional
+    remainder, so expected tokens match the target share exactly and
+    reruns/engines agree bit-for-bit. Pure integer arithmetic; one
+    aggregate + one broadcast join."""
+    from linz_bde_uploader_spark.functions.hashing import hash32
+
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    per = (docs.select("source",
+                       F.size(F.split(F.trim("text"), r"\s+")).alias("nt"))
+           .groupBy("source").agg(F.sum("nt").alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"),
+                  F.count("*").alias("n_sources"))
+    rates = (per.join(F.broadcast(tot))
+             .select("source",
+                     F.least(F.expr("total_tokens * 1000"
+                                    " DIV (n_sources * n_tokens)"),
+                             F.lit(4000)).alias("r_milli")))
+    extra = (F.pmod(hash32(F.concat(F.lit("ep:"),
+                                    F.col("doc_id").cast("string"))),
+                    F.lit(1000))
+             < F.col("r_milli") % 1000).cast("long")
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .select("doc_id", "source",
+                (F.expr("r_milli DIV 1000") + extra).alias("n_repeats"))
+    )
+
+
+SQL_EPOCH_PLAN = f"""
+WITH per AS (
+  SELECT source, SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per),
+rates AS (
+  SELECT source,
+         least(total_tokens * 1000 // (n_sources * n_tokens), 4000)
+         AS r_milli
+  FROM per, tot)
+SELECT d.doc_id, d.source,
+       r_milli // 1000
+       + CASE WHEN {sql_hash32("'ep:' || CAST(d.doc_id AS VARCHAR)")} % 1000
+                   < r_milli % 1000
+              THEN 1 ELSE 0 END AS n_repeats
+FROM documents d JOIN rates USING (source)
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "docs_epoch_plan": (q_docs_epoch_plan, SQL_EPOCH_PLAN),
     "text_ngram_topk": (q_text_ngram_topk, SQL_NGRAM_TOPK),
     "dedup_decontaminate": (q_dedup_decontaminate, SQL_DECONTAMINATE),
     "docs_bloom_decontam": (q_docs_bloom_decontam, SQL_BLOOM_DECONTAM),

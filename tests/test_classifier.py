@@ -119,3 +119,25 @@ def test_quality_deciles_monotone_and_balanced(spark):
     sizes = Counter(decs)
     assert all(abs(sizes.get(d, 0) - n / 10) <= max(3, n * 0.05)
                for d in range(10))
+
+
+def test_epoch_plan_repeat_structure(spark):
+    """Per source: repeats take exactly two adjacent values
+    (floor(r/1000) and +1 via the hash remainder), the realized
+    extra-fraction tracks r%1000, and a capped source never exceeds
+    4 repeats."""
+    from collections import defaultdict
+
+    from linz_bde_uploader_spark.plans.pipeline_suite import q_docs_epoch_plan
+
+    rows = q_docs_epoch_plan(spark, SF_DIR).collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        per[r["source"]].append(r["n_repeats"])
+        assert 0 <= r["n_repeats"] <= 4
+    for src, reps in per.items():
+        vals = sorted(set(reps))
+        assert len(vals) <= 2
+        if len(vals) == 2:
+            assert vals[1] == vals[0] + 1

@@ -24,7 +24,7 @@ FAST_QUERIES = [
     "docs_bloom_decontam", "docs_dup_spans", "events_window_agg",
     "docs_quality_margin", "docs_split_leakage_safe", "sim_recall_report",
     "q11_important_parts", "cdc_incremental_agg", "cdc_minmax_refresh",
-    "docs_quality_deciles", "docs_dedup_report",
+    "docs_quality_deciles", "docs_dedup_report", "docs_epoch_plan",
     "sim_kmeans_centroids", "orders_salted_join", "emb_near_dedup", "text_paragraph_dedup",
 ]
 
