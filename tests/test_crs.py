@@ -235,10 +235,13 @@ def test_crs_roundtrip_property(spark, tmp_path):
 
     ints = st.one_of(st.none(), st.integers(-2**31 + 1, 2**31 - 1))
     longs = st.one_of(st.none(), st.integers(-2**62, 2**62))
+    # '|' and '\\' are excluded: the cleanse stage maps both to a
+    # space BY DESIGN (reference conf replace rules — see
+    # CleanseConfig.char_map), so they cannot roundtrip identically
     texts = st.one_of(st.none(), st.text(
         alphabet=st.characters(
             codec="ascii", min_codepoint=33, max_codepoint=126,
-            exclude_characters="|"),
+            exclude_characters="|\\"),
         min_size=1, max_size=12))
     decs = st.one_of(st.none(), st.decimals(
         min_value=Decimal("-999999.9999"), max_value=Decimal("999999.9999"),
