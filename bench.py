@@ -256,6 +256,12 @@ def _prev_bench() -> tuple[str, dict] | tuple[None, None]:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    # the VM shares a host: foreign tenants inflate every query
+    # uniformly by 10-30% between runs with zero local processes
+    # running. Record the load window so round-over-round deltas are
+    # attributable to plans vs environment (cross-checked against
+    # per-query repstats CV).
+    load_start = list(os.getloadavg())
     spark = get_spark("bench")
     allq = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 
@@ -338,7 +344,9 @@ def main():
     if unstable:
         out["noisy"] = len(unstable)
     detail = dict(out, errors=errors, repstats=repstats,
-                  unstable=unstable, carried_prev_times=carried)
+                  unstable=unstable, carried_prev_times=carried,
+                  loadavg={"start": [round(x, 2) for x in load_start],
+                           "end": [round(x, 2) for x in os.getloadavg()]})
     try:
         detail["skew_soak"] = _skew_soak(spark, sf_dir)
         print("# skew_soak: " + json.dumps(detail["skew_soak"]),
