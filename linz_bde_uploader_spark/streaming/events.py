@@ -241,7 +241,8 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                          checkpoint: str,
                          max_files_per_trigger: int | None = None,
                          view_group_cols: list[str] | None = None,
-                         view_value_col: str | None = None) -> None:
+                         view_value_col: str | None = None,
+                         view_minmax: bool = False) -> None:
     """The poll-run upload loop as a stream: watch the level_5
     repository, and for every micro-batch of new dataset files run the
     REAL CDC merge (classify -> apply) against the versioned store via
@@ -264,7 +265,11 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     (operators/merge.maintain_aggregate): the STORED view is the old
     state, so each refresh touches only changed-key rows — a
     streaming materialized view with the same versioned-store
-    atomicity as the base table.
+    atomicity as the base table. ``view_minmax=True`` additionally
+    maintains ``<table>__minmax`` through the partial-refresh path
+    (operators/merge.maintain_extrema): untouched groups carry
+    forward from the stored view, touched groups recompute from the
+    post-merge state.
     """
     from linz_bde_uploader_spark.operators import merge as M
     from linz_bde_uploader_spark.sources.crs import read_crs
@@ -274,8 +279,9 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     parsed = parse_crs_stream(lines, schema)
 
     view_table = f"{table_name}__agg"
+    mm_table = f"{table_name}__minmax"
 
-    def refresh_view(cur, stg, actions, ds) -> None:
+    def refresh_view(cur, stg, actions, merged, ds) -> None:
         if view_group_cols is None or view_value_col is None:
             return
         old = (store.read(spark, view_table)
@@ -284,6 +290,13 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                                     view_group_cols, view_value_col,
                                     old_agg=old)
         store.write(view_table, view, dataset=ds)
+        if view_minmax:
+            old_mm = (store.read(spark, mm_table)
+                      if store.exists(mm_table) else None)
+            mm = M.maintain_extrema(cur, stg, actions, key,
+                                    view_group_cols, view_value_col,
+                                    merged, old_extrema=old_mm)
+            store.write(mm_table, mm, dataset=ds)
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.cache()
@@ -297,13 +310,18 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                     store.write(table_name, stg, key=key, dataset=ds)
                     if view_group_cols is not None and view_value_col:
                         # bootstrap: direct aggregate of the seed state
+                        vv = F.col(view_value_col).cast("decimal(12,2)")
                         seed = stg.groupBy(*view_group_cols).agg(
                             F.count("*").alias("n"),
                             F.count(view_value_col).alias("n_vals"),
-                            F.sum(F.col(view_value_col)
-                                  .cast("decimal(12,2)"))
-                            .cast("decimal(38,2)").alias("total"))
+                            F.sum(vv).cast("decimal(38,2)").alias("total"))
                         store.write(view_table, seed, dataset=ds)
+                        if view_minmax:
+                            mm0 = stg.groupBy(*view_group_cols).agg(
+                                F.count("*").alias("n"),
+                                F.min(vv).alias("vmin"),
+                                F.max(vv).alias("vmax"))
+                            store.write(mm_table, mm0, dataset=ds)
                     continue
                 cur = store.read(spark, table_name)
                 chg = M.prepare_change_table(
@@ -312,7 +330,7 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                 actions = M.classify_actions(cur, stg, chg, key,
                                              cur.columns).cache()
                 merged = M.apply_actions(cur, stg, actions, key)
-                refresh_view(cur, stg, actions, ds)
+                refresh_view(cur, stg, actions, merged, ds)
                 store.write(table_name, merged, key=key, dataset=ds)
                 actions.unpersist()
         finally:

@@ -801,11 +801,26 @@ def test_streaming_cdc_maintained_view(spark, tmp_path):
         v = store.read(spark, "crs_parcel_bndry__agg")
         return {r["reversed"]: (r["n"], r["total"]) for r in v.collect()}
 
+    def direct_mm():
+        t = store.read(spark, "crs_parcel_bndry")
+        vv = F.col("sequence").cast("decimal(12,2)")
+        return {r["reversed"]: (r["n"], r["vmin"], r["vmax"]) for r in
+                t.groupBy("reversed")
+                .agg(F.count("*").alias("n"), F.min(vv).alias("vmin"),
+                     F.max(vv).alias("vmax")).collect()}
+
+    def stored_mm():
+        v = store.read(spark, "crs_parcel_bndry__minmax")
+        return {r["reversed"]: (r["n"], r["vmin"], r["vmax"])
+                for r in v.collect()}
+
     STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
                              "audit_id", schema, "pab1", ckpt,
                              view_group_cols=["reversed"],
-                             view_value_col="sequence")
+                             view_value_col="sequence",
+                             view_minmax=True)
     assert stored_view() == direct()
+    assert stored_mm() == direct_mm()
     assert isinstance(next(iter(stored_view().values()))[1], Decimal)
 
     ds2 = os.path.join(root, "level_5", "20160602000000")
@@ -814,5 +829,7 @@ def test_streaming_cdc_maintained_view(spark, tmp_path):
     STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
                              "audit_id", schema, "pab1", ckpt,
                              view_group_cols=["reversed"],
-                             view_value_col="sequence")
+                             view_value_col="sequence",
+                             view_minmax=True)
     assert stored_view() == direct()
+    assert stored_mm() == direct_mm()
