@@ -657,8 +657,16 @@ def bloom_probe(items: DataFrame, bloom: DataFrame, key_col: str = "h",
     count-hits formulation re-aggregated every probed row on the
     items' grain — a corpus-sized shuffle the join form doesn't
     need). A probe whose word is absent or whose bit is unset is a
-    miss; a key survives iff every probe hits."""
+    miss; a key survives iff every probe hits.
+
+    The probe's temp columns use a ``__bloom_`` prefix and are
+    asserted absent from ``items`` up front — a silent name collision
+    would shadow a user column and produce wrong survivors."""
     cols = [c for c in items.columns]
+    clash = [c for c in cols if c.startswith("__bloom_")]
+    if clash:
+        raise ValueError(
+            f"bloom_probe: items columns collide with probe temps: {clash}")
     out = items
     keep = None
     for i in range(n_hashes):
@@ -666,12 +674,13 @@ def bloom_probe(items: DataFrame, bloom: DataFrame, key_col: str = "h",
                                      F.col(key_col).cast("string"))),
                      F.lit(n_bits))
         out = (
-            out.withColumn(f"_p{i}", pos)
-            .withColumn(f"_w{i}", F.expr(f"_p{i} DIV 32"))
-            .join(F.broadcast(bloom.select(F.col("word").alias(f"_w{i}"),
-                                           F.col("bits").alias(f"_b{i}"))),
-                  f"_w{i}", "left"))
-        hit = F.expr(f"shiftright(COALESCE(_b{i}, CAST(0 AS BIGINT)),"
-                     f" CAST(_p{i} % 32 AS INT)) % 2 = 1")
+            out.withColumn(f"__bloom_p{i}", pos)
+            .withColumn(f"__bloom_w{i}", F.expr(f"__bloom_p{i} DIV 32"))
+            .join(F.broadcast(bloom.select(
+                      F.col("word").alias(f"__bloom_w{i}"),
+                      F.col("bits").alias(f"__bloom_b{i}"))),
+                  f"__bloom_w{i}", "left"))
+        hit = F.expr(f"shiftright(COALESCE(__bloom_b{i}, CAST(0 AS BIGINT)),"
+                     f" CAST(__bloom_p{i} % 32 AS INT)) % 2 = 1")
         keep = hit if keep is None else (keep & hit)
     return out.filter(keep).select(*cols)

@@ -814,6 +814,10 @@ def pca_fit(emb: DataFrame, vec_col: str = "embedding",
     import numpy as np
 
     cells = pca_covariance(emb, vec_col, exact=exact).collect()
+    if not cells or not cells[0]["n"]:
+        raise ValueError(
+            "pca_fit: no embeddings to fit (pca_covariance returned "
+            "no moment cells / zero rows)")
     d = max(r["j"] for r in cells) + 1
     n = cells[0]["n"]
     C = np.zeros((d, d))

@@ -819,23 +819,32 @@ GROUP BY cohort_wk, week_no
 
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: extract an integer field from
-    the JSON props payload and aggregate it per event type. The JSON
-    path runs JVM-side (get_json_object), so the scan stays in
-    whole-stage codegen. The average is published as integer
-    micro-units (``avg_k_micro = (sum_k * 1000000) DIV n_k``) rather
-    than a rounded double: two rounds of driver snapshots proved that
-    ``round(DOUBLE, 6)`` is not bit-identical across engine builds
-    (Spark routes through BigDecimal HALF_UP; DuckDB divides in
-    binary), while truncating integer division is. k is non-negative
-    in this domain, so Spark's ``DIV`` (toward zero) and DuckDB's
-    ``//`` (also toward zero for integers) agree exactly, and
-    ``sum_k * 1e6`` stays far below the BIGINT range. Extraction is
-    cast-tolerant — a non-integer payload nulls out instead of
-    erroring, on both sides (Spark cast already null-on-failure; the
-    oracle uses TRY_CAST)."""
+    the JSON props payload and aggregate it per event type. The
+    average is published as integer micro-units
+    (``avg_k_micro = (sum_k * 1000000) DIV n_k``) rather than a
+    rounded double: two rounds of driver snapshots proved that
+    ``round(DOUBLE, 6)`` is not bit-identical across engine builds,
+    while truncating integer division is. A THIRD red snapshot then
+    arrived on an all-integer projection, proving the extractors
+    themselves diverge: Spark's Jackson-based ``get_json_object`` and
+    DuckDB's yyjson-based ``->>`` disagree on at least one payload in
+    the driver fixture (duplicate-key precedence, number-token
+    canonicalization, and escape handling are the known divergence
+    classes). Fix: extraction is now ENGINE-NEUTRAL — both sides run
+    the identical regex ``"k"\\s*:\\s*(-?[0-9]+)`` over the raw
+    string (Java regex and RE2 agree on this subset: literal chars,
+    \\s, a capture group, first-match wins) and CAST the capture to
+    BIGINT (both engines null an empty capture). This removes both
+    JSON libraries from the equation; the original extractor pair
+    stays observable via the driver-gated ``events_json_k_hist``
+    bisection query below, which names any diverging k multiset.
+    k is non-negative in this domain, so Spark's ``DIV`` (toward
+    zero) and DuckDB's ``//`` agree exactly, and ``sum_k * 1e6``
+    stays far below the BIGINT range."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        F.regexp_extract("props", r'"k"\s*:\s*(-?[0-9]+)', 1)
+        .cast("bigint").alias("k"))
     return (
         e.groupBy("event_type")
         .agg(F.count("k").alias("n_k"),
@@ -847,12 +856,37 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EVENTS_JSON = """
+SQL_EVENTS_JSON = r"""
 SELECT event_type,
        COUNT(k) AS n_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
        CAST((SUM(k) * 1000000) // COUNT(k) AS BIGINT) AS avg_k_micro
-FROM (SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+FROM (SELECT event_type,
+             TRY_CAST(NULLIF(regexp_extract(props,
+                 '"k"\s*:\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k
+      FROM events)
 GROUP BY event_type
+"""
+
+
+def q_events_json_k_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection diagnostic for the extractor divergence documented in
+    :func:`q_events_json_props`: keeps the ORIGINAL extractor pair
+    (Spark ``get_json_object`` vs DuckDB ``->>``) but publishes the
+    full ``(event_type, k, count)`` multiset — all integers — so a
+    red driver snapshot names exactly WHICH k values the two JSON
+    libraries disagree on, instead of collapsing the difference into
+    one opaque aggregate hash. NULL k (absent/non-integer payload) is
+    its own bucket on both sides."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+    return e.groupBy("event_type", "k").agg(F.count("*").alias("n"))
+
+
+SQL_EVENTS_JSON_K_HIST = """
+SELECT event_type, k, COUNT(*) AS n
+FROM (SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+GROUP BY event_type, k
 """
 
 
@@ -1200,6 +1234,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
+    "events_json_k_hist": (q_events_json_k_hist, SQL_EVENTS_JSON_K_HIST),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),

@@ -111,6 +111,18 @@ class TableStore:
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
 
+    def current_dataset(self, table: str) -> str | None:
+        """The ``dataset`` revision comment of the current version
+        (C8 lineage) — None when the table is absent or the version
+        predates dataset stamping. Streaming view maintenance uses
+        this as its replay guard: a view whose stamp already equals
+        the incoming dataset has incorporated that delta."""
+        p = self._pointer(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh).get("dataset")
+
     def compact(self, spark: SparkSession, table: str,
                 key: str | None = None) -> int:
         """Rewrite the current version into a fresh, well-sized one —

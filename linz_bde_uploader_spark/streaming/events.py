@@ -264,8 +264,13 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     every merge via the O(changes) delta algebra
     (operators/merge.maintain_aggregate): the STORED view is the old
     state, so each refresh touches only changed-key rows — a
-    streaming materialized view with the same versioned-store
-    atomicity as the base table. ``view_minmax=True`` additionally
+    streaming materialized view. foreachBatch is at-least-once, so
+    each view write sits behind a dataset-stamp replay guard (the
+    store's C8 revision comment doubles as the watermark) and the
+    base-table write comes last; a replayed batch either re-derives
+    the identical delta from the still-pre-merge base or is skipped
+    by the stamp — exactly-once view maintenance without any
+    cross-table transaction. ``view_minmax=True`` additionally
     maintains ``<table>__minmax`` through the partial-refresh path
     (operators/merge.maintain_extrema): untouched groups carry
     forward from the stored view, touched groups recompute from the
@@ -282,15 +287,26 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     mm_table = f"{table_name}__minmax"
 
     def refresh_view(cur, stg, actions, merged, ds) -> None:
+        # Replay guard (exactly-once view maintenance under
+        # at-least-once foreachBatch): each view table carries the
+        # dataset it last incorporated as its revision comment; a
+        # stamp equal to the incoming dataset means a crashed batch
+        # already applied this delta before the checkpoint committed,
+        # so the replay must NOT apply it again. Each view guards
+        # itself and the base-table write comes LAST, so every crash
+        # window replays correctly: before a view write the delta is
+        # re-derived from the still-pre-merge base; after it the
+        # stamp skips the double-apply.
         if view_group_cols is None or view_value_col is None:
             return
-        old = (store.read(spark, view_table)
-               if store.exists(view_table) else None)
-        view = M.maintain_aggregate(cur, stg, actions, key,
-                                    view_group_cols, view_value_col,
-                                    old_agg=old)
-        store.write(view_table, view, dataset=ds)
-        if view_minmax:
+        if store.current_dataset(view_table) != ds:
+            old = (store.read(spark, view_table)
+                   if store.exists(view_table) else None)
+            view = M.maintain_aggregate(cur, stg, actions, key,
+                                        view_group_cols, view_value_col,
+                                        old_agg=old)
+            store.write(view_table, view, dataset=ds)
+        if view_minmax and store.current_dataset(mm_table) != ds:
             old_mm = (store.read(spark, mm_table)
                       if store.exists(mm_table) else None)
             mm = M.maintain_extrema(cur, stg, actions, key,
@@ -313,7 +329,11 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                         vv = F.col(view_value_col).cast("decimal(12,2)")
                         seed = stg.groupBy(*view_group_cols).agg(
                             F.count("*").alias("n"),
-                            F.count(view_value_col).alias("n_vals"),
+                            # count the CAST column, not the raw one:
+                            # maintain_aggregate counts non-null of the
+                            # decimal cast, and a non-null value that
+                            # casts to NULL must not inflate the seed.
+                            F.count(vv).alias("n_vals"),
                             F.sum(vv).cast("decimal(38,2)").alias("total"))
                         store.write(view_table, seed, dataset=ds)
                         if view_minmax:
@@ -330,6 +350,13 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                 actions = M.classify_actions(cur, stg, chg, key,
                                              cur.columns).cache()
                 merged = M.apply_actions(cur, stg, actions, key)
+                # Views refresh BEFORE the base write, each behind its
+                # dataset-stamp replay guard (see refresh_view). The
+                # base write must come last: once the base is merged a
+                # replay classifies all-'0' and the view delta is no
+                # longer derivable, so any view still lagging at that
+                # point would stay stale forever. With views-first +
+                # guard, every crash window replays to the same state.
                 refresh_view(cur, stg, actions, merged, ds)
                 store.write(table_name, merged, key=key, dataset=ds)
                 actions.unpersist()

@@ -833,3 +833,96 @@ def test_streaming_cdc_maintained_view(spark, tmp_path):
                              view_minmax=True)
     assert stored_view() == direct()
     assert stored_mm() == direct_mm()
+
+
+def test_streaming_view_replay_guard_crash_window(spark, tmp_path):
+    """The at-least-once crash window the dataset-stamp guard exists
+    for: the batch refreshes __agg/__minmax, then CRASHES before the
+    base-table write (injected via a store.write that raises for the
+    base table on the L5 dataset). The restarted stream replays the
+    dataset from the uncommitted checkpoint; the stamp guard must
+    skip the already-applied view deltas (no double-apply) while the
+    base merge proceeds, leaving every view equal to a direct
+    aggregate over the merged base."""
+    from decimal import Decimal
+
+    from linz_bde_uploader_spark.sources.crs import parse_header, read_crs
+    from linz_bde_uploader_spark.sources.store import TableStore
+    from tests.fixtures import write_crs
+
+    root = write_repository(str(tmp_path / "repo"))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    l0_file = os.path.join(root, "level_0", "20160601000000", "pab1.crs")
+    store.write("crs_parcel_bndry", read_crs(spark, l0_file), key="audit_id")
+    schema = parse_header(l0_file).schema()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                                 "audit_id", schema, "pab1", ckpt,
+                                 view_group_cols=["reversed"],
+                                 view_value_col="sequence",
+                                 view_minmax=True)
+
+    def direct():
+        t = store.read(spark, "crs_parcel_bndry")
+        return {r["reversed"]: (r["n"], r["total"]) for r in
+                t.groupBy("reversed")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("sequence").cast("decimal(12,2)"))
+                     .cast("decimal(38,2)").alias("total")).collect()}
+
+    def stored_view():
+        v = store.read(spark, "crs_parcel_bndry__agg")
+        return {r["reversed"]: (r["n"], r["total"]) for r in v.collect()}
+
+    def direct_mm():
+        t = store.read(spark, "crs_parcel_bndry")
+        vv = F.col("sequence").cast("decimal(12,2)")
+        return {r["reversed"]: (r["n"], r["vmin"], r["vmax"]) for r in
+                t.groupBy("reversed")
+                .agg(F.count("*").alias("n"), F.min(vv).alias("vmin"),
+                     F.max(vv).alias("vmax")).collect()}
+
+    def stored_mm():
+        v = store.read(spark, "crs_parcel_bndry__minmax")
+        return {r["reversed"]: (r["n"], r["vmin"], r["vmax"])
+                for r in v.collect()}
+
+    run()  # bootstrap drain (L0 seed views)
+    assert stored_view() == direct()
+
+    ds2 = "20160602000000"
+    d = os.path.join(root, "level_5", ds2)
+    write_crs(os.path.join(d, "pab1.crs"), PAB1_L5B)
+    write_crs(os.path.join(d, "xaud.crs"), XAUD_B)
+
+    pre_merge = direct()  # base state the crashed batch leaves behind
+    orig_write = store.write
+
+    def crashing_write(table, df, key=None, dataset=None):
+        if table == "crs_parcel_bndry" and dataset == ds2:
+            raise RuntimeError("injected crash before base write")
+        return orig_write(table, df, key=key, dataset=dataset)
+
+    store.write = crashing_write
+    try:
+        with pytest.raises(Exception):
+            run()
+    finally:
+        store.write = orig_write
+
+    # crash window on disk: views refreshed + stamped, base pre-merge
+    assert store.current_dataset("crs_parcel_bndry__agg") == ds2
+    assert direct() == pre_merge
+    assert stored_view() != pre_merge  # the delta really was applied
+
+    run()  # restart: same checkpoint replays the uncommitted dataset
+    assert direct() != pre_merge  # base merged on replay
+    assert stored_view() == direct()  # guard skipped the double-apply
+    assert stored_mm() == direct_mm()
+    assert isinstance(next(iter(stored_view().values()))[1], Decimal)
+
+    run()  # fully-committed re-drain is a no-op for base and views
+    assert stored_view() == direct()
+    assert stored_mm() == direct_mm()
