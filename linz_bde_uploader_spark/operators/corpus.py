@@ -264,3 +264,82 @@ def write_range_ordered(df: DataFrame, path: str, order_col: str,
     (df.repartitionByRange(n_parts, F.col(order_col))
        .sortWithinPartitions(order_col)
        .write.mode("overwrite").parquet(path))
+
+
+def contrastive_triplets(corpus: DataFrame, pos: DataFrame,
+                         clusters: DataFrame, id_col: str = "doc_id",
+                         pool_buckets: int = 32, pool_per_bucket: int = 4,
+                         n_probes: int = 3) -> DataFrame:
+    """(anchor, positive, negative) triplet mining for embedding-model
+    training. ``pos`` supplies verified positive pairs (id_a, id_b);
+    ``clusters`` (id, cluster_id) is the near-dup component map used
+    as the leakage guard: a probe sequence (k = 0..n_probes-1) walks
+    a deterministic negative pool until the candidate shares no
+    cluster with the anchor and is neither endpoint; a triplet whose
+    probes all leak is dropped (deterministic, never random).
+
+    Scale shape — the negative pool is bounded by absolute SIZE, not
+    by a sample rate: each doc hashes into one of ``pool_buckets``
+    buckets and only the ``pool_per_bucket`` smallest (by a second,
+    independent hash — i.e. a uniform draw) survive per bucket via
+    the salted two-phase ``grouped_topk``, so the pool never exceeds
+    ``pool_buckets * pool_per_bucket`` rows NO MATTER the corpus
+    size, and no global window exists anywhere (an earlier revision
+    ranked a rate-sampled pool with one global ``row_number`` and
+    force-broadcast it — a single-task sort plus an OOM at 100x; a
+    rate bounds the fraction, not the size). Probing is a plain
+    (bucket, within-bucket-rank) equi-join against the pool; the
+    only forced broadcast is the per-bucket size relation
+    (<= pool_buckets rows, bounded by construction). The
+    cluster-membership joins are left to AQE — the clusters relation
+    is corpus-sized in the worst case, exactly the broadcast
+    SCALE.md's docs_split_leakage_safe entry calls the 100 TB
+    mistake. Shrinking the pool degrades triplet yield gracefully
+    (more probes leak or self-collide) but never silently: the drop
+    is deterministic per pair."""
+    from linz_bde_uploader_spark.functions.hashing import hash32
+    from linz_bde_uploader_spark.operators.topk import grouped_topk
+
+    ids = F.col(id_col).cast("string")
+    cand = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.pmod(hash32(F.concat(F.lit("np:"), ids)),
+               F.lit(pool_buckets)).alias("b"),
+        hash32(F.concat(F.lit("po:"), ids)).alias("o"))
+    pool = (
+        grouped_topk(cand, ["b"], [F.col("o").asc(), F.col("neg_id").asc()],
+                     pool_per_bucket,
+                     salt_expr=F.xxhash64(F.col("neg_id").cast("string")),
+                     n_salts=32)
+        .select("neg_id", "b", (F.col("rank") - 1).alias("r")))
+    bsz = pool.groupBy("b").agg(F.count("*").alias("bn"))
+    h = hash32(F.concat(F.lit("neg:"), F.col("id_a").cast("string"),
+                        F.lit(":"), F.col("id_b").cast("string")))
+    hk = hash32(F.concat(F.lit("negr:"), F.col("id_a").cast("string"),
+                         F.lit(":"), F.col("id_b").cast("string"),
+                         F.lit(":"), F.col("k").cast("string")))
+    probes = (
+        pos.select("id_a", "id_b",
+                   F.explode(F.array(*[F.lit(i) for i in range(n_probes)]))
+                   .alias("k"))
+        .withColumn("b", F.pmod(h + F.col("k"), F.lit(pool_buckets)))
+        .join(F.broadcast(bsz), "b")
+        .withColumn("r", F.pmod(hk, F.col("bn")))
+        .join(pool, ["b", "r"]))
+    ca = clusters.select(F.col("id").alias("id_a"),
+                         F.col("cluster_id").alias("cl_a"))
+    cn = clusters.select(F.col("id").alias("neg_id"),
+                         F.col("cluster_id").alias("cl_n"))
+    ok = (
+        probes.join(ca, "id_a", "left")
+        .join(cn, "neg_id", "left")
+        .filter((F.col("neg_id") != F.col("id_a"))
+                & (F.col("neg_id") != F.col("id_b"))
+                & (F.col("cl_n").isNull() | F.col("cl_a").isNull()
+                   | (F.col("cl_n") != F.col("cl_a")))))
+    return (
+        ok.groupBy("id_a", "id_b")
+        .agg(F.min_by("neg_id", "k").alias("negative_id"))
+        .select(F.col("id_a").alias("anchor_id"),
+                F.col("id_b").alias("positive_id"), "negative_id")
+    )

@@ -2826,19 +2826,20 @@ def q_docs_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     triplets for embedding-model training. Positives are VERIFIED
     near-duplicates (LSH candidates filtered by exact Jaccard >= 0.5
     — band collisions alone would pollute the signal); negatives are
-    drawn deterministically from a hash-sampled negative pool with a
+    drawn deterministically from a SIZE-bounded negative pool with a
     leakage guard: a probe sequence (k = 0,1,2) walks the pool until
     the candidate shares no near-dup cluster with the anchor and is
     neither endpoint; a triplet whose three probes all leak is
     dropped (deterministic, never random).
 
-    Scale shape: the pool is a fixed-rate hash sample, so its ranked
-    form is bounded and broadcastable — the global row_number runs
-    over the POOL, never the corpus (a corpus-wide rank would be the
-    classic single-task window trap). Verified pairs + components are
-    the dedup pass the pipeline already runs; the negative join is
-    broadcast."""
-    from linz_bde_uploader_spark.functions.hashing import hash32
+    Scale shape (operators/corpus.contrastive_triplets): the pool is
+    bounded by ABSOLUTE size — pool_buckets x pool_per_bucket docs
+    selected per-bucket via the salted two-phase grouped_topk — so
+    there is no global window and no broadcast of anything that
+    grows with the corpus; probing is a (bucket, rank) equi-join and
+    the cluster joins are left to AQE. Verified pairs + components
+    are the dedup pass the pipeline already runs."""
+    from linz_bde_uploader_spark.operators.corpus import contrastive_triplets
 
     corpus = _dup_corpus(spark, sf_dir)
     # pairs feeds both the verify join and the components pass, but
@@ -2852,40 +2853,8 @@ def q_docs_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
                                  threshold=0.5).select("id_a", "id_b")
     clusters = D.duplicate_clusters(pairs)
-    pool = corpus.select("doc_id").filter(
-        F.pmod(hash32(F.concat(F.lit("np:"),
-                               F.col("doc_id").cast("string"))),
-               F.lit(1000)) < 100)
-    wr = Window.orderBy("doc_id")
-    ranked = pool.select(
-        "doc_id", (F.row_number().over(wr) - 1).alias("r"))
-    pool_n = ranked.agg(F.count("*").alias("pn"))
-    h = hash32(F.concat(F.lit("neg:"), F.col("id_a").cast("string"),
-                        F.lit(":"), F.col("id_b").cast("string")))
-    probes = (
-        pos.join(F.broadcast(pool_n))
-        .select("id_a", "id_b", "pn",
-                F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"))
-        .withColumn("r", F.pmod(h + F.col("k"), F.col("pn")))
-        .join(F.broadcast(ranked), "r")
-        .withColumnRenamed("doc_id", "neg_id"))
-    ca = clusters.select(F.col("id").alias("id_a"),
-                         F.col("cluster_id").alias("cl_a"))
-    cn = clusters.select(F.col("id").alias("neg_id"),
-                         F.col("cluster_id").alias("cl_n"))
-    ok = (
-        probes.join(F.broadcast(ca), "id_a", "left")
-        .join(F.broadcast(cn), "neg_id", "left")
-        .filter((F.col("neg_id") != F.col("id_a"))
-                & (F.col("neg_id") != F.col("id_b"))
-                & (F.col("cl_n").isNull() | F.col("cl_a").isNull()
-                   | (F.col("cl_n") != F.col("cl_a")))))
-    return (
-        ok.groupBy("id_a", "id_b")
-        .agg(F.min_by("neg_id", "k").alias("negative_id"))
-        .select(F.col("id_a").alias("anchor_id"),
-                F.col("id_b").alias("positive_id"), "negative_id")
-    )
+    return contrastive_triplets(corpus, pos, clusters,
+                                pool_buckets=32, pool_per_bucket=4)
 
 
 SQL_CONTRASTIVE_PAIRS = f"""WITH RECURSIVE {_SQL_BASE}, {_SQL_TOKS}, {_SQL_SH3},
@@ -2921,24 +2890,34 @@ reach(id, rr) AS (
   UNION
   SELECT e.src, r.rr FROM edges e JOIN reach r ON e.dst = r.id),
 cl AS (SELECT id, min(rr) AS cluster_id FROM reach GROUP BY id),
+pool0 AS (
+  SELECT doc_id,
+         {sql_hash32("'np:' || CAST(doc_id AS VARCHAR)")} % 32 AS b,
+         {sql_hash32("'po:' || CAST(doc_id AS VARCHAR)")} AS o
+  FROM base),
 pool AS (
-  SELECT doc_id FROM base
-  WHERE {sql_hash32("'np:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100),
-ranked AS (
-  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM pool),
-pn AS (SELECT COUNT(*) AS pn FROM pool),
+  SELECT doc_id, b,
+         row_number() OVER (PARTITION BY b ORDER BY o, doc_id) - 1 AS r
+  FROM pool0
+  QUALIFY r < 4),
+bsz AS (SELECT b, COUNT(*) AS bn FROM pool GROUP BY b),
 probes AS (
   SELECT p.id_a, p.id_b, u.k,
          ({sql_hash32("'neg:' || CAST(p.id_a AS VARCHAR) || ':' || CAST(p.id_b AS VARCHAR)")}
-          + u.k) % pn.pn AS r
-  FROM pos p, pn, unnest([0, 1, 2]) AS u(k)),
+          + u.k) % 32 AS b
+  FROM pos p, unnest([0, 1, 2]) AS u(k)),
+probes2 AS (
+  SELECT pr.id_a, pr.id_b, pr.k, pr.b,
+         {sql_hash32("'negr:' || CAST(pr.id_a AS VARCHAR) || ':' || CAST(pr.id_b AS VARCHAR) || ':' || CAST(pr.k AS VARCHAR)")}
+         % s.bn AS r
+  FROM probes pr JOIN bsz s ON s.b = pr.b),
 ok AS (
-  SELECT pr.id_a, pr.id_b, pr.k, rk.doc_id AS neg_id
-  FROM probes pr
-  JOIN ranked rk ON rk.r = pr.r
+  SELECT pr.id_a, pr.id_b, pr.k, pl.doc_id AS neg_id
+  FROM probes2 pr
+  JOIN pool pl ON pl.b = pr.b AND pl.r = pr.r
   LEFT JOIN cl ca ON ca.id = pr.id_a
-  LEFT JOIN cl cn ON cn.id = rk.doc_id
-  WHERE rk.doc_id <> pr.id_a AND rk.doc_id <> pr.id_b
+  LEFT JOIN cl cn ON cn.id = pl.doc_id
+  WHERE pl.doc_id <> pr.id_a AND pl.doc_id <> pr.id_b
     AND (cn.cluster_id IS NULL OR ca.cluster_id IS NULL
          OR cn.cluster_id <> ca.cluster_id))
 SELECT id_a AS anchor_id, id_b AS positive_id,

@@ -350,3 +350,45 @@ def test_write_range_ordered_global_order(spark, docs, tmp_path):
         assert hi1 <= lo2  # disjoint ascending ranges across files
     want = sorted(r["n_chars"] for r in docs.select("n_chars").collect())
     assert sorted(all_rows) == want
+
+
+def test_contrastive_pool_knob_graceful_yield(spark):
+    """pool_buckets/pool_per_bucket bound the negative pool by
+    absolute size; shrinking it must degrade triplet yield
+    GRACEFULLY — fewer distinct negatives and possibly fewer
+    triplets (more probes self-collide or leak), never an error, and
+    every surviving triplet still honors the leak guard. Also pins
+    the bound itself: the pool can never exceed buckets*per_bucket
+    docs, so the distinct-negative count obeys the cap."""
+    from linz_bde_uploader_spark.operators import dedup as D
+    from linz_bde_uploader_spark.operators.corpus import contrastive_triplets
+    from linz_bde_uploader_spark.plans.pipeline_suite import _dup_corpus
+
+    corpus = _dup_corpus(spark, SF_DIR)
+    pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
+                                  shingle_words=3)
+    pos = D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
+                                 threshold=0.5).select("id_a", "id_b")
+    clusters = D.duplicate_clusters(pairs)
+    cluster = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    n_pos = pos.count()
+    assert n_pos > 0
+
+    yields = {}
+    for buckets, per in [(32, 4), (4, 2), (1, 1)]:
+        trip = contrastive_triplets(corpus, pos, clusters,
+                                    pool_buckets=buckets,
+                                    pool_per_bucket=per).collect()
+        negs = {t["negative_id"] for t in trip}
+        assert len(negs) <= buckets * per  # the absolute-size bound
+        assert len(trip) <= n_pos
+        for t in trip:
+            a, p, n = t["anchor_id"], t["positive_id"], t["negative_id"]
+            assert n not in (a, p)
+            if n in cluster and a in cluster:
+                assert cluster[n] != cluster[a]
+        yields[(buckets, per)] = len(trip)
+    # a comfortable pool yields most triplets; the degenerate one-doc
+    # pool cannot yield more than the comfortable one
+    assert yields[(32, 4)] >= yields[(1, 1)]
+    assert yields[(32, 4)] >= n_pos // 2
