@@ -462,6 +462,8 @@ SPECTRAL_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("sample_rate", T.IntegerType()),
     T.StructField("n_samples", T.IntegerType()),
+    T.StructField("sum_amp", T.LongType()),
+    T.StructField("sum_sq", T.LongType()),
     T.StructField("band_energy", T.ArrayType(T.DoubleType())),
     T.StructField("dominant_band", T.IntegerType()),
     T.StructField("spectral_centroid_hz", T.DoubleType()),
@@ -473,8 +475,11 @@ def audio_spectral_features(media: DataFrame,
     """Real signal-level audio features via Arrow-batched mapInPandas:
     decode PCM, rfft power spectrum, energy split into ``n_bands``
     equal frequency bands (fractions summing to 1), the dominant band
-    index, and the spectral centroid in Hz. The FFT runs per clip
-    inside the batch — no shuffle, payloads never leave the scan
+    index, and the spectral centroid in Hz. ``sum_amp``/``sum_sq``
+    are the exact integer time-domain sample sums (computed on the
+    int16 samples, so they are decode-proving invariants with closed
+    forms an oracle can reproduce without an FFT). The FFT runs per
+    clip inside the batch — no shuffle, payloads never leave the scan
     partition; this is the shape any librosa-style extractor plugs
     into (the heavy codec stays an executor-local library call)."""
 
@@ -494,11 +499,14 @@ def audio_spectral_features(media: DataFrame,
                          for i in range(n_bands)]
                 freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
                 centroid = float((freqs * spec).sum() / total)
+                s64 = samples.astype(np.int64)
                 rows.append((int(row["media_id"]), int(rate), len(x),
+                             int(s64.sum()), int((s64 * s64).sum()),
                              bands, int(np.argmax(bands)), centroid))
             yield pd.DataFrame(rows, columns=[
-                "media_id", "sample_rate", "n_samples", "band_energy",
-                "dominant_band", "spectral_centroid_hz"])
+                "media_id", "sample_rate", "n_samples", "sum_amp",
+                "sum_sq", "band_energy", "dominant_band",
+                "spectral_centroid_hz"])
 
     return media.filter(F.col("kind") == "audio") \
         .mapInPandas(run, SPECTRAL_SCHEMA)
@@ -507,6 +515,8 @@ def audio_spectral_features(media: DataFrame,
 MOTION_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("n_frames", T.IntegerType()),
+    T.StructField("frame_pixels", T.LongType()),
+    T.StructField("sum_abs_delta", T.LongType()),
     T.StructField("mean_motion", T.DoubleType()),
     T.StructField("max_motion", T.DoubleType()),
     T.StructField("static_transitions", T.IntegerType()),
@@ -519,7 +529,12 @@ def video_motion_stats(media: DataFrame) -> DataFrame:
     mean/max absolute pixel delta between neighbors plus the count of
     exactly-static transitions (duplicate frames — the standard
     cheap signal for slideshow/static video filtering in corpus
-    prep). Single-frame clips emit zero motion."""
+    prep). ``frame_pixels`` (w*h of the decoded frames) and
+    ``sum_abs_delta`` (exact integer sum of |delta| over every
+    transition, pixel, and channel, computed on the uint8 frames
+    widened to int64) are decode-proving invariants with closed
+    forms an oracle can reproduce. Single-frame clips emit zero
+    motion."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -527,18 +542,23 @@ def video_motion_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                frames = [_decode_image(f).astype(np.float64)
-                          for f in decode_fvid(bytes(row["payload"]))]
+                raw = [_decode_image(f).astype(np.int64)
+                       for f in decode_fvid(bytes(row["payload"]))]
+                frames = [a.astype(np.float64) for a in raw]
                 diffs = [float(np.abs(b - a).mean())
                          for a, b in zip(frames, frames[1:])]
+                sum_abs = sum(int(np.abs(b - a).sum())
+                              for a, b in zip(raw, raw[1:]))
+                wh = raw[0].shape[0] * raw[0].shape[1] if raw else 0
                 rows.append((
-                    int(row["media_id"]), len(frames),
+                    int(row["media_id"]), len(frames), int(wh),
+                    int(sum_abs),
                     float(np.mean(diffs)) if diffs else 0.0,
                     float(np.max(diffs)) if diffs else 0.0,
                     int(sum(1 for d in diffs if d == 0.0))))
             yield pd.DataFrame(rows, columns=[
-                "media_id", "n_frames", "mean_motion", "max_motion",
-                "static_transitions"])
+                "media_id", "n_frames", "frame_pixels", "sum_abs_delta",
+                "mean_motion", "max_motion", "static_transitions"])
 
     return media.filter(F.col("kind") == "video") \
         .mapInPandas(run, MOTION_SCHEMA)

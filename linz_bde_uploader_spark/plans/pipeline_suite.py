@@ -3070,6 +3070,205 @@ FROM ah JOIN g USING (ahash)
 """
 
 
+def q_multimodal_audio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio signal features over REAL WAV payloads, published
+    integer-exact: the synthetic clips (operators/multimodal.py
+    synthetic_media — clip i has 256*(1+i%4) int16 samples, sample
+    j = ((j*37)%256)-128) decode to a signal whose time-domain sums
+    have closed forms (``sum_amp = -128*m``, ``sum_sq = m * sum over
+    one period of (v-128)^2``) and whose SPECTRUM the oracle
+    reproduces symbolically WITHOUT an FFT: the signal is one
+    256-sample period repeated m times, so energy sits only at bins
+    K = m*t, and the per-period signal is the sawtooth re-indexed by
+    j -> 37*j mod 256, which in frequency space is the permutation
+    t -> 173*t mod 256 (173 = 37^-1) of the sawtooth spectrum
+    |S_q|^2 proportional to 1/sin^2(pi*q/256). Band permilles are
+    FLOOR of fractions whose distance to any integer boundary is
+    2.7e-3 (measured) against cross-engine float noise of ~1e-12 —
+    nine orders of magnitude of margin; the dominant-band argmax has
+    a 3.3x energy gap. All Spark-side work is one Arrow-batched
+    mapInPandas over the scan — no shuffle, no payload movement."""
+    from linz_bde_uploader_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, n=48)
+    feat = MM.audio_spectral_features(media, n_bands=8)
+    return feat.select(
+        "media_id",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        "sum_amp", "sum_sq",
+        F.col("dominant_band").cast("bigint").alias("dominant_band"),
+        *[F.floor(F.col("band_energy")[i] * 1000).cast("bigint")
+          .alias(f"band{i}_permille") for i in range(8)])
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH ids AS (SELECT i AS media_id FROM range(0, 48) t(i) WHERE i % 3 = 1),
+p AS (SELECT media_id, 1 + media_id % 4 AS m FROM ids),
+persq AS (SELECT SUM((v - 128) * (v - 128)) AS s2
+          FROM range(0, 256) t(v)),
+-- rfft bins K = m*t, t = 1..128; sigma = 173*t mod 256 folded to
+-- [1,128]; per-bin power 1/sin^2(pi*sigma/256) (constant factors
+-- cancel in fractions and argmax)
+bins AS (
+  SELECT p.media_id, p.m, p.m * t.t AS k,
+         CASE WHEN (173 * t.t) % 256 > 128 THEN 256 - (173 * t.t) % 256
+              ELSE (173 * t.t) % 256 END AS sigma
+  FROM p, unnest(generate_series(1, 128)) AS t(t)),
+pw AS (
+  SELECT media_id, m, k,
+         1.0 / (sin(pi() * sigma / 256.0) * sin(pi() * sigma / 256.0))
+           AS e
+  FROM bins),
+-- numpy band edges: linspace(0, 128m+1, 9).astype(int) == (b*L)//8
+banded AS (
+  SELECT pw.media_id, b.b AS band, pw.e
+  FROM pw JOIN unnest(generate_series(0, 7)) AS b(b)
+    ON pw.k >= (b.b * (128 * pw.m + 1)) // 8
+   AND pw.k < ((b.b + 1) * (128 * pw.m + 1)) // 8),
+agg AS (SELECT media_id, band, SUM(e) AS be
+        FROM banded GROUP BY media_id, band),
+tot AS (SELECT media_id, SUM(be) AS te, arg_max(band, be) AS dom
+        FROM agg GROUP BY media_id)
+SELECT p.media_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(256 * p.m AS BIGINT) AS n_samples,
+       CAST(-128 * p.m AS BIGINT) AS sum_amp,
+       CAST(p.m * persq.s2 AS BIGINT) AS sum_sq,
+       CAST(tot.dom AS BIGINT) AS dominant_band,
+       CAST(FLOOR(1000 * MAX(CASE WHEN band = 0 THEN be END) / te) AS BIGINT) AS band0_permille,
+       CAST(FLOOR(1000 * MAX(CASE WHEN band = 1 THEN be END) / te) AS BIGINT) AS band1_permille,
+       CAST(FLOOR(1000 * MAX(CASE WHEN band = 2 THEN be END) / te) AS BIGINT) AS band2_permille,
+       CAST(FLOOR(1000 * MAX(CASE WHEN band = 3 THEN be END) / te) AS BIGINT) AS band3_permille,
+       CAST(FLOOR(1000 * MAX(CASE WHEN band = 4 THEN be END) / te) AS BIGINT) AS band4_permille,
+       CAST(FLOOR(1000 * MAX(CASE WHEN band = 5 THEN be END) / te) AS BIGINT) AS band5_permille,
+       CAST(FLOOR(1000 * MAX(CASE WHEN band = 6 THEN be END) / te) AS BIGINT) AS band6_permille,
+       CAST(FLOOR(1000 * MAX(CASE WHEN band = 7 THEN be END) / te) AS BIGINT) AS band7_permille
+FROM p, persq
+JOIN agg ON agg.media_id = p.media_id
+JOIN tot ON tot.media_id = p.media_id
+GROUP BY p.media_id, p.m, persq.s2, tot.dom, tot.te
+"""
+
+
+def q_multimodal_motion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video motion statistics over REAL FVID containers of BMP
+    frames, published integer-exact: synthetic clip i (i%3==2) has 4
+    frames of w=16+i%8 x h=12+i%4 pixels where frame f's red channel
+    is base+f+x+y — consecutive frames differ by EXACTLY +1 on every
+    red byte and 0 elsewhere, so |delta| sums to w*h per transition
+    (``sum_abs_delta = 3*w*h``), the per-transition mean is exactly
+    wh/(3wh) = 1/3 (``mean/max_motion_milli = 333``, floor margin
+    1/3 of a milli vs ~1e-13 float noise), and no transition is
+    static. The oracle derives every value from the id alone — a
+    demux bug, a BMP stride/bottom-up bug, or a channel-order bug
+    all break the match although DuckDB never decodes a byte."""
+    from linz_bde_uploader_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, n=48)
+    mo = MM.video_motion_stats(media)
+    return mo.select(
+        "media_id",
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        "frame_pixels", "sum_abs_delta",
+        F.col("static_transitions").cast("bigint")
+        .alias("static_transitions"),
+        F.floor(F.col("mean_motion") * 1000).cast("bigint")
+        .alias("mean_motion_milli"),
+        F.floor(F.col("max_motion") * 1000).cast("bigint")
+        .alias("max_motion_milli"))
+
+
+SQL_MULTIMODAL_MOTION = """
+WITH ids AS (SELECT i AS media_id FROM range(0, 48) t(i) WHERE i % 3 = 2),
+p AS (SELECT media_id,
+             (16 + media_id % 8) * (12 + media_id % 4) AS wh
+      FROM ids)
+SELECT media_id,
+       CAST(4 AS BIGINT) AS n_frames,
+       CAST(wh AS BIGINT) AS frame_pixels,
+       CAST(3 * wh AS BIGINT) AS sum_abs_delta,
+       CAST(0 AS BIGINT) AS static_transitions,
+       CAST(FLOOR(1000 * (CAST(wh AS DOUBLE) / (3 * wh))) AS BIGINT)
+         AS mean_motion_milli,
+       CAST(FLOOR(1000 * (CAST(wh AS DOUBLE) / (3 * wh))) AS BIGINT)
+         AS max_motion_milli
+FROM p
+"""
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training as an oracled relation: the ranked
+    (a, b) merge list bpe_train learns over the corpus
+    (operators/text_analysis.py — corpus collapses once to the
+    word-frequency table; per-round argmax is the only driver
+    traffic). bpe_APPLY has no SQL twin by design (DuckDB RE2 lacks
+    the lookahead its greedy replace needs), but the merge TABLE is
+    a deterministic relation the oracle recomputes by unrolling the
+    rounds as CTEs: per round, the (freq desc, a, b) argmax pair,
+    then GREEDY left-to-right pair consumption expressed relationally
+    — overlapping occurrences only arise for a == b chains, where
+    gaps-and-islands keeps every even offset from each chain start
+    (exactly what the lookahead regex consumes). Ties break
+    lexicographically on both sides; ASCII corpus makes the
+    collations agree."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    merges = TA.bpe_train(docs, n_merges=8)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank bigint, a string, b string")
+
+
+def _sql_bpe_round(r: int) -> str:
+    """One unrolled BPE round: argmax pair, greedy occurrence
+    selection (gaps-and-islands for a==b chains), token rebuild."""
+    return f"""
+pr{r} AS MATERIALIZED (SELECT x.tok AS a, y.tok AS b, SUM(f.freq) AS n
+       FROM toks{r} x JOIN toks{r} y ON y.w = x.w AND y.pos = x.pos + 1
+       JOIN wf f ON f.w = x.w
+       GROUP BY x.tok, y.tok),
+top{r} AS MATERIALIZED (SELECT a, b FROM pr{r} ORDER BY n DESC, a, b LIMIT 1),
+occ{r} AS MATERIALIZED (SELECT x.w, x.pos FROM toks{r} x
+           JOIN toks{r} y ON y.w = x.w AND y.pos = x.pos + 1
+           JOIN top{r} t ON x.tok = t.a AND y.tok = t.b),
+isl{r} AS MATERIALIZED (SELECT w, pos,
+           pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS g
+           FROM occ{r}),
+tk{r} AS MATERIALIZED (SELECT i.w, i.pos FROM isl{r} i
+          JOIN (SELECT w, g, MIN(pos) AS p0 FROM isl{r} GROUP BY w, g) m
+            ON m.w = i.w AND m.g = i.g
+          WHERE (i.pos - m.p0) % 2 = 0),
+nx{r} AS MATERIALIZED (
+  SELECT k.w, k.pos, x.tok || y.tok AS tok
+  FROM tk{r} k
+  JOIN toks{r} x ON x.w = k.w AND x.pos = k.pos
+  JOIN toks{r} y ON y.w = k.w AND y.pos = k.pos + 1
+  UNION ALL
+  SELECT t.w, t.pos, t.tok FROM toks{r} t
+  WHERE NOT EXISTS (SELECT 1 FROM tk{r} k
+                    WHERE k.w = t.w AND (k.pos = t.pos OR k.pos + 1 = t.pos))),
+toks{r + 1} AS MATERIALIZED (SELECT w,
+                row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+                tok
+                FROM nx{r})"""
+
+
+SQL_BPE_MERGES = ("""
+WITH wf AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w),
+toks0 AS MATERIALIZED (
+  SELECT w, i AS pos, substr(w, CAST(i AS INT), 1) AS tok
+  FROM wf, unnest(generate_series(1, length(w))) t(i)),"""
+    + ",".join(_sql_bpe_round(r) for r in range(8))
+    + """
+SELECT CAST(rank AS BIGINT) AS rank, a, b FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT {r + 1} AS rank, a, b FROM top{r}" for r in range(8))
+    + ")")
+
+
 def q_docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global quality-decile bucketing by model margin — the
     'keep the top-N% by classifier score' stage. A global ntile()
@@ -3254,6 +3453,10 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "docs_contrastive_pairs": (q_docs_contrastive_pairs,
                                SQL_CONTRASTIVE_PAIRS),
     "sim_recall_report": (q_sim_recall_report, SQL_SIM_RECALL_REPORT),
+    "multimodal_audio_bands": (q_multimodal_audio_bands,
+                               SQL_MULTIMODAL_AUDIO),
+    "multimodal_motion_stats": (q_multimodal_motion_stats,
+                                SQL_MULTIMODAL_MOTION),
     "multimodal_ahash_groups": (q_multimodal_ahash_groups,
                                 SQL_MULTIMODAL_AHASH),
     "docs_source_mix": (q_docs_source_mix, SQL_SOURCE_MIX),
@@ -3298,6 +3501,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_term_freq": (q_text_term_freq, SQL_TERM_FREQ),
     "text_tfidf": (q_text_tfidf, SQL_TFIDF),
     "text_bpe_tokens": (q_text_bpe_tokens, SQL_BPE_TOKENS),
+    "text_bpe_merges": (q_text_bpe_merges, SQL_BPE_MERGES),
     "docs_hash_sample": (q_docs_hash_sample, SQL_HASH_SAMPLE),
     "docs_length_histogram": (q_docs_length_histogram, SQL_LENGTH_HISTOGRAM),
     "text_quality": (q_text_quality, SQL_QUALITY),

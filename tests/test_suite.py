@@ -742,3 +742,33 @@ def test_pca_fit_project_matches_numpy(spark):
     ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
     for vid, wp in zip(ids, want_proj):
         assert np.allclose(proj[vid], wp, atol=1e-6)
+
+
+def test_bpe_merges_sql_oracle_greedy_islands(spark):
+    """SQL_BPE_MERGES (the DuckDB twin of q_text_bpe_merges) must
+    reproduce bpe_train's merge table on a corpus full of a==b runs
+    — the case where greedy left-to-right consumption differs from
+    naive non-overlapping replace, and where the oracle's
+    gaps-and-islands selection has to match the lookahead regex
+    exactly."""
+    import duckdb
+    import pandas as pd
+
+    from linz_bde_uploader_spark.operators import text_analysis as TA
+    from linz_bde_uploader_spark.plans.pipeline_suite import SQL_BPE_MERGES
+
+    texts = [
+        "aaaa aaaaa aa aaaa aaaaaa",
+        "abab ababab abababab",
+        "low lower lowest aaa",
+        "xxxx yyyy xxxx aaaa aaaa",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 ["doc_id", "text"])
+    got = TA.bpe_train(docs, n_merges=8)
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    exp = [(r[1], r[2]) for r in
+           sorted(con.execute(SQL_BPE_MERGES).fetchall())]
+    assert got == exp, (got, exp)
