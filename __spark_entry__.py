@@ -25,85 +25,59 @@ from linz_bde_uploader_spark.plans.pipeline_suite import PIPELINE_QUERIES
 _ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 
 # The driver's correctness gate snapshots ~50 queries per round in dict
-# order. Round-6 rotation — finish the two-consecutive-green promise:
-# lead with events_json_props (the one never-green row, now published
-# as integer micro-units), then the entries whose only green so far is
-# r5's snapshot (the capped-guard family, budget sampler, kmeans,
-# continuity twin, active_jobs), the r1-only sim_cosine_topk, the 26
-# analytics entries last checked in r4, and the r4-only pipeline
-# windows/similarity entries. The tail tops up a handful of engine
-# rows. Everything else already has >=2 driver-green snapshots and
-# keeps local coverage via check_oracle --exact.
+# order. Round-7 rotation, honoring r6's two-green promise: lead with
+# the two extraction-bisection entries (events_json_props switched to
+# engine-neutral regexp extraction after three hash-red rounds proved
+# the JSON libraries diverge; events_json_k_hist keeps the original
+# get_json_object/->>' pair and names any diverging k multiset), then
+# the 14 entries r6 deferred (8 r4-only greens + 6 r6-new never
+# driver-checked), the 4 queries new in r7 (two multimodal signal
+# oracles, the BPE merge table, and the k-hist above), the 14
+# r6-first-greens needing their second green — docs_contrastive_pairs
+# among them now carries the rewritten size-bounded pool plan — and a
+# tail of the stalest confirmed rows (event_duration at last-green r4,
+# the 2-green last-r5 text/docs batch, and 8 of the 12 core-engine
+# CDC rows last checked r4).
 _DRIVER_FIRST = [
-    "events_json_props",  # red r4+r5 (float round); integer-exact now
-    # first green in r5 -> second confirmation
-    "sim_kmeans_centroids", "dataset_continuity", "dedup_lsh_capped",
-    "dedup_simhash_capped", "sim_near_pairs_capped", "docs_budget_sample",
-    "active_jobs",
-    "sim_lsh_probes",  # new in r6: multi-probe LSH recall knob
-    "docs_dsir_topk",  # new in r6: DSIR importance selection
-    "sim_pq_topk",  # new in r6: product-quantization ADC scan
-    "emb_semantic_dedup",  # new in r6: SemDeDup cluster-scoped dedup
-    "sim_ivfpq_topk",  # new in r6: composed IVF-PQ ANN
-    "docs_gopher_rules",  # new in r6: integer-exact quality gate
-    "docs_bloom_decontam",  # new in r6: broadcast-bitmap contamination gate
-    "docs_dup_spans",  # new in r6: duplicated-substring coverage
-    "emb_pca_cov",  # new in r6: PCA covariance moments (integer nano-units)
-    "docs_split_leakage_safe",  # new in r6: near-dup-aware train/valid split
-    "docs_quality_margin",  # new in r6: linear quality-model scoring
-    "docs_contrastive_pairs",  # new in r6: leak-guarded triplet mining
-    "multimodal_ahash_groups",  # new in r6: integer-exact image near-dup
-    "cdc_incremental_agg",  # new in r6: materialized-view delta algebra
-    "sim_cosine_topk",  # green r1 only
-    # analytics suite: green r4 only
-    "orders_salted_join", "q20_dominant_supplier", "q12_ship_latency",
-    "q21_waiting_supplier", "events_anomaly", "events_running_total",
-    "q9_profit_nation_year", "events_funnel", "events_retention",
-    "events_pivot", "q2_min_cost_supplier", "events_asof",
-    "events_interval_join", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q10_returned_items", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
-    "q17_small_quantity", "q19_disjunctive", "q22_no_order_customers",
-    "events_rollup", "events_lag_delta",
-    # pipeline entries: green r4 only
-    "sim_lsh_topk",
-    # --- 50-slot cutoff lands here: the r4-green entries below are
-    # deliberately deferred to r7's snapshot; sim_ivf_topk defers with
-    # the exactness pytest test_ivf_topk_full_probe_is_exact plus the
-    # driver-gated sim_ivfpq_topk exercising the same ivf_assign path;
-    # pipeline_prep defers with the end-to-end/model-gate/stream==batch
-    # pytests over the identical chain.
-    "sim_ivf_topk", "pipeline_prep",
-    # --- the six below: sim_near_pairs/emb_near_dedup share their
-    # exact code path with the driver-green *_capped twins, and the
-    # other four run in the sf0.001 pytest differential
-    # (FAST_QUERIES) every session.
-    "sim_near_pairs", "emb_near_dedup", "dedup_near_survivors",
-    "text_paragraph_dedup", "events_sessionize", "events_window_agg",
-    # sim_recall_report / q11 (new r6) also wait for r7:
-    # sim_recall_report is a pure join+aggregate composition of two
-    # plans the driver has already hash-checked (sim_cosine_topk,
-    # sim_lsh_topk); q11_important_parts is the same broadcast-dim +
-    # global-scalar shape as the driver-green q* family. Both run in
-    # the sf0.001 pytest differential meanwhile.
-    "sim_recall_report", "q11_important_parts",
-    # cdc_minmax_refresh (new r6) waits for r7 with its sibling
-    # cdc_incremental_agg holding the IVM family's r6 slot; the
-    # partial-refresh path runs in the sf0.001 pytest differential
-    # and the randomized hypothesis property test meanwhile.
-    "cdc_minmax_refresh",
-    # docs_quality_deciles (new r6) waits for r7: composed of the
-    # driver-slotted margin scoring plus integer histogram-cumsum
-    # bucketing; property-tested + sf0.001 differential meanwhile.
-    "docs_quality_deciles",
-    # docs_dedup_report (new r6) waits for r7: a rollup over the
-    # driver-slotted exact-dedup relation; sf0.001 differential
-    # meanwhile.
-    "docs_dedup_report",
-    # docs_epoch_plan (new r6) waits for r7: integer sibling of the
-    # driver-green docs_budget_sample/docs_source_rebalance pair;
-    # sf0.001 differential + repeat-structure pytest meanwhile.
-    "docs_epoch_plan",
+    "events_json_props",  # red r4/r5/r6; r7 = engine-neutral regex
+    "events_json_k_hist",  # NEW r7: extractor-divergence bisection
+    # r4-only greens deferred from r6 (each was locally --exact green)
+    "sim_ivf_topk", "pipeline_prep", "sim_near_pairs", "emb_near_dedup",
+    "dedup_near_survivors", "text_paragraph_dedup", "events_sessionize",
+    "events_window_agg",
+    # r6-new, never driver-checked (locally --exact green in r6)
+    "sim_recall_report", "q11_important_parts", "cdc_minmax_refresh",
+    "docs_quality_deciles", "docs_dedup_report", "docs_epoch_plan",
+    # NEW in r7
+    "multimodal_audio_bands",  # FFT band energies, symbolic sin^2 oracle
+    "multimodal_motion_stats",  # FVID motion, closed-form id oracle
+    "text_bpe_merges",  # BPE merge table, unrolled greedy-islands oracle
+    # r6 first-greens -> second confirmation
+    "sim_lsh_probes", "docs_dsir_topk", "sim_pq_topk", "emb_semantic_dedup",
+    "sim_ivfpq_topk", "docs_gopher_rules", "docs_bloom_decontam",
+    "docs_dup_spans", "emb_pca_cov", "docs_split_leakage_safe",
+    "docs_quality_margin",
+    "docs_contrastive_pairs",  # r7 plan rewrite: size-bounded pool
+    "multimodal_ahash_groups", "cdc_incremental_agg",
+    # stalest confirmed rows
+    "event_duration",  # 3 greens, last r4
+    # 2 greens, last r5
+    "docs_pack_sequences", "docs_source_rebalance", "text_bpe_tokens",
+    "docs_hash_sample", "docs_length_histogram", "text_quality",
+    "text_lang_id", "text_fingerprint",
+    # core-engine CDC rows, 4 greens each, last r4
+    "cdc_classify", "cdc_apply", "cdc_stats", "full_diff",
+    "keyswap_repair", "tolerance_check", "changeset_prepare",
+    "dataset_watermark",
+    # --- 50-slot cutoff lands here. Deferred with compensating
+    # coverage: latest_dataset / union_lock_candidates /
+    # string_agg_owners (4 driver greens each, last r4; all three run
+    # in the sf0.001 pytest differential every session and share their
+    # code paths with the driver-slotted dataset_watermark /
+    # keyswap_repair rows); everything else holds >=2 greens with the
+    # most recent in r5/r6 and keeps local coverage via
+    # check_oracle --exact.
+    "latest_dataset", "union_lock_candidates", "string_agg_owners",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

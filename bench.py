@@ -212,6 +212,82 @@ def _skew_soak(spark, sf_dir: str) -> dict:
     return out
 
 
+def _ivm_soak(spark, sf_dir: str) -> dict:
+    """Incremental-view-maintenance win, measured per round: a CDC
+    batch updating 1% of sf0.1 orders keys refreshes the per-customer
+    (n, n_vals, total) aggregate view via maintain_aggregate's delta
+    algebra and the min/max view via maintain_extrema's partial
+    refresh, timed against full re-aggregation of the merged table.
+    Alongside wall seconds the soak records the structural claim —
+    rows the partial path recomputes vs rows a full refresh scans
+    (touched-group rows / all rows) — because at sf0.1 both paths are
+    sub-second and the fixed broadcast/semi-join overhead hides the
+    asymptotic gap the row ratio makes explicit."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import merge as M
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    key, grp, val = "o_orderkey", "o_custkey", "o_totalprice"
+    cur = load_table(spark, sf_dir, "orders") \
+        .select(key, grp, val).persist()
+    n_all = cur.count()
+    upd = cur.filter(F.col(key) % 100 == 0) \
+        .withColumn(val, F.col(val) + 1).persist()
+    n_upd = upd.count()
+    actions = upd.select(F.col(key).alias("key"),
+                         F.lit("U").alias("action")).persist()
+    actions.count()
+    merged = cur.join(upd.select(key), key, "left_anti") \
+        .unionByName(upd).persist()
+    merged.count()
+    v = F.col(val).cast("decimal(12,2)")
+    old_agg = cur.groupBy(grp).agg(
+        F.count("*").alias("n"), F.count(v).alias("n_vals"),
+        F.sum(v).cast("decimal(38,2)").alias("total")).persist()
+    old_agg.count()
+    old_mm = cur.groupBy(grp).agg(
+        F.count("*").alias("n"), F.min(v).alias("vmin"),
+        F.max(v).alias("vmax")).persist()
+    old_mm.count()
+
+    out = {"rows_total": n_all, "rows_changed": n_upd}
+    t0 = _time.perf_counter()
+    inc = M.maintain_aggregate(cur, upd, actions, key, [grp], val,
+                               old_agg=old_agg)
+    n_groups = inc.count()
+    out["agg_incremental_sec"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    merged.groupBy(grp).agg(
+        F.count("*").alias("n"), F.count(v).alias("n_vals"),
+        F.sum(v).cast("decimal(38,2)").alias("total")).count()
+    out["agg_full_sec"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    mm = M.maintain_extrema(cur, upd, actions, key, [grp], val, merged,
+                            old_extrema=old_mm)
+    mm.count()
+    out["minmax_partial_sec"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    merged.groupBy(grp).agg(
+        F.count("*").alias("n"), F.min(v).alias("vmin"),
+        F.max(v).alias("vmax")).count()
+    out["minmax_full_sec"] = round(_time.perf_counter() - t0, 3)
+    # structural claim: rows the partial path touches vs a full scan
+    touched = (cur.join(F.broadcast(actions.select(
+        F.col("key").alias(key))), key, "left_semi")
+        .select(grp).distinct())
+    n_touched_rows = merged.join(F.broadcast(touched), grp,
+                                 "left_semi").count()
+    out["groups_total"] = n_groups
+    out["rows_recomputed_partial"] = n_touched_rows
+    out["partial_over_full_rows"] = round(n_touched_rows / n_all, 4)
+    for d in (cur, upd, actions, merged, old_agg, old_mm):
+        d.unpersist()
+    return out
+
+
 def _prev_bench() -> tuple[str, dict] | tuple[None, None]:
     """Most recent driver-recorded BENCH_r{N}.json with a USABLE
     per-query dict, for round-over-round deltas. Rounds whose bench
@@ -353,6 +429,12 @@ def main():
               file=sys.stderr)
     except Exception as e:  # the soak must not sink the headline metric
         detail["skew_soak"] = {"error": str(e).splitlines()[0][:300]}
+    try:
+        detail["ivm_soak"] = _ivm_soak(spark, sf_dir)
+        print("# ivm_soak: " + json.dumps(detail["ivm_soak"]),
+              file=sys.stderr)
+    except Exception as e:
+        detail["ivm_soak"] = {"error": str(e).splitlines()[0][:300]}
     if pq:
         shared = [n for n in times
                   if isinstance(pq.get(n), (int, float)) and pq[n]]
