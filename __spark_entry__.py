@@ -31,8 +31,9 @@ _ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 # the JSON libraries diverge; events_json_k_hist keeps the original
 # get_json_object/->>' pair and names any diverging k multiset), then
 # the 14 entries r6 deferred (8 r4-only greens + 6 r6-new never
-# driver-checked), the 4 queries new in r7 (two multimodal signal
-# oracles, the BPE merge table, and the k-hist above), the 14
+# driver-checked), the 6 queries new in r7 (the k-hist above, two
+# multimodal signal oracles, the BPE merge table, the all-corpus kNN
+# graph, and the per-source datasheet), the 14
 # r6-first-greens needing their second green — docs_contrastive_pairs
 # among them now carries the rewritten size-bounded pool plan — and a
 # tail of the stalest confirmed rows (event_duration at last-green r4,
@@ -52,6 +53,8 @@ _DRIVER_FIRST = [
     "multimodal_audio_bands",  # FFT band energies, symbolic sin^2 oracle
     "multimodal_motion_stats",  # FVID motion, closed-form id oracle
     "text_bpe_merges",  # BPE merge table, unrolled greedy-islands oracle
+    "sim_knn_graph",  # all-corpus ANN graph (bucket self-join)
+    "docs_datasheet",  # per-source corpus data card (hash-keyed dedup)
     # r6 first-greens -> second confirmation
     "sim_lsh_probes", "docs_dsir_topk", "sim_pq_topk", "emb_semantic_dedup",
     "sim_ivfpq_topk", "docs_gopher_rules", "docs_bloom_decontam",
@@ -66,17 +69,17 @@ _DRIVER_FIRST = [
     "docs_hash_sample", "docs_length_histogram", "text_quality",
     "text_lang_id", "text_fingerprint",
     # core-engine CDC rows, 4 greens each, last r4
-    "cdc_classify", "cdc_apply", "cdc_stats", "full_diff",
-    "keyswap_repair", "tolerance_check", "changeset_prepare",
-    "dataset_watermark",
+    "cdc_classify", "cdc_apply", "full_diff", "keyswap_repair",
+    "changeset_prepare", "dataset_watermark",
     # --- 50-slot cutoff lands here. Deferred with compensating
-    # coverage: latest_dataset / union_lock_candidates /
-    # string_agg_owners (4 driver greens each, last r4; all three run
-    # in the sf0.001 pytest differential every session and share their
-    # code paths with the driver-slotted dataset_watermark /
-    # keyswap_repair rows); everything else holds >=2 greens with the
-    # most recent in r5/r6 and keeps local coverage via
-    # check_oracle --exact.
+    # coverage: cdc_stats / tolerance_check (4 driver greens each and
+    # in the sf0.001 FAST_QUERIES differential every session);
+    # latest_dataset / union_lock_candidates / string_agg_owners
+    # (4 driver greens each, last r4; share their code paths with the
+    # driver-slotted dataset_watermark / keyswap_repair rows);
+    # everything else holds >=2 greens with the most recent in r5/r6
+    # and keeps local coverage via check_oracle --exact.
+    "cdc_stats", "tolerance_check",
     "latest_dataset", "union_lock_candidates", "string_agg_owners",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}

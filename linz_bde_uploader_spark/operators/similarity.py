@@ -858,3 +858,47 @@ def pca_project(emb: DataFrame, components, mean,
             F.lit(0.0), lambda acc, x: acc + x)
         for comp in components])
     return emb.withColumn(out_col, proj)
+
+
+def knn_graph(corpus: DataFrame, k: int = 3, id_col: str = "vec_id",
+              vec_col: str = "embedding", n_planes: int = 4,
+              dim: int = 64, n_probes: int = 1) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus —
+    every vector is a query (the structure SemDeDup neighborhoods,
+    graph-based curation, and label-propagation curation consume),
+    as opposed to the broadcast-query rankers where the query panel
+    is small. Returns (vec_id, neighbor_id, rank, cosine_sim).
+
+    Scale shape: each vector indexes into exactly ONE hyperplane
+    bucket; candidate pairs come from a bucket EQUI-join of the
+    corpus against itself (never a cross join), so the work is
+    sum-over-buckets |bucket|^2 — bounded by choosing n_planes so
+    2^n_planes tracks corpus size (the same bucket-count-as-knob
+    doctrine as the LSH dedup family). ``n_probes`` > 1 raises
+    recall by probing each vector's smallest-margin perturbed
+    buckets (only the probe SIDE explodes; the index side stays one
+    bucket per vector). The per-vector top-k runs as a plain window
+    over vec_id — the HIGH-cardinality group case where one window
+    is already embarrassingly parallel and the salted two-phase
+    rank would only add its fixed extra stage (grouped_topk is for
+    LOW-cardinality groups; see operators/topk.py)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cv")) \
+              .withColumn("bucket",
+                          hyperplane_bucket(F.col("cv"), n_planes, dim))
+    q = corpus.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("qv")) \
+              .withColumn("bucket", F.explode(multiprobe_buckets(
+                  F.col("qv"), n_planes, dim, n_probes)))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(),
+                                             "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.round(F.col("sim"), 6).alias("cosine_sim")))

@@ -825,6 +825,37 @@ def _sql_probe_flips(n_probes: int = 3, n_planes: int = 4) -> str:
   ) WHERE rn <= {n_probes - 1}"""
 
 
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-corpus approximate kNN graph (operators/similarity.py
+    knn_graph): every vector is a query — the SemDeDup-neighborhood /
+    graph-curation structure — via a bucket EQUI-self-join of the
+    hyperplane index (work = sum of |bucket|^2, tuned by n_planes
+    tracking corpus size), per-vector top-3 through a plain window
+    (vec_id is high-cardinality, the case where one window is already
+    embarrassingly parallel)."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    return S.knn_graph(emb, k=3, n_planes=4, dim=64)
+
+
+SQL_SIM_KNN_GRAPH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {{bucket}} AS bucket FROM e),
+scored AS (
+  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank,
+         sim
+  FROM scored)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(sim, 6) AS cosine_sim
+FROM ranked WHERE rank <= 3
+""".replace("{bucket}", _sql_bucket('v'))
+
+
 SQL_SIM_LSH_PROBES = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
@@ -3333,6 +3364,59 @@ FROM margins m JOIN dec d USING (margin_milli)
 """
 
 
+def q_docs_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet — the data-card rollup a training
+    run publishes alongside its shards: doc/language counts, token
+    and character totals, char-length extrema, exact-duplicate doc
+    count, distinct-text count, and integer milli mean length. All
+    integer-exact. Scale shape: duplicate detection groups on the
+    portable 60-bit text hash (never the full text — a 100 TB
+    shuffle keyed by multi-KB strings moves the corpus; keyed by the
+    hash it moves 8 bytes/row), one hash-key aggregate + one join
+    back + one source-key aggregate."""
+    from linz_bde_uploader_spark.functions.hashing import hash60
+
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    d = docs.withColumn("th", hash60(F.col("text")))
+    per_text = d.groupBy("th").agg(F.count("*").alias("n_copies"))
+    return (
+        d.join(per_text, "th")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("lang").alias("n_langs"),
+             F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+             .cast("long").alias("total_tokens"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"),
+             F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+             .cast("long").alias("dup_docs"),
+             F.countDistinct("th").alias("uniq_texts"))
+        .withColumn("mean_chars_milli",
+                    F.expr("CAST(total_chars * 1000 DIV n_docs AS BIGINT)"))
+    )
+
+
+SQL_DOCS_DATASHEET = f"""
+WITH d AS (SELECT *, {sql_hash60('text')} AS th FROM documents),
+pt AS (SELECT th, COUNT(*) AS n_copies FROM d GROUP BY th)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(SUM(len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT)
+    AS total_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+  CAST(SUM(CASE WHEN pt.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS dup_docs,
+  CAST(COUNT(DISTINCT d.th) AS BIGINT) AS uniq_texts,
+  CAST(SUM(n_chars) * 1000 // COUNT(*) AS BIGINT) AS mean_chars_milli
+FROM d JOIN pt ON pt.th = d.th
+GROUP BY source
+"""
+
+
 def q_docs_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup impact report per source — the accounting artifact every
     dedup run ships with: how many documents each source loses to
@@ -3450,6 +3534,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "docs_quality_margin": (q_docs_quality_margin, SQL_QUALITY_MARGIN),
     "docs_quality_deciles": (q_docs_quality_deciles, SQL_QUALITY_DECILES),
     "docs_dedup_report": (q_docs_dedup_report, SQL_DEDUP_REPORT),
+    "docs_datasheet": (q_docs_datasheet, SQL_DOCS_DATASHEET),
     "docs_contrastive_pairs": (q_docs_contrastive_pairs,
                                SQL_CONTRASTIVE_PAIRS),
     "sim_recall_report": (q_sim_recall_report, SQL_SIM_RECALL_REPORT),
@@ -3511,6 +3596,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH_TOPK),
     "sim_lsh_probes": (q_sim_lsh_probes, SQL_SIM_LSH_PROBES),
+    "sim_knn_graph": (q_sim_knn_graph, SQL_SIM_KNN_GRAPH),
     "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_PQ_TOPK),
     "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
     "sim_ivfpq_topk": (q_sim_ivfpq_topk, SQL_SIM_IVFPQ_TOPK),

@@ -26,6 +26,10 @@ FAST_QUERIES = [
     "q11_important_parts", "cdc_incremental_agg", "cdc_minmax_refresh",
     "docs_quality_deciles", "docs_dedup_report", "docs_epoch_plan",
     "sim_kmeans_centroids", "orders_salted_join", "emb_near_dedup", "text_paragraph_dedup",
+    # new in r7
+    "events_json_k_hist", "multimodal_audio_bands",
+    "multimodal_motion_stats", "text_bpe_merges", "sim_knn_graph",
+    "docs_datasheet",
 ]
 
 
