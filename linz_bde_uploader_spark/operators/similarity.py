@@ -862,7 +862,8 @@ def pca_project(emb: DataFrame, components, mean,
 
 def knn_graph(corpus: DataFrame, k: int = 3, id_col: str = "vec_id",
               vec_col: str = "embedding", n_planes: int = 4,
-              dim: int = 64, n_probes: int = 1) -> DataFrame:
+              dim: int = 64, n_probes: int = 1,
+              collapse_identical: bool = False) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole corpus —
     every vector is a query (the structure SemDeDup neighborhoods,
     graph-based curation, and label-propagation curation consume),
@@ -882,14 +883,33 @@ def knn_graph(corpus: DataFrame, k: int = 3, id_col: str = "vec_id",
     is already embarrassingly parallel and the salted two-phase
     rank would only add its fixed extra stage (grouped_topk is for
     LOW-cardinality groups; see operators/topk.py)."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(F.col(vec_col)).alias("cv")) \
-              .withColumn("bucket",
-                          hyperplane_bucket(F.col("cv"), n_planes, dim))
-    q = corpus.select(F.col(id_col).alias("vec_id"),
-                      _as_double(F.col(vec_col)).alias("qv")) \
-              .withColumn("bucket", F.explode(multiprobe_buckets(
-                  F.col("qv"), n_planes, dim, n_probes)))
+    base = corpus.select(F.col(id_col).alias("id"),
+                         _as_double(F.col(vec_col)).alias("v"))
+    star = None
+    if collapse_identical:
+        # guard-family member: B exact-copy vectors would contribute
+        # B x (bucket peers) scored rows AND appear as each other's
+        # sim-1.0 top-k, a blow-up AQE cannot split. Collapse to one
+        # representative per distinct vector, build the graph over
+        # reps only, and emit linear star edges (member <-> rep at
+        # rank 0, sim 1.0) so group membership stays explicit.
+        groups = base.groupBy("v").agg(F.min("id").alias("rep"))
+        star = (
+            base.join(groups, "v")
+            .filter(F.col("id") != F.col("rep"))
+            .select(F.col("id").alias("vec_id"),
+                    F.col("rep").alias("neighbor_id"),
+                    F.lit(0).cast("bigint").alias("rank"),
+                    F.lit(1.0).alias("cosine_sim")))
+        base = groups.select(F.col("rep").alias("id"), "v")
+    c = base.select(F.col("id").alias("neighbor_id"),
+                    F.col("v").alias("cv")) \
+            .withColumn("bucket",
+                        hyperplane_bucket(F.col("cv"), n_planes, dim))
+    q = base.select(F.col("id").alias("vec_id"),
+                    F.col("v").alias("qv")) \
+            .withColumn("bucket", F.explode(multiprobe_buckets(
+                F.col("qv"), n_planes, dim, n_probes)))
     scored = (
         q.join(c, "bucket")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
@@ -897,8 +917,9 @@ def knn_graph(corpus: DataFrame, k: int = 3, id_col: str = "vec_id",
                 cosine(F.col("qv"), F.col("cv")).alias("sim")))
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(),
                                              "neighbor_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("vec_id", "neighbor_id",
-                    F.col("rank").cast("bigint").alias("rank"),
-                    F.round(F.col("sim"), 6).alias("cosine_sim")))
+    ranked = (scored.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k)
+              .select("vec_id", "neighbor_id",
+                      F.col("rank").cast("bigint").alias("rank"),
+                      F.round(F.col("sim"), 6).alias("cosine_sim")))
+    return ranked if star is None else ranked.unionByName(star)

@@ -776,3 +776,75 @@ def test_bpe_merges_sql_oracle_greedy_islands(spark):
     exp = [(r[1], r[2]) for r in
            sorted(con.execute(SQL_BPE_MERGES).fetchall())]
     assert got == exp, (got, exp)
+
+
+def test_pca_fit_empty_table_raises(spark):
+    """pca_fit on an empty embedding table must fail loudly with a
+    descriptive error, not an IndexError from the collected cells."""
+    from pyspark.sql import types as T
+
+    from linz_bde_uploader_spark.operators import similarity as S
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding",
+                          T.ArrayType(T.DoubleType()))]))
+    with pytest.raises(ValueError, match="no embeddings"):
+        S.pca_fit(empty)
+
+
+def test_bloom_probe_rejects_colliding_columns(spark):
+    """bloom_probe must refuse an items relation that already carries
+    a __bloom_-prefixed column instead of silently shadowing it."""
+    from linz_bde_uploader_spark.operators import dedup as D
+
+    from pyspark.sql import functions as F
+
+    keys = spark.createDataFrame([(1,), (2,)], ["h"])
+    bloom = D.bloom_bitmap(keys)
+    items = keys.withColumn("__bloom_p0", F.lit(0))
+    with pytest.raises(ValueError, match="__bloom_"):
+        D.bloom_probe(items, bloom)
+
+
+def test_knn_graph_collapse_identical_star_semantics(spark):
+    """knn_graph's identical-vector guard: planted exact-copy groups
+    must emit linear star edges (member -> rep, rank 0, sim 1.0)
+    instead of quadratic mutual top-k rows; the rep-only subgraph
+    must equal a plain knn_graph over the distinct vectors; and with
+    no duplicates present, collapsed == plain exactly."""
+    from linz_bde_uploader_spark.operators import similarity as S
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    sf = os.path.join(os.path.dirname(SF_DIR), "sf0.001")
+    emb = load_table(spark, sf, "embeddings").limit(40).cache()
+    plain = {tuple(r) for r in S.knn_graph(emb, k=2).collect()}
+    collapsed = {tuple(r)
+                 for r in S.knn_graph(emb, k=2,
+                                      collapse_identical=True).collect()}
+    assert plain == collapsed  # no duplicate vectors in the fixture
+
+    # plant 3 exact copies of every vector (fresh ids)
+    from pyspark.sql import functions as F
+    reps = spark.range(3).select(F.col("id").alias("_r"))
+    dup = (emb.crossJoin(reps)
+           .select((F.col("vec_id") * 10 + F.col("_r")).alias("vec_id"),
+                   "embedding"))
+    g = S.knn_graph(dup, k=2, collapse_identical=True)
+    rows = g.collect()
+    stars = [r for r in rows if r["rank"] == 0]
+    ranked = [r for r in rows if r["rank"] > 0]
+    n_vec = emb.count()
+    assert len(stars) == 2 * n_vec  # 2 non-rep members per group
+    assert all(r["cosine_sim"] == 1.0 for r in stars)
+    assert all(r["neighbor_id"] % 10 == 0 for r in stars)  # rep = min id
+    # ranked subgraph spans representatives only
+    rep_ids = {r["vec_id"] for r in ranked} | {r["neighbor_id"]
+                                               for r in ranked}
+    assert all(i % 10 == 0 for i in rep_ids)
+    # and equals the plain graph over the distinct vectors
+    base = {(r["vec_id"] * 10, r["neighbor_id"] * 10, r["rank"],
+             r["cosine_sim"]) for r in S.knn_graph(emb, k=2).collect()}
+    assert {tuple(r) for r in ranked} == base
+    emb.unpersist()
