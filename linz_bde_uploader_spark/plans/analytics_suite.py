@@ -516,6 +516,72 @@ FROM (
 """
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, lang-less weekday): all four grouping
+    sets — (type, dow), (type), (dow), () — in one pass with
+    ``grouping_id`` distinguishing them (partial aggregation handles
+    every set map-side, same as ROLLUP; the cube is one shuffle, not
+    four queries). The integer grouping id disambiguates real NULL
+    group values from subtotal rows — the reason GROUPING() exists
+    in the standard."""
+    events = load_table(spark, sf_dir, "events")
+    dow = F.date_format(F.col("ts").cast("timestamp"), "E").alias("dow")
+    return (
+        events.select("event_type", dow, "value")
+        .cube("event_type", "dow")
+        .agg(F.count("*").alias("n_events"),
+             F.grouping_id().cast("bigint").alias("gid"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").alias("sum_value"))
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT event_type, dow, COUNT(*) AS n_events,
+       CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+FROM (
+  SELECT event_type,
+         strftime(CAST(ts AS TIMESTAMP), '%a') AS dow,
+         value
+  FROM events
+) GROUP BY CUBE (event_type, dow)
+"""
+
+
+def q_events_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations the reference's U2/NOT-IN pruning family maps
+    to in relational form: users who viewed but never purchased
+    (EXCEPT) and users who did both (INTERSECT), labeled and unioned
+    into one relation. Both set ops are one aggregate-shaped shuffle
+    each on the user key — Catalyst plans EXCEPT/INTERSECT as
+    left-anti / left-semi joins, the same shape as the CDC delete
+    and insert detectors (J1/J2)."""
+    events = load_table(spark, sf_dir, "events")
+    viewers = events.filter(F.col("event_type") == "view") \
+        .select("user_id").distinct()
+    buyers = events.filter(F.col("event_type") == "purchase") \
+        .select("user_id").distinct()
+    looked_only = viewers.exceptAll(buyers).withColumn(
+        "segment", F.lit("viewed_never_bought"))
+    both = viewers.intersect(buyers).withColumn(
+        "segment", F.lit("viewed_and_bought"))
+    return looked_only.unionByName(both)
+
+
+SQL_EVENTS_EXCEPT_INTERSECT = """
+WITH viewers AS (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'view'),
+buyers AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase')
+SELECT user_id, 'viewed_never_bought' AS segment
+FROM (SELECT user_id FROM viewers EXCEPT SELECT user_id FROM buyers)
+UNION ALL
+SELECT user_id, 'viewed_and_bought' AS segment
+FROM (SELECT user_id FROM viewers INTERSECT SELECT user_id FROM buyers)
+"""
+
+
 # ------------------------------------------------------ events lag/lead
 
 
@@ -1251,5 +1317,8 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "q19_disjunctive": (q19_disjunctive, SQL_Q19),
     "q22_no_order_customers": (q22_no_order_customers, SQL_Q22),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
+    "events_except_intersect": (q_events_except_intersect,
+                                SQL_EVENTS_EXCEPT_INTERSECT),
     "events_lag_delta": (q_events_lag_delta, SQL_EVENTS_LAG),
 }

@@ -29,7 +29,7 @@ FAST_QUERIES = [
     # new in r7
     "events_json_k_hist", "multimodal_audio_bands",
     "multimodal_motion_stats", "text_bpe_merges", "sim_knn_graph",
-    "docs_datasheet",
+    "docs_datasheet", "events_cube", "events_except_intersect",
 ]
 
 
