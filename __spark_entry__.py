@@ -57,6 +57,7 @@ _DRIVER_FIRST = [
     "docs_datasheet",  # per-source corpus data card (hash-keyed dedup)
     "events_cube",  # CUBE grouping sets + grouping_id
     "events_except_intersect",  # EXCEPT/INTERSECT segments
+    "sim_ivf_index_query",  # persistent IVF index: build/persist/query
     # r6 first-greens -> second confirmation
     "sim_lsh_probes", "docs_dsir_topk", "sim_pq_topk", "emb_semantic_dedup",
     "sim_ivfpq_topk", "docs_gopher_rules", "docs_bloom_decontam",
@@ -68,7 +69,7 @@ _DRIVER_FIRST = [
     "event_duration",  # 3 greens, last r4
     # 2 greens, last r5
     "docs_pack_sequences", "docs_source_rebalance", "text_bpe_tokens",
-    "docs_hash_sample", "docs_length_histogram", "text_lang_id",
+    "docs_hash_sample", "docs_length_histogram",
     # core-engine CDC rows, 4 greens each, last r4
     "cdc_classify", "cdc_apply", "full_diff", "keyswap_repair",
     "changeset_prepare", "dataset_watermark",
@@ -80,10 +81,11 @@ _DRIVER_FIRST = [
     # driver-slotted dataset_watermark / keyswap_repair rows);
     # everything else holds >=2 greens with the most recent in r5/r6
     # and keeps local coverage via check_oracle --exact; text_quality /
-    # text_fingerprint are rotation-complete (2 greens) and in the
-    # freshness queue behind the zero-green rows events_cube /
-    # events_except_intersect that took their slots.
-    "text_quality", "text_fingerprint",
+    # text_fingerprint / text_lang_id are rotation-complete (2 greens)
+    # and in the freshness queue behind the zero-green rows
+    # events_cube / events_except_intersect / sim_ivf_index_query that
+    # took their slots.
+    "text_quality", "text_fingerprint", "text_lang_id",
     "cdc_stats", "tolerance_check",
     "latest_dataset", "union_lock_candidates", "string_agg_owners",
 ]

@@ -1,0 +1,107 @@
+"""Persistent, incrementally-maintained IVF index over the versioned
+TableStore — the composition that turns the ANN *query* operators into
+an ANN *service* shape: build once, append micro-batches as the corpus
+grows, query forever, with the store's atomic version pointer giving
+readers a consistent index snapshot at every moment.
+
+Reference analog: the reference persists derived per-table artifacts
+(indexes, stats) alongside uploads and maintains them per dataset
+(sql/02-bde_control_functions.sql.in table-maintenance blocks); this
+applies the same persist-and-maintain contract to the similarity
+index.
+
+Scale design:
+- The vectors table is stored ``key='cell'`` — hash-bucketed (and,
+  with ``use_catalog_buckets=True``, registered as a BUCKETED catalog
+  table), so a query's probe of ``nprobe`` cells is a bucket-pruned
+  read of ~nprobe/n_centroids of the index, never a full scan.
+- Centroids FREEZE at build time. An append assigns only the NEW
+  vectors against the broadcast centroid table (one map-side pass over
+  the batch — the corpus-sized inverted lists are unioned, not
+  re-scored), exactly how FAISS's `add` works after `train`.
+- Appends are idempotent: an anti join on the id drops vectors the
+  index already holds, so an at-least-once upstream (a replayed
+  micro-batch) cannot duplicate inverted-list entries.
+- Every write is a new store version behind the atomic pointer —
+  concurrent readers keep the old snapshot; rollback is `vacuum`-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.operators.similarity import (
+    _as_double, _rank_topk, cosine, ivf_assign, seed_centroids,
+)
+
+
+def _tables(name: str) -> tuple[str, str]:
+    return f"{name}__centroids", f"{name}__vectors"
+
+
+def ivf_index_build(spark: SparkSession, store, corpus: DataFrame,
+                    name: str, centroids: DataFrame | None = None,
+                    n_centroids: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Train (or accept) centroids and materialize the inverted lists.
+    ``centroids`` defaults to the deterministic seed set; pass
+    ``kmeans_fit``/``kmeans_parallel_seeds`` output for trained cells
+    — the stored structure is identical either way."""
+    cent_t, vec_t = _tables(name)
+    if centroids is None:
+        centroids = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    inv = ivf_assign(c, centroids, "vec_id", "v", nprobe=1) \
+        .select("vec_id", "cell", "v")
+    store.write(cent_t, centroids)
+    store.write(vec_t, inv, key="cell")
+
+
+def ivf_index_append(spark: SparkSession, store, new_vectors: DataFrame,
+                     name: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> int:
+    """Incrementally add vectors to a built index: assign the batch
+    against the FROZEN broadcast centroids (map-side, no re-scoring
+    of the existing lists), anti-join away ids the index already
+    holds (idempotent under replay), and commit the union as a new
+    store version. Returns the number of vectors actually added."""
+    cent_t, vec_t = _tables(name)
+    cents = store.read(spark, cent_t)
+    old = store.read(spark, vec_t)
+    c = new_vectors.select(F.col(id_col).alias("vec_id"),
+                           _as_double(F.col(vec_col)).alias("v"))
+    fresh = c.join(old.select("vec_id"), "vec_id", "left_anti")
+    inv_new = ivf_assign(fresh, cents, "vec_id", "v", nprobe=1) \
+        .select("vec_id", "cell", "v")
+    n_added = inv_new.count()
+    if n_added:
+        store.write(vec_t, old.unionByName(inv_new), key="cell")
+    return n_added
+
+
+def ivf_index_query(spark: SparkSession, store, name: str,
+                    queries: DataFrame, k: int = 3, nprobe: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Top-k against the STORED index: broadcast the centroid table,
+    assign each query to its ``nprobe`` cells, bucket-pruned read of
+    those cells' inverted lists, score, salted two-phase rank.
+    Results are identical to ``ivf_topk`` over the same corpus and
+    centroids (pytest-pinned), but the corpus is never re-assigned —
+    the query cost is the probe, not the index."""
+    cent_t, vec_t = _tables(name)
+    cents = store.read(spark, cent_t)
+    inv = store.read(spark, vec_t)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    probes = F.broadcast(
+        ivf_assign(q, cents, "query_id", "qv", nprobe=nprobe)
+        .select("query_id", F.col("qv"), "cell"))
+    scored = (
+        probes.join(inv, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qv"), F.col("v")).alias("sim")))
+    return _rank_topk(scored, k)

@@ -1109,6 +1109,28 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2)
 
 
+def q_sim_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent-index path of the SAME IVF semantics
+    (operators/ann_index.py): build the index into a versioned
+    TableStore (centroids frozen, inverted lists bucketed by cell),
+    then answer the identical queries FROM the stored index. The
+    oracle is deliberately the same SQL as sim_ivf_topk — proving
+    build -> persist -> bucket-pruned query loses nothing relative to
+    the direct operator is exactly the point; the incremental-append
+    and snapshot-isolation contracts are pinned by
+    tests/test_ann_index.py."""
+    import tempfile
+
+    from linz_bde_uploader_spark.operators import ann_index as AI
+    from linz_bde_uploader_spark.sources.store import TableStore
+
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    store = TableStore(tempfile.mkdtemp(prefix="annidx_"), n_buckets=8)
+    AI.ivf_index_build(spark, store, emb, "ann", n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+
+
 SQL_SIM_IVF_TOPK = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
@@ -3601,6 +3623,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
     "sim_ivfpq_topk": (q_sim_ivfpq_topk, SQL_SIM_IVFPQ_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
+    "sim_ivf_index_query": (q_sim_ivf_index_query, SQL_SIM_IVF_TOPK),
     "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS),
     "emb_near_dedup": (q_emb_near_dedup, SQL_EMB_NEAR_DEDUP),
     "text_paragraph_dedup": (q_text_paragraph_dedup, SQL_PARAGRAPH_DEDUP),

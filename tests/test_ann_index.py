@@ -1,0 +1,76 @@
+"""Persistent incremental IVF index (operators/ann_index.py):
+build == direct ivf_topk, append-then-query == rebuild-from-scratch,
+and appends are idempotent under replay."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.operators import ann_index as AI
+from linz_bde_uploader_spark.operators import similarity as S
+from linz_bde_uploader_spark.plans.tables import load_table
+from linz_bde_uploader_spark.sources.store import TableStore
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").limit(60).cache()
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_index_query_equals_direct_ivf_topk(spark, tmp_path, emb):
+    store = TableStore(str(tmp_path / "store"), n_buckets=4)
+    AI.ivf_index_build(spark, store, emb, "ann", n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    want = S.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2)
+    assert _rows(got) == _rows(want)
+
+
+def test_append_equals_rebuild_and_is_idempotent(spark, tmp_path, emb):
+    store = TableStore(str(tmp_path / "store"), n_buckets=4)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    # centroids must come from the indexed half so they are identical
+    # to what a from-scratch build over the union would NOT retrain —
+    # centroids freeze at build time by design
+    cents = S.seed_centroids(half_a, 8)
+    AI.ivf_index_build(spark, store, half_a, "ann", centroids=cents)
+    v_built = store.current_version("ann__vectors")
+
+    n = AI.ivf_index_append(spark, store, half_b, "ann")
+    assert n == half_b.count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    want = S.ivf_topk(emb, queries, k=3, centroids=cents, nprobe=2)
+    assert _rows(got) == _rows(want)
+
+    # replayed batch: no new vectors, no new version
+    v_after = store.current_version("ann__vectors")
+    assert v_after == v_built + 1
+    assert AI.ivf_index_append(spark, store, half_b, "ann") == 0
+    assert store.current_version("ann__vectors") == v_after
+    # and the query answer is unchanged
+    again = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    assert _rows(again) == _rows(got)
+
+
+def test_readers_keep_snapshot_across_append(spark, tmp_path, emb):
+    """The versioned store's contract applied to the index: a reader
+    pinned to the pre-append version still sees the old lists."""
+    store = TableStore(str(tmp_path / "store"), n_buckets=4)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    AI.ivf_index_build(spark, store, half_a, "ann", n_centroids=8)
+    v0 = store.current_version("ann__vectors")
+    old_pinned = store.read(spark, "ann__vectors", version=v0)
+    n_before = old_pinned.count()
+    AI.ivf_index_append(spark, store,
+                        emb.filter(F.col("vec_id") % 2 == 1), "ann")
+    assert store.read(spark, "ann__vectors", version=v0).count() == n_before
+    assert store.read(spark, "ann__vectors").count() > n_before
