@@ -113,6 +113,16 @@ HEADLINE = [
     "docs_quality_deciles",
     "docs_dedup_report",
     "docs_epoch_plan",
+    # r7 additions
+    "events_json_k_hist",
+    "multimodal_audio_bands",
+    "multimodal_motion_stats",
+    "text_bpe_merges",
+    "sim_knn_graph",
+    "docs_datasheet",
+    "events_cube",
+    "events_except_intersect",
+    "sim_ivf_index_query",
 ]
 
 
