@@ -105,3 +105,38 @@ def ivf_index_query(spark: SparkSession, store, name: str,
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 cosine(F.col("qv"), F.col("v")).alias("sim")))
     return _rank_topk(scored, k)
+
+
+def stream_ivf_index(spark: SparkSession, src_dir: str, store,
+                     name: str, checkpoint: str, schema,
+                     n_centroids: int = 8, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Continuously-maintained ANN index: a file-source stream of
+    embedding batches drains into ``ivf_index_append`` via
+    foreachBatch (``availableNow`` trigger — the same
+    drain-what's-there contract as the CDC upload stream). The first
+    batch bootstraps the index (centroids seeded from it and FROZEN
+    thereafter — FAISS train-then-add). foreachBatch is
+    at-least-once; the append's anti-join idempotency is exactly what
+    makes replays safe here, with no extra guard state: a replayed
+    batch adds 0 vectors and writes no version. Readers keep snapshot
+    isolation through the store's atomic pointer — a query running
+    mid-append sees the pre-append index, never a partial one."""
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if not store.exists(_tables(name)[1]):
+            ivf_index_build(spark, store, batch, name,
+                            n_centroids=n_centroids, id_col=id_col,
+                            vec_col=vec_col)
+        else:
+            ivf_index_append(spark, store, batch, name,
+                             id_col=id_col, vec_col=vec_col)
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

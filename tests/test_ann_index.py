@@ -74,3 +74,39 @@ def test_readers_keep_snapshot_across_append(spark, tmp_path, emb):
                         emb.filter(F.col("vec_id") % 2 == 1), "ann")
     assert store.read(spark, "ann__vectors", version=v0).count() == n_before
     assert store.read(spark, "ann__vectors").count() > n_before
+
+
+def test_stream_ivf_index_matches_batch_build(spark, tmp_path, emb):
+    """Streaming maintenance: two micro-batch drains (bootstrap +
+    append) must leave the stored index answering queries exactly as
+    a one-shot batch build over the full corpus with the SAME frozen
+    centroids; a re-drain with a fresh checkpoint (full replay, the
+    at-least-once worst case) must change nothing."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = TableStore(str(tmp_path / "store"), n_buckets=4)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    schema = emb.schema
+
+    half_a.write.mode("overwrite").parquet(src)
+    AI.stream_ivf_index(spark, src, store, "ann", ckpt, schema)
+    assert store.exists("ann__vectors")
+
+    half_b.write.mode("append").parquet(src)
+    AI.stream_ivf_index(spark, src, store, "ann", ckpt, schema)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    cents = store.read(spark, "ann__centroids")
+    want = S.ivf_topk(emb, queries, k=3, centroids=cents, nprobe=2)
+    assert _rows(got) == _rows(want)
+
+    # full replay: fresh checkpoint reprocesses every file; the
+    # anti-join append must add nothing and commit no version
+    v = store.current_version("ann__vectors")
+    AI.stream_ivf_index(spark, src, store, "ann",
+                        str(tmp_path / "ckpt2"), schema)
+    assert store.current_version("ann__vectors") == v
+    again = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    assert _rows(again) == _rows(got)
