@@ -22,6 +22,13 @@ Scale design:
 - Appends are idempotent: an anti join on the id drops vectors the
   index already holds, so an at-least-once upstream (a replayed
   micro-batch) cannot duplicate inverted-list entries.
+- Appends are LSM-shaped: new vectors land in a small ``__delta``
+  table (write amplification O(|delta|) per append, bounded by
+  compaction cadence) and queries read base UNION delta;
+  ``ivf_index_compact`` folds the delta into the base in one
+  O(index) rewrite when the delta has grown past taste. Rewriting
+  the whole base per append would make ingest cost O(index) — the
+  100 TB mistake this split exists to avoid.
 - Every write is a new store version behind the atomic pointer —
   concurrent readers keep the old snapshot; rollback is `vacuum`-bounded.
 """
@@ -36,8 +43,8 @@ from linz_bde_uploader_spark.operators.similarity import (
 )
 
 
-def _tables(name: str) -> tuple[str, str]:
-    return f"{name}__centroids", f"{name}__vectors"
+def _tables(name: str) -> tuple[str, str, str]:
+    return f"{name}__centroids", f"{name}__vectors", f"{name}__delta"
 
 
 def ivf_index_build(spark: SparkSession, store, corpus: DataFrame,
@@ -48,7 +55,7 @@ def ivf_index_build(spark: SparkSession, store, corpus: DataFrame,
     ``centroids`` defaults to the deterministic seed set; pass
     ``kmeans_fit``/``kmeans_parallel_seeds`` output for trained cells
     — the stored structure is identical either way."""
-    cent_t, vec_t = _tables(name)
+    cent_t, vec_t, _delta_t = _tables(name)
     if centroids is None:
         centroids = seed_centroids(corpus, n_centroids, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("vec_id"),
@@ -59,26 +66,66 @@ def ivf_index_build(spark: SparkSession, store, corpus: DataFrame,
     store.write(vec_t, inv, key="cell")
 
 
+def _index_vectors(spark: SparkSession, store, name: str) -> DataFrame:
+    """Base UNION delta — the current logical inverted lists."""
+    _c, vec_t, delta_t = _tables(name)
+    inv = store.read(spark, vec_t)
+    if store.exists(delta_t):
+        inv = inv.unionByName(store.read(spark, delta_t))
+    return inv
+
+
 def ivf_index_append(spark: SparkSession, store, new_vectors: DataFrame,
                      name: str, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> int:
     """Incrementally add vectors to a built index: assign the batch
     against the FROZEN broadcast centroids (map-side, no re-scoring
     of the existing lists), anti-join away ids the index already
-    holds (idempotent under replay), and commit the union as a new
-    store version. Returns the number of vectors actually added."""
-    cent_t, vec_t = _tables(name)
+    holds (idempotent under replay), and commit into the small
+    ``__delta`` table — the LSM write path: per-append cost is
+    O(|delta|), NEVER a rewrite of the corpus-sized base. Returns
+    the number of vectors actually added."""
+    cent_t, _vec_t, delta_t = _tables(name)
     cents = store.read(spark, cent_t)
-    old = store.read(spark, vec_t)
+    old_ids = _index_vectors(spark, store, name).select("vec_id")
     c = new_vectors.select(F.col(id_col).alias("vec_id"),
                            _as_double(F.col(vec_col)).alias("v"))
-    fresh = c.join(old.select("vec_id"), "vec_id", "left_anti")
+    fresh = c.join(old_ids, "vec_id", "left_anti")
     inv_new = ivf_assign(fresh, cents, "vec_id", "v", nprobe=1) \
         .select("vec_id", "cell", "v")
     n_added = inv_new.count()
     if n_added:
-        store.write(vec_t, old.unionByName(inv_new), key="cell")
+        delta = inv_new if not store.exists(delta_t) else \
+            store.read(spark, delta_t).unionByName(inv_new)
+        store.write(delta_t, delta, key="cell")
     return n_added
+
+
+def ivf_index_compact(spark: SparkSession, store, name: str) -> int:
+    """Fold the delta into the base: ONE O(index) rewrite that
+    restores pure-base reads (no per-query union) and re-clusters
+    every vector into its cell bucket. Returns the number of delta
+    rows folded (0 = nothing to do). Run on a cadence — after the
+    delta passes a fraction of the base — exactly like any LSM
+    compaction; the atomic pointer means readers never see a
+    half-compacted index, and the delta is emptied LAST so a crash
+    between the two writes only re-folds idempotently (base already
+    holds the ids; the next compact sees them anti-joined away by
+    append and folds a no-op)."""
+    _c, vec_t, delta_t = _tables(name)
+    if not store.exists(delta_t):
+        return 0
+    delta = store.read(spark, delta_t)
+    n = delta.count()
+    if not n:
+        return 0
+    base = store.read(spark, vec_t)
+    # base may already hold some delta ids if a prior compact crashed
+    # after the base write — fold only the genuinely-new rows
+    fresh = delta.join(base.select("vec_id"), "vec_id", "left_anti")
+    store.write(vec_t, base.unionByName(fresh), key="cell")
+    store.write(delta_t, delta.limit(0), key="cell")
+    return n
 
 
 def ivf_index_query(spark: SparkSession, store, name: str,
@@ -90,10 +137,11 @@ def ivf_index_query(spark: SparkSession, store, name: str,
     those cells' inverted lists, score, salted two-phase rank.
     Results are identical to ``ivf_topk`` over the same corpus and
     centroids (pytest-pinned), but the corpus is never re-assigned —
-    the query cost is the probe, not the index."""
-    cent_t, vec_t = _tables(name)
+    the query cost is the probe, not the index. Reads base UNION
+    delta, so un-compacted appends are immediately visible."""
+    cent_t, _vec_t, _d = _tables(name)
     cents = store.read(spark, cent_t)
-    inv = store.read(spark, vec_t)
+    inv = _index_vectors(spark, store, name)
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
     probes = F.broadcast(

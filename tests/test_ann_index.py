@@ -51,14 +51,27 @@ def test_append_equals_rebuild_and_is_idempotent(spark, tmp_path, emb):
     want = S.ivf_topk(emb, queries, k=3, centroids=cents, nprobe=2)
     assert _rows(got) == _rows(want)
 
-    # replayed batch: no new vectors, no new version
-    v_after = store.current_version("ann__vectors")
-    assert v_after == v_built + 1
+    # LSM shape: the append landed in the DELTA — the corpus-sized
+    # base was NOT rewritten
+    assert store.current_version("ann__vectors") == v_built
+    assert store.exists("ann__delta")
+    v_delta = store.current_version("ann__delta")
+    # replayed batch: no new vectors, no new delta version
     assert AI.ivf_index_append(spark, store, half_b, "ann") == 0
-    assert store.current_version("ann__vectors") == v_after
+    assert store.current_version("ann__delta") == v_delta
     # and the query answer is unchanged
     again = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
     assert _rows(again) == _rows(got)
+
+    # compaction folds the delta into the base in one rewrite and
+    # empties it; answers unchanged, second compact is a no-op
+    folded = AI.ivf_index_compact(spark, store, "ann")
+    assert folded == half_b.count()
+    assert store.read(spark, "ann__delta").count() == 0
+    assert store.current_version("ann__vectors") == v_built + 1
+    post = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    assert _rows(post) == _rows(got)
+    assert AI.ivf_index_compact(spark, store, "ann") == 0
 
 
 def test_readers_keep_snapshot_across_append(spark, tmp_path, emb):
@@ -73,7 +86,12 @@ def test_readers_keep_snapshot_across_append(spark, tmp_path, emb):
     AI.ivf_index_append(spark, store,
                         emb.filter(F.col("vec_id") % 2 == 1), "ann")
     assert store.read(spark, "ann__vectors", version=v0).count() == n_before
+    # appends land in the delta; the logical index (base U delta) grew
+    assert AI._index_vectors(spark, store, "ann").count() > n_before
+    # compaction grows the base itself, old pinned version unchanged
+    AI.ivf_index_compact(spark, store, "ann")
     assert store.read(spark, "ann__vectors").count() > n_before
+    assert store.read(spark, "ann__vectors", version=v0).count() == n_before
 
 
 def test_stream_ivf_index_matches_batch_build(spark, tmp_path, emb):
