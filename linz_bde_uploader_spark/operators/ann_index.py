@@ -144,11 +144,22 @@ def ivf_index_query(spark: SparkSession, store, name: str,
     inv = _index_vectors(spark, store, name)
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
-    probes = F.broadcast(
-        ivf_assign(q, cents, "query_id", "qv", nprobe=nprobe)
-        .select("query_id", F.col("qv"), "cell"))
+    probes = ivf_assign(q, cents, "query_id", "qv", nprobe=nprobe) \
+        .select("query_id", F.col("qv"), "cell")
+    # The broadcast probe join alone would still SCAN every inverted
+    # list (a join key is not a scan filter). Collect the probed cell
+    # ids — bounded by |queries| * nprobe, the same driver-reduction
+    # class as the centroid collects — and push them as an IN filter
+    # so the parquet scan bucket-prunes and row-group-prunes to the
+    # probed cells. THIS is what makes the probe read
+    # ~nprobe/n_centroids of the index instead of all of it.
+    # (re-running the tiny query-side assignment for this collect is
+    # one extra map pass over a by-contract-small relation — cheaper
+    # than holding a cache across the returned lazy plan)
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    inv = inv.filter(F.col("cell").isin(cells))
     scored = (
-        probes.join(inv, "cell")
+        F.broadcast(probes).join(inv, "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 cosine(F.col("qv"), F.col("v")).alias("sim")))

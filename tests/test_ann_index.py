@@ -128,3 +128,34 @@ def test_stream_ivf_index_matches_batch_build(spark, tmp_path, emb):
     assert store.current_version("ann__vectors") == v
     again = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
     assert _rows(again) == _rows(got)
+
+
+def test_index_probe_is_bucket_pruned(spark, tmp_path, emb):
+    """The scale claim behind key='cell': with the catalog-bucketed
+    store, a probe filtered to specific cells must PRUNE buckets at
+    scan time — the physical plan advertises a SelectedBucketsCount
+    strictly below the bucket count. This is the evidence for 'a
+    probe reads ~nprobe/n_centroids of the index, never a full
+    scan'."""
+    store = TableStore(str(tmp_path / "store"), n_buckets=8,
+                       use_catalog_buckets=True)
+    AI.ivf_index_build(spark, store, emb, "ann", n_centroids=8)
+    inv = store.read(spark, "ann__vectors")
+    probe = inv.filter(F.col("cell").isin(0, 3))
+    # autoBucketedScan converts bucketed scans back to plain ones
+    # when no join/agg consumes the distribution, which also drops
+    # bucket pruning — disable it to observe the pruned scan (the
+    # pushed filter still prunes row groups either way)
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                   "false")
+    try:
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+    assert "SelectedBucketsCount" in plan, plan
+    import re
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2))
