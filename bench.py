@@ -298,6 +298,70 @@ def _ivm_soak(spark, sf_dir: str) -> dict:
     return out
 
 
+def _ann_index_soak(spark, sf_dir: str) -> dict:
+    """Persisted-index amortization, measured per round: the direct
+    ivf_topk re-assigns the WHOLE corpus to cells on every call (an
+    O(corpus) map pass before any probe), while the stored index pays
+    assignment once at build and each query is a bucket/row-group-
+    pruned probe. Records build cost, per-query-batch cost for both
+    paths, and the delta-append cost (the LSM write path — must stay
+    O(batch), not O(index)). At sf0.1's 2k-vector corpus wall times
+    sit near parity (parquet read + the probed-cell collect roughly
+    offset re-assigning 2k in-memory rows) — the structural claim
+    that scales is the rows-read split recorded alongside: direct
+    re-scores corpus_rows per call, the index path touches only
+    index_rows_read (probed cells, ~nprobe-fraction) of them."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import ann_index as AI
+    from linz_bde_uploader_spark.operators import similarity as S
+    from linz_bde_uploader_spark.plans.tables import load_table
+    from linz_bde_uploader_spark.sources.store import TableStore
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    n = emb.count()
+    # 64 cells / 8-query panel: a realistic cell-to-panel ratio so the
+    # probed fraction is visible (32 queries over 8 cells probes ALL
+    # of them and pruning measures as a no-op)
+    queries = emb.filter(F.col("vec_id") < 8)
+    root = tempfile.mkdtemp(prefix="ann_soak_")
+    out = {"corpus_rows": n}
+    try:
+        store = TableStore(root, n_buckets=8)
+        t0 = _time.perf_counter()
+        AI.ivf_index_build(spark, store, emb, "ann", n_centroids=64)
+        out["build_sec"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
+        AI.ivf_index_query(spark, store, "ann", queries,
+                           k=3, nprobe=2).count()
+        out["index_query_sec"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
+        S.ivf_topk(emb, queries, k=3, n_centroids=64, nprobe=2).count()
+        out["direct_query_sec"] = round(_time.perf_counter() - t0, 3)
+        cents = store.read(spark, "ann__centroids")
+        probed = {r["cell"] for r in AI.ivf_assign(
+            queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").cast("array<double>")
+                           .alias("qv")),
+            cents, "query_id", "qv", nprobe=2).select("cell")
+            .distinct().collect()}
+        out["index_rows_read"] = store.read(spark, "ann__vectors") \
+            .filter(F.col("cell").isin(list(probed))).count()
+        batch = emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                           "embedding").limit(500)
+        t0 = _time.perf_counter()
+        out["append_rows"] = AI.ivf_index_append(spark, store, batch, "ann")
+        out["append_sec"] = round(_time.perf_counter() - t0, 3)
+    finally:
+        emb.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _prev_bench() -> tuple[str, dict] | tuple[None, None]:
     """Most recent driver-recorded BENCH_r{N}.json with a USABLE
     per-query dict, for round-over-round deltas. Rounds whose bench
@@ -445,6 +509,12 @@ def main():
               file=sys.stderr)
     except Exception as e:
         detail["ivm_soak"] = {"error": str(e).splitlines()[0][:300]}
+    try:
+        detail["ann_index_soak"] = _ann_index_soak(spark, sf_dir)
+        print("# ann_index_soak: " + json.dumps(detail["ann_index_soak"]),
+              file=sys.stderr)
+    except Exception as e:
+        detail["ann_index_soak"] = {"error": str(e).splitlines()[0][:300]}
     if pq:
         shared = [n for n in times
                   if isinstance(pq.get(n), (int, float)) and pq[n]]
