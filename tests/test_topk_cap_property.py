@@ -168,3 +168,53 @@ def test_semantic_dedup_matches_naive_property(spark, vecs, tau_pct):
                                            * np.linalg.norm(X[b]))), 6) >= tau
             for a in X)
         assert got[b] == (cells[b], not dropped), (b, got[b], tau)
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(words=st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6),
+    min_size=1, max_size=20))
+def test_bpe_merges_sql_matches_reference_property(words):
+    """SQL_BPE_MERGES (the unrolled greedy-islands oracle) == the
+    pure-Python reference BPE for ANY corpus over a tiny alphabet —
+    no Spark in the loop, so this hammers the SQL's gaps-and-islands
+    overlap handling (runs like 'aaaa'), lexicographic tie-breaks,
+    and merged-symbol re-merging cheaply. Transitively pins the
+    oracle to bpe_train via test_bpe_train_matches_reference_property."""
+    import collections
+
+    import duckdb
+    import pandas as pd
+
+    from linz_bde_uploader_spark.plans.pipeline_suite import SQL_BPE_MERGES
+
+    freqs = collections.Counter(words)
+    toks = {w: list(w) for w in freqs}
+    expect = []
+    for _ in range(8):
+        counts = collections.Counter()
+        for w, ts in toks.items():
+            for i in range(len(ts) - 1):
+                counts[(ts[i], ts[i + 1])] += freqs[w]
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        expect.append(best)
+        a, b = best
+        for w, ts in toks.items():
+            out, i = [], 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == a and ts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(ts[i])
+                    i += 1
+            toks[w] = out
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": [" ".join(words)]}))
+    got = [(r[1], r[2]) for r in
+           sorted(con.execute(SQL_BPE_MERGES).fetchall())]
+    assert got == expect, (got, expect)
