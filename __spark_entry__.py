@@ -58,6 +58,7 @@ _DRIVER_FIRST = [
     "events_cube",  # CUBE grouping sets + grouping_id
     "events_except_intersect",  # EXCEPT/INTERSECT segments
     "sim_ivf_index_query",  # persistent IVF index: build/persist/query
+    "docs_drift_report",  # corpus drift monitor (TV distance, integer)
     # r6 first-greens -> second confirmation
     "sim_lsh_probes", "docs_dsir_topk", "sim_pq_topk", "emb_semantic_dedup",
     "sim_ivfpq_topk", "docs_gopher_rules", "docs_bloom_decontam",
@@ -69,7 +70,7 @@ _DRIVER_FIRST = [
     "event_duration",  # 3 greens, last r4
     # 2 greens, last r5
     "docs_pack_sequences", "docs_source_rebalance", "text_bpe_tokens",
-    "docs_hash_sample", "docs_length_histogram",
+    "docs_length_histogram",
     # core-engine CDC rows, 4 greens each, last r4
     "cdc_classify", "cdc_apply", "full_diff", "keyswap_repair",
     "changeset_prepare", "dataset_watermark",
@@ -81,11 +82,12 @@ _DRIVER_FIRST = [
     # driver-slotted dataset_watermark / keyswap_repair rows);
     # everything else holds >=2 greens with the most recent in r5/r6
     # and keeps local coverage via check_oracle --exact; text_quality /
-    # text_fingerprint / text_lang_id are rotation-complete (2 greens)
-    # and in the freshness queue behind the zero-green rows
-    # events_cube / events_except_intersect / sim_ivf_index_query that
-    # took their slots.
+    # text_fingerprint / text_lang_id / docs_hash_sample are
+    # rotation-complete (2 greens) and in the freshness queue behind
+    # the zero-green rows events_cube / events_except_intersect /
+    # sim_ivf_index_query / docs_drift_report that took their slots.
     "text_quality", "text_fingerprint", "text_lang_id",
+    "docs_hash_sample",
     "cdc_stats", "tolerance_check",
     "latest_dataset", "union_lock_candidates", "string_agg_owners",
 ]

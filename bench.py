@@ -123,6 +123,7 @@ HEADLINE = [
     "events_cube",
     "events_except_intersect",
     "sim_ivf_index_query",
+    "docs_drift_report",
 ]
 
 

@@ -3439,6 +3439,71 @@ GROUP BY source
 """
 
 
+def q_docs_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor — the ingestion-time data-quality check a
+    continuously-crawled corpus needs: per source, compare the
+    length-bucket histogram of the 'old' half against the 'new' half
+    (doc_id parity stands in for crawl epoch on the fixture; in
+    production the split key is the ingestion batch) and publish the
+    total-variation distance as an integer permille:
+    ``drift_permille = 1000 * sum_i |a_i*nb - b_i*na| DIV
+    (2*na*nb)`` — the common-denominator cross-multiplication keeps
+    the whole statistic in BIGINT arithmetic (no float ever), the
+    repo's oracle-portability doctrine. One (source, half, bucket)
+    aggregate + one per-source rollup; nothing collects, and the
+    histogram is fixed-width (8 buckets) so the rollup state is
+    bounded regardless of corpus size."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        F.expr("CAST(LEAST(n_chars DIV 100, 7) AS INT)").alias("bucket"))
+    h = (d.groupBy("source", "bucket")
+         .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+              .alias("a"),
+              F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+              .alias("b")))
+    tot = h.groupBy("source").agg(F.sum("a").alias("na"),
+                                  F.sum("b").alias("nb"))
+    return (
+        h.join(tot, "source")
+        .groupBy("source")
+        .agg(F.first("na").alias("n_old"),
+             F.first("nb").alias("n_new"),
+             F.sum(F.abs(F.col("a") * F.col("nb")
+                         - F.col("b") * F.col("na"))).alias("_l1x"))
+        .withColumn(
+            "drift_permille",
+            F.expr("CASE WHEN n_old = 0 OR n_new = 0 THEN 1000 "
+                   "ELSE CAST((1000 * _l1x) DIV (2 * n_old * n_new) "
+                   "AS BIGINT) END"))
+        .drop("_l1x")
+    )
+
+
+SQL_DOCS_DRIFT = """
+WITH d AS (
+  SELECT source, doc_id % 2 AS half,
+         CAST(LEAST(n_chars // 100, 7) AS INT) AS bucket
+  FROM documents),
+h AS (
+  SELECT source, bucket,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+  FROM d GROUP BY source, bucket),
+tot AS (SELECT source, SUM(a) AS na, SUM(b) AS nb FROM h GROUP BY source)
+SELECT h.source,
+       CAST(tot.na AS BIGINT) AS n_old,
+       CAST(tot.nb AS BIGINT) AS n_new,
+       CASE WHEN tot.na = 0 OR tot.nb = 0 THEN CAST(1000 AS BIGINT)
+            ELSE CAST((1000 * SUM(ABS(h.a * tot.nb - h.b * tot.na)))
+                      // (2 * tot.na * tot.nb) AS BIGINT) END
+         AS drift_permille
+FROM h JOIN tot ON tot.source = h.source
+GROUP BY h.source, tot.na, tot.nb
+"""
+
+
 def q_docs_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup impact report per source — the accounting artifact every
     dedup run ships with: how many documents each source loses to
@@ -3557,6 +3622,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "docs_quality_deciles": (q_docs_quality_deciles, SQL_QUALITY_DECILES),
     "docs_dedup_report": (q_docs_dedup_report, SQL_DEDUP_REPORT),
     "docs_datasheet": (q_docs_datasheet, SQL_DOCS_DATASHEET),
+    "docs_drift_report": (q_docs_drift_report, SQL_DOCS_DRIFT),
     "docs_contrastive_pairs": (q_docs_contrastive_pairs,
                                SQL_CONTRASTIVE_PAIRS),
     "sim_recall_report": (q_sim_recall_report, SQL_SIM_RECALL_REPORT),

@@ -30,7 +30,7 @@ FAST_QUERIES = [
     "events_json_k_hist", "multimodal_audio_bands",
     "multimodal_motion_stats", "text_bpe_merges", "sim_knn_graph",
     "docs_datasheet", "events_cube", "events_except_intersect",
-    "sim_ivf_index_query",
+    "sim_ivf_index_query", "docs_drift_report",
 ]
 
 
