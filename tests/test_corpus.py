@@ -392,3 +392,54 @@ def test_contrastive_pool_knob_graceful_yield(spark):
     # pool cannot yield more than the comfortable one
     assert yields[(32, 4)] >= yields[(1, 1)]
     assert yields[(32, 4)] >= n_pos // 2
+
+
+def test_drift_report_detects_planted_shift(spark):
+    """Semantic check for the drift monitor beyond the oracle: a
+    corpus whose 'new' half is length-shifted into different buckets
+    must score high drift, and an identically-distributed corpus
+    must score zero."""
+    from pyspark.sql import functions as F
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"])
+        return {r["source"]: r["drift_permille"] for r in rows_via(df)}
+
+    def rows_via(df):
+        # same plan as q_docs_drift_report, applied to the in-memory
+        # relation (the query function itself reads from a parquet dir)
+        d = df.select(
+            "source", (F.col("doc_id") % 2).alias("half"),
+            F.expr("CAST(LEAST(n_chars DIV 100, 7) AS INT)")
+            .alias("bucket"))
+        h = (d.groupBy("source", "bucket")
+             .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+                  .alias("a"),
+                  F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+                  .alias("b")))
+        tot = h.groupBy("source").agg(F.sum("a").alias("na"),
+                                      F.sum("b").alias("nb"))
+        return (h.join(tot, "source").groupBy("source")
+                .agg(F.first("na").alias("n_old"),
+                     F.first("nb").alias("n_new"),
+                     F.sum(F.abs(F.col("a") * F.col("nb")
+                                 - F.col("b") * F.col("na")))
+                     .alias("_l1x"))
+                .withColumn("drift_permille", F.expr(
+                    "CASE WHEN n_old = 0 OR n_new = 0 THEN 1000 "
+                    "ELSE CAST((1000 * _l1x) DIV (2 * n_old * n_new) "
+                    "AS BIGINT) END")).collect())
+
+    # identical halves -> zero drift
+    same = [(i, "t", "en", "web", 150) for i in range(40)]
+    assert run(same)["web"] == 0
+    # new half (odd ids) shifted 3 buckets away -> full drift
+    shifted = [(i, "t", "en", "web", 150 if i % 2 == 0 else 450)
+               for i in range(40)]
+    assert run(shifted)["web"] == 1000
+    # half-overlapping mixture -> strictly between
+    mixed = [(i, "t", "en", "web",
+              150 if (i % 2 == 0 or i % 4 == 1) else 450)
+             for i in range(40)]
+    assert 0 < run(mixed)["web"] < 1000
