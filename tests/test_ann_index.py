@@ -159,3 +159,23 @@ def test_index_probe_is_bucket_pruned(spark, tmp_path, emb):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, plan
     assert int(m.group(1)) < int(m.group(2))
+
+
+def test_knn_graph_multiprobe_recall_monotone(spark, emb):
+    """knn_graph's n_probes knob: probing all 2^n_planes buckets must
+    recover at least as many true-top-k edges as single-bucket
+    probing, and full probing equals the exact graph (every pair is
+    scored when every bucket is probed)."""
+    from linz_bde_uploader_spark.operators.similarity import (
+        cosine_topk, knn_graph)
+
+    exact = {(r["vec_id"], r["neighbor_id"]) for r in
+             cosine_topk(emb, emb, k=3)
+             .withColumnRenamed("query_id", "vec_id").collect()}
+    hits = {}
+    for p in (1, 16):
+        g = {(r["vec_id"], r["neighbor_id"]) for r in
+             knn_graph(emb, k=3, n_planes=4, n_probes=p).collect()}
+        hits[p] = len(g & exact)
+    assert hits[16] >= hits[1]
+    assert hits[16] == len(exact)  # full probing == exact
