@@ -622,3 +622,82 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_drift_monitor(spark: SparkSession, src_dir: str, store,
+                         name: str, checkpoint: str, schema,
+                         source_col: str = "source",
+                         len_col: str = "n_chars",
+                         bucket_width: int = 100,
+                         n_buckets: int = 8,
+                         max_files_per_trigger: int | None = None) -> None:
+    """Continuous corpus drift monitoring — the streaming form of
+    ``q_docs_drift_report``: the FIRST micro-batch freezes the
+    per-source reference length histogram (``<name>__ref``, the same
+    freeze-at-bootstrap contract as the ANN index centroids); every
+    later batch recomputes its own histogram and OVERWRITES the
+    monitoring state ``<name>__state`` with per-source
+    (n_ref, n_batch, drift_permille) — the total-variation distance
+    in all-BIGINT cross-multiplied arithmetic. State overwrite (not
+    an append log) is what makes at-least-once replay safe with no
+    guard at all: a replayed batch recomputes byte-identical state.
+    Histograms are fixed-width (``n_buckets``), so both stored
+    tables are bounded by |sources| x n_buckets regardless of
+    corpus size."""
+    ref_t, state_t = f"{name}__ref", f"{name}__state"
+
+    def hist(batch: DataFrame) -> DataFrame:
+        b = F.expr(f"CAST(LEAST({len_col} DIV {bucket_width}, "
+                   f"{n_buckets - 1}) AS INT)")
+        return (batch.select(F.col(source_col).alias("source"),
+                             b.alias("bucket"))
+                .groupBy("source", "bucket")
+                .agg(F.count("*").alias("n")))
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        h = hist(batch)
+        if not store.exists(ref_t):
+            store.write(ref_t, h)
+            zero = (h.groupBy("source")
+                    .agg(F.sum("n").alias("n_ref"))
+                    .select("source", "n_ref",
+                            F.col("n_ref").alias("n_batch"),
+                            F.lit(0).cast("bigint")
+                            .alias("drift_permille")))
+            store.write(state_t, zero)
+            return
+        ref = store.read(spark, ref_t)
+        a = ref.select("source", "bucket", F.col("n").alias("a"))
+        b = h.select("source", "bucket", F.col("n").alias("b"))
+        j = (a.join(b, ["source", "bucket"], "full_outer")
+             .fillna(0, subset=["a", "b"]))
+        tot = j.groupBy("source").agg(F.sum("a").alias("na"),
+                                      F.sum("b").alias("nb"))
+        state = (
+            j.join(tot, "source")
+            .groupBy("source")
+            .agg(F.first("na").alias("n_ref"),
+                 F.first("nb").alias("n_batch"),
+                 F.sum(F.abs(F.col("a") * F.col("nb")
+                             - F.col("b") * F.col("na")))
+                 .alias("_l1x"))
+            .withColumn(
+                "drift_permille",
+                F.expr("CASE WHEN n_ref = 0 OR n_batch = 0 THEN 1000 "
+                       "ELSE CAST((1000 * _l1x) DIV (2 * n_ref * n_batch)"
+                       " AS BIGINT) END"))
+            .drop("_l1x"))
+        store.write(state_t, state)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(src_dir)
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
