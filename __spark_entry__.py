@@ -31,13 +31,14 @@ _ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 # the JSON libraries diverge; events_json_k_hist keeps the original
 # get_json_object/->>' pair and names any diverging k multiset), then
 # the 14 entries r6 deferred (8 r4-only greens + 6 r6-new never
-# driver-checked), the 6 queries new in r7 (the k-hist above, two
+# driver-checked), the 10 queries new in r7 (the k-hist above, two
 # multimodal signal oracles, the BPE merge table, the all-corpus kNN
-# graph, and the per-source datasheet), the 14
+# graph, the per-source datasheet, CUBE, EXCEPT/INTERSECT, the
+# persistent-IVF-index query, and the drift monitor), the 14
 # r6-first-greens needing their second green — docs_contrastive_pairs
 # among them now carries the rewritten size-bounded pool plan — and a
 # tail of the stalest confirmed rows (event_duration at last-green r4,
-# the 2-green last-r5 text/docs batch, and 8 of the 12 core-engine
+# the 2-green last-r5 text/docs batch, and 6 of the 12 core-engine
 # CDC rows last checked r4).
 _DRIVER_FIRST = [
     "events_json_props",  # red r4/r5/r6; r7 = engine-neutral regex
