@@ -66,13 +66,31 @@ def ivf_index_build(spark: SparkSession, store, corpus: DataFrame,
     store.write(vec_t, inv, key="cell")
 
 
+def _base_stamp(store, name: str) -> str:
+    """The delta's consistency stamp: the base version it extends.
+    A delta stamped for an OLDER base is stale — its rows were
+    already folded in (a compact crashed between its two writes) —
+    and must be ignored everywhere, or queries would see duplicate
+    vectors (duplicate top-k rows) until the next compact."""
+    _c, vec_t, _d = _tables(name)
+    return f"base_v{store.current_version(vec_t)}"
+
+
+def _live_delta(spark: SparkSession, store, name: str) -> DataFrame | None:
+    _c, _v, delta_t = _tables(name)
+    if not store.exists(delta_t):
+        return None
+    if store.current_dataset(delta_t) != _base_stamp(store, name):
+        return None  # stale: already folded into the base
+    return store.read(spark, delta_t)
+
+
 def _index_vectors(spark: SparkSession, store, name: str) -> DataFrame:
-    """Base UNION delta — the current logical inverted lists."""
-    _c, vec_t, delta_t = _tables(name)
+    """Base UNION live delta — the current logical inverted lists."""
+    _c, vec_t, _d = _tables(name)
     inv = store.read(spark, vec_t)
-    if store.exists(delta_t):
-        inv = inv.unionByName(store.read(spark, delta_t))
-    return inv
+    delta = _live_delta(spark, store, name)
+    return inv if delta is None else inv.unionByName(delta)
 
 
 def ivf_index_append(spark: SparkSession, store, new_vectors: DataFrame,
@@ -95,9 +113,10 @@ def ivf_index_append(spark: SparkSession, store, new_vectors: DataFrame,
         .select("vec_id", "cell", "v")
     n_added = inv_new.count()
     if n_added:
-        delta = inv_new if not store.exists(delta_t) else \
-            store.read(spark, delta_t).unionByName(inv_new)
-        store.write(delta_t, delta, key="cell")
+        live = _live_delta(spark, store, name)
+        delta = inv_new if live is None else live.unionByName(inv_new)
+        store.write(delta_t, delta, key="cell",
+                    dataset=_base_stamp(store, name))
     return n_added
 
 
@@ -107,24 +126,28 @@ def ivf_index_compact(spark: SparkSession, store, name: str) -> int:
     every vector into its cell bucket. Returns the number of delta
     rows folded (0 = nothing to do). Run on a cadence — after the
     delta passes a fraction of the base — exactly like any LSM
-    compaction; the atomic pointer means readers never see a
-    half-compacted index, and the delta is emptied LAST so a crash
-    between the two writes only re-folds idempotently (base already
-    holds the ids; the next compact sees them anti-joined away by
-    append and folds a no-op)."""
+    compaction. Crash safety is the delta's base-version stamp: the
+    base fold commits first, which instantly STALES the delta (its
+    stamp names the previous base version), so a crash between the
+    two writes leaves readers seeing exactly the post-fold index —
+    never base+delta duplicates — and the next compact (or append)
+    simply discards the stale delta instead of re-folding."""
     _c, vec_t, delta_t = _tables(name)
-    if not store.exists(delta_t):
+    delta = _live_delta(spark, store, name)
+    if delta is None:
+        if store.exists(delta_t) and store.current_dataset(delta_t) \
+                != _base_stamp(store, name):
+            # stale leftover from a crashed compact: retire it
+            store.write(delta_t, store.read(spark, delta_t).limit(0),
+                        key="cell", dataset=_base_stamp(store, name))
         return 0
-    delta = store.read(spark, delta_t)
     n = delta.count()
     if not n:
         return 0
     base = store.read(spark, vec_t)
-    # base may already hold some delta ids if a prior compact crashed
-    # after the base write — fold only the genuinely-new rows
-    fresh = delta.join(base.select("vec_id"), "vec_id", "left_anti")
-    store.write(vec_t, base.unionByName(fresh), key="cell")
-    store.write(delta_t, delta.limit(0), key="cell")
+    store.write(vec_t, base.unionByName(delta), key="cell")
+    store.write(delta_t, delta.limit(0), key="cell",
+                dataset=_base_stamp(store, name))
     return n
 
 

@@ -179,3 +179,51 @@ def test_knn_graph_multiprobe_recall_monotone(spark, emb):
         hits[p] = len(g & exact)
     assert hits[16] >= hits[1]
     assert hits[16] == len(exact)  # full probing == exact
+
+
+def test_compact_crash_window_never_duplicates(spark, tmp_path, emb):
+    """Compaction crash safety: inject a failure BETWEEN the base
+    fold and the delta-empty write. The freshly-folded base instantly
+    stales the delta (its stamp names the previous base version), so
+    queries must see each vector exactly once — never base+delta
+    duplicates — a follow-up append ignores the stale delta's rows
+    when deduping NEW ids against the logical index, and the next
+    compact retires the stale delta without re-folding."""
+    store = TableStore(str(tmp_path / "store"), n_buckets=4)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = S.seed_centroids(half_a, 8)
+    AI.ivf_index_build(spark, store, half_a, "ann", centroids=cents)
+    AI.ivf_index_append(spark, store, half_b, "ann")
+
+    orig_write = store.write
+
+    def crashing(table, df, key=None, dataset=None):
+        if table == "ann__delta":
+            raise RuntimeError("injected crash before delta empty")
+        return orig_write(table, df, key=key, dataset=dataset)
+
+    store.write = crashing
+    try:
+        with pytest.raises(RuntimeError):
+            AI.ivf_index_compact(spark, store, "ann")
+    finally:
+        store.write = orig_write
+
+    # crash window on disk: base folded, delta stale (non-empty)
+    assert store.read(spark, "ann__delta").count() > 0
+    inv = AI._index_vectors(spark, store, "ann")
+    assert inv.count() == inv.select("vec_id").distinct().count()
+    assert inv.count() == emb.count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    want = S.ivf_topk(emb, queries, k=3, centroids=cents, nprobe=2)
+    assert _rows(got) == _rows(want)
+
+    # replayed append of already-indexed rows: no-op despite the
+    # stale delta being ignored
+    assert AI.ivf_index_append(spark, store, half_b, "ann") == 0
+    # the next compact retires the stale delta without re-folding
+    assert AI.ivf_index_compact(spark, store, "ann") == 0
+    assert store.read(spark, "ann__delta").count() == 0
+    assert AI._index_vectors(spark, store, "ann").count() == emb.count()
