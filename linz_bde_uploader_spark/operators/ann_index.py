@@ -222,3 +222,18 @@ def stream_ivf_index(spark: SparkSession, src_dir: str, store,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def ivf_index_vacuum(spark: SparkSession, store, name: str,
+                     keep: int = 2) -> dict[str, list[int]]:
+    """Retention maintenance for the index's three tables (C7 applied
+    to the ANN service): every append/compact commits a new store
+    version, so a long-running ingest accretes revisions — vacuum
+    drops all but the newest ``keep`` per table (readers pinned to a
+    dropped version fail fast; keep >= 2 preserves one rollback
+    step). Returns {table: [dropped versions]}."""
+    out = {}
+    for t in _tables(name):
+        if store.exists(t):
+            out[t] = store.vacuum(t, keep=keep, spark=spark)
+    return out

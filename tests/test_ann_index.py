@@ -227,3 +227,25 @@ def test_compact_crash_window_never_duplicates(spark, tmp_path, emb):
     assert AI.ivf_index_compact(spark, store, "ann") == 0
     assert store.read(spark, "ann__delta").count() == 0
     assert AI._index_vectors(spark, store, "ann").count() == emb.count()
+
+
+def test_index_vacuum_bounds_revisions(spark, tmp_path, emb):
+    """Long-running ingest accretes a delta revision per append;
+    vacuum must bound them while the current index keeps answering
+    identically."""
+    store = TableStore(str(tmp_path / "store"), n_buckets=4)
+    parts = [emb.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+    cents = S.seed_centroids(parts[0], 4)
+    AI.ivf_index_build(spark, store, parts[0], "ann", centroids=cents)
+    for p in parts[1:]:
+        AI.ivf_index_append(spark, store, p, "ann")
+    assert len(store.versions("ann__delta")) == 3
+    queries = emb.filter(F.col("vec_id") < 10)
+    before = _rows(AI.ivf_index_query(spark, store, "ann", queries,
+                                      k=3, nprobe=2))
+    dropped = AI.ivf_index_vacuum(spark, store, "ann", keep=1)
+    assert dropped["ann__delta"] == [1, 2]
+    assert len(store.versions("ann__delta")) == 1
+    after = _rows(AI.ivf_index_query(spark, store, "ann", queries,
+                                     k=3, nprobe=2))
+    assert after == before
