@@ -133,6 +133,9 @@ def ivf_index_compact(spark: SparkSession, store, name: str) -> int:
     never base+delta duplicates — and the next compact (or append)
     simply discards the stale delta instead of re-folding."""
     _c, vec_t, delta_t = _tables(name)
+    tomb_t = _tomb_table(name)
+    n_tombs = (store.read(spark, tomb_t).count()
+               if store.exists(tomb_t) else 0)
     delta = _live_delta(spark, store, name)
     if delta is None:
         if store.exists(delta_t) and store.current_dataset(delta_t) \
@@ -140,14 +143,25 @@ def ivf_index_compact(spark: SparkSession, store, name: str) -> int:
             # stale leftover from a crashed compact: retire it
             store.write(delta_t, store.read(spark, delta_t).limit(0),
                         key="cell", dataset=_base_stamp(store, name))
-        return 0
-    n = delta.count()
-    if not n:
+        if not n_tombs:
+            return 0
+        delta = None
+    n = delta.count() if delta is not None else 0
+    if not n and not n_tombs:
         return 0
     base = store.read(spark, vec_t)
-    store.write(vec_t, base.unionByName(delta), key="cell")
-    store.write(delta_t, delta.limit(0), key="cell",
-                dataset=_base_stamp(store, name))
+    merged = base if delta is None else base.unionByName(delta)
+    # physical purge: tombstoned rows leave the base here; queries
+    # already excluded them logically, so crash ordering is free —
+    # tombstones are cleared LAST and re-applying them is a no-op
+    merged = _without_tombstones(spark, store, name, merged)
+    store.write(vec_t, merged, key="cell")
+    if delta is not None:
+        store.write(delta_t, delta.limit(0), key="cell",
+                    dataset=_base_stamp(store, name))
+    if n_tombs:
+        store.write(tomb_t,
+                    store.read(spark, tomb_t).limit(0))
     return n
 
 
@@ -164,7 +178,8 @@ def ivf_index_query(spark: SparkSession, store, name: str,
     delta, so un-compacted appends are immediately visible."""
     cent_t, _vec_t, _d = _tables(name)
     cents = store.read(spark, cent_t)
-    inv = _index_vectors(spark, store, name)
+    inv = _without_tombstones(spark, store, name,
+                              _index_vectors(spark, store, name))
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
     probes = ivf_assign(q, cents, "query_id", "qv", nprobe=nprobe) \
@@ -233,7 +248,40 @@ def ivf_index_vacuum(spark: SparkSession, store, name: str,
     dropped version fail fast; keep >= 2 preserves one rollback
     step). Returns {table: [dropped versions]}."""
     out = {}
-    for t in _tables(name):
+    for t in (*_tables(name), _tomb_table(name)):
         if store.exists(t):
             out[t] = store.vacuum(t, keep=keep, spark=spark)
     return out
+
+
+def _tomb_table(name: str) -> str:
+    return f"{name}__tombstones"
+
+
+def ivf_index_delete(spark: SparkSession, store, ids: DataFrame,
+                     name: str, id_col: str = "vec_id") -> int:
+    """Logical deletion — the takedown path a training-data index
+    needs (right-to-be-forgotten, dedup-loser eviction): ids land in
+    a small tombstone table that every query anti-joins (tombstones
+    are takedown-sized, AQE broadcasts them); the next ``compact``
+    purges the rows physically and clears the tombstones. Deletes
+    WIN until that compaction: re-appending a tombstoned id is a
+    no-op while the tombstone stands (documented contract — purge,
+    then re-add). Idempotent: the tombstone set is a distinct union.
+    Returns the total tombstone count after the write."""
+    t = _tomb_table(name)
+    new = ids.select(F.col(id_col).alias("vec_id")).distinct()
+    if store.exists(t):
+        new = store.read(spark, t).unionByName(new).distinct()
+    n = new.count()
+    store.write(t, new)
+    return n
+
+
+def _without_tombstones(spark: SparkSession, store, name: str,
+                        inv: DataFrame) -> DataFrame:
+    t = _tomb_table(name)
+    if not store.exists(t):
+        return inv
+    tombs = store.read(spark, t)
+    return inv.join(tombs, "vec_id", "left_anti")

@@ -249,3 +249,47 @@ def test_index_vacuum_bounds_revisions(spark, tmp_path, emb):
     after = _rows(AI.ivf_index_query(spark, store, "ann", queries,
                                      k=3, nprobe=2))
     assert after == before
+
+
+def test_index_delete_tombstones_then_purge(spark, tmp_path, emb):
+    """LSM delete path: tombstoned vectors vanish from query results
+    immediately (logical delete), a re-append of a tombstoned id is a
+    no-op while the tombstone stands, compact purges the rows
+    physically and clears the tombstones, and after the purge the id
+    can be re-added."""
+    store = TableStore(str(tmp_path / "store"), n_buckets=4)
+    cents = S.seed_centroids(emb, 8)
+    AI.ivf_index_build(spark, store, emb, "ann", centroids=cents)
+    queries = emb.filter(F.col("vec_id") < 6)
+    victims = emb.filter(F.col("vec_id").isin(20, 22)).cache()
+
+    n_t = AI.ivf_index_delete(spark, store, victims.select("vec_id"),
+                              "ann")
+    assert n_t == 2
+    # idempotent delete
+    assert AI.ivf_index_delete(spark, store, victims.select("vec_id"),
+                               "ann") == 2
+
+    got = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    kept = emb.filter(~F.col("vec_id").isin(20, 22))
+    want = S.ivf_topk(kept, queries, k=3, centroids=cents, nprobe=2)
+    assert _rows(got) == _rows(want)
+
+    # re-append while tombstoned: no-op (delete wins until compact)
+    assert AI.ivf_index_append(spark, store, victims, "ann") == 0
+
+    # compact purges physically and clears tombstones
+    AI.ivf_index_compact(spark, store, "ann")
+    assert store.read(spark, "ann__tombstones").count() == 0
+    assert AI._index_vectors(spark, store, "ann") \
+        .filter(F.col("vec_id").isin(20, 22)).count() == 0
+    after = AI.ivf_index_query(spark, store, "ann", queries,
+                               k=3, nprobe=2)
+    assert _rows(after) == _rows(want)
+
+    # after the purge the ids can come back
+    assert AI.ivf_index_append(spark, store, victims, "ann") == 2
+    back = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    full = S.ivf_topk(emb, queries, k=3, centroids=cents, nprobe=2)
+    assert _rows(back) == _rows(full)
+    victims.unpersist()
