@@ -21,76 +21,66 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from linz_bde_uploader_spark.plans.analytics_suite import ANALYTICS_QUERIES
 from linz_bde_uploader_spark.plans.engine_suite import ENGINE_QUERIES
 from linz_bde_uploader_spark.plans.pipeline_suite import PIPELINE_QUERIES
+from linz_bde_uploader_spark.plans.probe_suite import PROBE_QUERIES
 
-_ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
+_ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES,
+        **PROBE_QUERIES}
 
 # The driver's correctness gate snapshots ~50 queries per round in dict
-# order. Round-7 rotation, honoring r6's two-green promise: lead with
-# the two extraction-bisection entries (events_json_props switched to
-# engine-neutral regexp extraction after three hash-red rounds proved
-# the JSON libraries diverge; events_json_k_hist keeps the original
-# get_json_object/->>' pair and names any diverging k multiset), then
-# the 14 entries r6 deferred (8 r4-only greens + 6 r6-new never
-# driver-checked), the 10 queries new in r7 (the k-hist above, two
-# multimodal signal oracles, the BPE merge table, the all-corpus kNN
-# graph, the per-source datasheet, CUBE, EXCEPT/INTERSECT, the
-# persistent-IVF-index query, and the drift monitor), the 14
-# r6-first-greens needing their second green — docs_contrastive_pairs
-# among them now carries the rewritten size-bounded pool plan — and a
-# tail of the stalest confirmed rows (event_duration at last-green r4,
-# the 2-green last-r5 text/docs batch, and 6 of the 12 core-engine
-# CDC rows last checked r4).
+# order. Round-8 rotation: lead with the 7-entry constant-only PROBE
+# battery (plans/probe_suite.py — each publishes ONE construct from
+# constants so a red names the diverging construct; three are
+# EXPECTED-RED diagnostics that pin the proven root cause of every
+# r4-r7 local-green/driver-red row: the driver's pandas fetch path
+# degrades HUGEINT / DECIMAL / nullable-int oracle columns to float64.
+# The local twin of that gate is check_oracle --exact --pandas, which
+# reproduced the r7 44/6 split exactly, and audit_oracle_types.py now
+# bans those types from every real oracle). Then the 6 r7 reds under
+# their fixed portable-type shapes, the 2 queries whose shapes changed
+# in the same sweep (cdc_incremental_agg / orders_salted_join were
+# green by few-rows luck — their oracles published DECIMAL too), the
+# 9 rotation-deferred entries owed a fresh green since r4, the 20
+# r7-first-greens owed their second green, and 6 stale-green fillers
+# (last checked r5).
 _DRIVER_FIRST = [
-    "events_json_props",  # red r4/r5/r6; r7 = engine-neutral regex
-    "events_json_k_hist",  # NEW r7: extractor-divergence bisection
-    # r4-only greens deferred from r6 (each was locally --exact green)
-    "sim_ivf_topk", "pipeline_prep", "sim_near_pairs", "emb_near_dedup",
-    "dedup_near_survivors", "text_paragraph_dedup", "events_sessionize",
-    "events_window_agg",
-    # r6-new, never driver-checked (locally --exact green in r6)
-    "sim_recall_report", "q11_important_parts", "cdc_minmax_refresh",
-    "docs_quality_deciles", "docs_dedup_report", "docs_epoch_plan",
-    # NEW in r7
-    "multimodal_audio_bands",  # FFT band energies, symbolic sin^2 oracle
-    "multimodal_motion_stats",  # FVID motion, closed-form id oracle
-    "text_bpe_merges",  # BPE merge table, unrolled greedy-islands oracle
-    "sim_knn_graph",  # all-corpus ANN graph (bucket self-join)
-    "docs_datasheet",  # per-source corpus data card (hash-keyed dedup)
-    "events_cube",  # CUBE grouping sets + grouping_id
-    "events_except_intersect",  # EXCEPT/INTERSECT segments
-    "sim_ivf_index_query",  # persistent IVF index: build/persist/query
-    "docs_drift_report",  # corpus drift monitor (TV distance, integer)
-    # r6 first-greens -> second confirmation
-    "sim_lsh_probes", "docs_dsir_topk", "sim_pq_topk", "emb_semantic_dedup",
-    "sim_ivfpq_topk", "docs_gopher_rules", "docs_bloom_decontam",
-    "docs_dup_spans", "emb_pca_cov", "docs_split_leakage_safe",
-    "docs_quality_margin",
-    "docs_contrastive_pairs",  # r7 plan rewrite: size-bounded pool
-    "multimodal_ahash_groups", "cdc_incremental_agg",
-    # stalest confirmed rows
-    "event_duration",  # 3 greens, last r4
-    # 2 greens, last r5
-    "docs_pack_sequences", "docs_source_rebalance", "text_bpe_tokens",
-    "docs_length_histogram",
-    # core-engine CDC rows, 4 greens each, last r4
-    "cdc_classify", "cdc_apply", "full_diff", "keyswap_repair",
-    "changeset_prepare", "dataset_watermark",
-    # --- 50-slot cutoff lands here. Deferred with compensating
-    # coverage: cdc_stats / tolerance_check (4 driver greens each and
-    # in the sf0.001 FAST_QUERIES differential every session);
-    # latest_dataset / union_lock_candidates / string_agg_owners
-    # (4 driver greens each, last r4; share their code paths with the
-    # driver-slotted dataset_watermark / keyswap_repair rows);
-    # everything else holds >=2 greens with the most recent in r5/r6
-    # and keeps local coverage via check_oracle --exact; text_quality /
-    # text_fingerprint / text_lang_id / docs_hash_sample are
-    # rotation-complete (2 greens) and in the freshness queue behind
-    # the zero-green rows events_cube / events_except_intersect /
-    # sim_ivf_index_query / docs_drift_report that took their slots.
+    # constant-only probe battery (diagnosis, 7 slots)
+    "probe_floor_div", "probe_mod_sign", "probe_hugeint_sum",
+    "probe_decimal_trailing", "probe_nullable_int",
+    "probe_weekday_locale", "probe_double_div",
+    # r7 reds, re-shaped to portable published types (ORACLE.md):
+    # sum_k CAST BIGINT + engine-pinned floor-div; value/extrema/sum
+    # published as integer cents; decile/n_repeats CAST BIGINT; cube
+    # weekday via fixed-name CASE (locale-free, NULL-safe VARCHAR)
+    "events_json_props", "q11_important_parts", "cdc_minmax_refresh",
+    "docs_quality_deciles", "docs_epoch_plan", "events_cube",
+    # same sweep, were green by luck (few rows) — re-shaped to cents
+    "cdc_incremental_agg", "orders_salted_join",
+    # rotation-deferred since r4, owed a fresh green
     "text_quality", "text_fingerprint", "text_lang_id",
-    "docs_hash_sample",
-    "cdc_stats", "tolerance_check",
+    "docs_hash_sample", "cdc_stats", "tolerance_check",
     "latest_dataset", "union_lock_candidates", "string_agg_owners",
+    # r7 first-greens -> second confirmation
+    "events_json_k_hist", "multimodal_audio_bands",
+    "multimodal_motion_stats", "text_bpe_merges", "sim_knn_graph",
+    "docs_datasheet", "events_except_intersect", "sim_ivf_index_query",
+    "docs_drift_report", "sim_ivf_topk", "pipeline_prep",
+    "sim_near_pairs", "emb_near_dedup", "dedup_near_survivors",
+    "text_paragraph_dedup", "events_sessionize", "events_window_agg",
+    "sim_recall_report", "docs_dedup_report", "docs_contrastive_pairs",
+    # stale greens, last checked r5 (4 greens each)
+    "text_ngram_topk", "dedup_decontaminate", "docs_source_mix",
+    "docs_chunking", "docs_length_percentiles", "text_repetition",
+    # --- 50-slot cutoff lands here. Deferred with compensating
+    # coverage: every remaining entry holds >=2 driver greens with the
+    # most recent in r5-r7 (the whole r7 tail re-confirmed its CDC
+    # core rows cdc_classify/cdc_apply/full_diff/keyswap_repair/
+    # changeset_prepare/dataset_watermark plus event_duration and the
+    # sim_*/docs_* batches), stays covered by the sf0.001
+    # FAST_QUERIES pytest differential, and is locally green under
+    # check_oracle --exact --pandas — which r7 proved predicts the
+    # driver's gate exactly (reproduced the 44/6 split byte-for-byte).
+    "cdc_classify", "cdc_apply", "full_diff", "keyswap_repair",
+    "changeset_prepare", "dataset_watermark", "event_duration",
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

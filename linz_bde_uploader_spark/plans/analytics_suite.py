@@ -523,26 +523,50 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     every set map-side, same as ROLLUP; the cube is one shuffle, not
     four queries). The integer grouping id disambiguates real NULL
     group values from subtotal rows — the reason GROUPING() exists
-    in the standard."""
+    in the standard.
+
+    Portability (r8): the weekday derives from the integer ISO
+    day-of-week (Spark ``dayofweek`` is 1=Sun..7=Sat, remapped
+    arithmetically; DuckDB ``isodow``) mapped to FIXED 3-letter
+    names through an explicit CASE on both sides — the r7 shape used
+    ``date_format(ts, 'E')`` weekday NAMES, which are JVM-locale
+    dependent where DuckDB's ``%a`` is English-fixed. Publishing the
+    ISO number directly is also out: CUBE makes the column nullable
+    (subtotal rows), and a NULLABLE integer column degrades to
+    float64 (``1`` -> ``'1.0'``) on the driver's pandas fetch path,
+    while VARCHAR survives with None. And the sum is published as
+    integer cents BIGINT: the r7 red's proven cause was the
+    DECIMAL(38,2) column degrading to float64 on that same fetch
+    (its ROLLUP twin publishing the same sum CAST to DOUBLE stayed
+    green — the minimal pair that pinned the root cause; see
+    ORACLE.md)."""
     events = load_table(spark, sf_dir, "events")
-    dow = F.date_format(F.col("ts").cast("timestamp"), "E").alias("dow")
+    dow = F.expr(
+        "CASE (dayofweek(CAST(ts AS TIMESTAMP)) + 5) % 7 + 1"
+        " WHEN 1 THEN 'Mon' WHEN 2 THEN 'Tue' WHEN 3 THEN 'Wed'"
+        " WHEN 4 THEN 'Thu' WHEN 5 THEN 'Fri' WHEN 6 THEN 'Sat'"
+        " WHEN 7 THEN 'Sun' END").alias("dow")
     return (
         events.select("event_type", dow, "value")
         .cube("event_type", "dow")
         .agg(F.count("*").alias("n_events"),
              F.grouping_id().cast("bigint").alias("gid"),
-             F.sum(F.col("value").cast("decimal(18,2)"))
-             .cast("decimal(38,2)").alias("sum_value"))
+             F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100"
+                    " AS BIGINT)").alias("sum_value_cents"))
     )
 
 
 SQL_EVENTS_CUBE = """
 SELECT event_type, dow, COUNT(*) AS n_events,
        CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS sum_value_cents
 FROM (
   SELECT event_type,
-         strftime(CAST(ts AS TIMESTAMP), '%a') AS dow,
+         CASE isodow(CAST(ts AS TIMESTAMP))
+           WHEN 1 THEN 'Mon' WHEN 2 THEN 'Tue' WHEN 3 THEN 'Wed'
+           WHEN 4 THEN 'Thu' WHEN 5 THEN 'Fri' WHEN 6 THEN 'Sat'
+           WHEN 7 THEN 'Sun' END AS dow,
          value
   FROM events
 ) GROUP BY CUBE (event_type, dow)
@@ -904,9 +928,23 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON libraries from the equation; the original extractor pair
     stays observable via the driver-gated ``events_json_k_hist``
     bisection query below, which names any diverging k multiset.
-    k is non-negative in this domain, so Spark's ``DIV`` (toward
-    zero) and DuckDB's ``//`` agree exactly, and ``sum_k * 1e6``
-    stays far below the BIGINT range."""
+
+    Round 8 (the actual root cause, found by type audit): the FOURTH
+    red arrived on the regex shape while k_hist — the same multiset
+    through the ORIGINAL extractors — came back green, exonerating
+    extraction entirely. The audit then showed this oracle published
+    ``SUM(k)`` uncast, which in DuckDB is HUGEINT — a type the
+    driver's pandas fetch degrades to float64, rendering ``248.0``
+    against Spark's ``248``; k_hist publishes only BIGINT and VARCHAR
+    columns, which survive the conversion, exactly matching the
+    green/red split. Fix: ``sum_k`` is CAST to BIGINT, and the
+    average's integer division is engine-pinned as a FLOOR division
+    via %-subtraction (``(a - ((a%b)+b)%b)`` is exactly divisible by
+    ``b``, and both engines agree on C-style sign-follows-dividend
+    ``%``), so neither HUGEINT rendering nor any trunc-vs-floor
+    ``DIV``/``//`` drift across engine builds can reach the hash."""
+    from linz_bde_uploader_spark.functions.portable import floor_div_spark
+
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.regexp_extract("props", r'"k"\s*:\s*(-?[0-9]+)', 1)
@@ -914,24 +952,34 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type")
         .agg(F.count("k").alias("n_k"),
-             F.sum("k").alias("sum_k"),
+             F.sum("k").cast("bigint").alias("sum_k"),
              F.min("k").alias("min_k"),
              F.max("k").alias("max_k"))
-        .withColumn("avg_k_micro",
-                    F.expr("CAST((sum_k * 1000000) DIV n_k AS BIGINT)"))
+        .withColumn(
+            "avg_k_micro",
+            F.expr(f"CAST({floor_div_spark('sum_k * 1000000', 'n_k')}"
+                   " AS BIGINT)"))
     )
 
 
-SQL_EVENTS_JSON = r"""
+def _sql_events_json() -> str:
+    from linz_bde_uploader_spark.functions.portable import floor_div_duck
+
+    q = floor_div_duck("CAST(SUM(k) AS BIGINT) * 1000000", "COUNT(k)")
+    return rf"""
 SELECT event_type,
-       COUNT(k) AS n_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
-       CAST((SUM(k) * 1000000) // COUNT(k) AS BIGINT) AS avg_k_micro
+       COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST({q} AS BIGINT) AS avg_k_micro
 FROM (SELECT event_type,
              TRY_CAST(NULLIF(regexp_extract(props,
                  '"k"\s*:\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k
       FROM events)
 GROUP BY event_type
 """
+
+
+SQL_EVENTS_JSON = _sql_events_json()
 
 
 def q_events_json_k_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,7 +1274,12 @@ def q_orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL join — that equality is exactly what this entry oracles. At
     scale this is the manual fix for a hot customer key when the dim
     side is too big to broadcast and AQE's split still leaves a
-    straggler. DECIMAL revenue sum for cross-engine bit stability."""
+    straggler. DECIMAL accumulation for cross-engine bit stability;
+    the revenue is PUBLISHED as integer cents — a DECIMAL(38,2)
+    result column degrades to float64 on the driver's pandas fetch
+    path, and this query's historical greens were few-rows luck
+    (5 segments; red only when a total lands on a trailing-zero
+    cent digit — see ORACLE.md)."""
     from linz_bde_uploader_spark.operators.skew import salted_join
 
     orders = load_table(spark, sf_dir, "orders") \
@@ -1237,14 +1290,15 @@ def q_orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"),
-             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-             .cast("decimal(38,2)").alias("revenue"))
+             F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                    " AS BIGINT)").alias("revenue_cents"))
     )
 
 
 SQL_SALTED_JOIN = """
 SELECT c_mktsegment, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -1258,7 +1312,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back; the threshold compares DECIMAL x integer
     cross-multiplications (value*np*2 > total*3), so no float ratio
     exists to diverge between engines. Supplier dim broadcasts into
-    the fact scan."""
+    the fact scan. The value is PUBLISHED as integer cents
+    (``value_cents`` BIGINT): the r7 driver snapshot proved a
+    DECIMAL(38,2) result column degrades to float64 on the driver's
+    pandas fetch path (``123.40`` renders ``'123.4'`` against
+    Spark's scale-preserving Decimal), so DECIMAL stays internal to
+    the exact arithmetic and only portable types cross the gate
+    (ORACLE.md doctrine)."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier") \
         .filter(F.col("s_nationkey") == 7).select("s_suppkey")
@@ -1272,8 +1332,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v.join(F.broadcast(tot))
         .filter(F.col("value") * F.col("np") * 2 > F.col("total") * 3)
-        .select("l_partkey", F.col("value").cast("decimal(38,2)")
-                .alias("value"))
+        .select("l_partkey",
+                F.expr("CAST(value * 100 AS BIGINT)").alias("value_cents"))
     )
 
 
@@ -1283,7 +1343,7 @@ WITH v AS (
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   WHERE s_nationkey = 7 GROUP BY l_partkey),
 t AS (SELECT SUM(value) AS total, COUNT(*) AS np FROM v)
-SELECT l_partkey, CAST(value AS DECIMAL(38,2)) AS value
+SELECT l_partkey, CAST(value * 100 AS BIGINT) AS value_cents
 FROM v, t WHERE value * np * 2 > total * 3
 """
 

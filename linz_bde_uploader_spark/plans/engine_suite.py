@@ -468,12 +468,21 @@ def q_cdc_incremental_agg(spark, sf_dir: str):
     differentially proves the delta algebra (insert adds, delete
     subtracts, update moves between groups) is exactly equivalent to
     a from-scratch refresh; DECIMAL accumulation makes the equality
-    exact rather than within-float-drift."""
+    exact rather than within-float-drift. The total is PUBLISHED as
+    integer cents: a DECIMAL(38,2) result column degrades to float64
+    on the driver's pandas fetch path, and this query's two driver
+    greens were 3-rows-of-luck (no total happened to carry a
+    trailing-zero cent digit, the one case where Decimal and float
+    render apart) — its sibling cdc_minmax_refresh with 6 published
+    decimals drew the short straw (ORACLE.md)."""
     cur, stg, chg = cdc_frames(spark, sf_dir)
     actions = M.classify_actions(cur, stg, chg, "o_orderkey",
                                  ORDER_COLS).cache()
-    return M.maintain_aggregate(cur, stg, actions, "o_orderkey",
-                                ["o_orderstatus"], "o_totalprice")
+    agg = M.maintain_aggregate(cur, stg, actions, "o_orderkey",
+                               ["o_orderstatus"], "o_totalprice")
+    return agg.select(
+        "o_orderstatus", "n", "n_vals",
+        F.expr("CAST(total * 100 AS BIGINT)").alias("total_cents"))
 
 
 SQL_CDC_INCR_AGG = f"""WITH {_CDC_CTES},
@@ -484,8 +493,8 @@ merged AS (
   SELECT o_orderstatus, o_totalprice FROM stg
   WHERE o_orderkey IN (SELECT key FROM act WHERE action IN ('I','U','X')))
 SELECT o_orderstatus, COUNT(*) AS n, COUNT(o_totalprice) AS n_vals,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
-       AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+       AS total_cents
 FROM merged GROUP BY o_orderstatus
 """
 
@@ -504,7 +513,12 @@ def q_cdc_minmax_refresh(spark, sf_dir: str):
     cannot be undone by delta arithmetic, so touched groups rescan).
     The oracle recomputes everything directly from the merged state:
     a hash match proves the carry-forward/recompute split is exactly
-    equivalent to a full refresh."""
+    equivalent to a full refresh. Extrema are PUBLISHED as integer
+    cents (DECIMAL stays internal): the r7 driver red was the
+    DECIMAL(12,2) columns degrading to float64 on the driver's
+    pandas fetch path, not the operator — proven by the local
+    ``check_oracle --pandas`` emulation reproducing the exact
+    driver red/green split (ORACLE.md)."""
     cur, stg, chg = cdc_frames(spark, sf_dir)
     actions = M.classify_actions(cur, stg, chg, "o_orderkey",
                                  ORDER_COLS).cache()
@@ -513,9 +527,13 @@ def q_cdc_minmax_refresh(spark, sf_dir: str):
     old = cur.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.min(v).alias("vmin"),
         F.max(v).alias("vmax"))
-    return M.maintain_extrema(cur, stg, actions, "o_orderkey",
-                              ["o_orderstatus"], "o_totalprice",
-                              merged, old_extrema=old)
+    mm = M.maintain_extrema(cur, stg, actions, "o_orderkey",
+                            ["o_orderstatus"], "o_totalprice",
+                            merged, old_extrema=old)
+    return mm.select(
+        "o_orderstatus", "n",
+        F.expr("CAST(vmin * 100 AS BIGINT)").alias("vmin_cents"),
+        F.expr("CAST(vmax * 100 AS BIGINT)").alias("vmax_cents"))
 
 
 SQL_CDC_MINMAX = f"""WITH {_CDC_CTES},
@@ -526,8 +544,10 @@ merged AS (
   SELECT o_orderstatus, o_totalprice FROM stg
   WHERE o_orderkey IN (SELECT key FROM act WHERE action IN ('I','U','X')))
 SELECT o_orderstatus, COUNT(*) AS n,
-       MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS vmin,
-       MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS vmax
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+         AS vmin_cents,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+         AS vmax_cents
 FROM merged GROUP BY o_orderstatus
 """
 

@@ -3380,7 +3380,14 @@ cum AS (
          AS cum
   FROM hist),
 n AS (SELECT COUNT(*) AS n FROM margins),
-dec AS (SELECT margin_milli, (cum - 1) * 10 // n.n AS decile FROM cum, n)
+dec AS (SELECT margin_milli,
+               -- CAST: cum is a windowed SUM -> HUGEINT in DuckDB, and
+               -- an uncast HUGEINT result column degrades to float64
+               -- ('3.0' vs Spark's '3') on the driver's pandas fetch
+               -- path — the proven r7 red cause (ORACLE.md). Operands
+               -- are non-negative, so // and DIV agree exactly.
+               CAST((cum - 1) * 10 // n.n AS BIGINT) AS decile
+        FROM cum, n)
 SELECT m.doc_id, m.margin_milli, d.decile
 FROM margins m JOIN dec d USING (margin_milli)
 """
@@ -3601,10 +3608,14 @@ rates AS (
          AS r_milli
   FROM per, tot)
 SELECT d.doc_id, d.source,
-       r_milli // 1000
-       + CASE WHEN {sql_hash32("'ep:' || CAST(d.doc_id AS VARCHAR)")} % 1000
-                   < r_milli % 1000
-              THEN 1 ELSE 0 END AS n_repeats
+       -- CAST: r_milli descends from a SUM -> HUGEINT in DuckDB; an
+       -- uncast HUGEINT result column degrades to float64 on the
+       -- driver's pandas fetch path — the proven r7 red cause
+       -- (ORACLE.md). All operands non-negative: // == DIV exactly.
+       CAST(r_milli // 1000
+            + CASE WHEN {sql_hash32("'ep:' || CAST(d.doc_id AS VARCHAR)")}
+                        % 1000 < r_milli % 1000
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
 FROM documents d JOIN rates USING (source)
 """
 

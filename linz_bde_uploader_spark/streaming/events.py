@@ -289,24 +289,42 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     def refresh_view(cur, stg, actions, merged, ds) -> None:
         # Replay guard (exactly-once view maintenance under
         # at-least-once foreachBatch): each view table carries the
-        # dataset it last incorporated as its revision comment; a
-        # stamp equal to the incoming dataset means a crashed batch
-        # already applied this delta before the checkpoint committed,
-        # so the replay must NOT apply it again. Each view guards
+        # dataset it last incorporated as its revision comment, and a
+        # view write is skipped when that stamp is AT OR PAST the
+        # incoming dataset. Datasets apply in sorted order (see
+        # apply_batch), so stamps are monotone and ">= ds" means "a
+        # crashed batch already applied this delta before the
+        # checkpoint committed". The comparison must be ordered, not
+        # equality: for a crashed multi-dataset batch [d1, d2] that
+        # died after d2's view write but before d2's base write, the
+        # replay re-runs d1 first — its all-'0' refresh is a no-op
+        # delta, but an equality guard ("stamp != d1 -> write") would
+        # re-STAMP the view back to d1, so d2's guard would then pass
+        # and d2's delta would apply a second time, silently
+        # double-counting the view. With the ordered guard the d1
+        # replay leaves the d2 stamp in place. Each view guards
         # itself and the base-table write comes LAST, so every crash
         # window replays correctly: before a view write the delta is
         # re-derived from the still-pre-merge base; after it the
-        # stamp skips the double-apply.
+        # stamp skips the double-apply. (Dataset names are
+        # fixed-width timestamps, so lexicographic order is
+        # chronological order — same invariant the repository's
+        # dataset ordering O1 relies on.)
         if view_group_cols is None or view_value_col is None:
             return
-        if store.current_dataset(view_table) != ds:
+
+        def behind(table: str) -> bool:
+            stamp = store.current_dataset(table)
+            return stamp is None or stamp < ds
+
+        if behind(view_table):
             old = (store.read(spark, view_table)
                    if store.exists(view_table) else None)
             view = M.maintain_aggregate(cur, stg, actions, key,
                                         view_group_cols, view_value_col,
                                         old_agg=old)
             store.write(view_table, view, dataset=ds)
-        if view_minmax and store.current_dataset(mm_table) != ds:
+        if view_minmax and behind(mm_table):
             old_mm = (store.read(spark, mm_table)
                       if store.exists(mm_table) else None)
             mm = M.maintain_extrema(cur, stg, actions, key,

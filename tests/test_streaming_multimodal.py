@@ -928,6 +928,129 @@ def test_streaming_view_replay_guard_crash_window(spark, tmp_path):
     assert stored_mm() == direct_mm()
 
 
+PAB1_L5C = PAB1_L5B.replace("4457330|40|29694600|N|300|",
+                            "4457330|50|29694600|N|300|") \
+    .replace("START\t 2016-06-01 17:40:00", "START\t 2016-06-02 17:40:00") \
+    .replace("END\t 2016-06-02 17:40:00", "END\t 2016-06-03 17:40:00")
+
+XAUD_C = """\
+HEDR\t 2.0.0
+SOFTWARE cbe_b30 V1.0.1
+SCHEMA\t V1.0
+USER\t crs_bde
+START\t 2016-06-03 17:40:00
+END\t 2016-06-03 17:40:00
+SQL\t SELECT * FROM cbe_data
+TABLE\tcbe_data
+COLUMN\t id                             integer NOT NULL
+COLUMN\t tablename                      varchar NOT NULL
+COLUMN\t tablekeyvalue                  integer NOT NULL
+COLUMN\t action                         char NOT NULL
+COLUMN\t timestamp                      datetime NOT NULL
+DESC
+SIZE          60
+{CRS-DATA}
+1|crs_parcel_bndry|300|U|2016-06-03 17:40:00|
+"""
+
+
+def test_streaming_view_replay_guard_multi_dataset_crash(spark, tmp_path):
+    """The ORDERED replay guard's reason to exist: one micro-batch
+    carries TWO datasets [d2, d3]; d2 applies fully (views + base),
+    d3's views apply, then the batch crashes before d3's base write.
+    The restarted stream replays BOTH datasets. d2's replay derives
+    an all-'0' no-op delta — harmless arithmetically — but an
+    equality guard ("stamp != d2 -> write") would re-stamp the views
+    back to d2, so d3's guard would then pass and d3's delta would
+    silently double-count. The ordered guard (skip when stamp >= ds)
+    leaves d3's stamp standing through d2's replay; after recovery
+    every view must equal a direct aggregate of the merged base."""
+    from decimal import Decimal
+
+    from linz_bde_uploader_spark.sources.crs import parse_header, read_crs
+    from linz_bde_uploader_spark.sources.store import TableStore
+    from tests.fixtures import write_crs
+
+    root = write_repository(str(tmp_path / "repo"))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    l0_file = os.path.join(root, "level_0", "20160601000000", "pab1.crs")
+    store.write("crs_parcel_bndry", read_crs(spark, l0_file), key="audit_id")
+    schema = parse_header(l0_file).schema()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                                 "audit_id", schema, "pab1", ckpt,
+                                 view_group_cols=["reversed"],
+                                 view_value_col="sequence",
+                                 view_minmax=True)
+
+    def direct():
+        t = store.read(spark, "crs_parcel_bndry")
+        return {r["reversed"]: (r["n"], r["total"]) for r in
+                t.groupBy("reversed")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("sequence").cast("decimal(12,2)"))
+                     .cast("decimal(38,2)").alias("total")).collect()}
+
+    def stored_view():
+        v = store.read(spark, "crs_parcel_bndry__agg")
+        return {r["reversed"]: (r["n"], r["total"]) for r in v.collect()}
+
+    def direct_mm():
+        t = store.read(spark, "crs_parcel_bndry")
+        vv = F.col("sequence").cast("decimal(12,2)")
+        return {r["reversed"]: (r["n"], r["vmin"], r["vmax"]) for r in
+                t.groupBy("reversed")
+                .agg(F.count("*").alias("n"), F.min(vv).alias("vmin"),
+                     F.max(vv).alias("vmax")).collect()}
+
+    def stored_mm():
+        v = store.read(spark, "crs_parcel_bndry__minmax")
+        return {r["reversed"]: (r["n"], r["vmin"], r["vmax"])
+                for r in v.collect()}
+
+    run()  # drain the repository's built-in L5 dataset, seed views
+    assert stored_view() == direct()
+
+    ds2, ds3 = "20160602000000", "20160603000000"
+    for ds, pab, xaud in ((ds2, PAB1_L5B, XAUD_B), (ds3, PAB1_L5C, XAUD_C)):
+        d = os.path.join(root, "level_5", ds)
+        write_crs(os.path.join(d, "pab1.crs"), pab)
+        write_crs(os.path.join(d, "xaud.crs"), xaud)
+
+    orig_write = store.write
+
+    def crashing_write(table, df, key=None, dataset=None):
+        if table == "crs_parcel_bndry" and dataset == ds3:
+            raise RuntimeError("injected crash before d3 base write")
+        return orig_write(table, df, key=key, dataset=dataset)
+
+    store.write = crashing_write
+    try:
+        with pytest.raises(Exception):
+            run()
+    finally:
+        store.write = orig_write
+
+    # crash window on disk: d2 fully applied, d3 views stamped ahead
+    # of the base
+    assert store.current_dataset("crs_parcel_bndry") == ds2
+    assert store.current_dataset("crs_parcel_bndry__agg") == ds3
+    assert stored_view() != direct()  # d3's view delta really applied
+
+    run()  # restart replays [d2, d3]; d2's no-op must not regress the
+    # stamp, d3's views must not double-apply, d3's base must merge
+    assert store.current_dataset("crs_parcel_bndry") == ds3
+    assert stored_view() == direct()
+    assert stored_mm() == direct_mm()
+    assert isinstance(next(iter(stored_view().values()))[1], Decimal)
+
+    run()  # fully-committed re-drain stays a no-op
+    assert stored_view() == direct()
+    assert stored_mm() == direct_mm()
+
+
 def test_stream_drift_monitor(spark, tmp_path):
     """Streaming drift monitor: the first drain freezes the per-source
     reference histogram with drift 0; a same-distribution batch keeps
