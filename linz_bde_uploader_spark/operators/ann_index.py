@@ -21,7 +21,12 @@ Scale design:
   re-scored), exactly how FAISS's `add` works after `train`.
 - Appends are idempotent: an anti join on the id drops vectors the
   index already holds, so an at-least-once upstream (a replayed
-  micro-batch) cannot duplicate inverted-list entries.
+  micro-batch) cannot duplicate inverted-list entries. The check is
+  cell-scoped (frozen centroids assign a re-delivered vector to the
+  same cell), so the membership read bucket-prunes to the batch's
+  cells instead of scanning the base id column — append cost stays
+  flat as the base grows. Tombstoned ids are dropped too: delete
+  wins until compaction, in every crash state.
 - Appends are LSM-shaped: new vectors land in a small ``__delta``
   table (write amplification O(|delta|) per append, bounded by
   compaction cadence) and queries read base UNION delta;
@@ -101,16 +106,45 @@ def ivf_index_append(spark: SparkSession, store, new_vectors: DataFrame,
     of the existing lists), anti-join away ids the index already
     holds (idempotent under replay), and commit into the small
     ``__delta`` table — the LSM write path: per-append cost is
-    O(|delta|), NEVER a rewrite of the corpus-sized base. Returns
-    the number of vectors actually added."""
+    O(|delta|) on the write side, NEVER a rewrite of the
+    corpus-sized base. Returns the number of vectors actually added.
+
+    The idempotency check is CELL-SCOPED: the batch assigns to its
+    cells first, and the membership anti-join reads only THOSE
+    cells' inverted lists (the same bounded collect-and-IN-filter
+    bucket-prune as the query path), not the full base id column —
+    the r7 shape scanned and shuffled every base id per micro-batch,
+    an O(index) read that contradicted the O(|delta|) claim and
+    would have been the next bottleneck at 100 TB. Correctness:
+    centroids are frozen, so a re-delivered vector re-assigns to the
+    SAME cell and is caught there. (Corollary contract: re-appending
+    an id with a *different* embedding is an update, not an append —
+    it may assign to a different cell and must go through
+    delete-then-compact-then-append.)
+
+    Tombstoned ids are also anti-joined away (takedown-sized
+    broadcast): a standing tombstone means "delete wins until
+    compaction", and that must hold in every crash state — without
+    it, a compact that crashed after its base fold but before its
+    tombstone clear would let a re-append report n_added>0 while the
+    standing tombstone hides the row and the next compact physically
+    drops it (a row the caller was told was added, silently lost)."""
     cent_t, _vec_t, delta_t = _tables(name)
     cents = store.read(spark, cent_t)
-    old_ids = _index_vectors(spark, store, name).select("vec_id")
     c = new_vectors.select(F.col(id_col).alias("vec_id"),
                            _as_double(F.col(vec_col)).alias("v"))
-    fresh = c.join(old_ids, "vec_id", "left_anti")
-    inv_new = ivf_assign(fresh, cents, "vec_id", "v", nprobe=1) \
+    assigned = ivf_assign(c, cents, "vec_id", "v", nprobe=1) \
         .select("vec_id", "cell", "v")
+    batch_cells = [r["cell"] for r in
+                   assigned.select("cell").distinct().collect()]
+    old_ids = (_index_vectors(spark, store, name)
+               .filter(F.col("cell").isin(batch_cells))
+               .select("vec_id"))
+    inv_new = assigned.join(old_ids, "vec_id", "left_anti")
+    tomb_t = _tomb_table(name)
+    if store.exists(tomb_t):
+        inv_new = inv_new.join(store.read(spark, tomb_t), "vec_id",
+                               "left_anti")
     n_added = inv_new.count()
     if n_added:
         live = _live_delta(spark, store, name)

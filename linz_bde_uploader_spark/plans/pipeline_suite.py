@@ -1118,17 +1118,29 @@ def q_sim_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     build -> persist -> bucket-pruned query loses nothing relative to
     the direct operator is exactly the point; the incremental-append
     and snapshot-isolation contracts are pinned by
-    tests/test_ann_index.py."""
+    tests/test_ann_index.py. The on-disk index is ephemeral to this
+    entry, so the result is materialized (localCheckpoint — the
+    returned plan must not reference the deleted files) and the
+    store directory removed before returning: every driver/bench/
+    pytest invocation previously leaked a full index copy
+    (centroids + inverted lists) into /tmp."""
+    import shutil
     import tempfile
 
     from linz_bde_uploader_spark.operators import ann_index as AI
     from linz_bde_uploader_spark.sources.store import TableStore
 
     emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    store = TableStore(tempfile.mkdtemp(prefix="annidx_"), n_buckets=8)
-    AI.ivf_index_build(spark, store, emb, "ann", n_centroids=8)
-    queries = emb.filter(F.col("vec_id") < 10)
-    return AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    tmp = tempfile.mkdtemp(prefix="annidx_")
+    try:
+        store = TableStore(tmp, n_buckets=8)
+        AI.ivf_index_build(spark, store, emb, "ann", n_centroids=8)
+        queries = emb.filter(F.col("vec_id") < 10)
+        out = AI.ivf_index_query(spark, store, "ann", queries,
+                                 k=3, nprobe=2)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 SQL_SIM_IVF_TOPK = """
@@ -1494,13 +1506,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder bug (row order, padding, BGR swap, PCM framing) breaks
     the hash match even though DuckDB never touches a byte of the
     payload. Deterministic for any sf_dir (payloads derive from ids,
-    not table data)."""
+    not table data). width/height publish as DOUBLE: they are NULL
+    for audio rows, and a NULLABLE integer column degrades to
+    float64 on the driver's pandas fetch path ('12.0' vs '12' — the
+    construct probe_nullable_int pins; found by the r8 full
+    check_oracle --pandas sweep before the driver could)."""
     from linz_bde_uploader_spark.operators import multimodal as MM
 
     media = MM.synthetic_media(spark, n=60)
     stats = MM.decode_stats(media)
     return stats.select(
-        "media_id", "kind", "width", "height", "n_units",
+        "media_id", "kind",
+        F.col("width").cast("double").alias("width"),
+        F.col("height").cast("double").alias("height"),
+        "n_units",
         F.round("mean_a", 6).alias("mean_a"),
         F.round("mean_b", 6).alias("mean_b"),
         F.round("mean_c", 6).alias("mean_c"))
@@ -1525,17 +1544,17 @@ vid AS (
   SELECT media_id, 2 + media_id % 3 AS nf, 16 + media_id % 8 AS w,
          12 + media_id % 4 AS h, media_id % 90 AS base
   FROM ids WHERE media_id % 3 = 2)
-SELECT media_id, 'image' AS kind, CAST(w AS INT) AS width,
-       CAST(h AS INT) AS height, CAST(w * h AS BIGINT) AS n_units,
+SELECT media_id, 'image' AS kind, CAST(w AS DOUBLE) AS width,
+       CAST(h AS DOUBLE) AS height, CAST(w * h AS BIGINT) AS n_units,
        round(base + (w-1)/2.0 + (h-1)/2.0, 6) AS mean_a,
        round((w-1)/2.0, 6) AS mean_b, round((h-1)/2.0, 6) AS mean_c
 FROM img
 UNION ALL
-SELECT media_id, 'audio', CAST(NULL AS INT), CAST(NULL AS INT),
+SELECT media_id, 'audio', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(ns AS BIGINT), 64.0, round(sqrt(5461.5), 6), -0.5
 FROM aud
 UNION ALL
-SELECT media_id, 'video', CAST(w AS INT), CAST(h AS INT),
+SELECT media_id, 'video', CAST(w AS DOUBLE), CAST(h AS DOUBLE),
        CAST(nf AS BIGINT),
        round(base + (nf-1)/2.0 + (w-1)/2.0 + (h-1)/2.0, 6),
        round((w-1)/2.0, 6), round((h-1)/2.0, 6)

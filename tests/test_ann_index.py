@@ -293,3 +293,57 @@ def test_index_delete_tombstones_then_purge(spark, tmp_path, emb):
     full = S.ivf_topk(emb, queries, k=3, centroids=cents, nprobe=2)
     assert _rows(back) == _rows(full)
     victims.unpersist()
+
+
+def test_tombstone_survives_crashed_compact_blocks_reappend(
+        spark, tmp_path, emb):
+    """The crash state the append's tombstone anti-join exists for:
+    compact folds the base (victims physically purged) but CRASHES
+    before the tombstone clear. The standing tombstone must keep a
+    re-append of the victim a NO-OP — without the anti-join the
+    append would report n_added=2 (the purged base no longer holds
+    the ids) while the tombstone hides the rows from every query and
+    the next compact drops them physically: a row the caller was
+    told was added, silently lost. 'Delete wins until compaction'
+    must hold in every crash state."""
+    store = TableStore(str(tmp_path / "store"), n_buckets=4)
+    cents = S.seed_centroids(emb, 8)
+    AI.ivf_index_build(spark, store, emb, "ann", centroids=cents)
+    queries = emb.filter(F.col("vec_id") < 6)
+    victims = emb.filter(F.col("vec_id").isin(20, 22)).cache()
+    AI.ivf_index_delete(spark, store, victims.select("vec_id"), "ann")
+
+    orig_write = store.write
+
+    def crashing(table, df, key=None, dataset=None):
+        if table == "ann__tombstones":
+            raise RuntimeError("injected crash before tombstone clear")
+        return orig_write(table, df, key=key, dataset=dataset)
+
+    store.write = crashing
+    try:
+        with pytest.raises(RuntimeError):
+            AI.ivf_index_compact(spark, store, "ann")
+    finally:
+        store.write = orig_write
+
+    # crash window: base purged, tombstones standing
+    assert AI._index_vectors(spark, store, "ann") \
+        .filter(F.col("vec_id").isin(20, 22)).count() == 0
+    assert store.read(spark, "ann__tombstones").count() == 2
+
+    # re-append while the stale tombstone stands: still a no-op
+    assert AI.ivf_index_append(spark, store, victims, "ann") == 0
+    kept = emb.filter(~F.col("vec_id").isin(20, 22))
+    got = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    want = S.ivf_topk(kept, queries, k=3, centroids=cents, nprobe=2)
+    assert _rows(got) == _rows(want)
+
+    # the next compact clears the tombstones; the ids can come back
+    AI.ivf_index_compact(spark, store, "ann")
+    assert store.read(spark, "ann__tombstones").count() == 0
+    assert AI.ivf_index_append(spark, store, victims, "ann") == 2
+    back = AI.ivf_index_query(spark, store, "ann", queries, k=3, nprobe=2)
+    full = S.ivf_topk(emb, queries, k=3, centroids=cents, nprobe=2)
+    assert _rows(back) == _rows(full)
+    victims.unpersist()
