@@ -466,3 +466,73 @@ def maintain_extrema(current: DataFrame, staged: DataFrame,
     b = base.alias("b")
     untouched = b.join(t, null_safe_on(b, t), "left_anti")
     return untouched.unionByName(recomputed)
+
+
+def maintain_topk(current: DataFrame, staged: DataFrame,
+                  actions: DataFrame, key: str,
+                  group_cols: list[str], value_col: str,
+                  merged: DataFrame, k: int = 3,
+                  old_topk: DataFrame | None = None,
+                  value_type: str = "decimal(12,2)") -> DataFrame:
+    """Partial-refresh maintenance for a per-group TOP-K view — the
+    third member of the IVM family, generalizing
+    :func:`maintain_extrema` (min/max = top-1 both directions) to the
+    leaderboard shape analytics dashboards and heavy-hitter monitors
+    store. Top-k is not self-maintainable for exactly the extrema
+    reason, one rank deeper: deleting a group's rank-3 row needs the
+    rank-4 row, which the view no longer holds — so touched groups
+    recompute from the merged state and untouched groups carry
+    forward from the stored view.
+
+    Touched-group derivation, null-safe group comparison, and the
+    O(|touched groups' rows|) refresh bound are shared with
+    maintain_extrema (same broadcast shapes). The recompute ranks
+    with one window per touched group (value DESC, key ASC tie-break
+    — total order, so the view is set-deterministic); the touched
+    relation is |changed keys|-bounded, and Spark's WindowGroupLimit
+    prunes each group's window input to k rows per map partition, so
+    no straggler holds more than the touched slice.
+
+    Returns (group_cols..., rank, key, value-as-``value_type``).
+    ``old_topk=None`` recomputes the untouched side from ``merged``
+    directly (bootstrap / differential-test path)."""
+    v = F.col(value_col).cast(value_type)
+    del_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    ins_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    touched = F.broadcast(
+        current.join(del_keys, key, "left_semi").select(*group_cols)
+        .unionByName(
+            staged.join(ins_keys, key, "left_semi").select(*group_cols))
+        .distinct())
+
+    def null_safe_on(left, right):
+        cond = None
+        for g in group_cols:
+            c = left[g].eqNullSafe(right[g])
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    from pyspark.sql import Window
+
+    def topk(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("_v").desc(), F.col(key).asc())
+        return (df.select(*group_cols, F.col(key), v.alias("_v"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(*group_cols, F.col("rank").cast("bigint"),
+                        F.col(key), F.col("_v").alias(value_col)))
+
+    t = touched.alias("t")
+    m = merged.alias("m")
+    recomputed = topk(m.join(t, null_safe_on(m, t), "left_semi"))
+    base = old_topk if old_topk is not None else topk(merged)
+    b = base.alias("b")
+    untouched = b.join(t, null_safe_on(b, t), "left_anti")
+    return untouched.unionByName(recomputed)

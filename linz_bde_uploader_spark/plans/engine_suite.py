@@ -555,3 +555,60 @@ FROM merged GROUP BY o_orderstatus
 ENGINE_QUERIES.update({
     "cdc_minmax_refresh": (q_cdc_minmax_refresh, SQL_CDC_MINMAX),
 })
+
+
+def q_cdc_topk_refresh(spark, sf_dir: str):
+    """Partial-refresh maintenance for a per-group TOP-K leaderboard
+    view (operators/merge.py maintain_topk — the third IVM member:
+    count/sum are self-maintainable deltas, min/max recompute touched
+    groups, top-k is extrema one rank deeper, since evicting a
+    rank-k row needs the unknown rank-k+1). The oracle recomputes the
+    leaderboard directly from the merged state: a hash match proves
+    carry-forward + touched-group recompute equals a full refresh.
+    Values publish as integer cents (ORACLE.md portable types)."""
+    cur, stg, chg = cdc_frames(spark, sf_dir)
+    actions = M.classify_actions(cur, stg, chg, "o_orderkey",
+                                 ORDER_COLS).cache()
+    merged = M.apply_actions(cur, stg, actions, "o_orderkey")
+    v = F.col("o_totalprice").cast("decimal(12,2)")
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        v.desc(), F.col("o_orderkey").asc())
+    old = (cur.select("o_orderstatus", "o_orderkey", v.alias("_v"))
+           .withColumn("rank", F.row_number().over(
+               Window.partitionBy("o_orderstatus").orderBy(
+                   F.col("_v").desc(), F.col("o_orderkey").asc())))
+           .filter(F.col("rank") <= 3)
+           .select("o_orderstatus", F.col("rank").cast("bigint"),
+                   "o_orderkey", F.col("_v").alias("o_totalprice")))
+    tk = M.maintain_topk(cur, stg, actions, "o_orderkey",
+                         ["o_orderstatus"], "o_totalprice",
+                         merged, k=3, old_topk=old)
+    return tk.select(
+        "o_orderstatus", "rank", "o_orderkey",
+        F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("value_cents"))
+
+
+SQL_CDC_TOPK = f"""WITH {_CDC_CTES},
+merged AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice FROM cur
+  WHERE o_orderkey NOT IN (SELECT key FROM act WHERE action IN ('D','U','X'))
+  UNION ALL
+  SELECT o_orderstatus, o_orderkey, o_totalprice FROM stg
+  WHERE o_orderkey IN (SELECT key FROM act WHERE action IN ('I','U','X'))),
+ranked AS (
+  SELECT o_orderstatus, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY CAST(o_totalprice AS DECIMAL(12,2))
+                              DESC, o_orderkey) AS rank
+  FROM merged)
+SELECT o_orderstatus, CAST(rank AS BIGINT) AS rank, o_orderkey,
+       CAST(v * 100 AS BIGINT) AS value_cents
+FROM ranked WHERE rank <= 3
+"""
+
+
+ENGINE_QUERIES.update({
+    "cdc_topk_refresh": (q_cdc_topk_refresh, SQL_CDC_TOPK),
+})

@@ -3729,3 +3729,51 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "events_sessionize": (q_events_sessionize, SQL_SESSIONIZE),
     "events_window_agg": (q_events_window_agg, SQL_WINDOW_AGG),
 }
+
+
+# ------------------------------------------------- shard manifest
+
+
+def q_docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard write-plan manifest: every document lands in a
+    deterministic shard (operators/corpus.assign_shards is the
+    production path with seeded xxhash64; this oracled twin uses the
+    portable md5-derived hash32, the same portable/production hash
+    split as the dedup family), and the manifest publishes per-shard
+    doc counts, char totals, and an ORDER-INDEPENDENT checksum (sum
+    of per-doc id+length hashes — a reader can verify a shard
+    without sorting it). One 8-byte-keyed aggregate; the text never
+    shuffles. This is the planning/verification artifact a 100 TB
+    shard writer emits alongside write_corpus_shards."""
+    from linz_bde_uploader_spark.functions.hashing import hash32
+
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    shard = F.pmod(
+        hash32(F.concat(F.lit("sh:"), F.col("doc_id").cast("string"))),
+        F.lit(16))
+    ck = hash32(F.concat(F.lit("ck:"), F.col("doc_id").cast("string"),
+                         F.lit(":"), F.col("n_chars").cast("string")))
+    return (docs.select(shard.cast("bigint").alias("shard"),
+                        F.col("n_chars"), ck.alias("ck"))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.sum("ck").cast("bigint").alias("checksum")))
+
+
+SQL_SHARD_MANIFEST = f"""
+SELECT CAST({sql_hash32("'sh:' || CAST(doc_id AS VARCHAR)")} % 16
+            AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM({sql_hash32(
+           "'ck:' || CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)")})
+            AS BIGINT) AS checksum
+FROM documents
+GROUP BY 1
+"""
+
+
+PIPELINE_QUERIES.update({
+    "docs_shard_manifest": (q_docs_shard_manifest, SQL_SHARD_MANIFEST),
+})

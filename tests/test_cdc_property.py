@@ -230,3 +230,53 @@ def test_maintain_views_under_key_swaps_and_x_actions(spark, cur, stg, chg):
                    F.max(v).alias("vmax")).collect()}
     assert got_mm == want_mm
     actions.unpersist()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cur=table, stg=table, chg=keys)
+def test_maintain_topk_equals_direct_refresh(spark, cur, stg, chg):
+    """Third IVM member: the partially-refreshed per-group top-k
+    leaderboard (carry-forward untouched groups + recompute touched
+    groups) must equal a direct ranking over the merged state — for
+    every combination of inserts, deletes, rank-evicting deletions,
+    group moves, X actions (unique_cols drives the key-swap path),
+    NULL group keys, and NULL values (NULLs sort last under the
+    DESC total order on both paths by construction: the rank runs
+    over the cast value with key tie-break)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    curdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(cur.items())], SCHEMA)
+    stgdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(stg.items())], SCHEMA)
+    chgdf = spark.createDataFrame(
+        [(k,) for k in sorted(chg)],
+        T.StructType([T.StructField("key", T.LongType(), False)]))
+    actions = M.classify_actions(curdf, stgdf, chgdf, "id",
+                                 ["id", "a", "b"],
+                                 unique_cols=["a"]).cache()
+    merged = M.apply_actions(curdf, stgdf, actions, "id")
+    v = F.col("a").cast("decimal(12,2)")
+
+    old = (curdf.select("b", "id", v.alias("_v"))
+           .withColumn("rank", F.row_number().over(
+               Window.partitionBy("b").orderBy(F.col("_v").desc(),
+                                               F.col("id").asc())))
+           .filter(F.col("rank") <= 2)
+           .select("b", F.col("rank").cast("bigint"), "id",
+                   F.col("_v").alias("a")))
+    got = {(r["b"], r["rank"]): (r["id"], r["a"]) for r in
+           M.maintain_topk(curdf, stgdf, actions, "id", ["b"], "a",
+                           merged, k=2, old_topk=old).collect()}
+    want = {(r["b"], r["rank"]): (r["id"], r["a"]) for r in
+            merged.select("b", "id", v.alias("_v"))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy("b").orderBy(F.col("_v").desc(),
+                                                F.col("id").asc())))
+            .filter(F.col("rank") <= 2)
+            .select("b", F.col("rank").cast("bigint"), "id",
+                    F.col("_v").alias("a")).collect()}
+    assert got == want
+    actions.unpersist()
