@@ -40,8 +40,10 @@ _ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES,
 # in the same sweep (cdc_incremental_agg / orders_salted_join were
 # green by few-rows luck — their oracles published DECIMAL too), the
 # 9 rotation-deferred entries owed a fresh green since r4, the 20
-# r7-first-greens owed their second green, and 6 stale-green fillers
-# (last checked r5).
+# r7-first-greens owed their second green, the 2 r8-new queries
+# (top-k IVM, shard manifest — zero-green rows take slots ahead of
+# rotation-complete ones), and 4 stale-green fillers (last checked
+# r5).
 _DRIVER_FIRST = [
     # constant-only probe battery (diagnosis, 7 slots)
     "probe_floor_div", "probe_mod_sign", "probe_hugeint_sum",
@@ -67,9 +69,12 @@ _DRIVER_FIRST = [
     "sim_near_pairs", "emb_near_dedup", "dedup_near_survivors",
     "text_paragraph_dedup", "events_sessionize", "events_window_agg",
     "sim_recall_report", "docs_dedup_report", "docs_contrastive_pairs",
+    # NEW in r8 (zero greens beat rotation-complete rows for slots)
+    "cdc_topk_refresh",  # top-k leaderboard IVM (third member)
+    "docs_shard_manifest",  # shard write-plan manifest + checksum
     # stale greens, last checked r5 (4 greens each)
     "text_ngram_topk", "dedup_decontaminate", "docs_source_mix",
-    "docs_chunking", "docs_length_percentiles", "text_repetition",
+    "docs_chunking",
     # --- 50-slot cutoff lands here. Deferred with compensating
     # coverage: every remaining entry holds >=2 driver greens with the
     # most recent in r5-r7 (the whole r7 tail re-confirmed its CDC
@@ -79,6 +84,7 @@ _DRIVER_FIRST = [
     # FAST_QUERIES pytest differential, and is locally green under
     # check_oracle --exact --pandas — which r7 proved predicts the
     # driver's gate exactly (reproduced the 44/6 split byte-for-byte).
+    "docs_length_percentiles", "text_repetition",
     "cdc_classify", "cdc_apply", "full_diff", "keyswap_repair",
     "changeset_prepare", "dataset_watermark", "event_duration",
 ]
