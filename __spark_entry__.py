@@ -26,67 +26,62 @@ from linz_bde_uploader_spark.plans.probe_suite import PROBE_QUERIES
 _ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES,
         **PROBE_QUERIES}
 
-# The driver's correctness gate snapshots ~50 queries per round in dict
-# order. Round-8 rotation: lead with the 7-entry constant-only PROBE
-# battery (plans/probe_suite.py — each publishes ONE construct from
-# constants so a red names the diverging construct; three are
-# EXPECTED-RED diagnostics that pin the proven root cause of every
-# r4-r7 local-green/driver-red row: the driver's pandas fetch path
-# degrades HUGEINT / DECIMAL / nullable-int oracle columns to float64.
-# The local twin of that gate is check_oracle --exact --pandas, which
-# reproduced the r7 44/6 split exactly, and audit_oracle_types.py now
-# bans those types from every real oracle). Then the 6 r7 reds under
-# their fixed portable-type shapes, the 2 queries whose shapes changed
-# in the same sweep (cdc_incremental_agg / orders_salted_join were
-# green by few-rows luck — their oracles published DECIMAL too), the
-# 9 rotation-deferred entries owed a fresh green since r4, the 20
-# r7-first-greens owed their second green, the 2 r8-new queries
-# (top-k IVM, shard manifest — zero-green rows take slots ahead of
-# rotation-complete ones), and 4 stale-green fillers (last checked
-# r5).
+# The driver's correctness gate snapshots ~50 queries per round in
+# dict order. Round-9 rotation (per the r8 verdict's ranked orders):
+# the probe battery shrinks to its TWO load-bearing canaries, renamed
+# with an xfail_ prefix so their intentional reds are self-documenting
+# in CORRECTNESS_r09.json (the five answered probes — floor-div,
+# mod-sign, nullable-int, weekday-locale, double-div — all came back
+# GREEN at the r8 driver; their answers are ORACLE.md doctrine now and
+# they keep running only in the local check_oracle gate). The freed
+# slots go to (a) the §2 CDC core, whose freshest greens were r7 and
+# which must not go two rounds unchecked, (b) second greens for the
+# 10 rows with exactly one green under their current (r8 re-shaped or
+# r8-new) shapes, and (c) the stalest rotation-complete entries
+# (freshest green r5-r6).
 _DRIVER_FIRST = [
-    # constant-only probe battery (diagnosis, 7 slots)
-    "probe_floor_div", "probe_mod_sign", "probe_hugeint_sum",
-    "probe_decimal_trailing", "probe_nullable_int",
-    "probe_weekday_locale", "probe_double_div",
-    # r7 reds, re-shaped to portable published types (ORACLE.md):
-    # sum_k CAST BIGINT + engine-pinned floor-div; value/extrema/sum
-    # published as integer cents; decile/n_repeats CAST BIGINT; cube
-    # weekday via fixed-name CASE (locale-free, NULL-safe VARCHAR)
-    "events_json_props", "q11_important_parts", "cdc_minmax_refresh",
-    "docs_quality_deciles", "docs_epoch_plan", "events_cube",
-    # same sweep, were green by luck (few rows) — re-shaped to cents
-    "cdc_incremental_agg", "orders_salted_join",
-    # rotation-deferred since r4, owed a fresh green
-    "text_quality", "text_fingerprint", "text_lang_id",
-    "docs_hash_sample", "cdc_stats", "tolerance_check",
-    "latest_dataset", "union_lock_candidates", "string_agg_owners",
-    # r7 first-greens -> second confirmation
-    "events_json_k_hist", "multimodal_audio_bands",
-    "multimodal_motion_stats", "text_bpe_merges", "sim_knn_graph",
-    "docs_datasheet", "events_except_intersect", "sim_ivf_index_query",
-    "docs_drift_report", "sim_ivf_topk", "pipeline_prep",
-    "sim_near_pairs", "emb_near_dedup", "dedup_near_survivors",
-    "text_paragraph_dedup", "events_sessionize", "events_window_agg",
-    "sim_recall_report", "docs_dedup_report", "docs_contrastive_pairs",
-    # NEW in r8 (zero greens beat rotation-complete rows for slots)
-    "cdc_topk_refresh",  # top-k leaderboard IVM (third member)
-    "docs_shard_manifest",  # shard write-plan manifest + checksum
-    # stale greens, last checked r5 (4 greens each)
-    "text_ngram_topk", "dedup_decontaminate", "docs_source_mix",
-    "docs_chunking",
-    # --- 50-slot cutoff lands here. Deferred with compensating
-    # coverage: every remaining entry holds >=2 driver greens with the
-    # most recent in r5-r7 (the whole r7 tail re-confirmed its CDC
-    # core rows cdc_classify/cdc_apply/full_diff/keyswap_repair/
-    # changeset_prepare/dataset_watermark plus event_duration and the
-    # sim_*/docs_* batches), stays covered by the sf0.001
-    # FAST_QUERIES pytest differential, and is locally green under
-    # check_oracle --exact --pandas — which r7 proved predicts the
-    # driver's gate exactly (reproduced the 44/6 split byte-for-byte).
-    "docs_length_percentiles", "text_repetition",
+    # standing canaries: EXPECTED RED by design (driver pandas fetch
+    # degrades HUGEINT/DECIMAL — proven r8; see plans/probe_suite.py).
+    # If either goes GREEN, the fetch path changed and the bans lift.
+    "xfail_probe_hugeint_sum", "xfail_probe_decimal_trailing",
+    # §2 CDC core + freshness-owed rows (freshest greens r7/r5) —
+    # these implement the reference's heart
+    # (sql/02-bde_control_functions.sql.in:1576-1818,2146-2373)
     "cdc_classify", "cdc_apply", "full_diff", "keyswap_repair",
     "changeset_prepare", "dataset_watermark", "event_duration",
+    "docs_length_percentiles", "text_repetition",
+    # single-green rows: the 8 re-shaped to portable types in r8 and
+    # the 2 r8-new queries — each owed a second green under its
+    # current shape
+    "events_json_props", "q11_important_parts", "cdc_minmax_refresh",
+    "docs_quality_deciles", "docs_epoch_plan", "events_cube",
+    "cdc_incremental_agg", "orders_salted_join",
+    "cdc_topk_refresh", "docs_shard_manifest",
+    # stalest rotation-complete entries: freshest green r5 (3 greens)
+    "dedup_jaccard_prefix", "emb_outliers", "multimodal_features",
+    "text_char_entropy", "text_redact_pii", "text_unigram_logprob",
+    # freshest green r5 (4 greens)
+    "dedup_clusters", "dedup_exact", "dedup_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_survivors", "docs_stratified_sample", "docs_topk_quality",
+    "emb_norm_stats", "emb_quantize", "events_sliding_agg",
+    "events_value_winsorize", "q18_large_orders", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "text_term_freq", "text_tfidf", "text_token_stats",
+    # freshest green r6, lowest green counts in that cohort
+    "sim_cosine_topk", "sim_kmeans_centroids",
+    # --- 50-slot cutoff lands here. Deferred with compensating
+    # coverage: every remaining hash-checked entry holds >=2 driver
+    # greens with the most recent in r6-r8 (the whole r8 top-50 just
+    # re-confirmed the r7 first-greens, the re-shaped rows, and the
+    # rotation-deferred batch), stays covered by the sf0.001
+    # FAST_QUERIES pytest differential, and is green under the local
+    # check_oracle --exact --pandas gate, which r7/r8 proved predicts
+    # the driver's gate (reproduced the r7 44/6 split exactly; its one
+    # known deviation, nullable-int, is pessimistic-only). The two
+    # rows-only entries (stream_continuity, docs_sketch_stats) stay
+    # below the cutoff by design — their driver check is weak
+    # (rows>0), so slots go to hash-verified entries instead.
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

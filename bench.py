@@ -299,6 +299,75 @@ def _ivm_soak(spark, sf_dir: str) -> dict:
     return out
 
 
+def _topk_soak(spark, sf_dir: str) -> dict:
+    """Third IVM member measured like its siblings (r8 verdict order):
+    a CDC batch updating 1% of sf0.1 orders keys refreshes the
+    per-customer top-3 value leaderboard via maintain_topk's partial
+    refresh (touched groups recompute through the
+    WindowGroupLimit-pruned rank — plan pinned by
+    tests/test_plan_shapes.py — untouched groups carry forward from
+    the stored view), timed against a from-scratch rank of the merged
+    table. As with ivm_soak, wall time at sf0.1 is
+    overhead-dominated; the structural claim that scales is rows
+    recomputed (touched groups' merged rows) vs rows a full refresh
+    ranks (all of them), recorded alongside both timings."""
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import merge as M
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    key, grp, val = "o_orderkey", "o_custkey", "o_totalprice"
+    cur = load_table(spark, sf_dir, "orders") \
+        .select(key, grp, val).persist()
+    n_all = cur.count()
+    upd = cur.filter(F.col(key) % 100 == 0) \
+        .withColumn(val, F.col(val) + 1).persist()
+    n_upd = upd.count()
+    actions = upd.select(F.col(key).alias("key"),
+                         F.lit("U").alias("action")).persist()
+    actions.count()
+    merged = cur.join(upd.select(key), key, "left_anti") \
+        .unionByName(upd).persist()
+    merged.count()
+    v = F.col(val).cast("decimal(12,2)")
+    old_view = (cur.select(grp, key, v.alias("_v"))
+                .withColumn("rank", F.row_number().over(
+                    Window.partitionBy(grp).orderBy(
+                        F.col("_v").desc(), F.col(key).asc())))
+                .filter(F.col("rank") <= 3)
+                .select(grp, F.col("rank").cast("bigint"), F.col(key),
+                        F.col("_v").alias(val))).persist()
+    old_view.count()
+
+    out = {"rows_total": n_all, "rows_changed": n_upd}
+    t0 = _time.perf_counter()
+    tk = M.maintain_topk(cur, upd, actions, key, [grp], val, merged,
+                         k=3, old_topk=old_view)
+    n_view = tk.count()
+    out["topk_partial_sec"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    (merged.select(grp, key, v.alias("_v"))
+     .withColumn("rank", F.row_number().over(
+         Window.partitionBy(grp).orderBy(
+             F.col("_v").desc(), F.col(key).asc())))
+     .filter(F.col("rank") <= 3).count())
+    out["topk_full_sec"] = round(_time.perf_counter() - t0, 3)
+    touched = (cur.join(F.broadcast(actions.select(
+        F.col("key").alias(key))), key, "left_semi")
+        .select(grp).distinct())
+    n_touched_rows = merged.join(F.broadcast(touched), grp,
+                                 "left_semi").count()
+    out["view_rows"] = n_view
+    out["rows_recomputed_partial"] = n_touched_rows
+    out["partial_over_full_rows"] = round(n_touched_rows / n_all, 4)
+    for d in (cur, upd, actions, merged, old_view):
+        d.unpersist()
+    return out
+
+
 def _ann_index_soak(spark, sf_dir: str) -> dict:
     """Persisted-index amortization, measured per round: the direct
     ivf_topk re-assigns the WHOLE corpus to cells on every call (an
@@ -367,8 +436,14 @@ def _ann_index_soak(spark, sf_dir: str) -> dict:
         # second 8-vector micro-append and record the ids actually
         # readable by the membership check both times.
         def micro_append(lo: int) -> tuple[float, int, int]:
-            mb = emb.select((F.col("vec_id") + lo).alias("vec_id"),
-                            "embedding").limit(8)
+            # Deterministic batch: an unordered .limit(8) is evaluated
+            # in TWO jobs here (cell collect, then append) and Spark
+            # does not guarantee the same 8 rows across jobs, so
+            # ids_read could be measured against different rows than
+            # were appended. Pin by smallest vec_id instead.
+            mb = emb.orderBy("vec_id").limit(8) \
+                .select((F.col("vec_id") + lo).alias("vec_id"),
+                        "embedding")
             cells = {r["cell"] for r in AI.ivf_assign(
                 mb.select(F.col("vec_id").alias("query_id"),
                           F.col("embedding").cast("array<double>")
@@ -611,6 +686,12 @@ def main():
               file=sys.stderr)
     except Exception as e:
         detail["ivm_soak"] = {"error": str(e).splitlines()[0][:300]}
+    try:
+        detail["topk_soak"] = _topk_soak(spark, sf_dir)
+        print("# topk_soak: " + json.dumps(detail["topk_soak"]),
+              file=sys.stderr)
+    except Exception as e:
+        detail["topk_soak"] = {"error": str(e).splitlines()[0][:300]}
     try:
         detail["ann_index_soak"] = _ann_index_soak(spark, sf_dir)
         print("# ann_index_soak: " + json.dumps(detail["ann_index_soak"]),

@@ -1119,11 +1119,13 @@ def q_sim_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direct operator is exactly the point; the incremental-append
     and snapshot-isolation contracts are pinned by
     tests/test_ann_index.py. The on-disk index is ephemeral to this
-    entry, so the result is materialized (localCheckpoint — the
-    returned plan must not reference the deleted files) and the
-    store directory removed before returning: every driver/bench/
-    pytest invocation previously leaked a full index copy
-    (centroids + inverted lists) into /tmp."""
+    entry, so the result is materialized and the store directory
+    removed before returning (every driver/bench/pytest invocation
+    previously leaked a full index copy into /tmp). Materialization
+    is collect-and-recreate, not localCheckpoint: the result is tiny
+    (|queries| * k rows) and localCheckpoint data lives in executor
+    storage — on a real cluster a lost executor would make the plan
+    unrecoverable once the source files are deleted."""
     import shutil
     import tempfile
 
@@ -1138,7 +1140,7 @@ def q_sim_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries = emb.filter(F.col("vec_id") < 10)
         out = AI.ivf_index_query(spark, store, "ann", queries,
                                  k=3, nprobe=2)
-        return out.localCheckpoint(eager=True)
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

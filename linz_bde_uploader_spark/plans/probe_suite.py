@@ -19,20 +19,25 @@ the DuckDB side through a pandas conversion; see ORACLE.md):
   native integer-division rounding drift (trunc vs floor), ``%``
   sign-semantics drift, JVM-locale weekday names, double-division
   repr drift.
-- ``probe_hugeint_sum`` RED — an uncast SUM over integers is HUGEINT
-  in DuckDB and degrades to float64 ('6.0' vs '6') in pandas.
-- ``probe_decimal_trailing`` RED — DECIMAL(12,2) degrades to float64
-  ('123.40' -> '123.4').
-- ``probe_nullable_int`` RED — a nullable BIGINT column degrades to
-  float64 with NaN ('10.0' vs '10').
+- ``xfail_probe_hugeint_sum`` RED — an uncast SUM over integers is
+  HUGEINT in DuckDB and degrades to float64 ('6.0' vs '6') in pandas.
+- ``xfail_probe_decimal_trailing`` RED — DECIMAL(12,2) degrades to
+  float64 ('123.40' -> '123.4').
+- ``probe_nullable_int`` GREEN at the driver (measured r8), RED under
+  the local ``--pandas`` emulation: the driver's pandas evidently
+  preserves nullable ints (nullable Int64 dtype), while plain
+  ``.df()`` degrades them to float64. The ban stays as documented
+  PRECAUTIONARY conservatism (ORACLE.md), not a measured divergence.
 
-The three expected-red probes are DIAGNOSTICS: they deliberately
-publish the banned constructs that scripts/audit_oracle_types.py and
-check_oracle --pandas keep OUT of every real query, so the snapshot
-itself records which bans are load-bearing at the driver. If any of
-them comes back green, the corresponding ban can be lifted; if a
-expected-green probe comes back red, the new divergence class is
-named before it costs a real query a round.
+Round-8 outcome: the battery ran once at the driver and did its job —
+hugeint/decimal RED (bans load-bearing), the other five GREEN. From
+round 9 only the two load-bearing canaries keep snapshot slots,
+renamed with an ``xfail_`` prefix so a cold reader of
+CORRECTNESS_r{N}.json sees the red rows are intentional; the five
+answered probes stay here for the local check_oracle gate but no
+longer spend driver slots (their answers are ORACLE.md doctrine). If
+an xfail probe ever comes back GREEN, the driver moved to a
+fetchall-like path and the HUGEINT/DECIMAL bans can be lifted.
 """
 
 from __future__ import annotations
@@ -50,21 +55,29 @@ def probe_floor_div(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates toward zero (-7 DIV 2 = -3); DuckDB ``//`` truncates in
     the local 1.0.0 build but has floored (-4) in other releases. A
     red here = the engines' native divisions disagree, and every
-    quotient must go through functions/portable.floor_div_*."""
-    return _const(spark, "CAST(-7 DIV 2 AS BIGINT) AS q")
+    quotient must go through functions/portable.floor_div_*.
+
+    The dividend is parenthesized on both sides so the probe tests
+    division semantics, not unary-minus precedence: an engine parsing
+    ``-7 // 2`` as ``-(7 // 2)`` yields -3 under floored OR truncated
+    division, false-greening exactly the drift probed for."""
+    return _const(spark, "CAST((-7) DIV 2 AS BIGINT) AS q")
 
 
-SQL_PROBE_FLOOR_DIV = "SELECT CAST(-7 // 2 AS BIGINT) AS q"
+SQL_PROBE_FLOOR_DIV = "SELECT CAST((-7) // 2 AS BIGINT) AS q"
 
 
 def probe_mod_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-style sign-follows-dividend ``%`` (-7 % 2 = -1) — the
     primitive functions/portable.floor_div_* builds on. A red here
-    invalidates the floor-div rewrite itself."""
-    return _const(spark, "CAST(-7 % 2 AS BIGINT) AS m")
+    invalidates the floor-div rewrite itself. Dividend parenthesized
+    for the same precedence-independence reason as probe_floor_div
+    (here ``-(7 % 2)`` happens to equal ``(-7) % 2``, but only under
+    C-style %, which is the thing under test)."""
+    return _const(spark, "CAST((-7) % 2 AS BIGINT) AS m")
 
 
-SQL_PROBE_MOD_SIGN = "SELECT CAST(-7 % 2 AS BIGINT) AS m"
+SQL_PROBE_MOD_SIGN = "SELECT CAST((-7) % 2 AS BIGINT) AS m"
 
 
 def probe_hugeint_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,10 +105,13 @@ SQL_PROBE_DECIMAL = "SELECT CAST(123.40 AS DECIMAL(12,2)) AS d"
 
 
 def probe_nullable_int(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXPECTED RED. A BIGINT column containing a NULL: pandas has no
-    nullable int64, so the whole column degrades to float64 ('10.0'
-    vs '10'). Why CUBE/ROLLUP group keys and outer-join integers must
-    publish as VARCHAR (events_cube's dow) or be provably non-null."""
+    """EXPECTED RED under the local ``--pandas`` emulation (plain
+    ``.df()`` degrades a NULL-bearing int64 column to float64, '10.0'
+    vs '10') but MEASURED GREEN at the driver in r8: its pandas
+    preserves nullable ints (nullable Int64 dtype). The nullable-int
+    ban on CUBE/ROLLUP keys and outer-join integers is therefore
+    PRECAUTIONARY — the local gate is strictly more pessimistic than
+    the driver here, which is the safe direction (ORACLE.md)."""
     return spark.sql(
         "SELECT CAST(id AS BIGINT) AS a,"
         " CAST(CASE WHEN id = 1 THEN 10 END AS BIGINT) AS k"
@@ -131,11 +147,15 @@ def probe_double_div(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PROBE_DOUBLE = "SELECT CAST(1 AS DOUBLE) / 3 AS x"
 
 
+# The two xfail_-prefixed keys are the standing driver canaries
+# (EXPECTED RED by design — see module docstring); the plain probe_*
+# keys are the answered diagnostics kept for the local gate only.
 PROBE_QUERIES: dict[str, tuple] = {
+    "xfail_probe_hugeint_sum": (probe_hugeint_sum, SQL_PROBE_HUGEINT),
+    "xfail_probe_decimal_trailing": (
+        probe_decimal_trailing, SQL_PROBE_DECIMAL),
     "probe_floor_div": (probe_floor_div, SQL_PROBE_FLOOR_DIV),
     "probe_mod_sign": (probe_mod_sign, SQL_PROBE_MOD_SIGN),
-    "probe_hugeint_sum": (probe_hugeint_sum, SQL_PROBE_HUGEINT),
-    "probe_decimal_trailing": (probe_decimal_trailing, SQL_PROBE_DECIMAL),
     "probe_nullable_int": (probe_nullable_int, SQL_PROBE_NULLABLE),
     "probe_weekday_locale": (probe_weekday_locale, SQL_PROBE_WEEKDAY),
     "probe_double_div": (probe_double_div, SQL_PROBE_DOUBLE),

@@ -47,6 +47,13 @@ def main() -> None:
     for name, sql in entrymod.oracle_sql().items():
         if sql is None:
             continue
+        # The probe battery (plans/probe_suite.py) DELIBERATELY
+        # publishes banned constructs as fetch-path diagnostics; a
+        # permanently-failing audit would train readers to ignore a
+        # nonzero exit, so exempt them — nonzero again means a REAL
+        # oracle regressed.
+        if name.startswith(("probe_", "xfail_probe_")):
+            continue
         try:
             rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
             cols = list(zip(rel.columns, [str(t) for t in rel.types]))

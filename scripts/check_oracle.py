@@ -62,7 +62,8 @@ PANDAS = False
 # driver gate's fetch-path semantics — see plans/probe_suite.py. They
 # hash-mismatch under --pandas BY DESIGN; report, don't fail.
 EXPECTED_PANDAS_DIVERGENT = {
-    "probe_hugeint_sum", "probe_decimal_trailing", "probe_nullable_int",
+    "xfail_probe_hugeint_sum", "xfail_probe_decimal_trailing",
+    "probe_nullable_int",
 }
 
 
