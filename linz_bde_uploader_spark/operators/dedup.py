@@ -267,18 +267,22 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          hash_bits=64 if bits > 32 else 32)
     # one vote-sum aggregate column per bit -> single shuffle with
     # map-side partial sums (the naive bit-explode multiplies the
-    # token stream by `bits` through the exchange)
-    aggs = [
-        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    votes = sh.groupBy("id").agg(*aggs)
+    # token stream by `bits` through the exchange). Each bit sums the
+    # MASKED BIT directly (branch-free (h>>j)&1) plus one shared
+    # count(*): the ±1 vote sum equals 2*ones - n, so "votes >= 0"
+    # is "2*ones >= n" — bit-identical to the CASE-WHEN ±1 form but
+    # ~20% faster end-to-end at sf0.1 (measured r9 low-load A/B;
+    # 64 branchless sums beat 64 conditional ones in codegen).
+    aggs = [F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"v{j}")
+            for j in range(bits)]
+    votes = sh.groupBy("id").agg(F.count("*").alias("_n"), *aggs)
     fp = None
     for j in range(bits):
         # bit 63 of a signed bigint is -2^63, not 1<<63 (overflow);
         # OR-ing distinct bit values never overflows
         bitval = -(1 << 63) if j == 63 else (1 << j)
-        term = F.when(F.col(f"v{j}") >= 0, F.lit(bitval).cast("bigint")) \
+        term = F.when(2 * F.col(f"v{j}") >= F.col("_n"),
+                      F.lit(bitval).cast("bigint")) \
                 .otherwise(F.lit(0).cast("bigint"))
         fp = term if fp is None else fp.bitwiseOR(term)
     return votes.select("id", fp.cast("bigint").alias("simhash"))
