@@ -57,6 +57,10 @@ _DRIVER_FIRST = [
     "docs_quality_deciles", "docs_epoch_plan", "events_cube",
     "cdc_incremental_agg", "orders_salted_join",
     "cdc_topk_refresh", "docs_shard_manifest",
+    # NEW in r9 (zero-green rows take slots ahead of rotation-complete
+    # ones): distinct-count IVM (fourth member) and the cross-source
+    # contamination matrix
+    "cdc_distinct_refresh", "docs_cross_source_overlap",
     # stalest rotation-complete entries: freshest green r5 (3 greens)
     "dedup_jaccard_prefix", "emb_outliers", "multimodal_features",
     "text_char_entropy", "text_redact_pii", "text_unigram_logprob",
@@ -68,8 +72,6 @@ _DRIVER_FIRST = [
     "events_value_winsorize", "q18_large_orders", "q1_pricing_summary",
     "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
     "text_term_freq", "text_tfidf", "text_token_stats",
-    # freshest green r6, lowest green counts in that cohort
-    "sim_cosine_topk", "sim_kmeans_centroids",
     # --- 50-slot cutoff lands here. Deferred with compensating
     # coverage: every remaining hash-checked entry holds >=2 driver
     # greens with the most recent in r6-r8 (the whole r8 top-50 just

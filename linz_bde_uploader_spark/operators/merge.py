@@ -536,3 +536,76 @@ def maintain_topk(current: DataFrame, staged: DataFrame,
     b = base.alias("b")
     untouched = b.join(t, null_safe_on(b, t), "left_anti")
     return untouched.unionByName(recomputed)
+
+
+def maintain_distinct(current: DataFrame, staged: DataFrame,
+                      actions: DataFrame, key: str,
+                      group_cols: list[str], value_col: str,
+                      merged: DataFrame,
+                      old_distinct: DataFrame | None = None) -> DataFrame:
+    """Partial-refresh maintenance for a per-group COUNT(DISTINCT
+    value) view — the fourth IVM member. Distinct counts are the
+    textbook NON-self-maintainable aggregate under deletes: removing
+    a row only decrements the count if it was the LAST holder of its
+    value in the group, and (n, n_distinct) state cannot answer that
+    — you would need the full per-(group, value) multiplicity map,
+    which at 100 TB is the table again. So it takes the same
+    partial-refresh split as :func:`maintain_extrema`: groups the
+    action set touches recompute their distinct count from the
+    merged state (an O(|touched groups' rows|) scan bounded by the
+    broadcast touched-keys relation), untouched groups carry forward
+    from the stored view via a null-safe anti join.
+
+    Returns (group_cols..., n, n_distinct) — both BIGINT, so the
+    published shape is oracle-portable by construction (ORACLE.md).
+    ``old_distinct=None`` recomputes the untouched side from
+    ``merged`` directly (bootstrap / differential-test path).
+
+    The within-group distinct recompute is a two-key hash aggregate
+    ((group, value) then group), NOT an expand-based
+    count-distinct-with-other-aggs: keeping n via sum of the first
+    aggregate's multiplicities avoids Catalyst's Expand doubling of
+    the touched-row stream.
+
+    Reference analog: the reference's per-upload statistics count
+    distinct affected keys per table incrementally as each change
+    applies (sql/02-bde_control_functions.sql.in:2300-2373); this
+    generalizes that ledger shape to user-facing distinct-count
+    views."""
+    del_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    ins_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    touched = F.broadcast(
+        current.join(del_keys, key, "left_semi").select(*group_cols)
+        .unionByName(
+            staged.join(ins_keys, key, "left_semi").select(*group_cols))
+        .distinct())
+
+    def null_safe_on(left, right):
+        cond = None
+        for g in group_cols:
+            c = left[g].eqNullSafe(right[g])
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    def distinct_counts(df: DataFrame) -> DataFrame:
+        per_value = (df.groupBy(*group_cols, value_col)
+                     .agg(F.count("*").alias("_m")))
+        return (per_value.groupBy(*group_cols)
+                .agg(F.sum("_m").cast("bigint").alias("n"),
+                     F.count(value_col).alias("n_distinct")))
+
+    t = touched.alias("t")
+    m = merged.alias("m")
+    recomputed = distinct_counts(m.join(t, null_safe_on(m, t),
+                                        "left_semi"))
+    base = old_distinct if old_distinct is not None \
+        else distinct_counts(merged)
+    b = base.alias("b")
+    untouched = b.join(t, null_safe_on(b, t), "left_anti")
+    return untouched.unionByName(recomputed)

@@ -612,3 +612,47 @@ FROM ranked WHERE rank <= 3
 ENGINE_QUERIES.update({
     "cdc_topk_refresh": (q_cdc_topk_refresh, SQL_CDC_TOPK),
 })
+
+
+def q_cdc_distinct_refresh(spark, sf_dir: str):
+    """Partial-refresh maintenance for a per-group COUNT(DISTINCT)
+    view (operators/merge.py maintain_distinct — the fourth IVM
+    member: distinct counts are the textbook non-self-maintainable
+    aggregate, since deleting a row only decrements the count if it
+    was the group's last holder of that value, which (n, n_distinct)
+    state cannot know). Touched groups recompute from the merged
+    state, untouched groups carry forward from the pre-merge view;
+    the oracle recomputes everything directly from the merged state,
+    so a hash match proves the split equals a full refresh. Published
+    columns are BIGINT-only (ORACLE.md portable by construction)."""
+    cur, stg, chg = cdc_frames(spark, sf_dir)
+    actions = M.classify_actions(cur, stg, chg, "o_orderkey",
+                                 ORDER_COLS).cache()
+    merged = M.apply_actions(cur, stg, actions, "o_orderkey")
+    old = (cur.groupBy("o_orderstatus", "o_custkey")
+           .agg(F.count("*").alias("_m"))
+           .groupBy("o_orderstatus")
+           .agg(F.sum("_m").cast("bigint").alias("n"),
+                F.count("o_custkey").alias("n_distinct")))
+    dc = M.maintain_distinct(cur, stg, actions, "o_orderkey",
+                             ["o_orderstatus"], "o_custkey",
+                             merged, old_distinct=old)
+    return dc.select("o_orderstatus", "n", "n_distinct")
+
+
+SQL_CDC_DISTINCT = f"""WITH {_CDC_CTES},
+merged AS (
+  SELECT o_orderstatus, o_custkey FROM cur
+  WHERE o_orderkey NOT IN (SELECT key FROM act WHERE action IN ('D','U','X'))
+  UNION ALL
+  SELECT o_orderstatus, o_custkey FROM stg
+  WHERE o_orderkey IN (SELECT key FROM act WHERE action IN ('I','U','X')))
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+ENGINE_QUERIES.update({
+    "cdc_distinct_refresh": (q_cdc_distinct_refresh, SQL_CDC_DISTINCT),
+})

@@ -3779,3 +3779,100 @@ GROUP BY 1
 PIPELINE_QUERIES.update({
     "docs_shard_manifest": (q_docs_shard_manifest, SQL_SHARD_MANIFEST),
 })
+
+
+# --------------------------------------- cross-source contamination
+
+
+def _contaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus two injected shadow feeds — ``mirror`` (every
+    50th doc) and ``crawl2`` (every 70th) — so cross-source overlap
+    has known structure: every original source overlaps both shadows,
+    and the shadows overlap each other on the lcm-350 docs. The raw
+    synthetic table has no natural cross-source duplicates; a real
+    corpus (curated set vs crawl snapshots) always does."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "source")
+    mirror = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text",
+        F.lit("mirror").alias("source"))
+    crawl2 = docs.filter(F.col("doc_id") % 70 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text",
+        F.lit("crawl2").alias("source"))
+    return docs.unionByName(mirror).unionByName(crawl2)
+
+
+def q_docs_cross_source_overlap(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-contamination matrix: for every
+    unordered source pair, how many distinct contents both carry and
+    the content-level Jaccard — the report that decides which feed to
+    drop (or dedup against which) before a training mix is weighted.
+
+    Scale shape: NO hash self-join (a mega-duplicated boilerplate
+    content would square). Contents aggregate to their distinct
+    source SET first (collect_set is bounded by |sources| — a catalog
+    dimension, dozens not millions), pairs explode within each
+    bounded set, and one (source_a, source_b) aggregate produces the
+    matrix — so the shuffled relation is one row per distinct
+    content, never content x content. Per-source distinct-content
+    sizes broadcast onto the <= |sources|^2-row matrix for the
+    Jaccard. Text itself never shuffles (hash early, like
+    docs_shard_manifest). Jaccard publishes as an exact int/int
+    double division (probe_double_div-portable)."""
+    corpus = _contaminated_corpus(spark, sf_dir)
+    hs = corpus.select(F.md5(F.col("text")).alias("h"), "source") \
+        .distinct()
+    sizes = hs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    sets = hs.groupBy("h").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs"))
+    pairs = (sets.filter(F.size("srcs") >= 2)
+             .select(F.explode(F.expr(
+                 "flatten(transform(srcs, (a, i) -> "
+                 "transform(slice(srcs, i + 2, size(srcs)), "
+                 "b -> struct(a, b))))")).alias("p"))
+             .select(F.col("p.a").alias("source_a"),
+                     F.col("p.b").alias("source_b")))
+    mat = pairs.groupBy("source_a", "source_b") \
+        .agg(F.count("*").alias("n_shared"))
+    sa = F.broadcast(sizes.select(
+        F.col("source").alias("source_a"), F.col("n_docs").alias("_na")))
+    sb = F.broadcast(sizes.select(
+        F.col("source").alias("source_b"), F.col("n_docs").alias("_nb")))
+    return (mat.join(sa, "source_a").join(sb, "source_b")
+            .select("source_a", "source_b", "n_shared",
+                    (F.col("n_shared").cast("double")
+                     / (F.col("_na") + F.col("_nb")
+                        - F.col("n_shared")).cast("double"))
+                    .alias("jaccard")))
+
+
+SQL_CROSS_SOURCE_OVERLAP = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, 'mirror' FROM documents
+  WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text, 'crawl2' FROM documents
+  WHERE doc_id % 70 = 0),
+hs AS (SELECT DISTINCT md5(text) AS h, source FROM corpus),
+sizes AS (SELECT source, COUNT(*) AS n_docs FROM hs GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source),
+mat AS (SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM pairs GROUP BY source_a, source_b)
+SELECT m.source_a, m.source_b, m.n_shared,
+       CAST(m.n_shared AS DOUBLE)
+         / CAST(sa.n_docs + sb.n_docs - m.n_shared AS DOUBLE) AS jaccard
+FROM mat m
+JOIN sizes sa ON sa.source = m.source_a
+JOIN sizes sb ON sb.source = m.source_b
+"""
+
+
+PIPELINE_QUERIES.update({
+    "docs_cross_source_overlap": (
+        q_docs_cross_source_overlap, SQL_CROSS_SOURCE_OVERLAP),
+})

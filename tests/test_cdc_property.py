@@ -280,3 +280,42 @@ def test_maintain_topk_equals_direct_refresh(spark, cur, stg, chg):
                     F.col("_v").alias("a")).collect()}
     assert got == want
     actions.unpersist()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cur=table, stg=table, chg=keys)
+def test_maintain_distinct_equals_direct_refresh(spark, cur, stg, chg):
+    """Fourth IVM member: the partially-refreshed per-group
+    (n, n_distinct) view must equal a direct COUNT / COUNT(DISTINCT)
+    over the merged state — including the defining hard case
+    (deleting one of several holders of a value must NOT decrement
+    the distinct count; deleting the last holder must), group moves,
+    NULL group keys, and NULL values (excluded from the distinct
+    count but counted in n, SQL semantics on both paths)."""
+    from pyspark.sql import functions as F
+
+    curdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(cur.items())], SCHEMA)
+    stgdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(stg.items())], SCHEMA)
+    chgdf = spark.createDataFrame(
+        [(k,) for k in sorted(chg)],
+        T.StructType([T.StructField("key", T.LongType(), False)]))
+    actions = M.classify_actions(curdf, stgdf, chgdf, "id",
+                                 ["id", "a", "b"]).cache()
+    merged = M.apply_actions(curdf, stgdf, actions, "id")
+    old = (curdf.groupBy("b", "a").agg(F.count("*").alias("_m"))
+           .groupBy("b")
+           .agg(F.sum("_m").cast("bigint").alias("n"),
+                F.count("a").alias("n_distinct")))
+    got = {r["b"]: (r["n"], r["n_distinct"]) for r in
+           M.maintain_distinct(curdf, stgdf, actions, "id", ["b"],
+                               "a", merged,
+                               old_distinct=old).collect()}
+    want = {r["b"]: (r["n"], r["n_distinct"]) for r in
+            merged.groupBy("b").agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.countDistinct("a").alias("n_distinct")).collect()}
+    assert got == want
+    actions.unpersist()

@@ -176,6 +176,35 @@ def test_maintain_aggregate_handles_group_moves(spark):
                    "B": (1, 1, Decimal("10.00"))}  # k1 moved in, k3 gone
 
 
+def test_maintain_distinct_last_holder_semantics(spark):
+    """The case that makes COUNT(DISTINCT) non-self-maintainable,
+    pinned deterministically: deleting ONE of two holders of a value
+    must not decrement the group's distinct count; deleting the LAST
+    holder must. Also: a group move carries the value's holdership
+    across groups, and NULL values count in n but not n_distinct."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cols = "k long, grp string, v string"
+    cur = spark.createDataFrame(
+        [(1, "A", "x"), (2, "A", "x"),   # two holders of A/x
+         (3, "A", "y"),                  # sole holder of A/y
+         (4, "B", "z"), (5, "B", None)], cols)
+    stg = spark.createDataFrame(
+        [(2, "A", "x"),                  # k=1 deleted: x still held
+         (4, "A", "z"),                  # U: moves B's z into A
+         (5, "B", None)], cols)          # null value survives
+    chg = spark.createDataFrame([(1,), (3,), (4,)], ["key"])
+    actions = M.classify_actions(cur, stg, chg, "k", ["k", "grp", "v"])
+    merged = M.apply_actions(cur, stg, actions, "k")
+    got = {r["grp"]: (r["n"], r["n_distinct"]) for r in
+           M.maintain_distinct(cur, stg, actions, "k", ["grp"], "v",
+                               merged).collect()}
+    # A: rows {2:x, 4:z} -> n=2, distinct {x,z}=2 (y's last holder
+    #    k=3 deleted, one x holder survived the k=1 delete)
+    # B: row {5:None} -> n=1, distinct 0 (NULL excluded)
+    assert got == {"A": (2, 2), "B": (1, 0)}
+
+
 def test_maintain_aggregate_from_full_diff(spark):
     """The L0 full-incremental path: full_diff's I/U/D action set
     drives the same view maintenance — the refreshed aggregate must
