@@ -31,6 +31,10 @@ FAST_QUERIES = [
     "multimodal_motion_stats", "text_bpe_merges", "sim_knn_graph",
     "docs_datasheet", "events_cube", "events_except_intersect",
     "sim_ivf_index_query", "docs_drift_report",
+    # new in r8
+    "cdc_topk_refresh", "docs_shard_manifest",
+    # new in r9
+    "cdc_distinct_refresh", "docs_cross_source_overlap",
 ]
 
 
