@@ -58,20 +58,25 @@ _DRIVER_FIRST = [
     "cdc_incremental_agg", "orders_salted_join",
     "cdc_topk_refresh", "docs_shard_manifest",
     # NEW in r9 (zero-green rows take slots ahead of rotation-complete
-    # ones): distinct-count IVM (fourth member) and the cross-source
-    # contamination matrix
+    # ones): distinct-count IVM (fourth member), the cross-source
+    # contamination matrix, the delta-join view IVM (fifth member),
+    # and the first-fail filter-funnel ledger
     "cdc_distinct_refresh", "docs_cross_source_overlap",
+    "cdc_join_refresh", "docs_filter_funnel",
     # stalest rotation-complete entries: freshest green r5 (3 greens)
     "dedup_jaccard_prefix", "emb_outliers", "multimodal_features",
     "text_char_entropy", "text_redact_pii", "text_unigram_logprob",
     # freshest green r5 (4 greens)
-    "dedup_clusters", "dedup_exact", "dedup_jaccard",
+    "dedup_clusters", "dedup_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_survivors", "docs_stratified_sample", "docs_topk_quality",
     "emb_norm_stats", "emb_quantize", "events_sliding_agg",
     "events_value_winsorize", "q18_large_orders", "q1_pricing_summary",
     "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
-    "text_term_freq", "text_tfidf", "text_token_stats",
+    "text_term_freq", "text_tfidf",
+    # (text_token_stats and dedup_exact — 4 driver greens each,
+    # freshest r5, both in the FAST_QUERIES sf0.001 differential —
+    # yielded their slots to cdc_join_refresh / docs_filter_funnel)
     # --- 50-slot cutoff lands here. Deferred with compensating
     # coverage: every remaining hash-checked entry holds >=2 driver
     # greens with the most recent in r6-r8 (the whole r8 top-50 just

@@ -538,6 +538,65 @@ def maintain_topk(current: DataFrame, staged: DataFrame,
     return untouched.unionByName(recomputed)
 
 
+def maintain_join(current: DataFrame, staged: DataFrame,
+                  actions: DataFrame, key: str,
+                  dim: DataFrame, fact_join_col: str, dim_join_col: str,
+                  fact_cols: list[str], dim_cols: list[str],
+                  old_view: DataFrame | None = None) -> DataFrame:
+    """Delta maintenance of an enriched JOIN view ``V = fact ⋈ dim``
+    under fact-side CDC actions — the fifth IVM member, and the
+    contrast case that completes the taxonomy: where min/max, top-k
+    and distinct-count views need a touched-group rescan of the merged
+    state, an inner-join view IS self-maintainable given the dimension
+    (the classic delta-join rule, ΔV = ΔF ⋈ D):
+
+      V_new = (V_old  ∖  rows whose fact key is in D/U/X)
+              ∪ ((staged ⋉ I/U/X keys) ⋈ dim)
+
+    No scan of the merged fact table at all: the removal side is a
+    broadcast anti join of the stored view against the |changes|-bounded
+    action keys, and the insertion side joins only the |changes| staged
+    rows against the dimension — at 100 TB the refresh cost is
+    O(|changes| · join) instead of re-joining billions of fact rows.
+    Rows whose ``fact_join_col`` finds no dimension partner are absent
+    from the view (inner-join semantics), and the delta preserves that
+    for free: removals delete by fact key (removing exactly the view
+    rows that existed), additions add exactly what the inner join
+    yields. Fact-side updates (U/X) are remove+add, so a row whose
+    join column moves between dimension partners relocates correctly.
+
+    Assumes the dimension is static across the refresh (the
+    star-schema upload shape: the reference re-points child tables at
+    freshly-merged parents per level-0/level-5 cycle rather than
+    maintaining views across simultaneous two-sided changes —
+    bin/linz_bde_uploader.pl table ordering). Dimension-side changes
+    would add the symmetric F ⋈ ΔD term; out of scope here.
+
+    Returns (key, *fact_cols, *dim_cols). ``old_view=None`` computes
+    the pre-merge view from ``current`` directly (bootstrap /
+    differential-test path — same result, not O(changes))."""
+    del_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    ins_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+
+    def enrich(fact: DataFrame) -> DataFrame:
+        return (fact.join(dim,
+                          fact[fact_join_col] == dim[dim_join_col],
+                          "inner")
+                .select(fact[key], *[fact[c] for c in fact_cols],
+                        *[dim[c] for c in dim_cols]))
+
+    base = old_view if old_view is not None else enrich(current)
+    kept = base.join(del_keys, key, "left_anti")
+    added = enrich(staged.join(ins_keys, key, "left_semi"))
+    return kept.unionByName(added)
+
+
 def maintain_distinct(current: DataFrame, staged: DataFrame,
                       actions: DataFrame, key: str,
                       group_cols: list[str], value_col: str,

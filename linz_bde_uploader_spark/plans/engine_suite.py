@@ -656,3 +656,56 @@ FROM merged GROUP BY o_orderstatus
 ENGINE_QUERIES.update({
     "cdc_distinct_refresh": (q_cdc_distinct_refresh, SQL_CDC_DISTINCT),
 })
+
+
+def q_cdc_join_refresh(spark, sf_dir: str):
+    """Delta maintenance of an enriched JOIN view through the CDC
+    merge (operators/merge.py maintain_join — the fifth IVM member,
+    and the taxonomy's contrast case: inner-join views are
+    SELF-maintainable under fact-side changes given the dimension, so
+    the refresh never rescans the merged fact table: stored view minus
+    deleted/updated keys, plus the |changes|-bounded staged delta
+    joined to the dimension). The oracle recomputes the whole join
+    from the merged state, so a hash match differentially proves the
+    delta-join rule ΔV = ΔF ⋈ D equals a full re-join. Price publishes
+    as integer cents; every other column is BIGINT/string (ORACLE.md
+    portable types)."""
+    cur, stg, chg = cdc_frames(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    actions = M.classify_actions(cur, stg, chg, "o_orderkey",
+                                 ORDER_COLS).cache()
+    old = (cur.join(customer,
+                    cur["o_custkey"] == customer["c_custkey"], "inner")
+           .select(cur["o_orderkey"], cur["o_orderstatus"],
+                   cur["o_totalprice"], customer["c_mktsegment"],
+                   customer["c_nationkey"]))
+    view = M.maintain_join(cur, stg, actions, "o_orderkey",
+                           customer, "o_custkey", "c_custkey",
+                           ["o_orderstatus", "o_totalprice"],
+                           ["c_mktsegment", "c_nationkey"],
+                           old_view=old)
+    return view.select(
+        "o_orderkey", "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .alias("price_cents"),
+        "c_mktsegment", "c_nationkey")
+
+
+SQL_CDC_JOIN = f"""WITH {_CDC_CTES},
+merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM cur
+  WHERE o_orderkey NOT IN (SELECT key FROM act WHERE action IN ('D','U','X'))
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM stg
+  WHERE o_orderkey IN (SELECT key FROM act WHERE action IN ('I','U','X')))
+SELECT m.o_orderkey, m.o_orderstatus,
+       CAST(CAST(m.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         AS price_cents,
+       c.c_mktsegment, c.c_nationkey
+FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey
+"""
+
+
+ENGINE_QUERIES.update({
+    "cdc_join_refresh": (q_cdc_join_refresh, SQL_CDC_JOIN),
+})

@@ -3876,3 +3876,136 @@ PIPELINE_QUERIES.update({
     "docs_cross_source_overlap": (
         q_docs_cross_source_overlap, SQL_CROSS_SOURCE_OVERLAP),
 })
+
+
+def q_docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel report: the per-stage survivor/rejection ledger a
+    production curation pipeline publishes with every corpus build —
+    which rule killed how many documents, and how many remain after
+    each stage. Stages run in pipeline order (five Gopher content rules,
+    then the metadata language gate, then exact dedup) and every
+    document is attributed to the FIRST stage it fails, so the stage
+    counts partition the corpus exactly: total = survivors +
+    sum(rejected).
+
+    Dedup is computed over the SURVIVORS of the earlier stages, not
+    the raw corpus — real funnel semantics: a document whose only
+    duplicate was already rejected by a content rule is NOT a
+    duplicate at the dedup stage (canonical = min doc_id per content
+    hash among stage-1..6 survivors). Getting this wrong (deduping
+    the raw corpus) over-rejects and the oracle catches it.
+
+    Scale shape: one pass computes all rule flags as codegen
+    expressions (integer cross-multiplied ratios — no floats
+    anywhere); the dedup stage is a content-hash aggregate + equi
+    join, both shuffling only (hash, doc_id) pairs, never text; the
+    report aggregate collapses to |stages| rows, the only
+    unpartitioned window runs over those 7 rows (bounded by the
+    stage list, not the corpus), and the corpus total rides in as a
+    broadcast scalar. Embarrassingly parallel at 100 TB."""
+    from pyspark.sql import Window
+
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    words = F.filter(F.split(F.trim("text"), r"\s+"),
+                     lambda w: w != F.lit(""))
+    n = F.size(words)
+    sumlen = F.aggregate(words, F.lit(0),
+                         lambda acc, w: acc + F.length(w))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    sym = F.size(F.filter(
+        words, lambda w: w.startswith("#") | w.endswith("...")))
+    sw = F.size(F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"),
+        lambda w: w.isin("the", "a", "of", "and", "to")))
+    ff = (docs.select(
+        "doc_id", F.md5("text").alias("h"),
+        F.when(~((n >= 20) & (n <= 10000)), F.lit(1))
+        .when(~((sumlen >= 3 * n) & (sumlen <= 10 * n)), F.lit(2))
+        .when(~(sym * 10 <= n), F.lit(3))
+        .when(~(alpha * 5 >= n * 4), F.lit(4))
+        .when(~(sw >= 2), F.lit(5))
+        .when(~F.col("lang").eqNullSafe(F.lit("en")), F.lit(6))
+        .otherwise(F.lit(0)).alias("stage_fail")))
+    canon = (ff.filter(F.col("stage_fail") == 0)
+             .groupBy("h").agg(F.min("doc_id").alias("cid")))
+    attr = (ff.join(canon, "h", "left")
+            .select("doc_id",
+                    F.when(F.col("stage_fail") > 0, F.col("stage_fail"))
+                    .when(F.col("doc_id") != F.col("cid"), F.lit(7))
+                    .otherwise(F.lit(0)).alias("fail_stage")))
+    rej = (attr.filter(F.col("fail_stage") > 0)
+           .groupBy("fail_stage").agg(F.count("*").alias("_n")))
+    stages = spark.createDataFrame(
+        [(1, "word_count"), (2, "mean_word_len"), (3, "symbol_ratio"),
+         (4, "alpha_words"), (5, "stopwords"), (6, "lang_en"),
+         (7, "exact_dup")], "stage_no long, stage string")
+    total = docs.agg(F.count("*").alias("_total"))
+    # bounded unpartitioned window: 7 stage rows, never corpus rows
+    cum = Window.orderBy("stage_no")
+    return (stages
+            .join(rej, stages["stage_no"] == rej["fail_stage"], "left")
+            .crossJoin(F.broadcast(total))
+            .select("stage_no", "stage",
+                    F.coalesce(F.col("_n"), F.lit(0))
+                    .cast("bigint").alias("rejected"), "_total")
+            .withColumn(
+                "survivors",
+                (F.col("_total") - F.sum("rejected").over(cum))
+                .cast("bigint"))
+            .drop("_total"))
+
+
+SQL_FILTER_FUNNEL = """
+WITH w AS (
+  SELECT doc_id, lang, md5(text) AS h,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t <> '') AS ws,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> list_contains(['the','a','of','and','to'], t))) AS sw
+  FROM documents),
+m AS (
+  SELECT doc_id, lang, h, len(ws) AS n,
+         list_sum(list_transform(ws, t -> len(t))) AS sumlen,
+         len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+         len(list_filter(ws, t -> starts_with(t, '#')
+                                  OR suffix(t, '...'))) AS sym,
+         sw
+  FROM w),
+ff AS (
+  SELECT doc_id, h,
+         CASE WHEN NOT (n >= 20 AND n <= 10000) THEN 1
+              WHEN NOT (sumlen >= 3 * n AND sumlen <= 10 * n) THEN 2
+              WHEN NOT (sym * 10 <= n) THEN 3
+              WHEN NOT (alpha * 5 >= n * 4) THEN 4
+              WHEN NOT (sw >= 2) THEN 5
+              WHEN lang IS DISTINCT FROM 'en' THEN 6
+              ELSE 0 END AS stage_fail
+  FROM m),
+canon AS (SELECT h, MIN(doc_id) AS cid FROM ff
+          WHERE stage_fail = 0 GROUP BY h),
+attr AS (
+  SELECT f.doc_id,
+         CASE WHEN f.stage_fail > 0 THEN f.stage_fail
+              WHEN f.doc_id <> c.cid THEN 7
+              ELSE 0 END AS fail_stage
+  FROM ff f LEFT JOIN canon c ON f.h = c.h),
+stages(stage_no, stage) AS (VALUES
+  (1, 'word_count'), (2, 'mean_word_len'), (3, 'symbol_ratio'),
+  (4, 'alpha_words'), (5, 'stopwords'), (6, 'lang_en'),
+  (7, 'exact_dup')),
+rej AS (SELECT fail_stage, COUNT(*) AS n FROM attr
+        WHERE fail_stage > 0 GROUP BY fail_stage),
+tot AS (SELECT COUNT(*) AS t FROM documents)
+SELECT CAST(s.stage_no AS BIGINT) AS stage_no, s.stage,
+       CAST(COALESCE(r.n, 0) AS BIGINT) AS rejected,
+       CAST(t.t - SUM(COALESCE(r.n, 0)) OVER (ORDER BY s.stage_no)
+            AS BIGINT) AS survivors
+FROM stages s
+LEFT JOIN rej r ON r.fail_stage = s.stage_no
+CROSS JOIN tot t
+"""
+
+
+PIPELINE_QUERIES.update({
+    "docs_filter_funnel": (q_docs_filter_funnel, SQL_FILTER_FUNNEL),
+})

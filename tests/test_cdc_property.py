@@ -319,3 +319,46 @@ def test_maintain_distinct_equals_direct_refresh(spark, cur, stg, chg):
                 F.countDistinct("a").alias("n_distinct")).collect()}
     assert got == want
     actions.unpersist()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cur=table, stg=table, chg=keys)
+def test_maintain_join_equals_direct_refresh(spark, cur, stg, chg):
+    """Fifth IVM member: the delta-join-maintained enriched view
+    (stored view minus D/U/X fact keys, plus I/U/X staged rows joined
+    to the dimension) must equal a direct re-join of the merged state
+    — including updates that move a row between dimension partners,
+    join columns that are NULL or dangling (value 3 has no dimension
+    row: absent from the view on both paths, inner-join semantics),
+    rank-free deletes of enriched rows, and X actions via the
+    unique_cols key-swap path."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    curdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(cur.items())], SCHEMA)
+    stgdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(stg.items())], SCHEMA)
+    chgdf = spark.createDataFrame(
+        [(k,) for k in sorted(chg)],
+        T.StructType([T.StructField("key", T.LongType(), False)]))
+    dim = spark.createDataFrame([(0, "p"), (1, "q"), (2, "r")],
+                                "d_key int, d_name string")
+    actions = M.classify_actions(curdf, stgdf, chgdf, "id",
+                                 ["id", "a", "b"],
+                                 unique_cols=["a"]).cache()
+    merged = M.apply_actions(curdf, stgdf, actions, "id")
+
+    def enrich(fact):
+        return (fact.join(dim, fact["a"] == dim["d_key"], "inner")
+                .select(fact["id"], fact["b"], dim["d_name"]))
+
+    old = enrich(curdf)
+    got = {r["id"]: (r["b"], r["d_name"]) for r in
+           M.maintain_join(curdf, stgdf, actions, "id", dim,
+                           "a", "d_key", ["b"], ["d_name"],
+                           old_view=old).collect()}
+    want = {r["id"]: (r["b"], r["d_name"]) for r in
+            enrich(merged).collect()}
+    assert got == want
+    actions.unpersist()

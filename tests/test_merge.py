@@ -205,6 +205,36 @@ def test_maintain_distinct_last_holder_semantics(spark):
     assert got == {"A": (2, 2), "B": (1, 0)}
 
 
+def test_maintain_join_delta_semantics(spark):
+    """The delta-join rule pinned deterministically: a fact update
+    that moves a row between dimension partners relocates it in the
+    view; an update that points the join column at NO partner (or
+    NULL) drops the row from the view; inserting a dangling fact row
+    adds nothing; deleting an enriched row removes exactly it."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cols = "k long, ck long, v string"
+    cur = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"),    # enriched via d10, d20
+         (3, 99, "c"),                  # dangling: not in view
+         (4, 10, "d")], cols)
+    stg = spark.createDataFrame(
+        [(1, 20, "a"),                  # U: partner d10 -> d20
+         (2, None, "b"),                # U: join col -> NULL, leaves view
+         (5, 99, "e"),                  # I: dangling, never enters view
+         (6, 10, "f")], cols)           # I: enriched via d10
+    chg = spark.createDataFrame([(1,), (2,), (4,), (5,), (6,)], ["key"])
+    dim = spark.createDataFrame([(10, "ten"), (20, "twenty")],
+                                "d_key long, d_name string")
+    actions = M.classify_actions(cur, stg, chg, "k", ["k", "ck", "v"])
+    got = {r["k"]: (r["v"], r["d_name"]) for r in
+           M.maintain_join(cur, stg, actions, "k", dim, "ck", "d_key",
+                           ["v"], ["d_name"]).collect()}
+    # k=1 moved to twenty, k=2 left the view, k=3 untouched-dangling,
+    # k=4 deleted, k=5 dangling insert, k=6 enriched insert
+    assert got == {1: ("a", "twenty"), 6: ("f", "ten")}
+
+
 def test_maintain_aggregate_from_full_diff(spark):
     """The L0 full-incremental path: full_diff's I/U/D action set
     drives the same view maintenance — the refreshed aggregate must
