@@ -242,7 +242,8 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                          max_files_per_trigger: int | None = None,
                          view_group_cols: list[str] | None = None,
                          view_value_col: str | None = None,
-                         view_minmax: bool = False) -> None:
+                         view_minmax: bool = False,
+                         view_join: dict | None = None) -> None:
     """The poll-run upload loop as a stream: watch the level_5
     repository, and for every micro-batch of new dataset files run the
     REAL CDC merge (classify -> apply) against the versioned store via
@@ -275,6 +276,15 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     (operators/merge.maintain_extrema): untouched groups carry
     forward from the stored view, touched groups recompute from the
     post-merge state.
+
+    ``view_join`` (keys: ``dim`` DataFrame, ``fact_col``, ``dim_col``,
+    ``fact_cols``, ``dim_cols``) additionally maintains an enriched
+    join view ``<table>__join`` via the delta-join rule
+    (operators/merge.maintain_join): the stored view minus the
+    batch's D/U/X keys plus the staged delta joined to the static
+    dimension — per micro-batch the view refresh is O(|changes|) and
+    never re-joins the base table. Same replay-guard discipline as
+    the other views.
     """
     from linz_bde_uploader_spark.operators import merge as M
     from linz_bde_uploader_spark.sources.crs import read_crs
@@ -285,6 +295,15 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
 
     view_table = f"{table_name}__agg"
     mm_table = f"{table_name}__minmax"
+    join_table = f"{table_name}__join"
+
+    def enrich(fact: DataFrame) -> DataFrame:
+        vj = view_join
+        dim = vj["dim"]
+        return (fact.join(dim, fact[vj["fact_col"]] == dim[vj["dim_col"]],
+                          "inner")
+                .select(fact[key], *[fact[c] for c in vj["fact_cols"]],
+                        *[dim[c] for c in vj["dim_cols"]]))
 
     def refresh_view(cur, stg, actions, merged, ds) -> None:
         # Replay guard (exactly-once view maintenance under
@@ -310,13 +329,21 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
         # fixed-width timestamps, so lexicographic order is
         # chronological order — same invariant the repository's
         # dataset ordering O1 relies on.)
-        if view_group_cols is None or view_value_col is None:
-            return
-
         def behind(table: str) -> bool:
             stamp = store.current_dataset(table)
             return stamp is None or stamp < ds
 
+        if view_join is not None and behind(join_table):
+            old_jv = (store.read(spark, join_table)
+                      if store.exists(join_table) else None)
+            jv = M.maintain_join(cur, stg, actions, key,
+                                 view_join["dim"], view_join["fact_col"],
+                                 view_join["dim_col"],
+                                 view_join["fact_cols"],
+                                 view_join["dim_cols"], old_view=old_jv)
+            store.write(join_table, jv, dataset=ds)
+        if view_group_cols is None or view_value_col is None:
+            return
         if behind(view_table):
             old = (store.read(spark, view_table)
                    if store.exists(view_table) else None)
@@ -342,6 +369,8 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                            .select(*[f.name for f in schema.fields])
                 if not store.exists(table_name):
                     store.write(table_name, stg, key=key, dataset=ds)
+                    if view_join is not None:
+                        store.write(join_table, enrich(stg), dataset=ds)
                     if view_group_cols is not None and view_value_col:
                         # bootstrap: direct aggregate of the seed state
                         vv = F.col(view_value_col).cast("decimal(12,2)")

@@ -835,6 +835,61 @@ def test_streaming_cdc_maintained_view(spark, tmp_path):
     assert stored_mm() == direct_mm()
 
 
+def test_streaming_cdc_join_view(spark, tmp_path):
+    """Continuously-maintained JOIN view alongside the streaming CDC
+    merge (the delta-join IVM member in its streaming form): after
+    every drain the stored <table>__join must equal a direct
+    fact-dimension join over the stored base table. The second drain
+    exercises the truly-incremental path — old state = the STORED
+    view, refresh = stored view minus the batch's D/U/X keys plus
+    the changes-bounded staged delta joined to the dimension, never
+    a re-join of the base."""
+    from linz_bde_uploader_spark.sources.crs import parse_header, read_crs
+    from linz_bde_uploader_spark.sources.store import TableStore
+    from tests.fixtures import write_crs
+
+    root = write_repository(str(tmp_path / "repo"))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    l0_file = os.path.join(root, "level_0", "20160601000000", "pab1.crs")
+    store.write("crs_parcel_bndry", read_crs(spark, l0_file), key="audit_id")
+    schema = parse_header(l0_file).schema()
+    ckpt = str(tmp_path / "ckpt")
+    dim = spark.createDataFrame([("Y", "reversed"), ("N", "forward")],
+                                "rev_code string, label string")
+    vj = {"dim": dim, "fact_col": "reversed", "dim_col": "rev_code",
+          "fact_cols": ["sequence"], "dim_cols": ["label"]}
+
+    def direct():
+        t = store.read(spark, "crs_parcel_bndry")
+        return {r["audit_id"]: (r["sequence"], r["label"]) for r in
+                t.join(dim, t["reversed"] == dim["rev_code"])
+                .select(t["audit_id"], t["sequence"],
+                        dim["label"]).collect()}
+
+    def stored():
+        v = store.read(spark, "crs_parcel_bndry__join")
+        return {r["audit_id"]: (r["sequence"], r["label"])
+                for r in v.collect()}
+
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt,
+                             view_join=vj)
+    assert stored() == direct()
+
+    ds2 = os.path.join(root, "level_5", "20160602000000")
+    write_crs(os.path.join(ds2, "pab1.crs"), PAB1_L5B)
+    write_crs(os.path.join(ds2, "xaud.crs"), XAUD_B)
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt,
+                             view_join=vj)
+    got = stored()
+    assert got == direct()
+    # golden F2 end-state enriched: re-key + updates + appends all
+    # flowed through the delta (audit_id -> (sequence, label))
+    assert got[80401148] == (10, "reversed")
+    assert got[80401149] == (20, "forward")
+
+
 def test_streaming_view_replay_guard_crash_window(spark, tmp_path):
     """The at-least-once crash window the dataset-stamp guard exists
     for: the batch refreshes __agg/__minmax, then CRASHES before the
@@ -857,12 +912,17 @@ def test_streaming_view_replay_guard_crash_window(spark, tmp_path):
     schema = parse_header(l0_file).schema()
     ckpt = str(tmp_path / "ckpt")
 
+    dim = spark.createDataFrame([("Y", "reversed"), ("N", "forward")],
+                                "rev_code string, label string")
+    vj = {"dim": dim, "fact_col": "reversed", "dim_col": "rev_code",
+          "fact_cols": ["sequence"], "dim_cols": ["label"]}
+
     def run():
         STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
                                  "audit_id", schema, "pab1", ckpt,
                                  view_group_cols=["reversed"],
                                  view_value_col="sequence",
-                                 view_minmax=True)
+                                 view_minmax=True, view_join=vj)
 
     def direct():
         t = store.read(spark, "crs_parcel_bndry")
@@ -871,6 +931,18 @@ def test_streaming_view_replay_guard_crash_window(spark, tmp_path):
                 .agg(F.count("*").alias("n"),
                      F.sum(F.col("sequence").cast("decimal(12,2)"))
                      .cast("decimal(38,2)").alias("total")).collect()}
+
+    def direct_join():
+        t = store.read(spark, "crs_parcel_bndry")
+        return sorted((r["audit_id"], r["sequence"], r["label"]) for r in
+                      t.join(dim, t["reversed"] == dim["rev_code"])
+                      .select(t["audit_id"], t["sequence"],
+                              dim["label"]).collect())
+
+    def stored_join():
+        v = store.read(spark, "crs_parcel_bndry__join")
+        return sorted((r["audit_id"], r["sequence"], r["label"])
+                      for r in v.collect())
 
     def stored_view():
         v = store.read(spark, "crs_parcel_bndry__agg")
@@ -921,11 +993,16 @@ def test_streaming_view_replay_guard_crash_window(spark, tmp_path):
     assert direct() != pre_merge  # base merged on replay
     assert stored_view() == direct()  # guard skipped the double-apply
     assert stored_mm() == direct_mm()
+    # join view: a double-applied delta would DUPLICATE inserted keys
+    # (I keys are not in the removal set), so set equality here proves
+    # the guard, not just idempotence
+    assert stored_join() == direct_join()
     assert isinstance(next(iter(stored_view().values()))[1], Decimal)
 
     run()  # fully-committed re-drain is a no-op for base and views
     assert stored_view() == direct()
     assert stored_mm() == direct_mm()
+    assert stored_join() == direct_join()
 
 
 PAB1_L5C = PAB1_L5B.replace("4457330|40|29694600|N|300|",
@@ -978,12 +1055,17 @@ def test_streaming_view_replay_guard_multi_dataset_crash(spark, tmp_path):
     schema = parse_header(l0_file).schema()
     ckpt = str(tmp_path / "ckpt")
 
+    dim = spark.createDataFrame([("Y", "reversed"), ("N", "forward")],
+                                "rev_code string, label string")
+    vj = {"dim": dim, "fact_col": "reversed", "dim_col": "rev_code",
+          "fact_cols": ["sequence"], "dim_cols": ["label"]}
+
     def run():
         STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
                                  "audit_id", schema, "pab1", ckpt,
                                  view_group_cols=["reversed"],
                                  view_value_col="sequence",
-                                 view_minmax=True)
+                                 view_minmax=True, view_join=vj)
 
     def direct():
         t = store.read(spark, "crs_parcel_bndry")
@@ -992,6 +1074,18 @@ def test_streaming_view_replay_guard_multi_dataset_crash(spark, tmp_path):
                 .agg(F.count("*").alias("n"),
                      F.sum(F.col("sequence").cast("decimal(12,2)"))
                      .cast("decimal(38,2)").alias("total")).collect()}
+
+    def direct_join():
+        t = store.read(spark, "crs_parcel_bndry")
+        return sorted((r["audit_id"], r["sequence"], r["label"]) for r in
+                      t.join(dim, t["reversed"] == dim["rev_code"])
+                      .select(t["audit_id"], t["sequence"],
+                              dim["label"]).collect())
+
+    def stored_join():
+        v = store.read(spark, "crs_parcel_bndry__join")
+        return sorted((r["audit_id"], r["sequence"], r["label"])
+                      for r in v.collect())
 
     def stored_view():
         v = store.read(spark, "crs_parcel_bndry__agg")
@@ -1044,11 +1138,13 @@ def test_streaming_view_replay_guard_multi_dataset_crash(spark, tmp_path):
     assert store.current_dataset("crs_parcel_bndry") == ds3
     assert stored_view() == direct()
     assert stored_mm() == direct_mm()
+    assert stored_join() == direct_join()
     assert isinstance(next(iter(stored_view().values()))[1], Decimal)
 
     run()  # fully-committed re-drain stays a no-op
     assert stored_view() == direct()
     assert stored_mm() == direct_mm()
+    assert stored_join() == direct_join()
 
 
 def test_stream_drift_monitor(spark, tmp_path):
