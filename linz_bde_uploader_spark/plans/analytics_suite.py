@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from linz_bde_uploader_spark.functions.timeutil import epoch_micros
 from linz_bde_uploader_spark.plans.tables import load_table
 
 _TS = "TIMESTAMP_NTZ'{} 00:00:00'"
@@ -1382,3 +1383,53 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
                                 SQL_EVENTS_EXCEPT_INTERSECT),
     "events_lag_delta": (q_events_lag_delta, SQL_EVENTS_LAG),
 }
+
+
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-to-next-event transition matrix — the
+    user-journey / Markov-chain summary funnel products compute over
+    clickstreams (which step follows which, how often, with what
+    median gap). LEAD over the (user_id)-partitioned, (ts, event_id)-
+    ordered window pairs each event with its successor; one aggregate
+    collapses the stream to |event_type|^2 rows. The window shuffles
+    once on the natural user key (bounded per-user partitions, no
+    global sort); the gap statistic stays on exact int64 microseconds
+    (sum + count published, never an average — ORACLE.md portable
+    types). Terminal events (no successor) drop out, so the row count
+    is at most the type-pair cardinality at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt_type = F.lead("event_type").over(w)
+    gap_us = F.lead(epoch_micros("ts")).over(w) - epoch_micros("ts")
+    return (
+        events.select(F.col("event_type").alias("from_type"),
+                      nxt_type.alias("to_type"), gap_us.alias("_gap"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("_gap").cast("bigint").alias("gap_total_us"))
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS to_type,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           - epoch_us(CAST(ts AS TIMESTAMP)) AS gap
+  FROM events)
+SELECT from_type, to_type, COUNT(*) AS n,
+       CAST(SUM(gap) AS BIGINT) AS gap_total_us
+FROM s WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+ANALYTICS_QUERIES.update({
+    "events_transition_matrix": (q_events_transition_matrix,
+                                 SQL_EVENTS_TRANSITIONS),
+})

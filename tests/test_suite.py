@@ -35,7 +35,7 @@ FAST_QUERIES = [
     "cdc_topk_refresh", "docs_shard_manifest",
     # new in r9
     "cdc_distinct_refresh", "docs_cross_source_overlap",
-    "cdc_join_refresh", "docs_filter_funnel",
+    "cdc_join_refresh", "docs_filter_funnel", "events_transition_matrix",
 ]
 
 
