@@ -124,6 +124,14 @@ HEADLINE = [
     "events_except_intersect",
     "sim_ivf_index_query",
     "docs_drift_report",
+    # r8/r9 additions
+    "cdc_topk_refresh",
+    "docs_shard_manifest",
+    "cdc_distinct_refresh",
+    "docs_cross_source_overlap",
+    "cdc_join_refresh",
+    "docs_filter_funnel",
+    "events_transition_matrix",
 ]
 
 

@@ -96,3 +96,104 @@ def test_rank_variants_also_rewritten(spark, rank_fn):
     out = (df.withColumn("r", rank_fn().over(w))
            .filter(F.col("r") <= 3))
     _assert_group_limit(_executed_plan(out))
+
+
+# ---------------------------------------------------------------- r9:
+# plan CONTRACTS for the shapes the 100 TB arguments rest on beyond
+# WindowGroupLimit: filters reaching the parquet scan, column pruning,
+# dimension joins broadcasting, and no accidental cartesian products.
+# These are the invariants .explain() audits check by hand every
+# round; pinning them makes a regression loud instead of a slow bench.
+
+
+def test_q6_filters_push_to_scan_and_columns_prune(spark, sf_dir):
+    """TPC-H Q6 is the pushdown floor: its three predicates must reach
+    the parquet scan (PushedFilters non-empty) and the scan schema
+    must carry only the 4 referenced columns — a scan reading
+    l_comment for a 4-column aggregate would move ~10x the bytes at
+    100 TB."""
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        q6_forecast_revenue,
+    )
+
+    plan = _executed_plan(q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [" in plan, plan
+    assert "PushedFilters: []" not in plan, (
+        "no filter reached the parquet scan:\n" + plan)
+    assert "l_comment" not in plan, (
+        "column pruning regressed — scan reads unreferenced columns:\n"
+        + plan)
+    assert "l_orderkey" not in plan.split("ReadSchema", 1)[-1], plan
+
+
+def test_q1_scan_prunes_to_referenced_columns(spark, sf_dir):
+    """Q1 references 7 lineitem columns; the scan must not read the
+    rest (l_comment, l_partkey, ...)."""
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        q1_pricing_summary,
+    )
+
+    plan = _executed_plan(q1_pricing_summary(spark, sf_dir))
+    tail = plan.split("ReadSchema", 1)[-1]
+    assert "l_comment" not in tail and "l_partkey" not in tail, plan
+
+
+def test_q5_dimension_joins_broadcast_no_cartesian(spark, sf_dir):
+    """The multi-dim star join must broadcast its small sides (region/
+    nation/supplier fit in memory at ANY scale factor — they are
+    fixed-size dims) and must never degrade to a cartesian product."""
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        q5_local_supplier,
+    )
+
+    plan = _executed_plan(q5_local_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, (
+        "no dimension join broadcasts — every dim join would shuffle "
+        "the fact table at scale:\n" + plan)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_flagship_queries_have_no_cartesian_product(spark, sf_dir):
+    """No flagship query may contain an unconstrained cartesian
+    product. (BroadcastNestedLoopJoin against a broadcast scalar —
+    the labeled crossJoin(broadcast(...)) pattern — is allowed; a
+    CartesianProduct exchange is never.)"""
+    from linz_bde_uploader_spark.plans.analytics_suite import (
+        ANALYTICS_QUERIES,
+    )
+    from linz_bde_uploader_spark.plans.engine_suite import ENGINE_QUERIES
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        PIPELINE_QUERIES,
+    )
+
+    for name in ("q3_shipping_priority", "q9_profit_nation_year",
+                 "q18_large_orders", "cdc_apply", "cdc_join_refresh",
+                 "dedup_minhash_lsh"):
+        fn = (PIPELINE_QUERIES.get(name) or ENGINE_QUERIES.get(name)
+              or ANALYTICS_QUERIES.get(name))[0]
+        plan = _executed_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_maintain_join_delta_sides_broadcast(spark):
+    """The delta-join refresh must broadcast its action-key sides:
+    the kept-rows anti join and the staged-delta semi join are both
+    |changes|-bounded and must not shuffle the stored view or the
+    staged table (operators/merge.py maintain_join)."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cur = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("ck"),
+        F.col("id").cast("string").alias("v"))
+    stg = cur.withColumn("v", F.concat(F.col("v"), F.lit("x")))
+    chg = spark.range(10).select(F.col("id").alias("key"))
+    dim = spark.range(50).select(
+        F.col("id").alias("d_key"),
+        F.col("id").cast("string").alias("d_name"))
+    actions = M.classify_actions(cur, stg, chg, "k", ["ck", "v"])
+    out = M.maintain_join(cur, stg, actions, "k", dim, "ck", "d_key",
+                          ["v"], ["d_name"])
+    plan = _executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    # anti (removal) + semi (delta restriction) both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2, plan
