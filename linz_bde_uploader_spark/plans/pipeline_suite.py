@@ -4009,3 +4009,93 @@ CROSS JOIN tot t
 PIPELINE_QUERIES.update({
     "docs_filter_funnel": (q_docs_filter_funnel, SQL_FILTER_FUNNEL),
 })
+
+
+def q_docs_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest through the persistent index
+    (operators/dedup_index.py): 80% of the documents table is built
+    into a stored (content-hash + LSH-band) index, the remaining 20%
+    arrives as a batch, and every batch doc is classified exact_dup /
+    near_dup / new against the corpus + its smaller-id batchmates —
+    WITHOUT rescanning corpus text (the index holds only hashes; the
+    membership joins shuffle the batch side alone). The oracle
+    recomputes the verdicts from raw text in SQL — same md5 content
+    hashes, same portable 16-perm/4-band minhash pipeline as the
+    dedup_minhash_lsh twin — so a hash match proves the stored-index
+    path classifies exactly like a from-scratch pass. dup_of
+    publishes -1 for new docs (no nullable ints, ORACLE.md). The
+    on-disk index is ephemeral to this entry: materialize
+    (collect-and-recreate — batch-sized) and remove the store."""
+    import shutil
+    import tempfile
+
+    from linz_bde_uploader_spark.operators import dedup_index as DI
+    from linz_bde_uploader_spark.sources.store import TableStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = parallelize_small(docs.filter(F.col("doc_id") % 5 != 0))
+    batch = parallelize_small(docs.filter(F.col("doc_id") % 5 == 0))
+    tmp = tempfile.mkdtemp(prefix="dedupidx_")
+    try:
+        store = TableStore(tmp, n_buckets=8)
+        DI.dedup_index_build(spark, store, corpus, "ing")
+        v = DI.dedup_index_ingest(spark, store, batch, "ing")
+        out = v.select(F.col("id").alias("doc_id"), "verdict",
+                       F.coalesce("dup_of", F.lit(-1))
+                       .cast("bigint").alias("dup_of"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_DEDUP_INGEST = f"""
+WITH allrows AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN 'b' ELSE 'c' END AS side,
+         doc_id, text
+  FROM documents),
+toks AS (SELECT side, doc_id, string_split_regex(trim(text), '\\s+') AS w
+         FROM allrows),
+sh3 AS (
+  SELECT side, doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
+sh AS (SELECT DISTINCT side, doc_id, {{h32}} AS h FROM sh3),
+ph AS (
+  SELECT side, doc_id, i AS perm,
+         ((CAST(2*i+1 AS BIGINT) * h + CAST(i*i+7 AS BIGINT))
+          % {{prime}}) AS phv
+  FROM sh, unnest(generate_series(0, 15)) AS t(i)),
+sig AS (SELECT side, doc_id, perm, min(phv) AS minhash
+        FROM ph GROUP BY side, doc_id, perm),
+bh AS (
+  SELECT side, doc_id, CAST(floor(perm / 4.0) AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm))
+           AS band_hash
+  FROM sig GROUP BY side, doc_id, CAST(floor(perm / 4.0) AS INT)),
+ch AS (SELECT side, doc_id, md5(text) AS content_hash FROM allrows),
+exact_cand AS (
+  SELECT b.doc_id, MIN(o.doc_id) AS exact_of
+  FROM ch b JOIN ch o ON o.content_hash = b.content_hash
+   AND (o.side = 'c' OR (o.side = 'b' AND o.doc_id < b.doc_id))
+  WHERE b.side = 'b'
+  GROUP BY b.doc_id),
+near_cand AS (
+  SELECT b.doc_id, MIN(o.doc_id) AS near_of
+  FROM bh b JOIN bh o ON o.band = b.band AND o.band_hash = b.band_hash
+   AND (o.side = 'c' OR (o.side = 'b' AND o.doc_id < b.doc_id))
+  WHERE b.side = 'b'
+  GROUP BY b.doc_id)
+SELECT a.doc_id,
+       CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+            WHEN n.near_of IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       CAST(COALESCE(e.exact_of, n.near_of, -1) AS BIGINT) AS dup_of
+FROM allrows a
+LEFT JOIN exact_cand e ON e.doc_id = a.doc_id
+LEFT JOIN near_cand n ON n.doc_id = a.doc_id
+WHERE a.side = 'b'
+""".format(h32=sql_hash32('shingle'), prime=MINHASH_PRIME)
+
+
+PIPELINE_QUERIES.update({
+    "docs_dedup_ingest": (q_docs_dedup_ingest, SQL_DEDUP_INGEST),
+})

@@ -1,0 +1,123 @@
+"""Dedup-on-ingest service shape (operators/dedup_index.py): build an
+index over a corpus, classify batches against it (exact / near / new),
+admit only the new docs, stay idempotent in state under replay, and
+survive compaction — the dedup-family analog of test_ann_index.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.operators import dedup_index as DI
+from linz_bde_uploader_spark.sources.store import TableStore
+
+BASE = ("the quick brown fox jumps over the lazy dog while the "
+        "patient heron watches from the river bank and the morning "
+        "light settles on the quiet water near the old stone bridge "
+        "where travellers used to rest their horses every evening")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return TableStore(str(tmp_path / "store"), n_buckets=4)
+
+
+def corpus(spark):
+    return _docs(spark, [
+        (1, BASE),
+        (2, "completely unrelated second document about spark "
+            "partitioning strategies and shuffle costs at scale "
+            "with broadcast joins and adaptive execution plans "
+            "tuned for very large clusters and skewed keys"),
+        (3, "third doc with its own distinct content entirely "
+            "concerning minhash signatures and band hashing for "
+            "locality sensitive lookup of near duplicate text "
+            "across enormous web scale document collections"),
+    ])
+
+
+def test_build_ingest_verdicts(spark, store):
+    DI.dedup_index_build(spark, store, corpus(spark), "idx")
+    batch = _docs(spark, [
+        (10, BASE),                       # exact dup of corpus doc 1
+        (11, BASE.replace("every evening", "each evening")),  # near
+        (12, "a genuinely new document that shares no phrasing "
+             "with anything already ingested into this corpus "
+             "and speaks only of weather patterns over the sea "
+             "and the slow migration of seabirds in autumn"),
+        (13, "a genuinely new document that shares no phrasing "
+             "with anything already ingested into this corpus "
+             "and speaks only of weather patterns over the sea "
+             "and the slow migration of seabirds in autumn"),  # = 12
+    ])
+    v = {r["id"]: (r["verdict"], r["dup_of"])
+         for r in DI.dedup_index_ingest(spark, store, batch,
+                                        "idx").collect()}
+    assert v[10] == ("exact_dup", 1)
+    assert v[11] == ("near_dup", 1)
+    assert v[12] == ("new", None)
+    assert v[13] == ("exact_dup", 12)  # keep-first within the batch
+    # only doc 12 was admitted
+    delta = store.read(spark, "idx__content_delta")
+    assert [r["canonical_id"] for r in delta.collect()] == [12]
+
+
+def test_replay_is_idempotent_in_state(spark, store):
+    DI.dedup_index_build(spark, store, corpus(spark), "idx")
+    batch = _docs(spark, [
+        (20, "fresh content about volcanic soil and the terraced "
+             "gardens that thrive on it high above the valley "
+             "floor where the fog gathers before sunrise and "
+             "the farmers climb with baskets of seed"),
+    ])
+    v1 = {r["id"]: r["verdict"] for r in
+          DI.dedup_index_ingest(spark, store, batch, "idx").collect()}
+    assert v1 == {20: "new"}
+    n_content = store.read(spark, "idx__content_delta").count()
+    n_bands = store.read(spark, "idx__bands_delta").count()
+
+    # at-least-once redelivery: state unchanged, verdict degrades to
+    # exact_dup (the doc now IS in the corpus)
+    v2 = {r["id"]: (r["verdict"], r["dup_of"]) for r in
+          DI.dedup_index_ingest(spark, store, batch, "idx").collect()}
+    assert v2 == {20: ("exact_dup", 20)}
+    assert store.read(spark, "idx__content_delta").count() == n_content
+    assert store.read(spark, "idx__bands_delta").count() == n_bands
+
+
+def test_compact_folds_and_stales_delta(spark, store):
+    DI.dedup_index_build(spark, store, corpus(spark), "idx")
+    batch = _docs(spark, [
+        (30, "entirely novel text on the repair of clockwork "
+             "mechanisms and the patience required to seat a "
+             "hairspring correctly under a loupe in a quiet "
+             "workshop at the edge of the old town square"),
+    ])
+    DI.dedup_index_ingest(spark, store, batch, "idx")
+    base_before = store.read(spark, "idx__content").count()
+    folded = DI.dedup_index_compact(spark, store, "idx")
+    assert folded > 0
+    assert store.read(spark, "idx__content").count() == base_before + 1
+    # deltas are now stale (stamped for the pre-compact bases) and
+    # ignored: membership still holds purely from the bases
+    v = {r["id"]: r["verdict"] for r in
+         DI.dedup_index_ingest(spark, store, batch, "idx").collect()}
+    assert v == {30: "exact_dup"}
+    # and a second compact folds nothing (stale deltas skipped)
+    assert DI.dedup_index_compact(spark, store, "idx") == 0
+
+
+def test_near_dup_suppressed_not_indexed(spark, store):
+    """A near-dup contributes NO index rows: after ingesting a near
+    variant, a doc matching only that variant's unique tail is still
+    judged against the original corpus only."""
+    DI.dedup_index_build(spark, store, corpus(spark), "idx")
+    near = _docs(spark, [(40, BASE.replace("every evening",
+                                           "each evening"))])
+    v = {r["id"]: r["verdict"] for r in
+         DI.dedup_index_ingest(spark, store, near, "idx").collect()}
+    assert v == {40: "near_dup"}
+    assert not store.exists("idx__content_delta") or \
+        store.read(spark, "idx__content_delta").count() == 0
