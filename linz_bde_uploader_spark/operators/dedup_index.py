@@ -208,6 +208,50 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
         b.unpersist()
 
 
+def stream_dedup_ingest(spark: SparkSession, src_dir: str, store,
+                        name: str, checkpoint: str, schema,
+                        num_perm: int = 16, bands: int = 4,
+                        shingle_words: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> None:
+    """Continuously-deduplicating ingest: a file-source stream of
+    document batches drains into ``dedup_index_ingest`` via
+    foreachBatch (``availableNow`` trigger — the drain-what's-there
+    contract shared with the CDC upload and ANN index streams). The
+    first batch bootstraps the index (its own intra-batch dups are
+    collapsed by the keep-first build: the content map keeps the
+    smallest id per content and the band rows of every doc — same
+    classification surface a sequential ingest would leave). Later
+    batches classify-then-append. foreachBatch is at-least-once; the
+    ingest's state idempotency is the replay guard — a redelivered
+    batch's docs classify exact_dup against their own earlier append
+    and add nothing. What to DO with the verdicts (route admitted
+    docs to the corpus sink, quarantine dups, count per source) is
+    the caller's foreachBatch concern; this stream maintains the
+    index itself."""
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    content_t = _tables(name)[0]
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if not store.exists(content_t):
+            dedup_index_build(spark, store, batch, name,
+                              num_perm=num_perm, bands=bands,
+                              shingle_words=shingle_words,
+                              id_col=id_col, text_col=text_col)
+        else:
+            dedup_index_ingest(spark, store, batch, name,
+                               num_perm=num_perm, bands=bands,
+                               shingle_words=shingle_words,
+                               id_col=id_col, text_col=text_col)
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
 def dedup_index_compact(spark: SparkSession, store, name: str) -> int:
     """Fold the deltas into the bases: one O(index) rewrite per table
     that restores pure-base reads. The base writes bump the base

@@ -121,3 +121,42 @@ def test_near_dup_suppressed_not_indexed(spark, store):
     assert v == {40: "near_dup"}
     assert not store.exists("idx__content_delta") or \
         store.read(spark, "idx__content_delta").count() == 0
+
+
+def test_stream_dedup_ingest(spark, store, tmp_path):
+    """Streaming form: bootstrap drain builds the index from the
+    first batch, a later drain classifies-and-appends, and a full
+    replay on a fresh checkpoint (the at-least-once worst case)
+    leaves the index state unchanged — the ingest's state idempotency
+    IS the replay guard."""
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    b1 = corpus(spark)
+    b1.write.mode("overwrite").parquet(src)
+    DI.stream_dedup_ingest(spark, src, store, "sidx",
+                           str(tmp_path / "c1"), schema)
+    assert store.exists("sidx__content")
+    assert store.read(spark, "sidx__content").count() == 3
+
+    b2 = _docs(spark, [
+        (50, BASE),  # exact dup of streamed doc 1
+        (51, "wholly new narrative concerning the harvest moon "
+             "festival and the paper lanterns released over the "
+             "harbour by children at dusk while the fishing "
+             "boats return loaded with the day's silver catch"),
+    ])
+    b2.write.mode("append").parquet(src)
+    DI.stream_dedup_ingest(spark, src, store, "sidx",
+                           str(tmp_path / "c1"), schema)
+    delta = {r["canonical_id"] for r in
+             store.read(spark, "sidx__content_delta").collect()}
+    assert delta == {51}  # only the new doc was admitted
+
+    # full replay, fresh checkpoint: every file reprocessed, index
+    # unchanged (docs classify exact_dup against their own rows)
+    vc = store.current_version("sidx__content_delta")
+    DI.stream_dedup_ingest(spark, src, store, "sidx",
+                           str(tmp_path / "c2"), schema)
+    assert store.current_version("sidx__content_delta") == vc
+    assert {r["canonical_id"] for r in
+            store.read(spark, "sidx__content_delta").collect()} == {51}
