@@ -160,3 +160,34 @@ def test_stream_dedup_ingest(spark, store, tmp_path):
     assert store.current_version("sidx__content_delta") == vc
     assert {r["canonical_id"] for r in
             store.read(spark, "sidx__content_delta").collect()} == {51}
+
+
+def test_membership_join_moves_batch_side_only(spark, tmp_path):
+    """The scale claim behind key='content_hash': with the
+    catalog-bucketed store, the ingest's exact-membership join
+    exchanges ONLY the batch side — the corpus-sized content table is
+    scanned in place (one Exchange in the plan, not two). Same
+    physical property test_store_catalog_buckets_elide_merge_shuffle
+    pins for the CDC merge, applied to the dedup index."""
+    store = TableStore(str(tmp_path / "s"), n_buckets=4,
+                       use_catalog_buckets=True)
+    docs = _docs(spark, [
+        (i, f"alpha bravo charlie delta marker{i} echo foxtrot "
+            f"golf hotel india juliet kilo lima")
+        for i in range(60)])
+    DI.dedup_index_build(spark, store, docs, "bidx")
+    batch = _docs(spark, [(100, "some incoming batch text with "
+                                "enough words to shingle properly "
+                                "and exercise the membership join")])
+    bc = batch.select(F.col("doc_id").alias("id"),
+                      F.md5("text").alias("content_hash"))
+    stored = DI._with_delta(spark, store, "bidx__content",
+                            "bidx__content_delta")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (bc.join(stored, "content_hash")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
