@@ -440,6 +440,76 @@ def _join_soak(spark, sf_dir: str) -> dict:
     return out
 
 
+def _dedup_ingest_soak(spark, sf_dir: str) -> dict:
+    """Dedup-on-ingest cost as the index grows (the ann_index_soak
+    question asked of operators/dedup_index.py): time a 50-doc
+    micro-ingest against the freshly-built corpus index, grow the
+    index ~24% by ingesting + compacting the rest of the batch split,
+    and time a second 50-doc micro-ingest. The claim that scales is
+    per-ingest cost tracking the BATCH, not the corpus: the
+    membership joins shuffle only the batch side (plan-pinned by
+    test_membership_join_moves_batch_side_only), so the two
+    micro-ingest times should be flat — at sf0.1 both are
+    overhead-dominated, the honest sibling caveat."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import dedup_index as DI
+    from linz_bde_uploader_spark.plans.tables import (
+        load_table, parallelize_small,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = parallelize_small(docs.filter(F.col("doc_id") % 5 != 0))
+    rest = parallelize_small(docs.filter(F.col("doc_id") % 5 == 0))
+    # micro-batches must be genuinely NEW content (a tail-salted copy
+    # would near-dup against its original — correct classification,
+    # wrong soak: nothing would exercise the append path). Every word
+    # carries the doc id, so no shingle is shared with anything.
+    def synth(mod: int, salt: int):
+        return (docs.filter(F.col("doc_id") % 5 == mod)
+                .orderBy("doc_id").limit(50)
+                .select((F.col("doc_id") + salt).alias("doc_id"))
+                .select("doc_id", F.expr(
+                    "concat_ws(' ', transform(sequence(1, 15), "
+                    "i -> concat('w', CAST(doc_id AS STRING), 'x', "
+                    "CAST(i AS STRING))))").alias("text")))
+
+    micro1 = synth(1, 1_000_000)
+    micro2 = synth(2, 2_000_000)
+    root = tempfile.mkdtemp(prefix="dedup_soak_")
+    out: dict = {}
+    try:
+        store = __import__(
+            "linz_bde_uploader_spark.sources.store",
+            fromlist=["TableStore"]).TableStore(root, n_buckets=8)
+        DI.dedup_index_build(spark, store, corpus, "soak")
+        out["base_rows_small"] = store.read(spark,
+                                            "soak__content").count()
+        t0 = _time.perf_counter()
+        v1 = DI.dedup_index_ingest(spark, store, micro1, "soak")
+        n1 = v1.filter(F.col("verdict") == "new").count()
+        out["micro_ingest_small_sec"] = round(
+            _time.perf_counter() - t0, 3)
+        out["micro1_new"] = n1
+        DI.dedup_index_ingest(spark, store, rest, "soak")
+        DI.dedup_index_compact(spark, store, "soak")
+        out["base_rows_grown"] = store.read(spark,
+                                            "soak__content").count()
+        t0 = _time.perf_counter()
+        v2 = DI.dedup_index_ingest(spark, store, micro2, "soak")
+        n2 = v2.filter(F.col("verdict") == "new").count()
+        out["micro_ingest_grown_sec"] = round(
+            _time.perf_counter() - t0, 3)
+        out["micro2_new"] = n2
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ann_index_soak(spark, sf_dir: str) -> dict:
     """Persisted-index amortization, measured per round: the direct
     ivf_topk re-assigns the WHOLE corpus to cells on every call (an
@@ -770,6 +840,14 @@ def main():
               file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         detail["join_soak"] = {"error": str(e).splitlines()[0][:300]}
+    try:
+        detail["dedup_ingest_soak"] = _dedup_ingest_soak(spark, sf_dir)
+        print("# dedup_ingest_soak: "
+              + json.dumps(detail["dedup_ingest_soak"]),
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        detail["dedup_ingest_soak"] = {
+            "error": str(e).splitlines()[0][:300]}
     try:
         detail["ann_index_soak"] = _ann_index_soak(spark, sf_dir)
         print("# ann_index_soak: " + json.dumps(detail["ann_index_soak"]),
