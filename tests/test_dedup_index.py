@@ -191,3 +191,68 @@ def test_membership_join_moves_batch_side_only(spark, tmp_path):
         assert plan.count("Exchange hashpartitioning") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# content keys: a doc's text is 15 unique words derived from its key,
+# so two docs share shingles iff they share the key — near-dup
+# coincides with exact-dup and the verdict model is exact arithmetic
+_key = st.integers(min_value=0, max_value=5)
+_corpus_tbl = st.dictionaries(st.integers(min_value=0, max_value=9),
+                              _key, max_size=5)
+_batch_tbl = st.dictionaries(st.integers(min_value=10, max_value=19),
+                             _key, max_size=6)
+
+
+def _text_for(k: int) -> str:
+    return " ".join(f"w{k}x{i}" for i in range(15))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cor=_corpus_tbl, bat=_batch_tbl)
+def test_ingest_matches_keepfirst_model(spark, tmp_path_factory,
+                                        cor, bat):
+    """Property pin of the candidate/keep-first/dup_of logic: with
+    disjoint-shingle texts (sharing iff same content key), the
+    verdict must be exact_dup with dup_of = the smallest corpus id
+    holding the key, else the smallest smaller batch id holding it,
+    else new — for every random mix of corpus collisions, intra-batch
+    collisions, and fresh keys. Also pins state idempotency: an
+    immediate replay returns all exact_dup/self and appends nothing."""
+    store = TableStore(str(tmp_path_factory.mktemp("pstore")),
+                       n_buckets=2)
+    corpus_df = _docs(spark, [(i, _text_for(k))
+                              for i, k in sorted(cor.items())] or
+                      [(99, _text_for(99))])
+    batch_items = sorted(bat.items())
+    if not batch_items:
+        return
+    batch_df = _docs(spark, [(i, _text_for(k)) for i, k in batch_items])
+    DI.dedup_index_build(spark, store, corpus_df, "p")
+    got = {r["id"]: (r["verdict"], r["dup_of"]) for r in
+           DI.dedup_index_ingest(spark, store, batch_df, "p").collect()}
+
+    admitted = set()
+    for i, k in batch_items:  # ascending id = keep-first order
+        c_ids = [j for j, ck in cor.items() if ck == k] or \
+            ([99] if not cor and k == 99 else [])
+        b_ids = [j for j, bk in batch_items if bk == k and j < i]
+        cands = c_ids + b_ids
+        if cands:
+            assert got[i] == ("exact_dup", min(cands)), (i, k, got)
+        else:
+            assert got[i] == ("new", None), (i, k, got)
+            admitted.add(i)
+
+    n_delta = (store.read(spark, "p__content_delta").count()
+               if store.exists("p__content_delta") else 0)
+    assert n_delta == len(admitted)
+    replay = {r["id"]: r["verdict"] for r in
+              DI.dedup_index_ingest(spark, store, batch_df,
+                                    "p").collect()}
+    assert all(v == "exact_dup" for v in replay.values())
+    assert (store.read(spark, "p__content_delta").count()
+            if store.exists("p__content_delta") else 0) == n_delta
