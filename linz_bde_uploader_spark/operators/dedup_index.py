@@ -13,10 +13,19 @@ incrementally per dataset rather than rebuilding them per upload
 applies that persist-and-maintain contract to corpus deduplication.
 
 Scale design:
-- The index stores ONLY hashes: one (content_hash, canonical_id) row
-  per distinct content and one (id, bkey) row per (doc, band) — text
-  never enters the index, so index size tracks document COUNT, not
-  corpus bytes.
+- The index stores ONLY hashes, aggregated to their decision form:
+  one (content_hash, canonical_id) row per distinct content and one
+  (bkey, min_id) row per distinct band bucket — text never enters
+  the index, and index size tracks DISTINCT contents/buckets, not
+  corpus bytes. Storing bucket minima instead of per-doc band rows
+  is the boilerplate-skew guard: a verdict only ever needs the
+  SMALLEST candidate id, and min is an algebraic aggregate, so a
+  million-doc boilerplate bucket is one index row and the
+  membership join's output is bounded by |batch| x bands no matter
+  how hot the bucket — the index-side analog of the
+  `max_bucket_size` star-edge cap the batch dedup family uses
+  (which AQE cannot provide: the blow-up is join OUTPUT, invisible
+  to input-bytes skew detection).
 - Both tables are stored keyed (``content_hash`` / ``bkey``), so the
   store hash-clusters them (and registers bucketed catalog tables
   under ``use_catalog_buckets=True``): membership checks are
@@ -110,7 +119,8 @@ def dedup_index_build(spark: SparkSession, store, docs: DataFrame,
     store.write(content_t, content, key="content_hash")
     store.write(bands_t,
                 _band_rows(d, "id", "text", num_perm, bands,
-                           shingle_words),
+                           shingle_words)
+                .groupBy("bkey").agg(F.min("id").alias("min_id")),
                 key="bkey")
 
 
@@ -125,10 +135,10 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
     LSH band bucket with one, content differs), or ``new``. ``dup_of``
     is the smallest such sharer (stored canonical ids and batch ids
     compete on plain id order — deterministic), NULL for new docs.
-    New docs' content and band rows are appended to the delta tables;
-    dup docs append NOTHING, which is the whole point — the corpus
-    stays deduplicated at ingest instead of via periodic full-corpus
-    sweeps.
+    New docs' content rows and bucket-min updates are appended to the
+    delta tables; dup docs append NOTHING, which is the whole point —
+    the corpus stays deduplicated at ingest instead of via periodic
+    full-corpus sweeps.
 
     Only the batch shuffles: both membership joins hit the stored
     tables on their clustering keys, and the appended delta is
@@ -153,16 +163,20 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
         exact = (exact_stored.unionByName(exact_batch)
                  .groupBy("id").agg(F.min("_cand").alias("exact_of")))
 
+        # stored side is per-bucket minima (one row per distinct
+        # bucket), and the intra-batch side pre-aggregates to its own
+        # bucket minima — both joins' outputs are bounded by
+        # |batch| x bands even when a boilerplate bucket holds
+        # millions of corpus docs (dup_of needs only the min, and min
+        # composes across base rows, delta rows, and batch rows in
+        # the final per-doc aggregate)
         stored_bands = _with_delta(spark, store, bands_t, bd_t)
-        near_stored = (bh.join(stored_bands
-                               .select("bkey",
-                                       F.col("id").alias("_sid")),
-                               "bkey")
-                       .select("id", F.col("_sid").alias("_cand")))
-        o = bh.select(F.col("bkey"), F.col("id").alias("_oid"))
-        near_batch = (bh.join(o, "bkey")
-                      .filter(F.col("_oid") < F.col("id"))
-                      .select("id", F.col("_oid").alias("_cand")))
+        near_stored = (bh.join(stored_bands, "bkey")
+                       .select("id", F.col("min_id").alias("_cand")))
+        batch_min = bh.groupBy("bkey").agg(F.min("id").alias("_bbm"))
+        near_batch = (bh.join(batch_min, "bkey")
+                      .filter(F.col("_bbm") < F.col("id"))
+                      .select("id", F.col("_bbm").alias("_cand")))
         near = (near_stored.unionByName(near_batch)
                 .groupBy("id").agg(F.min("_cand").alias("near_of")))
 
@@ -191,12 +205,15 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
                         else live_c.unionByName(new_content),
                         key="content_hash",
                         dataset=_base_stamp(store, content_t))
-            new_bands = bh.join(new_ids, "id", "left_semi")
+            new_bands = (bh.join(new_ids, "id", "left_semi")
+                         .groupBy("bkey")
+                         .agg(F.min("id").alias("min_id")))
             live_b = _live_delta(spark, store, bands_t, bd_t)
-            store.write(bd_t,
-                        new_bands if live_b is None
-                        else live_b.unionByName(new_bands),
-                        key="bkey",
+            merged_b = (new_bands if live_b is None
+                        else live_b.unionByName(new_bands)
+                        .groupBy("bkey")
+                        .agg(F.min("min_id").alias("min_id")))
+            store.write(bd_t, merged_b, key="bkey",
                         dataset=_base_stamp(store, bands_t))
         # safe to hand back the lazy plan: store.read binds to the
         # version files current at READ time, so a post-append
@@ -271,6 +288,8 @@ def dedup_index_compact(spark: SparkSession, store, name: str) -> int:
     if live_b is not None:
         folded += live_b.count()
         store.write(bands_t,
-                    store.read(spark, bands_t).unionByName(live_b),
+                    store.read(spark, bands_t).unionByName(live_b)
+                    .groupBy("bkey").agg(F.min("min_id")
+                                         .alias("min_id")),
                     key="bkey")
     return folded
