@@ -147,9 +147,15 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
     b = (batch.select(F.col(id_col).alias("id"),
                       F.col(text_col).alias("text"))
          .persist())
+    bh = None
     try:
         bc = b.select("id", F.md5("text").alias("content_hash"))
-        bh = _band_rows(b, "id", "text", num_perm, bands, shingle_words)
+        # batch band rows feed four branches (stored join, bucket
+        # minima, intra-batch join, new-doc append) — persist so the
+        # minhash signature aggregate runs once per batch, not four
+        # times
+        bh = _band_rows(b, "id", "text", num_perm, bands,
+                        shingle_words).persist()
 
         stored_content = _with_delta(spark, store, content_t, cd_t)
         exact_stored = (bc.join(stored_content, "content_hash")
@@ -222,6 +228,8 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
         verdicts.unpersist()
         return verdicts
     finally:
+        if bh is not None:
+            bh.unpersist()
         b.unpersist()
 
 
