@@ -132,6 +132,7 @@ HEADLINE = [
     "cdc_join_refresh",
     "docs_filter_funnel",
     "events_transition_matrix",
+    "docs_dedup_ingest",
 ]
 
 

@@ -179,8 +179,8 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
         stored_bands = _with_delta(spark, store, bands_t, bd_t)
         near_stored = (bh.join(stored_bands, "bkey")
                        .select("id", F.col("min_id").alias("_cand")))
-        batch_min = bh.groupBy("bkey").agg(F.min("id").alias("_bbm"))
-        near_batch = (bh.join(batch_min, "bkey")
+        bucket_min = bh.groupBy("bkey").agg(F.min("id").alias("_bbm"))
+        near_batch = (bh.join(bucket_min, "bkey")
                       .filter(F.col("_bbm") < F.col("id"))
                       .select("id", F.col("_bbm").alias("_cand")))
         near = (near_stored.unionByName(near_batch)
@@ -202,15 +202,17 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
             .select("id")
         n_new = new_ids.count()
         if n_new:
-            new_content = (bc.join(new_ids, "id", "left_semi")
-                           .select("content_hash",
-                                   F.col("id").alias("canonical_id")))
-            live_c = _live_delta(spark, store, content_t, cd_t)
-            store.write(cd_t,
-                        new_content if live_c is None
-                        else live_c.unionByName(new_content),
-                        key="content_hash",
-                        dataset=_base_stamp(store, content_t))
+            # BANDS delta commits FIRST — the crash-window ordering
+            # that fails CONSERVATIVE. A crash between the two writes
+            # leaves band minima present and content rows absent:
+            # every future copy (exact or near) of the crashed batch's
+            # docs still band-matches and stays suppressed; only the
+            # verdict label degrades (an exact copy reports near_dup).
+            # The reverse order would leave content present and bands
+            # absent, and future NEAR-copies would be ADMITTED —
+            # permanent corpus contamination, since the replay's docs
+            # classify as dups and append nothing (no self-heal).
+            # Pinned by test_crash_between_delta_writes_is_conservative.
             new_bands = (bh.join(new_ids, "id", "left_semi")
                          .groupBy("bkey")
                          .agg(F.min("id").alias("min_id")))
@@ -221,6 +223,15 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
                         .agg(F.min("min_id").alias("min_id")))
             store.write(bd_t, merged_b, key="bkey",
                         dataset=_base_stamp(store, bands_t))
+            new_content = (bc.join(new_ids, "id", "left_semi")
+                           .select("content_hash",
+                                   F.col("id").alias("canonical_id")))
+            live_c = _live_delta(spark, store, content_t, cd_t)
+            store.write(cd_t,
+                        new_content if live_c is None
+                        else live_c.unionByName(new_content),
+                        key="content_hash",
+                        dataset=_base_stamp(store, content_t))
         # safe to hand back the lazy plan: store.read binds to the
         # version files current at READ time, so a post-append
         # re-evaluation still joins the PRE-append index state —

@@ -256,3 +256,54 @@ def test_ingest_matches_keepfirst_model(spark, tmp_path_factory,
     assert all(v == "exact_dup" for v in replay.values())
     assert (store.read(spark, "p__content_delta").count()
             if store.exists("p__content_delta") else 0) == n_delta
+
+
+def test_crash_between_delta_writes_is_conservative(spark, store):
+    """The two-table append's crash window must fail CONSERVATIVE:
+    bands delta committed, content delta lost. After the crash, both
+    exact and NEAR copies of the crashed batch's docs must still be
+    suppressed (band minima present) — the reverse write order would
+    admit near-copies forever, silently contaminating the corpus.
+    The replay classifies the crashed docs as dups of themselves and
+    appends nothing (state converges; verdict label degrades
+    exact->near for copies, which is the documented trade)."""
+    DI.dedup_index_build(spark, store, corpus(spark), "idx")
+    novel = ("a wholly original passage describing the slow art of "
+             "binding books by hand with linen thread and bone "
+             "folder creasing each signature before sewing them "
+             "onto cords stretched across the wooden press frame")
+    batch = _docs(spark, [(60, novel)])
+
+    orig_write = store.write
+
+    def crashing_write(table, df, key=None, dataset=None):
+        if table == "idx__content_delta":
+            raise RuntimeError("injected crash after bands write")
+        return orig_write(table, df, key=key, dataset=dataset)
+
+    store.write = crashing_write
+    try:
+        with pytest.raises(Exception):
+            DI.dedup_index_ingest(spark, store, batch, "idx")
+    finally:
+        store.write = orig_write
+
+    # crash window on disk: bands delta landed, content delta absent
+    assert store.exists("idx__bands_delta")
+    assert not store.exists("idx__content_delta")
+
+    # exact copy: suppressed (as near_dup — the documented label
+    # degradation); near copy: suppressed; nothing contaminates
+    probe = _docs(spark, [
+        (61, novel),                                    # exact copy
+        (62, novel.replace("wooden press", "oak press"))])  # near
+    v = {r["id"]: (r["verdict"], r["dup_of"]) for r in
+         DI.dedup_index_ingest(spark, store, probe, "idx").collect()}
+    assert v[61] == ("near_dup", 60)
+    assert v[62] == ("near_dup", 60)
+    assert not store.exists("idx__content_delta")  # nothing admitted
+
+    # replay of the crashed batch: dup of itself, appends nothing new
+    rv = {r["id"]: (r["verdict"], r["dup_of"]) for r in
+          DI.dedup_index_ingest(spark, store, batch, "idx").collect()}
+    assert rv[60] == ("near_dup", 60)
