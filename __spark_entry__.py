@@ -77,10 +77,10 @@ _DRIVER_FIRST = [
     # (text_token_stats and dedup_exact — 4 driver greens each,
     # freshest r5, both in the FAST_QUERIES sf0.001 differential —
     # yielded their slots to cdc_join_refresh / docs_filter_funnel)
-    # --- 50-slot cutoff lands here. events_transition_matrix and
-    # docs_dedup_ingest (r9-new, local exact/pandas green,
-    # FAST-covered) wait below the cutoff — first r10 rotation
-    # candidates. Deferred with compensating
+    # --- 50-slot cutoff lands here. events_transition_matrix,
+    # docs_dedup_ingest, and cdc_manifest_refresh (r9-new, local
+    # exact/pandas green, FAST-covered) wait below the cutoff — first
+    # r10 rotation candidates. Deferred with compensating
     # coverage: every remaining hash-checked entry holds >=2 driver
     # greens with the most recent in r6-r8 (the whole r8 top-50 just
     # re-confirmed the r7 first-greens, the re-shaped rows, and the

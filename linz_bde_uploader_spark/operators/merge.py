@@ -538,6 +538,62 @@ def maintain_topk(current: DataFrame, staged: DataFrame,
     return untouched.unionByName(recomputed)
 
 
+def maintain_sums(current: DataFrame, staged: DataFrame,
+                  actions: DataFrame, key: str,
+                  group_cols: list[str], sum_cols: list[str],
+                  old_sums: DataFrame | None = None) -> DataFrame:
+    """Delta maintenance for a per-group COUNT + multi-SUM view of
+    integer metrics — the n-column generalization of
+    :func:`maintain_aggregate`'s self-maintainable core, for views
+    whose every measure is a sum of NON-NULL integers: row counts,
+    byte/char totals, and order-independent hash checksums (a sum of
+    per-row hashes IS a delta-maintainable integrity stamp — the
+    shard-manifest shape). One delta union maintains all measures at
+    once: D/U/X rows subtract their (1, measures), I/U/X staged rows
+    add theirs, groups reaching zero rows drop out, and group-moving
+    updates are handled for free. O(|changes|) per refresh, same
+    broadcast-semi-join shapes as the rest of the family.
+
+    Restriction vs maintain_aggregate: measures must be non-null
+    (integer metrics are, by construction) — the NULL-sum bookkeeping
+    (n_vals) is deliberately omitted, so a NULLable measure belongs
+    in maintain_aggregate instead.
+
+    Returns (group_cols..., n, *sum_cols) — all BIGINT."""
+    del_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    ins_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    if old_sums is not None:
+        old = old_sums.select(
+            *group_cols, F.col("n").cast("long").alias("_dn"),
+            *[F.col(c).cast("long").alias(f"_d_{c}")
+              for c in sum_cols])
+    else:
+        old = current.groupBy(*group_cols).agg(
+            F.count("*").alias("_dn"),
+            *[F.sum(F.col(c).cast("long")).alias(f"_d_{c}")
+              for c in sum_cols])
+    neg = current.join(del_keys, key, "left_semi").select(
+        *group_cols, F.lit(-1).cast("long").alias("_dn"),
+        *[(-F.col(c)).cast("long").alias(f"_d_{c}") for c in sum_cols])
+    pos = staged.join(ins_keys, key, "left_semi").select(
+        *group_cols, F.lit(1).cast("long").alias("_dn"),
+        *[F.col(c).cast("long").alias(f"_d_{c}") for c in sum_cols])
+    return (
+        old.unionByName(neg).unionByName(pos)
+        .groupBy(*group_cols)
+        .agg(F.sum("_dn").cast("long").alias("n"),
+             *[F.sum(f"_d_{c}").cast("long").alias(c)
+               for c in sum_cols])
+        .filter(F.col("n") > 0)
+    )
+
+
 def maintain_join(current: DataFrame, staged: DataFrame,
                   actions: DataFrame, key: str,
                   dim: DataFrame, fact_join_col: str, dim_join_col: str,

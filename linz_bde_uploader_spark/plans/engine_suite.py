@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from linz_bde_uploader_spark.functions.hashing import hash32, sql_hash32
 from linz_bde_uploader_spark.functions.timeutil import epoch_micros
 from linz_bde_uploader_spark.operators import merge as M
 from linz_bde_uploader_spark.plans.tables import load_table
@@ -708,4 +709,93 @@ FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey
 
 ENGINE_QUERIES.update({
     "cdc_join_refresh": (q_cdc_join_refresh, SQL_CDC_JOIN),
+})
+
+
+def q_cdc_manifest_refresh(spark, sf_dir: str):
+    """Shard-manifest maintenance through the CDC merge — the IVM
+    family applied to the pipeline's export artifact: per-shard doc
+    counts, char totals, and the order-independent hash checksum of
+    docs_shard_manifest are ALL sums of non-null integers, so the
+    whole manifest is self-maintainable by one delta union
+    (operators/merge.py maintain_sums) — a corpus edit (takedown,
+    re-crawl, correction) re-stamps only the touched shards' rows,
+    never recomputing corpus-wide checksums. The CDC scenario mirrors
+    the orders fixture on documents (keys ...7 deleted, ...3
+    inserted, %5 char-count updates, %11 no-op rows); the oracle
+    recomputes the manifest directly from the merged state, so a
+    hash match differentially proves checksum-subtract/add equals a
+    from-scratch re-manifest. All-BIGINT output (ORACLE.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    shard = F.pmod(
+        hash32(F.concat(F.lit("sh:"), k.cast("string"))),
+        F.lit(16)).cast("bigint").alias("shard")
+    cur = docs.filter(k % 10 != 7)
+    stg = docs.withColumn(
+        "n_chars",
+        F.when(k % 5 == 0, F.col("n_chars") + F.lit(5))
+        .otherwise(F.col("n_chars"))).filter(k % 10 != 3)
+    chg = docs.filter((k % 10).isin(3, 7) | (k % 5 == 0)
+                      | (k % 11 == 0)).select(k.alias("key"))
+    actions = M.classify_actions(cur, stg, chg, "doc_id",
+                                 ["doc_id", "n_chars"]).cache()
+
+    def project(df):
+        ck = hash32(F.concat(F.lit("ck:"),
+                             F.col("doc_id").cast("string"),
+                             F.lit(":"),
+                             F.col("n_chars").cast("string")))
+        return df.select("doc_id", shard, F.col("n_chars"),
+                         ck.cast("long").alias("ck"))
+
+    old = (project(cur).groupBy("shard")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("n_chars").cast("long")).alias("n_chars"),
+                F.sum("ck").alias("ck")))
+    m = M.maintain_sums(project(cur), project(stg), actions, "doc_id",
+                        ["shard"], ["n_chars", "ck"], old_sums=old)
+    return m.select("shard", F.col("n").alias("n_docs"),
+                    F.col("n_chars").alias("total_chars"),
+                    F.col("ck").alias("checksum"))
+
+
+SQL_CDC_MANIFEST = f"""
+WITH cur AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 <> 7),
+stg AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN n_chars + 5
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 10 <> 3),
+chg AS (SELECT doc_id AS key FROM documents
+        WHERE doc_id % 10 IN (3, 7) OR doc_id % 5 = 0
+           OR doc_id % 11 = 0),
+c AS (SELECT cur.* FROM cur JOIN chg ON cur.doc_id = chg.key),
+s AS (SELECT stg.* FROM stg JOIN chg ON stg.doc_id = chg.key),
+act AS (
+  SELECT COALESCE(c.doc_id, s.doc_id) AS key,
+         CASE WHEN s.doc_id IS NULL THEN 'D'
+              WHEN c.doc_id IS NULL THEN 'I'
+              WHEN c.n_chars IS NOT DISTINCT FROM s.n_chars THEN '0'
+              ELSE 'U' END AS action
+  FROM c FULL OUTER JOIN s ON c.doc_id = s.doc_id),
+merged AS (
+  SELECT doc_id, n_chars FROM cur
+  WHERE doc_id NOT IN (SELECT key FROM act WHERE action IN ('D','U','X'))
+  UNION ALL
+  SELECT doc_id, n_chars FROM stg
+  WHERE doc_id IN (SELECT key FROM act WHERE action IN ('I','U','X')))
+SELECT CAST({{sh}} % 16 AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM({{ck}}) AS BIGINT) AS checksum
+FROM merged
+GROUP BY 1
+""".format(
+    sh=sql_hash32("'sh:' || CAST(doc_id AS VARCHAR)"),
+    ck=sql_hash32("'ck:' || CAST(doc_id AS VARCHAR) || ':' "
+                  "|| CAST(n_chars AS VARCHAR)"))
+
+
+ENGINE_QUERIES.update({
+    "cdc_manifest_refresh": (q_cdc_manifest_refresh, SQL_CDC_MANIFEST),
 })

@@ -262,3 +262,29 @@ def test_maintain_aggregate_from_full_diff(spark):
                 F.sum(F.col("v").cast("decimal(12,2)"))
                 .cast("decimal(38,2)").alias("total")).collect()}
     assert got == want and got["C"] == (1, 1, Decimal("50.00"))
+
+
+def test_maintain_sums_multi_measure_delta(spark):
+    """The n-column sum view (count + chars + checksum) through one
+    delta union: group-moving update relocates all measures, a
+    group's last delete drops it, and the checksum subtract/add
+    equals a recompute."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cols = "k long, grp string, chars long, ck long"
+    cur = spark.createDataFrame(
+        [(1, "A", 10, 111), (2, "A", 20, 222),
+         (3, "B", 5, 333)], cols)
+    stg = spark.createDataFrame(
+        [(1, "B", 12, 444),          # U: moves A -> B, both measures
+         (4, "A", 40, 555)], cols)   # I
+    chg = spark.createDataFrame([(1,), (3,), (4,)], ["key"])
+    actions = M.classify_actions(cur, stg, chg, "k",
+                                 ["k", "grp", "chars", "ck"])
+    got = {r["grp"]: (r["n"], r["chars"], r["ck"]) for r in
+           M.maintain_sums(cur, stg, actions, "k", ["grp"],
+                           ["chars", "ck"]).collect()}
+    # A: k2 stays + k4 inserted; B: k3 deleted, k1 moved in
+    assert got == {"A": (2, 60, 777), "B": (1, 12, 444)}

@@ -36,7 +36,7 @@ FAST_QUERIES = [
     # new in r9
     "cdc_distinct_refresh", "docs_cross_source_overlap",
     "cdc_join_refresh", "docs_filter_funnel", "events_transition_matrix",
-    "docs_dedup_ingest",
+    "docs_dedup_ingest", "cdc_manifest_refresh",
 ]
 
 
