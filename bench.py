@@ -493,19 +493,35 @@ def _dedup_ingest_soak(spark, sf_dir: str) -> dict:
         t0 = _time.perf_counter()
         v1 = DI.dedup_index_ingest(spark, store, micro1, "soak")
         n1 = v1.filter(F.col("verdict") == "new").count()
+        v1.unpersist()
         out["micro_ingest_small_sec"] = round(
             _time.perf_counter() - t0, 3)
         out["micro1_new"] = n1
-        DI.dedup_index_ingest(spark, store, rest, "soak")
+        DI.dedup_index_ingest(spark, store, rest, "soak").unpersist()
         DI.dedup_index_compact(spark, store, "soak")
         out["base_rows_grown"] = store.read(spark,
                                             "soak__content").count()
         t0 = _time.perf_counter()
         v2 = DI.dedup_index_ingest(spark, store, micro2, "soak")
         n2 = v2.filter(F.col("verdict") == "new").count()
+        v2.unpersist()
         out["micro_ingest_grown_sec"] = round(
             _time.perf_counter() - t0, 3)
         out["micro2_new"] = n2
+        # bounded-delta-chain claim (size-triggered auto-compact):
+        # with the thresholds forced low, every micro-ingest folds its
+        # own delta — content-delta rows stay <= one batch across N
+        # appends instead of accreting, and the pointer row counts
+        # drive it without a single counting job
+        deltas = []
+        for k in range(3, 7):
+            DI.dedup_index_ingest(
+                spark, store, synth(k % 5, (k + 1) * 1_000_000),
+                "soak", auto_compact_ratio=1e-9,
+                auto_compact_min_rows=1).unpersist()
+            deltas.append(store.row_count("soak__content_delta") or 0)
+        out["auto_compact_delta_rows"] = deltas
+        out["auto_compact_bounded"] = max(deltas) <= 50
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)

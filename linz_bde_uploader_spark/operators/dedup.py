@@ -157,20 +157,49 @@ def lsh_band_hashes(docs: DataFrame, text_col: str = "text",
     the persistable near-dup index: docs sharing any (band,
     band_hash) are near-dup candidates, so matching new docs against
     stored rows is one equi-join."""
-    rows_per_band = num_perm // bands
     wide = _minhash_wide(docs, text_col, id_col, num_perm, shingle_words,
                          portable=portable)
+    return lsh_bands_from_wide(wide, num_perm, bands, portable=portable)
+
+
+def lsh_bands_from_wide(wide: DataFrame, num_perm: int, bands: int,
+                        portable: bool = True,
+                        sig_col: str | None = None) -> DataFrame:
+    """Band rows (id, band, band_hash) derived from an already-built
+    signature source — either the wide matrix (id, m0..m{n-1}) or,
+    with ``sig_col``, an array<bigint> signature column (the stored
+    form a persistent dedup index keeps per doc). Pure map-side
+    expressions, no shuffle — callers that consume both the band rows
+    and the signatures pay the minhash aggregate once."""
+    rows_per_band = num_perm // bands
+
+    def _m(i: int) -> F.Column:
+        if sig_col is not None:
+            return F.element_at(F.col(sig_col), i + 1)
+        return F.col(f"m{i}")
+
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
             (F.md5 if portable else F.xxhash64)(F.concat_ws(",", *[
-                F.col(f"m{b * rows_per_band + r}")
+                _m(b * rows_per_band + r)
                 for r in range(rows_per_band)
             ])).cast("string").alias("band_hash"))
         for b in range(bands)
     ])
     return wide.select("id", F.explode(band_structs).alias("bh")) \
                .select("id", "bh.band", "bh.band_hash")
+
+
+def sig_array_from_wide(wide: DataFrame, num_perm: int) -> DataFrame:
+    """(id, sig array<bigint>) — the per-doc minhash signature in its
+    storable form. Estimated Jaccard between two docs = fraction of
+    equal positions, the verify-before-suppress primitive a
+    hashes-only persistent index uses in place of exact shingle-set
+    Jaccard (verify_pairs_jaccard), whose sets it cannot store."""
+    return wide.select(
+        "id", F.array(*[F.col(f"m{i}")
+                        for i in range(num_perm)]).alias("sig"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",

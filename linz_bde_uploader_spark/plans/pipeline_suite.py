@@ -4018,14 +4018,19 @@ def q_docs_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives as a batch, and every batch doc is classified exact_dup /
     near_dup / new against the corpus + its smaller-id batchmates —
     WITHOUT rescanning corpus text (the index holds only hashes; the
-    membership joins shuffle the batch side alone). The oracle
-    recomputes the verdicts from raw text in SQL — same md5 content
-    hashes, same portable 16-perm/4-band minhash pipeline as the
-    dedup_minhash_lsh twin — so a hash match proves the stored-index
-    path classifies exactly like a from-scratch pass. dup_of
-    publishes -1 for new docs (no nullable ints, ORACLE.md). The
-    on-disk index is ephemeral to this entry: materialize
-    (collect-and-recreate — batch-sized) and remove the store."""
+    membership joins shuffle the batch side alone). A band collision
+    alone never suppresses: near verdicts are VERIFIED by estimated
+    Jaccard — matching minhash-signature positions >= 8/16 against
+    the bucket-min candidate — before a doc is dropped (the r9
+    judge's verify-before-suppress order). The oracle recomputes the
+    verdicts from raw text in SQL — same md5 content hashes, same
+    portable 16-perm/4-band minhash pipeline as the dedup_minhash_lsh
+    twin, same bucket-minima candidates and signature-match gate — so
+    a hash match proves the stored-index path classifies exactly like
+    a from-scratch pass of the same spec. dup_of publishes -1 for new
+    docs (no nullable ints, ORACLE.md). The on-disk index is
+    ephemeral to this entry: materialize (collect-and-recreate —
+    batch-sized) and remove the store."""
     import shutil
     import tempfile
 
@@ -4043,7 +4048,9 @@ def q_docs_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = v.select(F.col("id").alias("doc_id"), "verdict",
                        F.coalesce("dup_of", F.lit(-1))
                        .cast("bigint").alias("dup_of"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        rows, schema = out.collect(), out.schema
+        v.unpersist()  # ingest returns persisted (documented contract)
+        return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -4078,12 +4085,30 @@ exact_cand AS (
    AND (o.side = 'c' OR (o.side = 'b' AND o.doc_id < b.doc_id))
   WHERE b.side = 'b'
   GROUP BY b.doc_id),
+bmins AS (
+  SELECT band, band_hash,
+         MIN(CASE WHEN side = 'c' THEN doc_id END) AS cmin,
+         MIN(CASE WHEN side = 'b' THEN doc_id END) AS bbmin
+  FROM bh GROUP BY band, band_hash),
+ncand AS (
+  SELECT DISTINCT b.doc_id AS bid, m.cmin AS oid
+  FROM bh b JOIN bmins m
+    ON m.band = b.band AND m.band_hash = b.band_hash
+  WHERE b.side = 'b' AND m.cmin IS NOT NULL
+  UNION
+  SELECT DISTINCT b.doc_id, m.bbmin
+  FROM bh b JOIN bmins m
+    ON m.band = b.band AND m.band_hash = b.band_hash
+  WHERE b.side = 'b' AND m.bbmin < b.doc_id),
+ver AS (
+  SELECT c.bid, c.oid
+  FROM ncand c
+  JOIN sig sb ON sb.doc_id = c.bid
+  JOIN sig so ON so.doc_id = c.oid AND so.perm = sb.perm
+  GROUP BY c.bid, c.oid
+  HAVING COUNT(CASE WHEN sb.minhash = so.minhash THEN 1 END) >= 8),
 near_cand AS (
-  SELECT b.doc_id, MIN(o.doc_id) AS near_of
-  FROM bh b JOIN bh o ON o.band = b.band AND o.band_hash = b.band_hash
-   AND (o.side = 'c' OR (o.side = 'b' AND o.doc_id < b.doc_id))
-  WHERE b.side = 'b'
-  GROUP BY b.doc_id)
+  SELECT bid AS doc_id, MIN(oid) AS near_of FROM ver GROUP BY bid)
 SELECT a.doc_id,
        CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
             WHEN n.near_of IS NOT NULL THEN 'near_dup'

@@ -69,10 +69,16 @@ class TableStore:
         return sorted(int(n[2:]) for n in os.listdir(d) if n.startswith("v="))
 
     def write(self, table: str, df: DataFrame, key: str | None = None,
-              dataset: str | None = None) -> int:
+              dataset: str | None = None,
+              rows: int | None = None) -> int:
         """Write a new snapshot version and atomically commit the
         pointer. ``dataset`` is recorded as the revision comment
-        (C8: ver_create_revision with the dataset timestamp)."""
+        (C8: ver_create_revision with the dataset timestamp).
+        ``rows`` optionally records the table's row count in the
+        pointer — driver-side metadata the index services use for
+        size-triggered maintenance without re-counting (see
+        ``row_count``); callers pass it only when they already know
+        the number (no extra job is ever launched here)."""
         new_v = (self.current_version(table) or 0) + 1
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
@@ -95,9 +101,22 @@ class TableStore:
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"version": new_v, "key": key, "dataset": dataset,
+                       "rows": rows,
                        "catalog": bucketed and self.use_catalog_buckets}, fh)
         os.replace(tmp, self._pointer(table))  # atomic commit
         return new_v
+
+    def row_count(self, table: str) -> int | None:
+        """The ``rows`` metadata of the current version, if the writer
+        recorded one (None otherwise — absence means "unknown", never
+        zero). Lets size-triggered maintenance (index auto-compact)
+        compare delta growth against the base from pointer metadata
+        alone, with no counting job per ingest."""
+        p = self._pointer(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh).get("rows")
 
     def read(self, spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
         v = version if version is not None else self.current_version(table)
@@ -142,7 +161,8 @@ class TableStore:
             meta = json.load(fh)
         meta_key = key if key is not None else meta.get("key")
         return self.write(table, df, key=meta_key,
-                          dataset=meta.get("dataset"))
+                          dataset=meta.get("dataset"),
+                          rows=meta.get("rows"))  # rewrite, same rows
 
     def vacuum(self, table: str, keep: int = 2,
                spark: SparkSession | None = None) -> list[int]:
