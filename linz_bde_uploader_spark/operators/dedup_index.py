@@ -153,6 +153,33 @@ def _with_delta(spark: SparkSession, store, base_table: str,
     return base if delta is None else base.unionByName(delta)
 
 
+def _index_params(store, name: str) -> dict | None:
+    """The banding identity persisted at build time in the content
+    table's pointer (no Spark job). None for indexes written before
+    meta stamping — callers then fall back to their own arguments,
+    the pre-r11 behavior."""
+    return store.table_meta(_tables(name)[0])
+
+
+def _check_params(store, name: str, num_perm: int, bands: int,
+                  shingle_words: int) -> None:
+    """Frozen-banding enforcement: the (num_perm, bands,
+    shingle_words) trio is part of the index identity (as ann_index
+    freezes its centroids); an ingest or compact run with different
+    values would write band keys that never match the stored ones —
+    silent, permanent corruption. Raise instead."""
+    meta = _index_params(store, name)
+    if meta is None:
+        return
+    got = {"num_perm": num_perm, "bands": bands,
+           "shingle_words": shingle_words}
+    want = {k: meta[k] for k in got if k in meta}
+    if got != {**got, **want}:
+        raise ValueError(
+            f"dedup index {name!r} was built with {want}; "
+            f"got {got} — banding parameters are frozen at build")
+
+
 def _tombstones(spark: SparkSession, store,
                 name: str) -> DataFrame | None:
     t = _tomb_table(name)
@@ -171,8 +198,10 @@ def dedup_index_build(spark: SparkSession, store, docs: DataFrame,
     content map (content_hash -> canonical smallest id), the LSH
     band-bucket minima, and the per-doc minhash signatures. The
     (num_perm, bands, shingle_words) parameters are part of the index
-    identity — ingests against this index must pass the same values
-    (frozen banding, exactly as ann_index freezes its centroids).
+    identity — persisted in the content pointer's ``meta`` so ingest
+    can ENFORCE it and compact can RECOVER it (frozen banding,
+    exactly as ann_index freezes its centroids; callers passing
+    mismatched values get a ValueError, not silent corruption).
     An empty ``docs`` frame creates a valid empty index — the
     streaming bootstrap path, so a first batch classifies through the
     same ingest pipeline as every later one."""
@@ -187,7 +216,9 @@ def dedup_index_build(spark: SparkSession, store, docs: DataFrame,
         # trigger's denominator, maintained arithmetically thereafter
         n_content = content.count()
         store.write(content_t, content, key="content_hash",
-                    rows=n_content)
+                    rows=n_content,
+                    meta={"num_perm": num_perm, "bands": bands,
+                          "shingle_words": shingle_words})
     finally:
         content.unpersist()
     # one minhash aggregate feeds both band minima and signatures
@@ -242,6 +273,7 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
     the ingest triggers ``dedup_index_compact`` itself — the
     delta-chain bound a long-lived streaming ingest needs."""
     content_t, bands_t, sigs_t, cd_t, bd_t, sd_t = _tables(name)
+    _check_params(store, name, num_perm, bands, shingle_words)
     min_matches = int(math.ceil(near_threshold * num_perm))
     b = batch.select(F.col(id_col).alias("id"),
                      F.col(text_col).alias("text"))
@@ -413,7 +445,10 @@ def _maybe_auto_compact(spark: SparkSession, store, name: str,
     """Size trigger: compact when the content delta's recorded row
     count reaches both floors. Pointer metadata only — no job; if
     either count is unknown (never recorded), the trigger stays off
-    and explicit compaction remains the operator's tool."""
+    and explicit compaction remains the operator's tool. The compact
+    runs under the banding persisted at build time (not defaults) —
+    an auto-triggered purge-rebuild must use the index's own band
+    keys."""
     if ratio is None:
         return False
     content_t = _tables(name)[0]
@@ -478,7 +513,8 @@ def stream_dedup_ingest(spark: SparkSession, src_dir: str, store,
 
 
 def dedup_index_compact(spark: SparkSession, store, name: str,
-                        num_perm: int = 16, bands: int = 4) -> int:
+                        num_perm: int | None = None,
+                        bands: int | None = None) -> int:
     """Fold the deltas into the bases — and purge any standing
     tombstones physically — in one O(index) rewrite per table that
     restores pure-base reads. The base writes bump the base versions,
@@ -491,9 +527,24 @@ def dedup_index_compact(spark: SparkSession, store, name: str,
     never resurfaces through a half-finished purge. With tombstones,
     band bucket minima are REBUILT from the surviving signatures
     (band keys are derivable from signatures), re-anchoring buckets
-    the dead docs had anchored. Returns the number of delta rows
-    folded."""
+    the dead docs had anchored — which is why the banding parameters
+    default to the identity persisted at build time
+    (``_index_params``): a rebuild under different banding would
+    corrupt every bucket key silently. Explicit values are honored
+    only when they match (or the index predates meta stamping).
+    Returns the number of delta rows folded."""
     content_t, bands_t, sigs_t, cd_t, bd_t, sd_t = _tables(name)
+    meta = _index_params(store, name) or {}
+    if num_perm is None:
+        num_perm = meta.get("num_perm", 16)
+    if bands is None:
+        bands = meta.get("bands", 4)
+    if meta and (num_perm, bands) != (meta.get("num_perm", num_perm),
+                                      meta.get("bands", bands)):
+        raise ValueError(
+            f"dedup index {name!r} was built with "
+            f"num_perm={meta.get('num_perm')}, bands={meta.get('bands')}; "
+            f"compact called with num_perm={num_perm}, bands={bands}")
     tombs = _tombstones(spark, store, name)
     folded = 0
 
@@ -530,7 +581,7 @@ def dedup_index_compact(spark: SparkSession, store, name: str,
                     if base_rows is not None and delta_rows is not None
                     else None)
             store.write(content_t, content, key="content_hash",
-                        rows=rows)
+                        rows=rows, meta=meta or None)
         return folded
 
     # purge path: drop tombstoned docs' rows and rebuild the bucket
@@ -548,7 +599,8 @@ def dedup_index_compact(spark: SparkSession, store, name: str,
             "canonical_id", "left_anti").persist()
         try:
             n = content.count()  # O(index), once per purge-compact
-            store.write(content_t, content, key="content_hash", rows=n)
+            store.write(content_t, content, key="content_hash", rows=n,
+                        meta=meta or None)
         finally:
             content.unpersist()
         store.write(_tomb_table(name), tombs.limit(0), rows=0)

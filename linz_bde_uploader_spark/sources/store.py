@@ -70,7 +70,8 @@ class TableStore:
 
     def write(self, table: str, df: DataFrame, key: str | None = None,
               dataset: str | None = None,
-              rows: int | None = None) -> int:
+              rows: int | None = None,
+              meta: dict | None = None) -> int:
         """Write a new snapshot version and atomically commit the
         pointer. ``dataset`` is recorded as the revision comment
         (C8: ver_create_revision with the dataset timestamp).
@@ -78,7 +79,13 @@ class TableStore:
         pointer — driver-side metadata the index services use for
         size-triggered maintenance without re-counting (see
         ``row_count``); callers pass it only when they already know
-        the number (no extra job is ever launched here)."""
+        the number (no extra job is ever launched here). ``meta`` is
+        an arbitrary JSON-able dict of frozen table identity (e.g. an
+        index's banding parameters) readable via ``table_meta`` with
+        no Spark job — the analog of the reference persisting a
+        table's key columns in its control ledger rather than
+        re-deriving them per upload
+        (sql/01-bde_control_tables.sql:100-140)."""
         new_v = (self.current_version(table) or 0) + 1
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
@@ -101,7 +108,7 @@ class TableStore:
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"version": new_v, "key": key, "dataset": dataset,
-                       "rows": rows,
+                       "rows": rows, "meta": meta,
                        "catalog": bucketed and self.use_catalog_buckets}, fh)
         os.replace(tmp, self._pointer(table))  # atomic commit
         return new_v
@@ -117,6 +124,18 @@ class TableStore:
             return None
         with open(p) as fh:
             return json.load(fh).get("rows")
+
+    def table_meta(self, table: str) -> dict | None:
+        """The ``meta`` dict of the current version, if the writer
+        recorded one (None otherwise). Pointer-file read only — no
+        Spark job; maintenance paths use this to recover a table's
+        frozen identity (index banding parameters) instead of
+        trusting the caller to re-supply it correctly."""
+        p = self._pointer(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh).get("meta")
 
     def read(self, spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
         v = version if version is not None else self.current_version(table)
@@ -162,7 +181,8 @@ class TableStore:
         meta_key = key if key is not None else meta.get("key")
         return self.write(table, df, key=meta_key,
                           dataset=meta.get("dataset"),
-                          rows=meta.get("rows"))  # rewrite, same rows
+                          rows=meta.get("rows"),  # rewrite, same rows
+                          meta=meta.get("meta"))  # identity carried
 
     def vacuum(self, table: str, keep: int = 2,
                spark: SparkSession | None = None) -> list[int]:

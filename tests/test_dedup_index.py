@@ -19,6 +19,16 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def _ingest(spark, store, batch, name, **kw):
+    """Collect an ingest's verdicts honoring the module contract:
+    the returned frame is persisted and the caller unpersists it."""
+    df = DI.dedup_index_ingest(spark, store, batch, name, **kw)
+    try:
+        return df.collect()
+    finally:
+        df.unpersist()
+
+
 @pytest.fixture()
 def store(tmp_path):
     return TableStore(str(tmp_path / "store"), n_buckets=4)
@@ -53,8 +63,7 @@ def test_build_ingest_verdicts(spark, store):
              "and the slow migration of seabirds in autumn"),  # = 12
     ])
     v = {r["id"]: (r["verdict"], r["dup_of"])
-         for r in DI.dedup_index_ingest(spark, store, batch,
-                                        "idx").collect()}
+         for r in _ingest(spark, store, batch, "idx")}
     assert v[10] == ("exact_dup", 1)
     assert v[11] == ("near_dup", 1)
     assert v[12] == ("new", None)
@@ -73,7 +82,7 @@ def test_replay_is_idempotent_in_state(spark, store):
              "the farmers climb with baskets of seed"),
     ])
     v1 = {r["id"]: r["verdict"] for r in
-          DI.dedup_index_ingest(spark, store, batch, "idx").collect()}
+          _ingest(spark, store, batch, "idx")}
     assert v1 == {20: "new"}
     n_content = store.read(spark, "idx__content_delta").count()
     n_bands = store.read(spark, "idx__bands_delta").count()
@@ -81,7 +90,7 @@ def test_replay_is_idempotent_in_state(spark, store):
     # at-least-once redelivery: state unchanged, verdict degrades to
     # exact_dup (the doc now IS in the corpus)
     v2 = {r["id"]: (r["verdict"], r["dup_of"]) for r in
-          DI.dedup_index_ingest(spark, store, batch, "idx").collect()}
+          _ingest(spark, store, batch, "idx")}
     assert v2 == {20: ("exact_dup", 20)}
     assert store.read(spark, "idx__content_delta").count() == n_content
     assert store.read(spark, "idx__bands_delta").count() == n_bands
@@ -95,7 +104,7 @@ def test_compact_folds_and_stales_delta(spark, store):
              "hairspring correctly under a loupe in a quiet "
              "workshop at the edge of the old town square"),
     ])
-    DI.dedup_index_ingest(spark, store, batch, "idx")
+    _ingest(spark, store, batch, "idx")
     base_before = store.read(spark, "idx__content").count()
     folded = DI.dedup_index_compact(spark, store, "idx")
     assert folded > 0
@@ -103,7 +112,7 @@ def test_compact_folds_and_stales_delta(spark, store):
     # deltas are now stale (stamped for the pre-compact bases) and
     # ignored: membership still holds purely from the bases
     v = {r["id"]: r["verdict"] for r in
-         DI.dedup_index_ingest(spark, store, batch, "idx").collect()}
+         _ingest(spark, store, batch, "idx")}
     assert v == {30: "exact_dup"}
     # and a second compact folds nothing (stale deltas skipped)
     assert DI.dedup_index_compact(spark, store, "idx") == 0
@@ -117,26 +126,36 @@ def test_near_dup_suppressed_not_indexed(spark, store):
     near = _docs(spark, [(40, BASE.replace("every evening",
                                            "each evening"))])
     v = {r["id"]: r["verdict"] for r in
-         DI.dedup_index_ingest(spark, store, near, "idx").collect()}
+         _ingest(spark, store, near, "idx")}
     assert v == {40: "near_dup"}
     assert not store.exists("idx__content_delta") or \
         store.read(spark, "idx__content_delta").count() == 0
 
 
 def test_stream_dedup_ingest(spark, store, tmp_path):
-    """Streaming form: bootstrap drain builds the index from the
-    first batch, a later drain classifies-and-appends, and a full
-    replay on a fresh checkpoint (the at-least-once worst case)
-    leaves the index state unchanged — the ingest's state idempotency
-    IS the replay guard."""
+    """Streaming form: the bootstrap drain creates an EMPTY index and
+    classifies batch one through the normal ingest path (so
+    intra-batch near-dups are suppressed at bootstrap — building the
+    index FROM the raw batch would have admitted them wholesale), a
+    later drain classifies-and-appends, and a full replay on a fresh
+    checkpoint (the at-least-once worst case) leaves the index state
+    unchanged — the ingest's state idempotency IS the replay guard."""
     src = str(tmp_path / "src")
     schema = "doc_id long, text string"
-    b1 = corpus(spark)
+    b1 = corpus(spark).unionByName(_docs(spark, [
+        # intra-batch near-dup of doc 1: must be suppressed at
+        # bootstrap, not admitted
+        (4, BASE.replace("every evening", "each evening"))]))
     b1.write.mode("overwrite").parquet(src)
     DI.stream_dedup_ingest(spark, src, store, "sidx",
                            str(tmp_path / "c1"), schema)
     assert store.exists("sidx__content")
-    assert store.read(spark, "sidx__content").count() == 3
+    # bootstrap base is EMPTY; batch one's admitted docs land in the
+    # delta via the normal ingest path, near-dup doc 4 suppressed
+    assert store.read(spark, "sidx__content").count() == 0
+    members = {r["canonical_id"] for r in
+               store.read(spark, "sidx__content_delta").collect()}
+    assert members == {1, 2, 3}
 
     b2 = _docs(spark, [
         (50, BASE),  # exact dup of streamed doc 1
@@ -150,7 +169,7 @@ def test_stream_dedup_ingest(spark, store, tmp_path):
                            str(tmp_path / "c1"), schema)
     delta = {r["canonical_id"] for r in
              store.read(spark, "sidx__content_delta").collect()}
-    assert delta == {51}  # only the new doc was admitted
+    assert delta == {1, 2, 3, 51}  # only the new doc joined
 
     # full replay, fresh checkpoint: every file reprocessed, index
     # unchanged (docs classify exact_dup against their own rows)
@@ -159,7 +178,8 @@ def test_stream_dedup_ingest(spark, store, tmp_path):
                            str(tmp_path / "c2"), schema)
     assert store.current_version("sidx__content_delta") == vc
     assert {r["canonical_id"] for r in
-            store.read(spark, "sidx__content_delta").collect()} == {51}
+            store.read(spark, "sidx__content_delta").collect()} == \
+        {1, 2, 3, 51}
 
 
 def test_membership_join_moves_batch_side_only(spark, tmp_path):
@@ -233,7 +253,7 @@ def test_ingest_matches_keepfirst_model(spark, tmp_path_factory,
     batch_df = _docs(spark, [(i, _text_for(k)) for i, k in batch_items])
     DI.dedup_index_build(spark, store, corpus_df, "p")
     got = {r["id"]: (r["verdict"], r["dup_of"]) for r in
-           DI.dedup_index_ingest(spark, store, batch_df, "p").collect()}
+           _ingest(spark, store, batch_df, "p")}
 
     admitted = set()
     for i, k in batch_items:  # ascending id = keep-first order
@@ -251,22 +271,23 @@ def test_ingest_matches_keepfirst_model(spark, tmp_path_factory,
                if store.exists("p__content_delta") else 0)
     assert n_delta == len(admitted)
     replay = {r["id"]: r["verdict"] for r in
-              DI.dedup_index_ingest(spark, store, batch_df,
-                                    "p").collect()}
+              _ingest(spark, store, batch_df, "p")}
     assert all(v == "exact_dup" for v in replay.values())
     assert (store.read(spark, "p__content_delta").count()
             if store.exists("p__content_delta") else 0) == n_delta
 
 
 def test_crash_between_delta_writes_is_conservative(spark, store):
-    """The two-table append's crash window must fail CONSERVATIVE:
-    bands delta committed, content delta lost. After the crash, both
-    exact and NEAR copies of the crashed batch's docs must still be
-    suppressed (band minima present) — the reverse write order would
-    admit near-copies forever, silently contaminating the corpus.
-    The replay classifies the crashed docs as dups of themselves and
-    appends nothing (state converges; verdict label degrades
-    exact->near for copies, which is the documented trade)."""
+    """The three-table append's LAST crash window must fail
+    CONSERVATIVE: bands + sigs deltas committed, content delta lost.
+    After the crash, both exact and NEAR copies of the crashed
+    batch's docs must still be suppressed (band minima present,
+    signatures present so suppression verifies normally) — the
+    reverse write order would admit near-copies forever, silently
+    contaminating the corpus. The replay classifies the crashed docs
+    as dups of themselves and appends nothing (state converges;
+    verdict label degrades exact->near for copies, the documented
+    trade)."""
     DI.dedup_index_build(spark, store, corpus(spark), "idx")
     novel = ("a wholly original passage describing the slow art of "
              "binding books by hand with linen thread and bone "
@@ -276,20 +297,21 @@ def test_crash_between_delta_writes_is_conservative(spark, store):
 
     orig_write = store.write
 
-    def crashing_write(table, df, key=None, dataset=None):
+    def crashing_write(table, df, **kwargs):
         if table == "idx__content_delta":
             raise RuntimeError("injected crash after bands write")
-        return orig_write(table, df, key=key, dataset=dataset)
+        return orig_write(table, df, **kwargs)
 
     store.write = crashing_write
     try:
-        with pytest.raises(Exception):
+        with pytest.raises(RuntimeError, match="injected crash"):
             DI.dedup_index_ingest(spark, store, batch, "idx")
     finally:
         store.write = orig_write
 
-    # crash window on disk: bands delta landed, content delta absent
+    # crash window on disk: bands + sigs deltas landed, content absent
     assert store.exists("idx__bands_delta")
+    assert store.exists("idx__sigs_delta")
     assert not store.exists("idx__content_delta")
 
     # exact copy: suppressed (as near_dup — the documented label
@@ -298,12 +320,12 @@ def test_crash_between_delta_writes_is_conservative(spark, store):
         (61, novel),                                    # exact copy
         (62, novel.replace("wooden press", "oak press"))])  # near
     v = {r["id"]: (r["verdict"], r["dup_of"]) for r in
-         DI.dedup_index_ingest(spark, store, probe, "idx").collect()}
+         _ingest(spark, store, probe, "idx")}
     assert v[61] == ("near_dup", 60)
     assert v[62] == ("near_dup", 60)
     assert not store.exists("idx__content_delta")  # nothing admitted
 
     # replay of the crashed batch: dup of itself, appends nothing new
     rv = {r["id"]: (r["verdict"], r["dup_of"]) for r in
-          DI.dedup_index_ingest(spark, store, batch, "idx").collect()}
+          _ingest(spark, store, batch, "idx")}
     assert rv[60] == ("near_dup", 60)
