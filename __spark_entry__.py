@@ -66,32 +66,36 @@ _DRIVER_FIRST = [
     # stalest rotation-complete entries: freshest green r5 (3 greens)
     "dedup_jaccard_prefix", "emb_outliers", "multimodal_features",
     "text_char_entropy", "text_redact_pii", "text_unigram_logprob",
+    # NEW for r12 (the r11 verdict's top order, three times running):
+    # the three r9-new queries with ZERO driver greens in eleven
+    # rounds — docs_dedup_ingest (semantics changed in r10 empty-index
+    # bootstrap AND r11 frozen banding), the manifest IVM, and the
+    # per-user Markov transition matrix. Until the driver's own DuckDB
+    # has hashed these, their green rests on the local gate alone.
+    "docs_dedup_ingest", "cdc_manifest_refresh",
+    "events_transition_matrix",
     # freshest green r5 (4 greens)
     "dedup_clusters", "dedup_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_survivors", "docs_stratified_sample", "docs_topk_quality",
-    "emb_norm_stats", "emb_quantize", "events_sliding_agg",
+    "emb_norm_stats", "events_sliding_agg",
     "events_value_winsorize", "q18_large_orders", "q1_pricing_summary",
     "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
-    "text_term_freq", "text_tfidf",
-    # (text_token_stats and dedup_exact — 4 driver greens each,
-    # freshest r5, both in the FAST_QUERIES sf0.001 differential —
-    # yielded their slots to cdc_join_refresh / docs_filter_funnel)
-    # --- 50-slot cutoff lands here. events_transition_matrix,
-    # docs_dedup_ingest, and cdc_manifest_refresh (r9-new, local
-    # exact/pandas green, FAST-covered) wait below the cutoff — first
-    # r10 rotation candidates. Deferred with compensating
-    # coverage: every remaining hash-checked entry holds >=2 driver
-    # greens with the most recent in r6-r8 (the whole r8 top-50 just
-    # re-confirmed the r7 first-greens, the re-shaped rows, and the
-    # rotation-deferred batch), stays covered by the sf0.001
-    # FAST_QUERIES pytest differential, and is green under the local
-    # check_oracle --exact --pandas gate, which r7/r8 proved predicts
-    # the driver's gate (reproduced the r7 44/6 split exactly; its one
-    # known deviation, nullable-int, is pessimistic-only). The two
-    # rows-only entries (stream_continuity, docs_sketch_stats) stay
-    # below the cutoff by design — their driver check is weak
-    # (rows>0), so slots go to hash-verified entries instead.
+    # (r12 rotation: text_term_freq, text_tfidf, emb_quantize — 4
+    # driver greens each, freshest r5 — yielded their slots to the
+    # three zero-green rows above and joined the FAST_QUERIES sf0.001
+    # pytest differential as compensating coverage, alongside
+    # text_token_stats and dedup_exact which rotated out in r9.)
+    # --- 50-slot cutoff lands here. Deferred entries hold >=2 driver
+    # greens with the most recent in r6-r8, stay covered by the
+    # sf0.001 FAST_QUERIES pytest differential, and are green under
+    # the local check_oracle --exact --pandas gate, which r7/r8 proved
+    # predicts the driver's gate (reproduced the r7 44/6 split
+    # exactly; its one known deviation, nullable-int, is
+    # pessimistic-only). The two rows-only entries (stream_continuity,
+    # docs_sketch_stats) stay below the cutoff by design — their
+    # driver check is weak (rows>0), so slots go to hash-verified
+    # entries instead.
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 

@@ -37,6 +37,8 @@ FAST_QUERIES = [
     "cdc_distinct_refresh", "docs_cross_source_overlap",
     "cdc_join_refresh", "docs_filter_funnel", "events_transition_matrix",
     "docs_dedup_ingest", "cdc_manifest_refresh",
+    # rotated out of the driver top-50 in r12 (compensating coverage)
+    "text_term_freq", "text_tfidf", "emb_quantize",
 ]
 
 
