@@ -428,7 +428,9 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
                         rows=delta_rows)
             _maybe_auto_compact(spark, store, name,
                                 auto_compact_ratio,
-                                auto_compact_min_rows)
+                                auto_compact_min_rows,
+                                num_perm=num_perm, bands=bands,
+                                shingle_words=shingle_words)
         return verdicts  # persisted + materialized; caller unpersists
     except BaseException:
         if verdicts is not None:
@@ -441,14 +443,22 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
 
 
 def _maybe_auto_compact(spark: SparkSession, store, name: str,
-                        ratio: float | None, min_rows: int) -> bool:
+                        ratio: float | None, min_rows: int,
+                        num_perm: int | None = None,
+                        bands: int | None = None,
+                        shingle_words: int | None = None) -> bool:
     """Size trigger: compact when the content delta's recorded row
     count reaches both floors. Pointer metadata only — no job; if
     either count is unknown (never recorded), the trigger stays off
-    and explicit compaction remains the operator's tool. The compact
-    runs under the banding persisted at build time (not defaults) —
-    an auto-triggered purge-rebuild must use the index's own band
-    keys."""
+    and explicit compaction remains the operator's tool. The ingest's
+    banding parameters are threaded through to the compact: when the
+    index carries persisted meta they were already validated by
+    ``_check_params`` at ingest start (so they equal the persisted
+    truth), and when the index PREDATES meta stamping they are the
+    caller's asserted truth — the auto-triggered purge-rebuild then
+    runs under the ingest's own band keys instead of silently falling
+    back to defaults, and the compact STAMPS them so the identity is
+    learned and enforced thereafter."""
     if ratio is None:
         return False
     content_t = _tables(name)[0]
@@ -459,7 +469,8 @@ def _maybe_auto_compact(spark: SparkSession, store, name: str,
         return False
     if delta_rows < min_rows or delta_rows < ratio * max(base_rows, 1):
         return False
-    dedup_index_compact(spark, store, name)
+    dedup_index_compact(spark, store, name, num_perm=num_perm,
+                        bands=bands, shingle_words=shingle_words)
     return True
 
 
@@ -514,7 +525,8 @@ def stream_dedup_ingest(spark: SparkSession, src_dir: str, store,
 
 def dedup_index_compact(spark: SparkSession, store, name: str,
                         num_perm: int | None = None,
-                        bands: int | None = None) -> int:
+                        bands: int | None = None,
+                        shingle_words: int | None = None) -> int:
     """Fold the deltas into the bases — and purge any standing
     tombstones physically — in one O(index) rewrite per table that
     restores pure-base reads. The base writes bump the base versions,
@@ -531,20 +543,38 @@ def dedup_index_compact(spark: SparkSession, store, name: str,
     default to the identity persisted at build time
     (``_index_params``): a rebuild under different banding would
     corrupt every bucket key silently. Explicit values are honored
-    only when they match (or the index predates meta stamping).
-    Returns the number of delta rows folded."""
+    only when they match the persisted identity (ValueError
+    otherwise). For an index that PREDATES meta stamping, explicit
+    values are the caller's asserted truth AND are stamped onto the
+    content pointer by this rewrite — the identity is learned once
+    and enforced thereafter (the migration path for pre-meta
+    indexes; without explicit values such an index compacts under
+    the historical defaults, unenforced, as before). Returns the
+    number of delta rows folded."""
     content_t, bands_t, sigs_t, cd_t, bd_t, sd_t = _tables(name)
     meta = _index_params(store, name) or {}
+    explicit = {k: v for k, v in (("num_perm", num_perm),
+                                  ("bands", bands),
+                                  ("shingle_words", shingle_words))
+                if v is not None}
+    if meta:
+        clash = {k: v for k, v in explicit.items()
+                 if k in meta and meta[k] != v}
+        if clash:
+            raise ValueError(
+                f"dedup index {name!r} was built with "
+                f"{ {k: meta[k] for k in clash} }; compact called "
+                f"with {clash} — banding parameters are frozen at "
+                f"build")
+    elif explicit:
+        # pre-meta index + explicit caller truth: learn the identity
+        # on this rewrite (stamped below on the content pointer)
+        meta = explicit
     if num_perm is None:
         num_perm = meta.get("num_perm", 16)
     if bands is None:
         bands = meta.get("bands", 4)
-    if meta and (num_perm, bands) != (meta.get("num_perm", num_perm),
-                                      meta.get("bands", bands)):
-        raise ValueError(
-            f"dedup index {name!r} was built with "
-            f"num_perm={meta.get('num_perm')}, bands={meta.get('bands')}; "
-            f"compact called with num_perm={num_perm}, bands={bands}")
+    learn = bool(explicit) and _index_params(store, name) is None
     tombs = _tombstones(spark, store, name)
     folded = 0
 
@@ -552,7 +582,7 @@ def dedup_index_compact(spark: SparkSession, store, name: str,
     live_b = _live_delta(spark, store, bands_t, bd_t)
     live_s = _live_delta(spark, store, sigs_t, sd_t)
     if live_c is None and live_b is None and live_s is None \
-            and tombs is None:
+            and tombs is None and not learn:
         return 0
     for lv in (live_c, live_b, live_s):
         if lv is not None:
@@ -574,9 +604,12 @@ def dedup_index_compact(spark: SparkSession, store, name: str,
                         key="bkey")
         if live_s is not None:
             store.write(sigs_t, sigs, key="id")
-        if live_c is not None:
+        if live_c is not None or learn:
+            # `learn` forces the content rewrite even with no delta:
+            # the pointer commit is what stamps the learned identity
             base_rows = store.row_count(content_t)
-            delta_rows = store.row_count(cd_t)
+            delta_rows = (store.row_count(cd_t)
+                          if live_c is not None else 0)
             rows = (base_rows + delta_rows
                     if base_rows is not None and delta_rows is not None
                     else None)

@@ -329,3 +329,215 @@ def test_crash_between_delta_writes_is_conservative(spark, store):
     rv = {r["id"]: (r["verdict"], r["dup_of"]) for r in
           _ingest(spark, store, batch, "idx")}
     assert rv[60] == ("near_dup", 60)
+
+
+def test_crash_before_sigs_write_is_conservative(spark, store):
+    """The FIRST crash window: bands delta committed, sigs AND
+    content lost. Suppression then rests solely on the
+    missing-signature-suppresses-unverified rule (the code path with
+    the least redundancy): every copy of the crashed docs band-matches
+    a candidate whose signature cannot be fetched, and
+    ``_cand_sig IS NULL`` suppresses without verification. Exact and
+    near copies must both be suppressed (labelled near_dup — no
+    content row survived to call them exact), nothing may be
+    admitted, and a replay of the crashed batch converges (suppresses
+    itself, appends nothing)."""
+    DI.dedup_index_build(spark, store, corpus(spark), "idx")
+    novel = ("a fully original essay on the craft of dry stone "
+             "walling where each stone is chosen for the gap it "
+             "fills and the wall drains itself through a thousand "
+             "small voids that frost can never seize upon")
+    batch = _docs(spark, [(60, novel)])
+
+    orig_write = store.write
+
+    def crashing_write(table, df, **kwargs):
+        if table == "idx__sigs_delta":
+            raise RuntimeError("injected crash after bands write")
+        return orig_write(table, df, **kwargs)
+
+    store.write = crashing_write
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            DI.dedup_index_ingest(spark, store, batch, "idx")
+    finally:
+        store.write = orig_write
+
+    # crash window on disk: bands delta ALONE landed
+    assert store.exists("idx__bands_delta")
+    assert not store.exists("idx__sigs_delta")
+    assert not store.exists("idx__content_delta")
+
+    # exact copy AND near copy both suppress via the missing-sig
+    # branch; nothing contaminates the corpus
+    probe = _docs(spark, [
+        (61, novel),                                      # exact copy
+        (62, novel.replace("dry stone", "drystack"))])    # near copy
+    v = {r["id"]: (r["verdict"], r["dup_of"]) for r in
+         _ingest(spark, store, probe, "idx")}
+    assert v[61] == ("near_dup", 60)
+    assert v[62] == ("near_dup", 60)
+    assert not store.exists("idx__content_delta")  # nothing admitted
+
+    # replay of the crashed batch converges: dup of itself, no appends
+    rv = {r["id"]: (r["verdict"], r["dup_of"]) for r in
+          _ingest(spark, store, batch, "idx")}
+    assert rv[60] == ("near_dup", 60)
+    assert not store.exists("idx__content_delta")
+
+
+def test_frozen_banding_ingest_mismatch_raises(spark, store):
+    """Frozen-banding enforcement (_check_params): an index built
+    with non-default banding rejects an ingest under different
+    parameters — mismatched band keys would corrupt membership
+    silently — while an ingest under the true parameters works."""
+    DI.dedup_index_build(spark, store, corpus(spark), "fidx",
+                         num_perm=32, bands=8)
+    assert store.table_meta("fidx__content") == {
+        "num_perm": 32, "bands": 8, "shingle_words": 3}
+    batch = _docs(spark, [(70, BASE)])
+    with pytest.raises(ValueError, match="frozen at build"):
+        DI.dedup_index_ingest(spark, store, batch, "fidx")  # 16/4
+    with pytest.raises(ValueError, match="frozen at build"):
+        DI.dedup_index_ingest(spark, store, batch, "fidx",
+                              num_perm=32, bands=8, shingle_words=5)
+    v = {r["id"]: (r["verdict"], r["dup_of"]) for r in
+         _ingest(spark, store, batch, "fidx", num_perm=32, bands=8)}
+    assert v[70] == ("exact_dup", 1)
+
+
+def test_compact_explicit_mismatch_raises(spark, store):
+    DI.dedup_index_build(spark, store, corpus(spark), "cidx",
+                         num_perm=8, bands=4)
+    with pytest.raises(ValueError, match="frozen at build"):
+        DI.dedup_index_compact(spark, store, "cidx", num_perm=16)
+    with pytest.raises(ValueError, match="frozen at build"):
+        DI.dedup_index_compact(spark, store, "cidx", bands=2)
+
+
+NOVEL31 = ("entirely novel text on the repair of clockwork "
+           "mechanisms and the patience required to seat a "
+           "hairspring correctly under a loupe in a quiet "
+           "workshop at the edge of the old town square")
+
+
+def test_purge_compact_recovers_banding_matches_fresh_build(
+        spark, store, tmp_path):
+    """The r10/r11 'done' criterion: under NON-default banding, a
+    no-arg purge-compact recovers the banding from the persisted
+    identity and rebuilds band minima IDENTICAL to a from-scratch
+    build over the surviving docs — and the identity survives both
+    the index compact and the store's own maintenance rewrite."""
+    docs = corpus(spark)
+    DI.dedup_index_build(spark, store, docs, "ridx",
+                         num_perm=8, bands=4)
+    _ingest(spark, store, _docs(spark, [(31, NOVEL31)]), "ridx",
+            num_perm=8, bands=4)
+    DI.dedup_index_delete(
+        spark, store, spark.createDataFrame([(2,)], "doc_id long"),
+        "ridx")
+    DI.dedup_index_compact(spark, store, "ridx")  # NO args: recovered
+    assert store.table_meta("ridx__content") == {
+        "num_perm": 8, "bands": 4, "shingle_words": 3}
+
+    fresh = TableStore(str(tmp_path / "freshstore"), n_buckets=4)
+    survivors = docs.filter("doc_id != 2").unionByName(
+        _docs(spark, [(31, NOVEL31)]))
+    DI.dedup_index_build(spark, fresh, survivors, "f",
+                         num_perm=8, bands=4)
+    got = {(r["bkey"], r["min_id"]) for r in
+           store.read(spark, "ridx__bands").collect()}
+    want = {(r["bkey"], r["min_id"]) for r in
+            fresh.read(spark, "f__bands").collect()}
+    assert got == want and len(got) > 0
+    got_c = {(r["content_hash"], r["canonical_id"]) for r in
+             store.read(spark, "ridx__content").collect()}
+    want_c = {(r["content_hash"], r["canonical_id"]) for r in
+              fresh.read(spark, "f__content").collect()}
+    assert got_c == want_c
+
+    # identity survives the store's C7 maintenance rewrite too
+    store.compact(spark, "ridx__content")
+    assert store.table_meta("ridx__content")["num_perm"] == 8
+
+    # suppression still works under the recovered banding
+    probe = _docs(spark, [
+        (90, BASE.replace("every evening", "each evening"))])
+    v = {r["id"]: r["verdict"] for r in
+         _ingest(spark, store, probe, "ridx", num_perm=8, bands=4)}
+    assert v == {90: "near_dup"}
+
+
+def test_auto_compact_under_nondefault_banding(spark, store, tmp_path):
+    """The ADVICE.md residual gap, closed: an ingest-triggered
+    auto-compact threads the ingest's (validated) banding through to
+    the purge-rebuild, so standing tombstones are purged under the
+    index's OWN band keys, not defaults."""
+    docs = corpus(spark)
+    DI.dedup_index_build(spark, store, docs, "aidx",
+                         num_perm=8, bands=4)
+    DI.dedup_index_delete(
+        spark, store, spark.createDataFrame([(2,)], "doc_id long"),
+        "aidx")
+    # thresholds force the size trigger on this very ingest
+    _ingest(spark, store, _docs(spark, [(31, NOVEL31)]), "aidx",
+            num_perm=8, bands=4,
+            auto_compact_ratio=0.01, auto_compact_min_rows=1)
+    # the auto-compact ran: delta folded + tombstone purged into base
+    assert {r["canonical_id"] for r in
+            store.read(spark, "aidx__content").collect()} == {1, 3, 31}
+    assert DI._live_delta(spark, store, "aidx__content",
+                          "aidx__content_delta") is None
+    assert DI._tombstones(spark, store, "aidx") is None
+    # ...under the index's own banding: minima == from-scratch build
+    fresh = TableStore(str(tmp_path / "afresh"), n_buckets=4)
+    DI.dedup_index_build(
+        spark, fresh,
+        docs.filter("doc_id != 2").unionByName(
+            _docs(spark, [(31, NOVEL31)])),
+        "f", num_perm=8, bands=4)
+    got = {(r["bkey"], r["min_id"]) for r in
+           store.read(spark, "aidx__bands").collect()}
+    want = {(r["bkey"], r["min_id"]) for r in
+            fresh.read(spark, "f__bands").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_premeta_index_fallback_and_identity_learning(spark, store):
+    """Pre-meta compatibility (documented fallback) + the learning
+    path: an index whose pointer predates meta stamping ingests and
+    compacts unenforced under the caller's parameters; a compact
+    given explicit values STAMPS them (identity learned once) and
+    enforcement holds thereafter."""
+    import json as _json
+    DI.dedup_index_build(spark, store, corpus(spark), "pidx",
+                         num_perm=8, bands=4)
+    # simulate an index written before meta stamping
+    p = store._pointer("pidx__content")
+    with open(p) as fh:
+        d = _json.load(fh)
+    d["meta"] = None
+    with open(p, "w") as fh:
+        _json.dump(d, fh)
+    assert store.table_meta("pidx__content") is None
+
+    # fallback: _check_params no-ops; ingest under the true params
+    v = {r["id"]: (r["verdict"], r["dup_of"]) for r in
+         _ingest(spark, store, _docs(spark, [(70, BASE)]), "pidx",
+                 num_perm=8, bands=4)}
+    assert v[70] == ("exact_dup", 1)
+
+    # compact with explicit correct banding LEARNS the identity
+    DI.dedup_index_compact(spark, store, "pidx",
+                           num_perm=8, bands=4, shingle_words=3)
+    assert store.table_meta("pidx__content") == {
+        "num_perm": 8, "bands": 4, "shingle_words": 3}
+    # ...and it is enforced from now on
+    with pytest.raises(ValueError, match="frozen at build"):
+        DI.dedup_index_ingest(spark, store,
+                              _docs(spark, [(71, BASE)]), "pidx")
+    # the learned identity still classifies correctly
+    v2 = {r["id"]: (r["verdict"], r["dup_of"]) for r in
+          _ingest(spark, store, _docs(spark, [(71, BASE)]), "pidx",
+                  num_perm=8, bands=4)}
+    assert v2[71] == ("exact_dup", 1)
