@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from linz_bde_uploader_spark.catalog.tables import TableDef, validate_key
 from linz_bde_uploader_spark.control.ledger import Ledger
 from linz_bde_uploader_spark.operators import merge as M
+from linz_bde_uploader_spark.operators.view_refresh import (
+    ViewSpec, refresh_views, seed_views,
+)
 from linz_bde_uploader_spark.sources.crs import (
     CleanseConfig, parse_header, read_crs,
 )
@@ -73,6 +76,17 @@ class UploadConfig:
     # under <store>/scratch/ is written ONLY when this flag is set —
     # no write amplification on the normal path.
     keep_files: bool = False
+    # maintained views (IVM): table name -> ViewSpec. The reference
+    # keeps derived state consistent with the merge inside the same
+    # dataset scope (bde_postupload_* functions,
+    # sql/02-bde_control_functions.sql.in:2595-2676; dataset
+    # transaction lib/LINZ/BdeDatabase.pm:455-510); here every
+    # registered table's <table>__agg/__minmax/__join views refresh
+    # O(changes) per dataset BEFORE the base write, behind the
+    # dataset-stamp replay guard shared with the streaming path
+    # (operators/view_refresh.py) — a crash anywhere replays to the
+    # same state on the next run.
+    views: dict[str, ViewSpec] = field(default_factory=dict)
     # intra-dataset table parallelism. The reference is strictly
     # sequential per table (lib/LINZ/BdeUpload.pm:729,787) because one
     # PostgreSQL does all the work; on Spark each table load is an
@@ -295,6 +309,13 @@ class BdeUploader:
         if tol == "error" and prev_count > 0:
             return TableResult(table.name, ds.name, "0", "error", stats,
                                f"tolerance: {new_count} < error floor of {prev_count}")
+        spec = self.config.views.get(table.name)
+        if spec is not None:
+            # snapshot semantics: L0 replaces the base wholesale, so
+            # views re-seed by direct recompute of the new state
+            # (stamp-guarded; the base write still comes last)
+            seed_views(self.store, table.name, new, ds.name, spec,
+                       table.key)
         self.store.write(table.name, new, key=table.key, dataset=ds.name)
         self.ledger.record_dataset_loaded(
             job.id, table.name, ds.name, "0", stats,
@@ -337,12 +358,28 @@ class BdeUploader:
         merged = M.apply_actions(cur, stg, actions, table.key)
         prev_count = cur.count()
         new_count = merged.count()
-        actions.unpersist()
         tol = M.check_tolerance(new_count, prev_count,
                                 table.row_tol_error, table.row_tol_warning)
         if tol == "error" and prev_count > 0:
+            actions.unpersist()
             return TableResult(table.name, ds.name, "5", "error", stats,
                                f"tolerance: {new_count} < error floor of {prev_count}")
+        spec = self.config.views.get(table.name)
+        if spec is not None:
+            # maintained views refresh O(changes) BEFORE the base
+            # write, behind the dataset-stamp replay guard shared
+            # with streaming_cdc_upload (operators/view_refresh.py):
+            # a crash between a view write and the base write replays
+            # this dataset on the next run (the ledger watermark
+            # advances only after the base write below), the stamp
+            # skips the already-applied view delta, and the base
+            # write completes — derived state never double-counts and
+            # never goes stale, the reference's same-transaction
+            # consistency contract met by recovery instead
+            # (sql/02-bde_control_functions.sql.in:2595-2676)
+            refresh_views(self.spark, self.store, table.name, cur, stg,
+                          actions, merged, ds.name, spec, table.key)
+        actions.unpersist()
         self.store.write(table.name, merged, key=table.key, dataset=ds.name)
         self.ledger.record_dataset_loaded(
             job.id, table.name, ds.name, "5", stats,

@@ -1,0 +1,148 @@
+"""Maintained-view refresh shared by the STREAMING upload
+(streaming/events.streaming_cdc_upload) and the BATCH CLI driver
+(driver.BdeUploader): one implementation of the dataset-stamp replay
+guard and the per-family maintenance calls, so the two paths cannot
+drift.
+
+Reference contract: derived state stays consistent with the merge
+inside the same dataset transaction — the reference runs its
+bde_postupload_* maintenance functions within the dataset scope
+(sql/02-bde_control_functions.sql.in:2595-2676) and wraps each
+dataset's work in one transaction (lib/LINZ/BdeDatabase.pm:455-510).
+Here the equivalent guarantee is recovery-based instead of
+transactional: every view table carries the dataset it last
+incorporated as its store revision comment (C8), a view write is
+skipped when that stamp is AT OR PAST the incoming dataset, and the
+base-table write always comes LAST. Datasets apply in sorted order,
+so stamps are monotone and ">= ds" means "a crashed run already
+applied this delta". The comparison must be ordered, not equality:
+for a crashed multi-dataset run [d1, d2] that died after d2's view
+write but before d2's base write, the re-run replays d1 first — its
+all-'0' refresh is a no-op delta, but an equality guard would
+re-STAMP the view back to d1, letting d2's delta apply a second time
+and silently double-count the view. With the ordered guard the d1
+replay leaves the d2 stamp in place. Before a view write the delta
+is re-derivable from the still-pre-merge base; after it the stamp
+skips the double-apply — every crash window replays to the same
+state, with no cross-table transaction. (Dataset names are
+fixed-width timestamps, so lexicographic order is chronological
+order — the O1 repository-ordering invariant.)
+
+Scale shape: each refresh is O(|changes|) — the delta algebra of
+operators/merge.maintain_aggregate / maintain_extrema /
+maintain_join — never a rescan of the merged base table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.operators import merge as M
+
+
+@dataclass
+class ViewSpec:
+    """Which maintained views a table carries.
+
+    - ``group_cols`` + ``value_col``: an aggregate view
+      ``<table>__agg`` (group_cols, n, n_vals, total) maintained by
+      the self-maintainable delta algebra, plus — when ``minmax`` —
+      an extrema view ``<table>__minmax`` (group_cols, n, vmin, vmax)
+      maintained by touched-group partial refresh.
+    - ``join``: an enriched join view ``<table>__join`` maintained by
+      the delta-join rule; keys ``dim`` (static dimension DataFrame),
+      ``fact_col``, ``dim_col``, ``fact_cols``, ``dim_cols``.
+    """
+
+    group_cols: list[str] | None = None
+    value_col: str | None = None
+    minmax: bool = False
+    join: dict | None = None
+    value_type: str = "decimal(12,2)"
+
+
+def _behind(store, view_table: str, ds: str) -> bool:
+    stamp = store.current_dataset(view_table)
+    return stamp is None or stamp < ds
+
+
+def _enrich(fact: DataFrame, key: str, join: dict) -> DataFrame:
+    dim = join["dim"]
+    return (fact.join(dim, fact[join["fact_col"]] == dim[join["dim_col"]],
+                      "inner")
+            .select(fact[key], *[fact[c] for c in join["fact_cols"]],
+                    *[dim[c] for c in join["dim_cols"]]))
+
+
+def seed_views(store, table_name: str, df: DataFrame, ds: str,
+               spec: ViewSpec, key: str) -> None:
+    """Direct-recompute seeding for snapshot semantics: the streaming
+    bootstrap batch and the batch driver's level-0 replace both
+    install the views as plain aggregates/joins of the new state —
+    there is no prior view to delta against (bootstrap) or the whole
+    base was just replaced (L0), so O(changes) does not apply. Each
+    write sits behind the same ordered stamp guard as the
+    incremental path."""
+    if spec.join is not None and _behind(store, f"{table_name}__join", ds):
+        store.write(f"{table_name}__join", _enrich(df, key, spec.join),
+                    dataset=ds)
+    if spec.group_cols is None or spec.value_col is None:
+        return
+    vv = F.col(spec.value_col).cast(spec.value_type)
+    if _behind(store, f"{table_name}__agg", ds):
+        # count the CAST column, not the raw one: maintain_aggregate
+        # counts non-null of the cast, and a non-null value that casts
+        # to NULL must not inflate the seed
+        seed = df.groupBy(*spec.group_cols).agg(
+            F.count("*").alias("n"),
+            F.count(vv).alias("n_vals"),
+            F.sum(vv).cast("decimal(38,2)").alias("total"))
+        store.write(f"{table_name}__agg", seed, dataset=ds)
+    if spec.minmax and _behind(store, f"{table_name}__minmax", ds):
+        mm0 = df.groupBy(*spec.group_cols).agg(
+            F.count("*").alias("n"),
+            F.min(vv).alias("vmin"),
+            F.max(vv).alias("vmax"))
+        store.write(f"{table_name}__minmax", mm0, dataset=ds)
+
+
+def refresh_views(spark: SparkSession, store, table_name: str,
+                  cur: DataFrame, stg: DataFrame, actions: DataFrame,
+                  merged: DataFrame, ds: str, spec: ViewSpec,
+                  key: str) -> None:
+    """O(changes) incremental refresh of every view in ``spec``
+    against one CDC merge's (current, staged, actions, merged)
+    quadruple, each write behind the ordered dataset-stamp guard.
+    MUST be called BEFORE the base-table write: once the base is
+    merged a replay classifies all-'0' and the view delta is no
+    longer derivable, so any view still lagging at that point would
+    stay stale forever."""
+    if spec.join is not None and _behind(store, f"{table_name}__join", ds):
+        jt = f"{table_name}__join"
+        old_jv = store.read(spark, jt) if store.exists(jt) else None
+        jv = M.maintain_join(cur, stg, actions, key,
+                             spec.join["dim"], spec.join["fact_col"],
+                             spec.join["dim_col"], spec.join["fact_cols"],
+                             spec.join["dim_cols"], old_view=old_jv)
+        store.write(jt, jv, dataset=ds)
+    if spec.group_cols is None or spec.value_col is None:
+        return
+    at = f"{table_name}__agg"
+    if _behind(store, at, ds):
+        old = store.read(spark, at) if store.exists(at) else None
+        view = M.maintain_aggregate(cur, stg, actions, key,
+                                    spec.group_cols, spec.value_col,
+                                    value_type=spec.value_type,
+                                    old_agg=old)
+        store.write(at, view, dataset=ds)
+    mt = f"{table_name}__minmax"
+    if spec.minmax and _behind(store, mt, ds):
+        old_mm = store.read(spark, mt) if store.exists(mt) else None
+        mm = M.maintain_extrema(cur, stg, actions, key,
+                                spec.group_cols, spec.value_col,
+                                merged, old_extrema=old_mm,
+                                value_type=spec.value_type)
+        store.write(mt, mm, dataset=ds)

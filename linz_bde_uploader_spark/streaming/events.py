@@ -287,77 +287,21 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     the other views.
     """
     from linz_bde_uploader_spark.operators import merge as M
+    from linz_bde_uploader_spark.operators.view_refresh import (
+        ViewSpec, refresh_views, seed_views,
+    )
     from linz_bde_uploader_spark.sources.crs import read_crs
 
     lines = stream_repository(spark, root, 5, schema, file_tag,
                               max_files_per_trigger)
     parsed = parse_crs_stream(lines, schema)
 
-    view_table = f"{table_name}__agg"
-    mm_table = f"{table_name}__minmax"
-    join_table = f"{table_name}__join"
-
-    def enrich(fact: DataFrame) -> DataFrame:
-        vj = view_join
-        dim = vj["dim"]
-        return (fact.join(dim, fact[vj["fact_col"]] == dim[vj["dim_col"]],
-                          "inner")
-                .select(fact[key], *[fact[c] for c in vj["fact_cols"]],
-                        *[dim[c] for c in vj["dim_cols"]]))
-
-    def refresh_view(cur, stg, actions, merged, ds) -> None:
-        # Replay guard (exactly-once view maintenance under
-        # at-least-once foreachBatch): each view table carries the
-        # dataset it last incorporated as its revision comment, and a
-        # view write is skipped when that stamp is AT OR PAST the
-        # incoming dataset. Datasets apply in sorted order (see
-        # apply_batch), so stamps are monotone and ">= ds" means "a
-        # crashed batch already applied this delta before the
-        # checkpoint committed". The comparison must be ordered, not
-        # equality: for a crashed multi-dataset batch [d1, d2] that
-        # died after d2's view write but before d2's base write, the
-        # replay re-runs d1 first — its all-'0' refresh is a no-op
-        # delta, but an equality guard ("stamp != d1 -> write") would
-        # re-STAMP the view back to d1, so d2's guard would then pass
-        # and d2's delta would apply a second time, silently
-        # double-counting the view. With the ordered guard the d1
-        # replay leaves the d2 stamp in place. Each view guards
-        # itself and the base-table write comes LAST, so every crash
-        # window replays correctly: before a view write the delta is
-        # re-derived from the still-pre-merge base; after it the
-        # stamp skips the double-apply. (Dataset names are
-        # fixed-width timestamps, so lexicographic order is
-        # chronological order — same invariant the repository's
-        # dataset ordering O1 relies on.)
-        def behind(table: str) -> bool:
-            stamp = store.current_dataset(table)
-            return stamp is None or stamp < ds
-
-        if view_join is not None and behind(join_table):
-            old_jv = (store.read(spark, join_table)
-                      if store.exists(join_table) else None)
-            jv = M.maintain_join(cur, stg, actions, key,
-                                 view_join["dim"], view_join["fact_col"],
-                                 view_join["dim_col"],
-                                 view_join["fact_cols"],
-                                 view_join["dim_cols"], old_view=old_jv)
-            store.write(join_table, jv, dataset=ds)
-        if view_group_cols is None or view_value_col is None:
-            return
-        if behind(view_table):
-            old = (store.read(spark, view_table)
-                   if store.exists(view_table) else None)
-            view = M.maintain_aggregate(cur, stg, actions, key,
-                                        view_group_cols, view_value_col,
-                                        old_agg=old)
-            store.write(view_table, view, dataset=ds)
-        if view_minmax and behind(mm_table):
-            old_mm = (store.read(spark, mm_table)
-                      if store.exists(mm_table) else None)
-            mm = M.maintain_extrema(cur, stg, actions, key,
-                                    view_group_cols, view_value_col,
-                                    merged, old_extrema=old_mm)
-            store.write(mm_table, mm, dataset=ds)
+    # the replay guard + per-family maintenance live in
+    # operators/view_refresh.py, SHARED with the batch CLI driver so
+    # the two upload paths cannot drift (its module docstring carries
+    # the ordered-guard correctness argument)
+    spec = ViewSpec(group_cols=view_group_cols, value_col=view_value_col,
+                    minmax=view_minmax, join=view_join)
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.cache()
@@ -369,26 +313,8 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                            .select(*[f.name for f in schema.fields])
                 if not store.exists(table_name):
                     store.write(table_name, stg, key=key, dataset=ds)
-                    if view_join is not None:
-                        store.write(join_table, enrich(stg), dataset=ds)
-                    if view_group_cols is not None and view_value_col:
-                        # bootstrap: direct aggregate of the seed state
-                        vv = F.col(view_value_col).cast("decimal(12,2)")
-                        seed = stg.groupBy(*view_group_cols).agg(
-                            F.count("*").alias("n"),
-                            # count the CAST column, not the raw one:
-                            # maintain_aggregate counts non-null of the
-                            # decimal cast, and a non-null value that
-                            # casts to NULL must not inflate the seed.
-                            F.count(vv).alias("n_vals"),
-                            F.sum(vv).cast("decimal(38,2)").alias("total"))
-                        store.write(view_table, seed, dataset=ds)
-                        if view_minmax:
-                            mm0 = stg.groupBy(*view_group_cols).agg(
-                                F.count("*").alias("n"),
-                                F.min(vv).alias("vmin"),
-                                F.max(vv).alias("vmax"))
-                            store.write(mm_table, mm0, dataset=ds)
+                    # bootstrap: direct-recompute seed of every view
+                    seed_views(store, table_name, stg, ds, spec, key)
                     continue
                 cur = store.read(spark, table_name)
                 chg = M.prepare_change_table(
@@ -404,7 +330,8 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                 # longer derivable, so any view still lagging at that
                 # point would stay stale forever. With views-first +
                 # guard, every crash window replays to the same state.
-                refresh_view(cur, stg, actions, merged, ds)
+                refresh_views(spark, store, table_name, cur, stg,
+                              actions, merged, ds, spec, key)
                 store.write(table_name, merged, key=key, dataset=ds)
                 actions.unpersist()
         finally:

@@ -284,3 +284,112 @@ TABLE crs_parcel_bndry2 key=audit_id row_tol=0.20,0.95 files pab1
     assert (s.ninsert, s.nupdate, s.nnullupdate, s.ndelete) == (3, 2, 0, 1)
     # no lock left behind, job closed
     assert not ledger.any_active()
+
+
+def _direct_agg(df):
+    from pyspark.sql import functions as F
+    vv = F.col("sequence").cast("decimal(12,2)")
+    return {r["reversed"]: (r["n"], r["n_vals"], r["total"]) for r in
+            df.groupBy("reversed").agg(
+                F.count("*").alias("n"), F.count(vv).alias("n_vals"),
+                F.sum(vv).cast("decimal(38,2)").alias("total"))
+            .collect()}
+
+
+def _direct_mm(df):
+    from pyspark.sql import functions as F
+    vv = F.col("sequence").cast("decimal(12,2)")
+    return {r["reversed"]: (r["n"], r["vmin"], r["vmax"]) for r in
+            df.groupBy("reversed").agg(
+                F.count("*").alias("n"), F.min(vv).alias("vmin"),
+                F.max(vv).alias("vmax")).collect()}
+
+
+def _stored(spark, store, table):
+    rows = store.read(spark, table).collect()
+    if table.endswith("__minmax"):
+        return {r["reversed"]: (r["n"], r["vmin"], r["vmax"]) for r in rows}
+    return {r["reversed"]: (r["n"], r["n_vals"], r["total"]) for r in rows}
+
+
+def test_batch_driver_maintains_views(spark, tmp_path):
+    """The batch CLI analog of test_streaming_cdc_maintained_view:
+    with a ViewSpec registered for the table, a full L0+L5 run leaves
+    <table>__agg and <table>__minmax equal to direct aggregates of
+    the stored base at every step — the reference's derived-state
+    consistency contract (bde_postupload_* inside the dataset scope,
+    sql/02-bde_control_functions.sql.in:2595-2676) met by the shared
+    operators/view_refresh.py discipline."""
+    from linz_bde_uploader_spark.operators.view_refresh import ViewSpec
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    tables = parse_tables_conf(TABLES_CONF)
+    cfg = UploadConfig(views={"crs_parcel_bndry": ViewSpec(
+        group_cols=["reversed"], value_col="sequence", minmax=True)})
+    up = BdeUploader(spark, repo, store, ledger, tables, config=cfg)
+
+    up.apply_updates(level0=True)
+    base = store.read(spark, "crs_parcel_bndry")
+    assert _stored(spark, store, "crs_parcel_bndry__agg") == _direct_agg(base)
+    assert _stored(spark, store, "crs_parcel_bndry__minmax") == _direct_mm(base)
+    assert store.current_dataset("crs_parcel_bndry__agg") == "20160601000000"
+
+    r5 = up.apply_updates(level5=True)
+    assert r5[-1].status == "loaded"
+    base = store.read(spark, "crs_parcel_bndry")
+    assert base.count() == 5
+    assert _stored(spark, store, "crs_parcel_bndry__agg") == _direct_agg(base)
+    assert _stored(spark, store, "crs_parcel_bndry__minmax") == _direct_mm(base)
+    # the L5 refresh was incremental (old view + delta), stamped with
+    # the dataset it incorporated
+    assert store.current_dataset("crs_parcel_bndry__agg") == "20160601171200"
+
+
+def test_batch_driver_view_crash_replay(spark, tmp_path):
+    """Crash window between the view write and the base write: the
+    ledger watermark has not advanced, so the next CLI run replans the
+    dataset; the view's dataset stamp skips the already-applied delta
+    (ordered guard — no double-count) and the base write completes.
+    Derived state converges to the direct aggregate."""
+    from linz_bde_uploader_spark.operators.view_refresh import ViewSpec
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    tables = parse_tables_conf(TABLES_CONF)
+    cfg = UploadConfig(views={"crs_parcel_bndry": ViewSpec(
+        group_cols=["reversed"], value_col="sequence")})
+    up = BdeUploader(spark, repo, store, ledger, tables, config=cfg)
+    up.apply_updates(level0=True)
+
+    orig_write = store.write
+
+    def crashing_write(table, df, **kwargs):
+        if table == "crs_parcel_bndry" and kwargs.get("dataset") == \
+                "20160601171200":
+            raise RuntimeError("injected crash after view write")
+        return orig_write(table, df, **kwargs)
+
+    store.write = crashing_write
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            up.apply_updates(level5=True)
+    finally:
+        store.write = orig_write
+
+    # crash window on disk: view stamped with the L5 dataset, base
+    # still pre-merge, watermark not advanced
+    assert store.current_dataset("crs_parcel_bndry__agg") == "20160601171200"
+    assert store.read(spark, "crs_parcel_bndry").count() == 3
+    assert ledger.table("crs_parcel_bndry")["last_upload_dataset"] < \
+        "20160601171200"
+
+    # the re-run: stamp guard skips the view delta, base write lands
+    up2 = BdeUploader(spark, repo, store, ledger, tables, config=cfg)
+    r = up2.apply_updates(level5=True)
+    assert r[-1].status == "loaded"
+    base = store.read(spark, "crs_parcel_bndry")
+    assert base.count() == 5
+    assert _stored(spark, store, "crs_parcel_bndry__agg") == _direct_agg(base)
