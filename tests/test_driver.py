@@ -393,3 +393,60 @@ def test_batch_driver_view_crash_replay(spark, tmp_path):
     base = store.read(spark, "crs_parcel_bndry")
     assert base.count() == 5
     assert _stored(spark, store, "crs_parcel_bndry__agg") == _direct_agg(base)
+
+
+def test_batch_driver_view_crash_two_datasets(spark, tmp_path):
+    """Two sequential L5 datasets with a crash in the SECOND's window
+    between view write and base write: d1 applies fully (base +
+    views + watermark), d2's view lands STAMPED AHEAD of the base.
+    The re-run replans only d2 (d1's watermark committed), the
+    ordered stamp guard skips d2's already-applied view delta, and
+    the base write completes — final state: base holds both merges,
+    view equals its direct aggregate, no double-count. This is the
+    batch twin of the streaming multi-dataset replay argument in
+    operators/view_refresh.py."""
+    from linz_bde_uploader_spark.operators.view_refresh import ViewSpec
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo"),
+                                          second_l5=True))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    tables = parse_tables_conf(TABLES_CONF)
+    cfg = UploadConfig(views={"crs_parcel_bndry": ViewSpec(
+        group_cols=["reversed"], value_col="sequence")})
+    up = BdeUploader(spark, repo, store, ledger, tables, config=cfg)
+    up.apply_updates(level0=True)
+
+    d2 = "20160601180000"
+    orig_write = store.write
+
+    def crashing_write(table, df, **kwargs):
+        if table == "crs_parcel_bndry" and kwargs.get("dataset") == d2:
+            raise RuntimeError("injected crash in second dataset")
+        return orig_write(table, df, **kwargs)
+
+    store.write = crashing_write
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            up.apply_updates(level5=True)
+    finally:
+        store.write = orig_write
+
+    # d1 fully applied; d2's view ahead of the base
+    rows = {x.audit_id: x.sequence
+            for x in store.read(spark, "crs_parcel_bndry").collect()}
+    assert rows == {100: 3, 300: 4, 400: 5, 80401148: 10, 80401149: 20}
+    assert ledger.table("crs_parcel_bndry")["last_upload_dataset"] == \
+        "20160601171200"
+    assert store.current_dataset("crs_parcel_bndry__agg") == d2
+
+    up2 = BdeUploader(spark, repo, store, ledger, tables, config=cfg)
+    r = up2.apply_updates(level5=True)
+    assert [x.dataset for x in r] == [d2]  # only d2 replans
+    assert r[-1].status == "loaded"
+    base = store.read(spark, "crs_parcel_bndry")
+    rows = {x.audit_id: x.sequence for x in base.collect()}
+    assert rows == {100: 3, 300: 40, 500: 6, 80401148: 10,
+                    80401149: 20}
+    assert _stored(spark, store, "crs_parcel_bndry__agg") == \
+        _direct_agg(base)
