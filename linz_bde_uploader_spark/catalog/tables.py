@@ -33,6 +33,14 @@ class TableDef:
     # action (the reference reads these from PG unique indexes; a file
     # registry declares them: unique=col1,col2)
     unique_cols: list[str] = field(default_factory=list)
+    # maintained-view declaration (our extension, like unique=):
+    # view=<g1>+<g2>:<value_col>[:minmax] registers a <table>__agg
+    # (and optionally __minmax) view the driver refreshes O(changes)
+    # with every load (operators/view_refresh.py). Join views need a
+    # dimension DataFrame and stay programmatic (UploadConfig.views).
+    view_group_cols: list[str] = field(default_factory=list)
+    view_value_col: str | None = None
+    view_minmax: bool = False
 
 
 def parse_tables_conf(text: str) -> list[TableDef]:
@@ -85,6 +93,12 @@ def _parse_attrs(t: TableDef, toks: list[str]) -> None:
             break
         elif low.startswith("unique="):
             t.unique_cols = [c for c in tok.split("=", 1)[1].lower().split(",") if c]
+        elif low.startswith("view="):
+            parts = tok.split("=", 1)[1].lower().split(":")
+            t.view_group_cols = [c for c in parts[0].split("+") if c]
+            if len(parts) > 1 and parts[1]:
+                t.view_value_col = parts[1]
+            t.view_minmax = len(parts) > 2 and parts[2] == "minmax"
         elif low == "l5_is_full":
             t.l5_is_full = True
         elif low == "l5_change_table":

@@ -129,6 +129,17 @@ class BdeUploader:
         self.post_level0_functions = sorted(
             post_level0_functions or [], key=lambda f: getattr(f, "__name__", ""))
         self.results: list[TableResult] = []
+        # tables.conf view= declarations register maintained views
+        # unless the caller already supplied a ViewSpec
+        # programmatically (explicit config wins — it can carry join
+        # views, which conf cannot express)
+        for t in self.tables:
+            if (t.view_group_cols and t.view_value_col
+                    and t.name not in self.config.views):
+                self.config.views[t.name] = ViewSpec(
+                    group_cols=t.view_group_cols,
+                    value_col=t.view_value_col,
+                    minmax=t.view_minmax)
         self._start = time.time()
         # X2 SQL hook executor — replaceable for JDBC targets / tests
         self.sql_runner = lambda sql: self.spark.sql(sql)

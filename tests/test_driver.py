@@ -450,3 +450,31 @@ def test_batch_driver_view_crash_two_datasets(spark, tmp_path):
                     80401149: 20}
     assert _stored(spark, store, "crs_parcel_bndry__agg") == \
         _direct_agg(base)
+
+
+def test_tables_conf_view_attribute(spark, tmp_path):
+    """tables.conf `view=` declaration (our extension, like unique=):
+    the registry alone — no programmatic ViewSpec — makes the driver
+    maintain <table>__agg/__minmax, so the capability is reachable
+    from the CLI conf surface."""
+    conf = """
+TABLE l5_change_table l5_change_table files xaud
+TABLE crs_parcel_bndry key=audit_id view=reversed:sequence:minmax files pab1
+"""
+    tables = parse_tables_conf(conf)
+    t = [x for x in tables if x.name == "crs_parcel_bndry"][0]
+    assert t.view_group_cols == ["reversed"]
+    assert t.view_value_col == "sequence"
+    assert t.view_minmax is True
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    up = BdeUploader(spark, repo, store, ledger, tables)
+    up.apply_updates(level0=True)
+    up.apply_updates(level5=True)
+    base = store.read(spark, "crs_parcel_bndry")
+    assert _stored(spark, store, "crs_parcel_bndry__agg") == \
+        _direct_agg(base)
+    assert _stored(spark, store, "crs_parcel_bndry__minmax") == \
+        _direct_mm(base)
