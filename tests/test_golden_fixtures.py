@@ -203,3 +203,46 @@ def test_golden_bpe_merges(spark, tmp_path):
         (4, "abcd", "e"), (5, "abcde", "f"), (6, "abcdef", "g"),
         (7, "abcdefg", "h"), (8, "abcdefgh", "i"),
     ]
+
+
+def test_golden_events_transition_matrix(spark, tmp_path):
+    """Hand-derived per-user Markov matrix: three tiny journeys with
+    known gaps, including a same-timestamp tie broken by event_id.
+    user 1: view -(30s)-> click -(60s)-> buy; user 2:
+    view -(10s)-> view -(60s)-> click; user 3: click -(0s, tie on
+    ts, event_id order)-> view. Expected cells follow by hand;
+    terminal events drop out."""
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return datetime(2024, 1, 1, 12, 0, sec)
+
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, at(30), 1, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 12, 1, 30), 1, "buy", 1.0, "{}"),
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, at(10), 2, "view", 1.0, "{}"),
+        (6, datetime(2024, 1, 1, 12, 1, 10), 2, "click", 1.0, "{}"),
+        (7, t0, 3, "click", 1.0, "{}"),
+        (8, t0, 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(str(tmp_path), "events.parquet"))
+    from linz_bde_uploader_spark.plans.analytics_suite import (
+        ANALYTICS_QUERIES,
+    )
+    fn, _sql = ANALYTICS_QUERIES["events_transition_matrix"]
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["gap_total_us"])
+           for r in fn(spark, str(tmp_path)).collect()}
+    assert got == {
+        ("view", "click"): (2, 90_000_000),
+        ("click", "buy"): (1, 60_000_000),
+        ("view", "view"): (1, 10_000_000),
+        ("click", "view"): (1, 0),
+    }
