@@ -323,10 +323,13 @@ class BdeUploader:
         spec = self.config.views.get(table.name)
         if spec is not None:
             # snapshot semantics: L0 replaces the base wholesale, so
-            # views re-seed by direct recompute of the new state
-            # (stamp-guarded; the base write still comes last)
+            # views re-seed by direct recompute of the new state —
+            # FORCED past the stamp guard, because a replaced base
+            # invalidates any standing view even one stamped later
+            # (operator-forced re-load); the recompute is idempotent
+            # so crash replays stay safe without the guard
             seed_views(self.store, table.name, new, ds.name, spec,
-                       table.key)
+                       table.key, force=True)
         self.store.write(table.name, new, key=table.key, dataset=ds.name)
         self.ledger.record_dataset_loaded(
             job.id, table.name, ds.name, "0", stats,

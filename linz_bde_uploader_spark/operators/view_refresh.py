@@ -78,21 +78,31 @@ def _enrich(fact: DataFrame, key: str, join: dict) -> DataFrame:
 
 
 def seed_views(store, table_name: str, df: DataFrame, ds: str,
-               spec: ViewSpec, key: str) -> None:
+               spec: ViewSpec, key: str, force: bool = False) -> None:
     """Direct-recompute seeding for snapshot semantics: the streaming
     bootstrap batch and the batch driver's level-0 replace both
     install the views as plain aggregates/joins of the new state —
     there is no prior view to delta against (bootstrap) or the whole
-    base was just replaced (L0), so O(changes) does not apply. Each
-    write sits behind the same ordered stamp guard as the
-    incremental path."""
-    if spec.join is not None and _behind(store, f"{table_name}__join", ds):
+    base was just replaced (L0), so O(changes) does not apply.
+
+    ``force=True`` (the snapshot-replace path) writes regardless of
+    the stamp guard: a snapshot REPLACES the base, so any standing
+    view state is invalid by definition — including a view stamped
+    LATER than the incoming dataset (an operator-forced re-load over
+    leftover derived state; dataset order says nothing there). The
+    seed is a direct recompute of the staged frame, so re-running it
+    on a crash replay is idempotent — the guard's double-apply
+    hazard, which only exists for DELTAS, does not apply. Without
+    force (no caller uses it today) the ordered guard applies as in
+    the incremental path."""
+    if spec.join is not None and (
+            force or _behind(store, f"{table_name}__join", ds)):
         store.write(f"{table_name}__join", _enrich(df, key, spec.join),
                     dataset=ds)
     if spec.group_cols is None or spec.value_col is None:
         return
     vv = F.col(spec.value_col).cast(spec.value_type)
-    if _behind(store, f"{table_name}__agg", ds):
+    if force or _behind(store, f"{table_name}__agg", ds):
         # count the CAST column, not the raw one: maintain_aggregate
         # counts non-null of the cast, and a non-null value that casts
         # to NULL must not inflate the seed
@@ -101,7 +111,8 @@ def seed_views(store, table_name: str, df: DataFrame, ds: str,
             F.count(vv).alias("n_vals"),
             F.sum(vv).cast("decimal(38,2)").alias("total"))
         store.write(f"{table_name}__agg", seed, dataset=ds)
-    if spec.minmax and _behind(store, f"{table_name}__minmax", ds):
+    if spec.minmax and (
+            force or _behind(store, f"{table_name}__minmax", ds)):
         mm0 = df.groupBy(*spec.group_cols).agg(
             F.count("*").alias("n"),
             F.min(vv).alias("vmin"),

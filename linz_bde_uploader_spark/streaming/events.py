@@ -313,8 +313,11 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                            .select(*[f.name for f in schema.fields])
                 if not store.exists(table_name):
                     store.write(table_name, stg, key=key, dataset=ds)
-                    # bootstrap: direct-recompute seed of every view
-                    seed_views(store, table_name, stg, ds, spec, key)
+                    # bootstrap: direct-recompute seed of every view,
+                    # forced — a freshly-created base invalidates any
+                    # leftover view state whatever its stamp says
+                    seed_views(store, table_name, stg, ds, spec, key,
+                               force=True)
                     continue
                 cur = store.read(spark, table_name)
                 chg = M.prepare_change_table(

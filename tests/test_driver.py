@@ -478,3 +478,42 @@ TABLE crs_parcel_bndry key=audit_id view=reversed:sequence:minmax files pab1
         _direct_agg(base)
     assert _stored(spark, store, "crs_parcel_bndry__minmax") == \
         _direct_mm(base)
+
+
+def test_l0_reseed_overrides_stale_future_stamped_view(spark, tmp_path):
+    """Forced L0 seeding: a leftover view stamped LATER than every
+    incoming dataset (operator-forced re-load over stale derived
+    state — dataset order says nothing about validity when the base
+    snapshot is replaced) must be overwritten by the L0 direct
+    recompute, and the subsequent L5 refresh must converge the view
+    to the merged state's direct aggregate. A stamp-guarded seed
+    would skip both writes and publish the garbage forever."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.view_refresh import ViewSpec
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    tables = parse_tables_conf(TABLES_CONF)
+    # plant garbage derived state stamped in the far future
+    garbage = spark.createDataFrame(
+        [("Z", 999, 999, 999.0)],
+        "reversed string, n long, n_vals long, total double") \
+        .withColumn("total", F.col("total").cast("decimal(38,2)"))
+    store.write("crs_parcel_bndry__agg", garbage,
+                dataset="99999999999999")
+
+    cfg = UploadConfig(views={"crs_parcel_bndry": ViewSpec(
+        group_cols=["reversed"], value_col="sequence")})
+    up = BdeUploader(spark, repo, store, ledger, tables, config=cfg)
+    up.apply_updates(level0=True)
+    base = store.read(spark, "crs_parcel_bndry")
+    assert _stored(spark, store, "crs_parcel_bndry__agg") == \
+        _direct_agg(base)  # garbage gone after the forced L0 seed
+
+    up.apply_updates(level5=True)
+    base = store.read(spark, "crs_parcel_bndry")
+    assert base.count() == 5
+    assert _stored(spark, store, "crs_parcel_bndry__agg") == \
+        _direct_agg(base)
