@@ -203,10 +203,13 @@ class BdeUploader:
         return budget > 0 and (time.time() - self._start) > budget * 3600
 
     # ------------------------------------------------------- selection
-    def level0_updates(self, before: str | None = None) -> list[tuple[Dataset, list[TableDef]]]:
+    def level0_updates(self, before: str | None = None,
+                       rebuild: bool = False) -> list[tuple[Dataset, list[TableDef]]]:
         """EP1 planning: the LATEST complete L0 dataset; tables whose
-        last_level0_dataset watermark is older
-        (lib/LINZ/BdeUpload.pm:612-651)."""
+        last_level0_dataset watermark is older — or ALL level-0
+        tables under ``rebuild``, which ignores the watermark exactly
+        as the reference does (`$rebuild || $lastl0 lt $dataset`,
+        lib/LINZ/BdeUpload.pm:644-648)."""
         ds = self.repo.latest(0, before=before)
         if ds is None:
             return []
@@ -214,15 +217,25 @@ class BdeUploader:
         for t in self.tables:
             if "0" not in t.levels or t.l5_change_table:
                 continue
-            if self.ledger.table(t.name)["last_level0_dataset"] >= ds.name:
+            if not rebuild and \
+                    self.ledger.table(t.name)["last_level0_dataset"] >= ds.name:
                 continue
             todo.append(t)
         return [(ds, todo)] if todo else []
 
-    def level5_updates(self, before: str | None = None) -> list[tuple[Dataset, list[TableDef]]]:
+    def level5_updates(self, before: str | None = None,
+                       rebuild_from: dict[str, str] | None = None
+                       ) -> list[tuple[Dataset, list[TableDef]]]:
         """EP2 planning: all datasets after each table's
         last_upload_dataset watermark, in order; l5_is_full tables take
-        only the newest (lib/LINZ/BdeUpload.pm:653-707)."""
+        only the newest (lib/LINZ/BdeUpload.pm:653-707).
+
+        ``rebuild_from`` (table -> dataset name) is the rebuild
+        branch: a table being re-seeded from a level-0 dataset in the
+        SAME run replays every level-5 dataset after that L0, not
+        after its (already-current) ledger watermark — the reference
+        takes `$lastl5` from the planned L0 update when rebuilding
+        (lib/LINZ/BdeUpload.pm:670-676)."""
         plan: list[tuple[Dataset, list[TableDef]]] = []
         datasets = self.repo.select(5, before=before)
         if not datasets:
@@ -233,7 +246,10 @@ class BdeUploader:
             for t in self.tables:
                 if "5" not in t.levels or t.l5_change_table:
                     continue
-                if self.ledger.table(t.name)["last_upload_dataset"] >= ds.name:
+                wm = (rebuild_from or {}).get(t.name)
+                if wm is None:
+                    wm = self.ledger.table(t.name)["last_upload_dataset"]
+                if wm >= ds.name:
                     continue
                 if t.l5_is_full and ds.name != latest:
                     continue
@@ -430,11 +446,17 @@ class BdeUploader:
         level0_ran = level0 or full_incremental or rebuild
         try:
             plan: list[tuple[Dataset, list[TableDef], str]] = []
+            l0_planned: dict[str, str] = {}
             if level0 or full_incremental or rebuild:
-                for ds, tabs in self.level0_updates(before=before):
+                for ds, tabs in self.level0_updates(before=before,
+                                                    rebuild=rebuild):
                     plan.append((ds, tabs, "0"))
+                    for t in tabs:
+                        l0_planned[t.name] = ds.name
             if level5 or rebuild:
-                for ds, tabs in self.level5_updates(before=before):
+                for ds, tabs in self.level5_updates(
+                        before=before,
+                        rebuild_from=l0_planned if rebuild else None):
                     plan.append((ds, tabs, "5"))
             if dry_run:
                 for ds, tabs, lvl in plan:

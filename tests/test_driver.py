@@ -517,3 +517,58 @@ def test_l0_reseed_overrides_stale_future_stamped_view(spark, tmp_path):
     assert base.count() == 5
     assert _stored(spark, store, "crs_parcel_bndry__agg") == \
         _direct_agg(base)
+
+
+def test_rebuild_ignores_watermarks(spark, env):
+    """Reference parity (lib/LINZ/BdeUpload.pm:644-648,670-676):
+    -rebuild replays the latest L0 and every subsequent L5 even when
+    the ledger watermarks are already current — the whole point of a
+    rebuild. The replayed merge re-derives the same golden state."""
+    up, store, ledger = env
+    up.apply_updates(level0=True)
+    up.apply_updates(level5=True)
+    assert up.apply_updates(level0=True, level5=True) == []  # current
+
+    up2 = BdeUploader(spark, up.repo, store, ledger, up.tables)
+    results = up2.apply_updates(rebuild=True)
+    assert [r.level for r in results] == ["0", "5"]
+    # the L0 replay legitimately shrinks 5 -> 3 rows, so the row
+    # tolerance reports a warning (the gate working as configured);
+    # the L5 replay restores the full state cleanly
+    assert results[0].status == "warning"
+    assert results[1].status == "loaded"
+    rows = {x.audit_id: x.sequence
+            for x in store.read(spark, "crs_parcel_bndry").collect()}
+    assert rows == {100: 3, 300: 4, 400: 5, 80401148: 10,
+                    80401149: 20}
+    # the L5 replay re-classified against the re-seeded L0 base
+    s = results[-1].stats
+    assert (s.ninsert, s.nupdate, s.nnullupdate, s.ndelete) == (3, 2, 0, 1)
+
+
+def test_rebuild_reseeds_maintained_views(spark, tmp_path):
+    """rebuild + views: the forced L0 seed resets the view to the L0
+    dataset stamp, so the replayed L5 refresh applies (d0 < d1) and
+    the view converges — a stamp-guarded seed would leave the view
+    frozen at its pre-rebuild state."""
+    from linz_bde_uploader_spark.operators.view_refresh import ViewSpec
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    tables = parse_tables_conf(TABLES_CONF)
+    cfg = UploadConfig(views={"crs_parcel_bndry": ViewSpec(
+        group_cols=["reversed"], value_col="sequence")})
+    up = BdeUploader(spark, repo, store, ledger, tables, config=cfg)
+    up.apply_updates(level0=True)
+    up.apply_updates(level5=True)
+
+    up2 = BdeUploader(spark, repo, store, ledger, tables, config=cfg)
+    results = up2.apply_updates(rebuild=True)
+    assert [r.level for r in results] == ["0", "5"]
+    base = store.read(spark, "crs_parcel_bndry")
+    assert base.count() == 5
+    assert _stored(spark, store, "crs_parcel_bndry__agg") == \
+        _direct_agg(base)
+    assert store.current_dataset("crs_parcel_bndry__agg") == \
+        "20160601171200"
