@@ -241,15 +241,27 @@ class BdeUploader:
         if not datasets:
             return []
         latest = datasets[-1].name
+        # per-table replay-from point, resolved once; a table with NO
+        # previous upload cannot take increments — log and skip it,
+        # exactly the reference (lib/LINZ/BdeUpload.pm:678-683)
+        marks: dict[str, str] = {}
+        for t in self.tables:
+            if "5" not in t.levels or t.l5_change_table:
+                continue
+            wm = (rebuild_from or {}).get(t.name)
+            if wm is None:
+                wm = self.ledger.table(t.name)["last_upload_dataset"]
+            if wm == "":
+                log.error("Cannot load incremental updates to %s as "
+                          "there is no previous upload", t.name)
+                continue
+            marks[t.name] = wm
         for ds in datasets:
             todo = []
             for t in self.tables:
-                if "5" not in t.levels or t.l5_change_table:
+                if t.name not in marks:
                     continue
-                wm = (rebuild_from or {}).get(t.name)
-                if wm is None:
-                    wm = self.ledger.table(t.name)["last_upload_dataset"]
-                if wm >= ds.name:
+                if marks[t.name] >= ds.name:
                     continue
                 if t.l5_is_full and ds.name != latest:
                     continue

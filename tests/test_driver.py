@@ -572,3 +572,17 @@ def test_rebuild_reseeds_maintained_views(spark, tmp_path):
         _direct_agg(base)
     assert store.current_dataset("crs_parcel_bndry__agg") == \
         "20160601171200"
+
+
+def test_level5_without_previous_upload_skipped(spark, env, caplog):
+    """Reference parity (lib/LINZ/BdeUpload.pm:678-683): a table with
+    no previous upload cannot take level-5 increments — the planner
+    logs an error and skips it instead of crashing mid-run on a
+    missing store table."""
+    import logging
+
+    up, store, ledger = env
+    with caplog.at_level(logging.ERROR, logger="linz_bde_uploader_spark"):
+        results = up.apply_updates(level5=True)
+    assert results == []
+    assert any("no previous upload" in r.message for r in caplog.records)
