@@ -197,3 +197,30 @@ def test_maintain_join_delta_sides_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
     # anti (removal) + semi (delta restriction) both broadcast
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_maintain_aggregate_incremental_sides_broadcast(spark):
+    """The O(changes) aggregate refresh (operators/merge.py
+    maintain_aggregate with a stored old view): both action-key
+    restrictions — the current-side delete semi join and the
+    staged-side insert semi join — must broadcast, so neither big
+    table shuffles; the only exchange is the final bounded
+    re-aggregate of old ∪ deltas."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cur = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g"),
+        (F.col("id") % 100).cast("double").alias("v"))
+    stg = cur.withColumn("v", F.col("v") + F.lit(1.0))
+    chg = spark.range(10).select(F.col("id").alias("key"))
+    actions = M.classify_actions(cur, stg, chg, "k", ["g", "v"])
+    old = cur.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.count("v").alias("n_vals"),
+        F.sum(F.col("v").cast("decimal(12,2)")).cast("decimal(38,2)")
+        .alias("total"))
+    out = M.maintain_aggregate(cur, stg, actions, "k", ["g"], "v",
+                               old_agg=old)
+    plan = _executed_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
