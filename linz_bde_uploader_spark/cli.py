@@ -173,12 +173,33 @@ def main(argv: list[str] | None = None) -> int:
         tables = [t for t in tables if t.name not in drop]
 
     ledger = Ledger(args.control)
+
+    def clean_scratch() -> None:
+        # reference _clean_scratch_dirs (lib/LINZ/BdeUpload.pm:490-505):
+        # both maintenance entry points drop retained working files of
+        # non-active jobs unless -keep-files; the Spark analog is the
+        # single <store>/scratch tree the -keep-files snapshots go to
+        import os
+        import shutil
+
+        if args.keep_files or ledger.any_active():
+            return
+        shutil.rmtree(os.path.join(args.store, "scratch"),
+                      ignore_errors=True)
+
     if args.remove_zombie:
+        # RemoveZombiedJobs = expired-lock release + scratch cleanup
+        # (lib/LINZ/BdeUpload.pm:508-518)
         dead = ledger.remove_zombies()
         print(f"removed {len(dead)} zombie job(s)")
+        clean_scratch()
     if args.purge:
+        # PurgeOldJobs = expired-lock release + old-job removal +
+        # scratch cleanup (lib/LINZ/BdeUpload.pm:520-532)
+        ledger.remove_zombies()
         n = ledger.purge_old_jobs()
         print(f"purged {n} old job(s)")
+        clean_scratch()
     if not any([args.full, args.incremental, args.full_incremental,
                 args.rebuild, args.dry_run]):
         return 0

@@ -586,3 +586,23 @@ def test_level5_without_previous_upload_skipped(spark, env, caplog):
         results = up.apply_updates(level5=True)
     assert results == []
     assert any("no previous upload" in r.message for r in caplog.records)
+
+
+def test_purge_cleans_scratch(tmp_path, spark):
+    """Reference parity (PurgeOldJobs/_clean_scratch_dirs,
+    lib/LINZ/BdeUpload.pm:490-532): the maintenance entry points drop
+    retained working files when no job is active — unless -keep-files
+    asks to preserve them."""
+    from linz_bde_uploader_spark import cli
+    repo_root = write_repository(str(tmp_path / "repo"))
+    conf = tmp_path / "tables.conf"
+    conf.write_text(TABLES_CONF)
+    common = ["--repository", repo_root, "--store", str(tmp_path / "store"),
+              "--control", str(tmp_path / "ctl"), "--tables-conf", str(conf)]
+    assert cli.main(common + ["-full", "-keep-files"]) == 0
+    scratch = tmp_path / "store" / "scratch"
+    assert scratch.exists()
+    assert cli.main(common + ["-purge", "-keep-files"]) == 0
+    assert scratch.exists()          # -keep-files preserves
+    assert cli.main(common + ["-purge"]) == 0
+    assert not scratch.exists()      # cleaned once keep-files drops
