@@ -86,7 +86,9 @@ _DRIVER_FIRST = [
     # three zero-green rows above and joined the FAST_QUERIES sf0.001
     # pytest differential as compensating coverage, alongside
     # text_token_stats and dedup_exact which rotated out in r9.)
-    # --- 50-slot cutoff lands here. Deferred entries hold >=2 driver
+    # --- 50-slot cutoff lands here. dedup_best_survivors (r12-new,
+    # local exact/pandas green, FAST-covered) waits below the cutoff —
+    # first r13 rotation candidate. Deferred entries hold >=2 driver
     # greens with the most recent in r6-r8, stay covered by the
     # sf0.001 FAST_QUERIES pytest differential, and are green under
     # the local check_oracle --exact --pandas gate, which r7/r8 proved

@@ -360,6 +360,89 @@ SELECT id AS doc_id, cluster_id FROM comp WHERE id <> cluster_id
 """
 
 
+def q_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivorship: per verified near-dup cluster keep
+    the BEST member — longest text (the least-truncated copy), ties
+    to the smallest doc_id — and report every dropped doc with its
+    cluster and the chosen survivor. The production alternative to
+    keep-first (`dedup_survivors` / `dedup_near_survivors`): when
+    near-dup copies differ (truncation, boilerplate-stripped
+    variants), id order keeps an arbitrary copy; quality order keeps
+    the most complete one.
+
+    Scale shape: same banded-LSH candidate generation and verify
+    sweep as the near-survivor pipeline (one shuffle on band keys,
+    capped buckets); the per-cluster argmax is an AGGREGATE of
+    (quality, -id) structs — map-side combinable, no window, and the
+    only columns that move after shingling are (id, cluster, int
+    length), never text. All-BIGINT output (ORACLE.md portable)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
+                                  shingle_words=3)
+    verified = D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
+                                      threshold=0.5)
+    clusters = D.duplicate_clusters(verified.select("id_a", "id_b"))
+    quality = corpus.select(F.col("doc_id").alias("id"),
+                            F.length("text").cast("bigint").alias("_q"))
+    m = clusters.join(quality, "id")
+    best = (m.groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col("_q"),
+                                (-F.col("id")).alias("_nid"))).alias("_b"))
+            .select("cluster_id",
+                    (-F.col("_b._nid")).cast("bigint")
+                    .alias("survivor_id")))
+    return (m.join(best, "cluster_id")
+            .filter(F.col("id") != F.col("survivor_id"))
+            .select(F.col("id").alias("doc_id"), "cluster_id",
+                    "survivor_id"))
+
+
+SQL_DEDUP_BEST_SURVIVORS = f"""WITH RECURSIVE {_SQL_BASE}, {_SQL_TOKS}, {_SQL_SH3},
+sh AS (SELECT DISTINCT doc_id, {sql_hash32('shingle')} AS h FROM sh3),
+ph AS (
+  SELECT doc_id, i AS perm,
+         ((CAST(2*i+1 AS BIGINT) * h + CAST(i*i+7 AS BIGINT)) % {MINHASH_PRIME}) AS phv
+  FROM sh, unnest(generate_series(0, 15)) AS t(i)),
+sig AS (SELECT doc_id, perm, min(phv) AS minhash FROM ph GROUP BY doc_id, perm),
+bh AS (
+  SELECT doc_id, CAST(floor(perm / 4.0) AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(floor(perm / 4.0) AS INT)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bh a JOIN bh b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY c.id_a, c.id_b),
+verified AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+          UNION SELECT id_b, id_a FROM verified),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+q AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS q FROM base),
+ranked AS (
+  SELECT c.cluster_id, c.id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.q DESC, c.id) AS rn
+  FROM comp c JOIN q ON q.id = c.id),
+best AS (SELECT cluster_id, id AS survivor_id FROM ranked WHERE rn = 1)
+SELECT c.id AS doc_id, c.cluster_id, b.survivor_id
+FROM comp c JOIN best b ON b.cluster_id = c.cluster_id
+WHERE c.id <> b.survivor_id
+"""
+
+
 def q_text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document paragraph dedup over the synthetic-dup corpus:
     every 8-word segment keeps only its global first occurrence, so
@@ -3689,6 +3772,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_simhash_capped": (q_dedup_simhash_capped, SQL_SIMHASH_CAPPED),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_near_survivors": (q_dedup_near_survivors, SQL_DEDUP_NEAR_SURVIVORS),
+    "dedup_best_survivors": (q_dedup_best_survivors, SQL_DEDUP_BEST_SURVIVORS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),

@@ -246,3 +246,28 @@ def test_golden_events_transition_matrix(spark, tmp_path):
         ("view", "view"): (1, 10_000_000),
         ("click", "view"): (1, 0),
     }
+
+
+def test_golden_dedup_best_survivors(spark, tmp_path):
+    """Hand-derived quality survivorship: doc 2 is doc 1 plus three
+    extra tail words (shingle Jaccard 13/16 — a verified near-dup),
+    so the cluster is {1, 2} labeled 1, and the LONGEST member (2)
+    survives while keep-first would have kept 1. Docs 3 and 4 are
+    identical twins (tie on length -> smallest id, 3, survives).
+    Expected drops: (1, cluster 1, survivor 2) and
+    (4, cluster 3, survivor 3)."""
+    a_words = [f"w{i}" for i in range(15)]
+    a = " ".join(a_words)
+    b = " ".join(a_words + ["tail", "words", "extra"])
+    c = " ".join(f"z{i}" for i in range(15))
+    rows = [
+        (1, a, "en", "web", 1),
+        (2, b, "en", "web", 1),
+        (3, c, "en", "web", 1),
+        (4, c, "en", "web", 1),
+    ]
+    _write_docs(spark, str(tmp_path), rows)
+    fn, _sql = PIPELINE_QUERIES["dedup_best_survivors"]
+    got = {r["doc_id"]: (r["cluster_id"], r["survivor_id"])
+           for r in fn(spark, str(tmp_path)).collect()}
+    assert got == {1: (1, 2), 4: (3, 3)}

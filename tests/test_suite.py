@@ -39,6 +39,8 @@ FAST_QUERIES = [
     "docs_dedup_ingest", "cdc_manifest_refresh",
     # rotated out of the driver top-50 in r12 (compensating coverage)
     "text_term_freq", "text_tfidf", "emb_quantize",
+    # new in r12
+    "dedup_best_survivors",
 ]
 
 
