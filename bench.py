@@ -79,6 +79,7 @@ HEADLINE = [
     "pipeline_prep",
     "dedup_clusters",
     "dedup_near_survivors",
+    "dedup_best_survivors",
     "sim_kmeans_centroids",
     "events_sliding_agg",
     "q8_market_share",
