@@ -541,3 +541,34 @@ def test_premeta_index_fallback_and_identity_learning(spark, store):
           _ingest(spark, store, _docs(spark, [(71, BASE)]), "pidx",
                   num_perm=8, bands=4)}
     assert v2[71] == ("exact_dup", 1)
+
+
+def test_verify_join_moves_candidate_side_only(spark, tmp_path):
+    """The verify-before-suppress scale claim: the estimated-Jaccard
+    verification joins the |batch| x bands candidate list against the
+    id-clustered signature table, so with the catalog-bucketed store
+    only the CANDIDATE side exchanges — the corpus-sized sigs table
+    scans in place (one Exchange, not two). Sibling of
+    test_membership_join_moves_batch_side_only, applied to the join
+    the r10 hardening added."""
+    store = TableStore(str(tmp_path / "s"), n_buckets=4,
+                       use_catalog_buckets=True)
+    docs = _docs(spark, [
+        (i, f"alpha bravo charlie delta marker{i} echo foxtrot "
+            f"golf hotel india juliet kilo lima")
+        for i in range(60)])
+    DI.dedup_index_build(spark, store, docs, "vidx")
+    cand = spark.createDataFrame([(100, 3), (101, 7)],
+                                 "id long, _cand long")
+    stored_sigs = DI._with_delta(spark, store, "vidx__sigs",
+                                 "vidx__sigs_delta")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (cand.join(stored_sigs.select(F.col("id").alias("_cand"),
+                                             F.col("sig").alias("_cs")),
+                          "_cand", "left")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
