@@ -87,6 +87,17 @@ class UploadConfig:
     # (operators/view_refresh.py) — a crash anywhere replays to the
     # same state on the next run.
     views: dict[str, ViewSpec] = field(default_factory=dict)
+    # C4 dataset transaction (conf use_dataset_transaction, the
+    # reference DEFAULT — conf/linz_bde_uploader.conf:89-92,
+    # lib/LINZ/BdeDatabase.pm:476-492): all of a dataset's table
+    # writes (bases AND maintained views) become visible together
+    # through the store's staged-pointer commit, and any table error
+    # rolls the whole dataset back — no ledger watermark advances, no
+    # partial dataset is ever readable. Off by default here because
+    # per-table commits match the reference's use_table_transaction
+    # mode and are what the pre-r12 tests pin; the conf key turns it
+    # on exactly as the reference conf does.
+    use_dataset_transaction: bool = False
     # intra-dataset table parallelism. The reference is strictly
     # sequential per table (lib/LINZ/BdeUpload.pm:729,787) because one
     # PostgreSQL does all the work; on Spark each table load is an
@@ -129,6 +140,12 @@ class BdeUploader:
         self.post_level0_functions = sorted(
             post_level0_functions or [], key=lambda f: getattr(f, "__name__", ""))
         self.results: list[TableResult] = []
+        # deferred ledger records for the dataset-transaction mode:
+        # watermarks/stats must not advance for a dataset that rolls
+        # back, so records buffer here and flush after commit
+        self._pending_records: list[tuple] | None = None
+        import threading as _threading
+        self._pending_lock = _threading.Lock()
         # tables.conf view= declarations register maintained views
         # unless the caller already supplied a ViewSpec
         # programmatically (explicit config wins — it can carry join
@@ -195,6 +212,22 @@ class BdeUploader:
                             f"{ds.name}_L{level}_{table.name}")
         stg.write.mode("overwrite").parquet(path)
         log.info("kept working files: %s", path)
+
+    def _record_loaded(self, job, table_name: str, dataset: str,
+                       level: str, stats, duration: float,
+                       details: str) -> None:
+        """Ledger watermark+stats recording, deferred inside a
+        dataset-transaction scope (flushed only after the store
+        commit, dropped on rollback)."""
+        if self._pending_records is not None:
+            with self._pending_lock:
+                self._pending_records.append(
+                    (job.id, table_name, dataset, level, stats,
+                     duration, details))
+            return
+        self.ledger.record_dataset_loaded(
+            job.id, table_name, dataset, level, stats,
+            duration=duration, details=details)
 
     def _budget_exceeded(self, level: str) -> bool:
         """C5: per-level wall-clock budgets checked between steps."""
@@ -359,9 +392,8 @@ class BdeUploader:
             seed_views(self.store, table.name, new, ds.name, spec,
                        table.key, force=True)
         self.store.write(table.name, new, key=table.key, dataset=ds.name)
-        self.ledger.record_dataset_loaded(
-            job.id, table.name, ds.name, "0", stats,
-            duration=time.time() - t0, details=header.end_time or "")
+        self._record_loaded(job, table.name, ds.name, "0", stats,
+                            time.time() - t0, header.end_time or "")
         return TableResult(table.name, ds.name, "0",
                            "warning" if tol == "warning" else "loaded", stats)
 
@@ -387,9 +419,9 @@ class BdeUploader:
         chg = M.prepare_change_table(changes, table.name)
         # early-exit if this table has no changed keys (reference :1713)
         if chg.limit(1).count() == 0:
-            self.ledger.record_dataset_loaded(
-                job.id, table.name, ds.name, "5", M.MergeStats(),
-                duration=time.time() - t0, details=header.end_time or "")
+            self._record_loaded(job, table.name, ds.name, "5",
+                                M.MergeStats(), time.time() - t0,
+                                header.end_time or "")
             return TableResult(table.name, ds.name, "5", "loaded", M.MergeStats())
 
         chg = M.fix_key_swaps(stg, cur, chg, table.key, table.unique_cols)
@@ -423,9 +455,8 @@ class BdeUploader:
                           actions, merged, ds.name, spec, table.key)
         actions.unpersist()
         self.store.write(table.name, merged, key=table.key, dataset=ds.name)
-        self.ledger.record_dataset_loaded(
-            job.id, table.name, ds.name, "5", stats,
-            duration=time.time() - t0, details=header.end_time or "")
+        self._record_loaded(job, table.name, ds.name, "5", stats,
+                            time.time() - t0, header.end_time or "")
         return TableResult(table.name, ds.name, "5",
                            "warning" if tol == "warning" else "loaded", stats)
 
@@ -535,15 +566,53 @@ class BdeUploader:
                         self.ledger.release_lock(t.name, job.id)
 
                 nthreads = max(1, int(self.config.parallel_tables))
-                if nthreads > 1 and len(runnable) > 1:
-                    # tables are independent (separate store dirs;
-                    # ledger mutations serialized by flock); Spark
-                    # accepts concurrent actions from driver threads
-                    from concurrent.futures import ThreadPoolExecutor
-                    with ThreadPoolExecutor(max_workers=nthreads) as ex:
-                        batch = list(ex.map(run_one, runnable))
-                else:
-                    batch = [run_one(t) for t in runnable]
+                use_tx = self.config.use_dataset_transaction
+                if use_tx:
+                    # C4 dataset transaction: stage every store write
+                    # (bases + views) and defer ledger records; see
+                    # UploadConfig.use_dataset_transaction
+                    self.store.begin_dataset_commit()
+                    self._pending_records = []
+                try:
+                    if nthreads > 1 and len(runnable) > 1:
+                        # tables are independent (separate store dirs;
+                        # ledger mutations serialized by flock); Spark
+                        # accepts concurrent actions from driver threads
+                        from concurrent.futures import ThreadPoolExecutor
+                        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+                            batch = list(ex.map(run_one, runnable))
+                    else:
+                        batch = [run_one(t) for t in runnable]
+                except BaseException:
+                    if use_tx:
+                        self.store.abort_dataset()
+                        self._pending_records = None
+                    raise
+                if use_tx:
+                    pending, self._pending_records = \
+                        self._pending_records, None
+                    if any(r.status == "error" for r in batch):
+                        # dataset ROLLBACK: no table of this dataset
+                        # becomes visible, no watermark advances, and
+                        # every table is bypassed for the rest of the
+                        # run (its state did not move — later datasets
+                        # must not merge over the gap)
+                        self.store.abort_dataset()
+                        batch = [
+                            r if r.status in ("error", "skipped")
+                            else TableResult(r.table, r.dataset, r.level,
+                                             "rolled_back", r.stats,
+                                             "dataset rolled back: a "
+                                             "sibling table errored")
+                            for r in batch]
+                        for r in batch:
+                            failed_tables.add(r.table)
+                    else:
+                        self.store.commit_dataset()
+                        for rec in pending:
+                            self.ledger.record_dataset_loaded(
+                                rec[0], rec[1], rec[2], rec[3], rec[4],
+                                duration=rec[5], details=rec[6])
                 for r in batch:
                     if (r.status == "error"
                             or (r.status == "skipped"

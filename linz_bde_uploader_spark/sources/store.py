@@ -26,6 +26,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,10 +42,88 @@ class TableStore:
         self._prefix = "bde_" + hashlib.md5(
             os.path.abspath(root).encode()).hexdigest()[:8]
         os.makedirs(root, exist_ok=True)
+        # C4 dataset-transaction staging (see begin_dataset_commit):
+        # None = normal per-write pointer flips
+        self._staged: list[tuple[str, dict]] | None = None
+        self._staged_lock = threading.Lock()
         # upgrade-on-open: backfill layouts written by earlier releases
         # (idempotent via the _SCHEMA stamp — control/migrations.py)
         from linz_bde_uploader_spark.control.migrations import migrate_store
         migrate_store(root)
+        # crash recovery: a standing commit manifest means a dataset
+        # commit was interrupted BETWEEN the manifest fsync and the
+        # last pointer flip — every listed data directory is complete
+        # (the manifest is written only after all data lands), so the
+        # correct recovery is ROLL-FORWARD: re-apply every flip, then
+        # retire the manifest. Idempotent: re-flipping an
+        # already-flipped pointer rewrites the same content.
+        manifest = self._manifest_path()
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                staged = [(e["table"], e["pointer"])
+                          for e in json.load(fh)]
+            self._flip_all(staged)
+            os.remove(manifest)
+
+    # ---------------------------------- C4 dataset-transaction scope
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_DATASET_COMMIT")
+
+    def _flip_all(self, staged: list[tuple[str, dict]]) -> None:
+        for table, payload in staged:
+            tmp = self._pointer(table) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+            os.replace(tmp, self._pointer(table))
+
+    def begin_dataset_commit(self) -> None:
+        """Open a dataset-transaction scope (the reference's
+        ``use_dataset_transaction``, conf/linz_bde_uploader.conf:89-92;
+        lib/LINZ/BdeDatabase.pm:476-492): subsequent ``write`` calls
+        land their DATA normally but STAGE their pointer flips;
+        ``commit_dataset`` makes every staged table visible together,
+        ``abort_dataset`` discards them all (dataset rollback). The
+        all-or-nothing property is a roll-forward manifest: the commit
+        first durably records every pending flip in one file, then
+        applies them — a crash mid-commit replays the manifest on the
+        next store open, so readers never observe a partial dataset.
+        Aborted/orphaned ``v=<n>`` data directories are harmless: the
+        pointer never names them and the table's next write reuses the
+        version number (mode=overwrite)."""
+        with self._staged_lock:
+            if self._staged is not None:
+                raise RuntimeError("dataset commit scope already open")
+            self._staged = []
+
+    def commit_dataset(self) -> None:
+        with self._staged_lock:
+            staged, self._staged = self._staged, None
+        if staged is None:
+            raise RuntimeError("no dataset commit scope open")
+        if not staged:
+            return
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump([{"table": t, "pointer": p} for t, p in staged],
+                      fh)
+        os.replace(tmp, self._manifest_path())  # the WAL record
+        self._flip_all(staged)
+        os.remove(self._manifest_path())
+
+    def abort_dataset(self) -> None:
+        with self._staged_lock:
+            if self._staged is None:
+                raise RuntimeError("no dataset commit scope open")
+            self._staged = None
+
+    def _staged_version(self, table: str) -> int | None:
+        """Newest version staged for ``table`` in the open scope, so a
+        second staged write to the same table (rare) stacks instead of
+        colliding."""
+        if self._staged is None:
+            return None
+        vs = [p["version"] for t, p in self._staged if t == table]
+        return max(vs) if vs else None
 
     def _tdir(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -86,7 +165,10 @@ class TableStore:
         table's key columns in its control ledger rather than
         re-deriving them per upload
         (sql/01-bde_control_tables.sql:100-140)."""
-        new_v = (self.current_version(table) or 0) + 1
+        with self._staged_lock:
+            base_v = max(self.current_version(table) or 0,
+                         self._staged_version(table) or 0)
+        new_v = base_v + 1
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
         vdir = os.path.join(tdir, f"v={new_v}")
@@ -105,11 +187,19 @@ class TableStore:
                .write.mode("overwrite").parquet(vdir))
         else:
             df.write.mode("overwrite").parquet(vdir)
+        payload = {"version": new_v, "key": key, "dataset": dataset,
+                   "rows": rows, "meta": meta,
+                   "catalog": bucketed and self.use_catalog_buckets}
+        with self._staged_lock:
+            if self._staged is not None:
+                # dataset-transaction scope: data is on disk but the
+                # pointer flip waits for commit_dataset — readers keep
+                # seeing the pre-dataset snapshot until then
+                self._staged.append((table, payload))
+                return new_v
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": new_v, "key": key, "dataset": dataset,
-                       "rows": rows, "meta": meta,
-                       "catalog": bucketed and self.use_catalog_buckets}, fh)
+            json.dump(payload, fh)
         os.replace(tmp, self._pointer(table))  # atomic commit
         return new_v
 

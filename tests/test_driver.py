@@ -606,3 +606,107 @@ def test_purge_cleans_scratch(tmp_path, spark):
     assert scratch.exists()          # -keep-files preserves
     assert cli.main(common + ["-purge"]) == 0
     assert not scratch.exists()      # cleaned once keep-files drops
+
+
+def test_dataset_transaction_rolls_back_on_table_error(spark, tmp_path):
+    """C4 with use_dataset_transaction (the reference conf default,
+    conf/linz_bde_uploader.conf:89-92): an erroring table rolls the
+    WHOLE dataset back — sibling tables' writes never become visible,
+    no watermark advances, and every table of the dataset is bypassed
+    for the rest of the run."""
+    import os
+
+    from tests.fixtures import PAB1_L5, XAUD, write_crs
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    tables = parse_tables_conf(TABLES_CONF)
+    cfg = UploadConfig(use_dataset_transaction=True)
+    up = BdeUploader(spark, repo, store, ledger, tables, config=cfg)
+    r0 = up.apply_updates(level0=True)
+    assert [x.status for x in r0] == ["loaded"]
+    assert store.read(spark, "crs_parcel_bndry").count() == 3
+    assert ledger.table("crs_parcel_bndry")["last_level0_dataset"] == \
+        "20160601000000"
+
+    # second L5 dataset exists so the bypass after rollback is visible
+    d2 = os.path.join(repo.root, "level_5", "20160602000000")
+    write_crs(os.path.join(d2, "pab1.crs"), PAB1_L5)
+    write_crs(os.path.join(d2, "xaud.crs"), XAUD)
+    # make the first L5 dataset fail its tolerance check
+    for t in up.tables:
+        if t.name == "crs_parcel_bndry":
+            t.row_tol_error = 3.0  # needs 9 rows; merge yields 5
+    v_before = store.current_version("crs_parcel_bndry")
+    results = up.apply_updates(level5=True)
+    by_ds = {r.dataset: r.status for r in results
+             if r.table == "crs_parcel_bndry"}
+    assert by_ds["20160601171200"] == "error"
+    assert by_ds["20160602000000"] == "skipped"
+    # rollback: base version unchanged, watermark unchanged
+    assert store.current_version("crs_parcel_bndry") == v_before
+    assert ledger.table("crs_parcel_bndry")["last_upload_dataset"] == \
+        "20160601000000"
+
+
+def test_dataset_transaction_success_commits_all(spark, tmp_path):
+    """Happy-path dataset transaction: base + maintained view flip
+    together at commit, ledger records flush after, and the final
+    state equals the per-table-commit mode's golden state."""
+    from linz_bde_uploader_spark.operators.view_refresh import ViewSpec
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    tables = parse_tables_conf(TABLES_CONF)
+    cfg = UploadConfig(use_dataset_transaction=True,
+                       views={"crs_parcel_bndry": ViewSpec(
+                           group_cols=["reversed"],
+                           value_col="sequence")})
+    up = BdeUploader(spark, repo, store, ledger, tables, config=cfg)
+    up.apply_updates(level0=True)
+    r5 = up.apply_updates(level5=True)
+    assert r5[-1].status == "loaded"
+    base = store.read(spark, "crs_parcel_bndry")
+    rows = {x.audit_id: x.sequence for x in base.collect()}
+    assert rows == {100: 3, 300: 4, 400: 5, 80401148: 10,
+                    80401149: 20}
+    assert _stored(spark, store, "crs_parcel_bndry__agg") == \
+        _direct_agg(base)
+    assert ledger.table("crs_parcel_bndry")["last_upload_dataset"] == \
+        "20160601171200"
+
+
+def test_dataset_commit_crash_rolls_forward(spark, tmp_path):
+    """Crash INSIDE commit_dataset — manifest durably written, pointer
+    flips not yet applied: the next store open replays the manifest
+    (roll-forward), so readers see the complete dataset, never a
+    partial one."""
+    import json as _json
+    import os
+
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(2, "y")], "k long, v string")
+    store.write("t_a", a, key="k")  # v1 visible
+    store.begin_dataset_commit()
+    store.write("t_a", a.withColumn("v", a.v), key="k", dataset="d2")
+    store.write("t_b", b, key="k", dataset="d2")
+    # simulate the crash: durably record the manifest but die before
+    # any pointer flip (reach into the staged list the way
+    # commit_dataset does, then abandon the store object)
+    staged = store._staged
+    with open(store._manifest_path() + ".tmp", "w") as fh:
+        _json.dump([{"table": t, "pointer": p} for t, p in staged], fh)
+    os.replace(store._manifest_path() + ".tmp", store._manifest_path())
+    assert store.current_version("t_a") == 1   # flips not applied
+    assert store.current_version("t_b") is None
+
+    # recovery on next open: roll-forward applies every flip
+    store2 = TableStore(str(tmp_path / "store"), n_buckets=2)
+    assert not os.path.exists(store2._manifest_path())
+    assert store2.current_version("t_a") == 2
+    assert store2.current_version("t_b") == 1
+    assert store2.current_dataset("t_a") == "d2"
+    assert store2.read(spark, "t_b").count() == 1
