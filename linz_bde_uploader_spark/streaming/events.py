@@ -243,7 +243,8 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                          view_group_cols: list[str] | None = None,
                          view_value_col: str | None = None,
                          view_minmax: bool = False,
-                         view_join: dict | None = None) -> None:
+                         view_join: dict | None = None,
+                         use_dataset_transaction: bool = False) -> None:
     """The poll-run upload loop as a stream: watch the level_5
     repository, and for every micro-batch of new dataset files run the
     REAL CDC merge (classify -> apply) against the versioned store via
@@ -333,9 +334,24 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                 # longer derivable, so any view still lagging at that
                 # point would stay stale forever. With views-first +
                 # guard, every crash window replays to the same state.
-                refresh_views(spark, store, table_name, cur, stg,
-                              actions, merged, ds, spec, key)
-                store.write(table_name, merged, key=key, dataset=ds)
+                # ``use_dataset_transaction`` additionally stages the
+                # view + base flips and commits them TOGETHER (the C4
+                # store scope the batch driver shares): atomic
+                # view/base visibility per dataset on top of the
+                # guard's replay correctness — the guard stays
+                # load-bearing for foreachBatch redelivery either way.
+                if use_dataset_transaction:
+                    store.begin_dataset_commit()
+                try:
+                    refresh_views(spark, store, table_name, cur, stg,
+                                  actions, merged, ds, spec, key)
+                    store.write(table_name, merged, key=key, dataset=ds)
+                except BaseException:
+                    if use_dataset_transaction:
+                        store.abort_dataset()
+                    raise
+                if use_dataset_transaction:
+                    store.commit_dataset()
                 actions.unpersist()
         finally:
             batch.unpersist()

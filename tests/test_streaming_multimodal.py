@@ -1194,3 +1194,57 @@ def test_stream_drift_monitor(spark, tmp_path):
     drain("c2")
     s = state()
     assert s["web"][0] == 20 and s["web"][2] in (0, 1000)
+
+
+def test_streaming_cdc_dataset_transaction_same_state(spark, tmp_path):
+    """use_dataset_transaction=True on the streaming upload: the view
+    and base flips commit TOGETHER through the store's C4 scope (the
+    batch driver's mode) and the final state — base golden rows and
+    view == direct aggregate — is identical to the guard-only mode
+    after both the bootstrap-ish first drain and the incremental
+    second drain."""
+    from linz_bde_uploader_spark.sources.crs import parse_header, read_crs
+    from linz_bde_uploader_spark.sources.store import TableStore
+    from tests.fixtures import write_crs
+
+    root = write_repository(str(tmp_path / "repo"))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    l0_file = os.path.join(root, "level_0", "20160601000000", "pab1.crs")
+    store.write("crs_parcel_bndry", read_crs(spark, l0_file),
+                key="audit_id")
+    schema = parse_header(l0_file).schema()
+    ckpt = str(tmp_path / "ckpt")
+
+    def direct():
+        t = store.read(spark, "crs_parcel_bndry")
+        return {r["reversed"]: (r["n"], r["total"]) for r in
+                t.groupBy("reversed")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("sequence").cast("decimal(12,2)"))
+                     .cast("decimal(38,2)").alias("total")).collect()}
+
+    def stored_view():
+        v = store.read(spark, "crs_parcel_bndry__agg")
+        return {r["reversed"]: (r["n"], r["total"]) for r in v.collect()}
+
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt,
+                             view_group_cols=["reversed"],
+                             view_value_col="sequence",
+                             use_dataset_transaction=True)
+    assert stored_view() == direct()
+    # base and view carry the SAME dataset stamp — they flipped
+    # together in one commit
+    assert store.current_dataset("crs_parcel_bndry") == \
+        store.current_dataset("crs_parcel_bndry__agg")
+
+    ds2 = os.path.join(root, "level_5", "20160602000000")
+    write_crs(os.path.join(ds2, "pab1.crs"), PAB1_L5B)
+    write_crs(os.path.join(ds2, "xaud.crs"), XAUD_B)
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt,
+                             view_group_cols=["reversed"],
+                             view_value_col="sequence",
+                             use_dataset_transaction=True)
+    assert stored_view() == direct()
+    assert store.current_dataset("crs_parcel_bndry") == "20160602000000"
