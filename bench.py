@@ -512,27 +512,17 @@ def _dedup_ingest_soak(spark, sf_dir: str) -> dict:
         # bounded-delta-chain claim (size-triggered auto-compact):
         # with the thresholds forced low, every micro-ingest folds its
         # own delta — the LIVE content-delta chain stays <= one batch
-        # across N appends instead of accreting, and the pointer row
-        # counts drive it without a single counting job. The read must
-        # be stamp-checked exactly like _live_delta: after a compact
-        # the delta pointer still exists (and still records the
-        # pre-fold row count) but its base stamp names the OLD base —
-        # a raw row_count read there reports folded residue as if it
-        # were standing chain (the r10/r11 false-negative).
-        def _live_delta_rows() -> int:
-            stamp = "base_v" + str(
-                store.current_version("soak__content"))
-            if store.current_dataset("soak__content_delta") != stamp:
-                return 0  # stale: already folded by a compact
-            return store.row_count("soak__content_delta") or 0
-
+        # across N appends instead of accreting. The read is the
+        # operator's own stamp-checked pointer helper (a hand-rolled
+        # copy of the stamp rule is exactly how the r10/r11
+        # stale-pointer false-negative happened).
         deltas = []
         for k in range(3, 7):
             DI.dedup_index_ingest(
                 spark, store, synth(k % 5, (k + 1) * 1_000_000),
                 "soak", auto_compact_ratio=1e-9,
                 auto_compact_min_rows=1).unpersist()
-            deltas.append(_live_delta_rows())
+            deltas.append(DI.live_content_delta_rows(store, "soak"))
         out["auto_compact_delta_rows"] = deltas
         out["auto_compact_bounded"] = max(deltas) <= 50
         return out

@@ -99,6 +99,11 @@ def _parse_attrs(t: TableDef, toks: list[str]) -> None:
             if len(parts) > 1 and parts[1]:
                 t.view_value_col = parts[1]
             t.view_minmax = len(parts) > 2 and parts[2] == "minmax"
+            if not t.view_group_cols or t.view_value_col is None:
+                # fail at parse time, not as a silently-absent view
+                raise ValueError(
+                    f"{t.name}: view= needs <group>[+<group>]:"
+                    f"<value_col>[:minmax], got {tok!r}")
         elif low == "l5_is_full":
             t.l5_is_full = True
         elif low == "l5_change_table":

@@ -213,11 +213,13 @@ def upload_config_from_conf(conf: dict[str, str], *,
             conf, "level5_starttime_fail_tolerance", 0.0),
         require_all_dataset_files=conf.get(
             "require_all_dataset_files", "1").strip() not in ("0", ""),
-        # reference conf default is 1 (conf:89-92) — a conf-driven run
-        # gets dataset transactions exactly as the reference would;
+        # the reference DEFAULTS this on when the key is absent
+        # ($cfg->use_dataset_transaction(1), lib/LINZ/BdeDatabase.pm)
+        # — a conf-driven run gets dataset transactions exactly as
+        # the reference would even for confs that omit the key;
         # explicit-path CLI runs without a conf keep per-table commits
         use_dataset_transaction=conf.get(
-            "use_dataset_transaction", "0").strip() not in ("0", ""),
+            "use_dataset_transaction", "1").strip() not in ("0", ""),
         max_level0_runtime_hours=_flt(conf, "max_level0_runtime_hours", 0.0),
         max_level5_runtime_hours=_flt(conf, "max_level5_runtime_hours", 0.0),
         hooks=hooks_from_conf(conf),

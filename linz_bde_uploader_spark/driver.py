@@ -149,11 +149,14 @@ class BdeUploader:
         # tables.conf view= declarations register maintained views
         # unless the caller already supplied a ViewSpec
         # programmatically (explicit config wins — it can carry join
-        # views, which conf cannot express)
+        # views, which conf cannot express). Merged per-instance: the
+        # caller's UploadConfig is never mutated, so two uploaders
+        # sharing one config cannot leak registrations into each other
+        self._views: dict[str, ViewSpec] = dict(self.config.views)
         for t in self.tables:
             if (t.view_group_cols and t.view_value_col
-                    and t.name not in self.config.views):
-                self.config.views[t.name] = ViewSpec(
+                    and t.name not in self._views):
+                self._views[t.name] = ViewSpec(
                     group_cols=t.view_group_cols,
                     value_col=t.view_value_col,
                     minmax=t.view_minmax)
@@ -381,7 +384,7 @@ class BdeUploader:
         if tol == "error" and prev_count > 0:
             return TableResult(table.name, ds.name, "0", "error", stats,
                                f"tolerance: {new_count} < error floor of {prev_count}")
-        spec = self.config.views.get(table.name)
+        spec = self._views.get(table.name)
         if spec is not None:
             # snapshot semantics: L0 replaces the base wholesale, so
             # views re-seed by direct recompute of the new state —
@@ -438,7 +441,7 @@ class BdeUploader:
             actions.unpersist()
             return TableResult(table.name, ds.name, "5", "error", stats,
                                f"tolerance: {new_count} < error floor of {prev_count}")
-        spec = self.config.views.get(table.name)
+        spec = self._views.get(table.name)
         if spec is not None:
             # maintained views refresh O(changes) BEFORE the base
             # write, behind the dataset-stamp replay guard shared
@@ -588,10 +591,12 @@ class BdeUploader:
                         self.store.abort_dataset()
                         self._pending_records = None
                     raise
+                ds_rolled_back = False
                 if use_tx:
                     pending, self._pending_records = \
                         self._pending_records, None
                     if any(r.status == "error" for r in batch):
+                        ds_rolled_back = True
                         # dataset ROLLBACK: no table of this dataset
                         # becomes visible, no watermark advances, and
                         # every table is bypassed for the rest of the
@@ -620,6 +625,14 @@ class BdeUploader:
                         failed_tables.add(r.table)  # leapfrog hazard
                     self.results.append(r)
                     self.ledger.heartbeat(job.id)
+                if ds_rolled_back:
+                    # a rolled-back dataset applied NOTHING: its
+                    # post-level0 functions, finish_dataset hooks, and
+                    # dataset_end SQL must not fire against unchanged
+                    # state — the reference's in-transaction
+                    # maintenance rolls back with the data
+                    # (sql/02-bde_control_functions.sql.in:2595-2676)
+                    continue
                 if lvl == "0":
                     for fn in self.post_level0_functions:
                         fn(job)

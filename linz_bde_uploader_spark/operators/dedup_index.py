@@ -180,6 +180,23 @@ def _check_params(store, name: str, num_perm: int, bands: int,
             f"got {got} — banding parameters are frozen at build")
 
 
+def live_content_delta_rows(store, name: str) -> int:
+    """Pointer-only row count of the LIVE content-delta chain: 0 when
+    the delta is absent or staled by a compact (same stamp check as
+    ``_live_delta``, without launching a read). The single source of
+    truth for 'how much un-folded delta is standing' — the bench's
+    bounded-chain soak uses this instead of re-implementing the stamp
+    rule (a drifted copy is exactly how the r10/r11 stale-pointer
+    false-negative happened)."""
+    content_t = _tables(name)[0]
+    cd_t = _tables(name)[3]
+    if not store.exists(cd_t):
+        return 0
+    if store.current_dataset(cd_t) != _base_stamp(store, content_t):
+        return 0  # stale: already folded by a compact
+    return store.row_count(cd_t) or 0
+
+
 def _tombstones(spark: SparkSession, store,
                 name: str) -> DataFrame | None:
     t = _tomb_table(name)

@@ -59,11 +59,21 @@ class TableStore:
         # already-flipped pointer rewrites the same content.
         manifest = self._manifest_path()
         if os.path.exists(manifest):
-            with open(manifest) as fh:
-                staged = [(e["table"], e["pointer"])
-                          for e in json.load(fh)]
-            self._flip_all(staged)
-            os.remove(manifest)
+            try:
+                with open(manifest) as fh:
+                    staged = [(e["table"], e["pointer"])
+                              for e in json.load(fh)]
+            except (ValueError, KeyError):
+                # torn manifest: the crash predates the fsync barrier
+                # in commit_dataset, so NO flip was applied — the
+                # dataset was never committed; retire the debris (the
+                # un-advanced ledger watermarks replay it)
+                staged = None
+            if staged is not None:
+                self._flip_all(staged)
+            import contextlib
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(manifest)
 
     # ---------------------------------- C4 dataset-transaction scope
     def _manifest_path(self) -> str:
@@ -106,9 +116,34 @@ class TableStore:
         with open(tmp, "w") as fh:
             json.dump([{"table": t, "pointer": p} for t, p in staged],
                       fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, self._manifest_path())  # the WAL record
+        # fsync the directory so the rename itself is durable BEFORE
+        # any flip: this is the barrier the recovery path relies on —
+        # an unreadable manifest can only mean "crash before this
+        # point", i.e. zero flips applied
+        dfd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         self._flip_all(staged)
-        os.remove(self._manifest_path())
+        # second barrier: the flips must be durable before the
+        # manifest retires, or a crash could lose pointer renames
+        # with no manifest left to roll them forward (pointers live
+        # in per-table dirs; fsync each so the renames persist)
+        for table, _p in staged:
+            tfd = os.open(self._tdir(table), os.O_RDONLY)
+            try:
+                os.fsync(tfd)
+            finally:
+                os.close(tfd)
+        import contextlib
+        with contextlib.suppress(FileNotFoundError):
+            # tolerate a concurrent store open having rolled the
+            # manifest forward already (flips are idempotent)
+            os.remove(self._manifest_path())
 
     def abort_dataset(self) -> None:
         with self._staged_lock:

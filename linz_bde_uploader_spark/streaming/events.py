@@ -313,12 +313,23 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                 stg = batch.filter(F.col("dataset") == ds) \
                            .select(*[f.name for f in schema.fields])
                 if not store.exists(table_name):
-                    store.write(table_name, stg, key=key, dataset=ds)
                     # bootstrap: direct-recompute seed of every view,
                     # forced — a freshly-created base invalidates any
-                    # leftover view state whatever its stamp says
-                    seed_views(store, table_name, stg, ds, spec, key,
-                               force=True)
+                    # leftover view state whatever its stamp says.
+                    # Under the dataset transaction the base + seeds
+                    # flip together, same as the CDC branch below.
+                    if use_dataset_transaction:
+                        store.begin_dataset_commit()
+                    try:
+                        store.write(table_name, stg, key=key, dataset=ds)
+                        seed_views(store, table_name, stg, ds, spec,
+                                   key, force=True)
+                    except BaseException:
+                        if use_dataset_transaction:
+                            store.abort_dataset()
+                        raise
+                    if use_dataset_transaction:
+                        store.commit_dataset()
                     continue
                 cur = store.read(spark, table_name)
                 chg = M.prepare_change_table(

@@ -710,3 +710,36 @@ def test_dataset_commit_crash_rolls_forward(spark, tmp_path):
     assert store2.current_version("t_b") == 1
     assert store2.current_dataset("t_a") == "d2"
     assert store2.read(spark, "t_b").count() == 1
+
+
+def test_view_attr_malformed_raises():
+    with pytest.raises(ValueError, match="view="):
+        parse_tables_conf(
+            "TABLE t key=id view=region files pab1")
+
+
+def test_conf_defaults_dataset_transaction_on():
+    """Reference parity: $cfg->use_dataset_transaction(1) — a conf
+    that OMITS the key gets dataset transactions, matching the
+    reference default; an explicit 0 disables."""
+    from linz_bde_uploader_spark.config import upload_config_from_conf
+    assert upload_config_from_conf({}).use_dataset_transaction is True
+    assert upload_config_from_conf(
+        {"use_dataset_transaction": "0"}).use_dataset_transaction is False
+
+
+def test_torn_dataset_manifest_is_retired(spark, tmp_path):
+    """A zero-length/garbage _DATASET_COMMIT (crash before the fsync
+    barrier — no flip was applied) must not brick the store: the next
+    open retires it and proceeds with the pre-dataset state."""
+    import os
+
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    store.write("t_a", a, key="k")
+    with open(store._manifest_path(), "w") as fh:
+        fh.write("")  # torn: rename durability lost
+    store2 = TableStore(str(tmp_path / "store"), n_buckets=2)
+    assert not os.path.exists(store2._manifest_path())
+    assert store2.current_version("t_a") == 1
+    assert store2.read(spark, "t_a").count() == 1
