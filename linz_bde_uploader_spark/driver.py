@@ -93,10 +93,11 @@ class UploadConfig:
     # writes (bases AND maintained views) become visible together
     # through the store's staged-pointer commit, and any table error
     # rolls the whole dataset back — no ledger watermark advances, no
-    # partial dataset is ever readable. Off by default here because
-    # per-table commits match the reference's use_table_transaction
-    # mode and are what the pre-r12 tests pin; the conf key turns it
-    # on exactly as the reference conf does.
+    # partial dataset is ever readable. Off by default on THIS
+    # dataclass (per-table commits, the reference's
+    # use_table_transaction mode); conf-driven runs default it ON —
+    # upload_config_from_conf mirrors the reference accessor's
+    # default-1 even when the conf omits the key.
     use_dataset_transaction: bool = False
     # intra-dataset table parallelism. The reference is strictly
     # sequential per table (lib/LINZ/BdeUpload.pm:729,787) because one
