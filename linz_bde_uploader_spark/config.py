@@ -217,7 +217,10 @@ def upload_config_from_conf(conf: dict[str, str], *,
         # ($cfg->use_dataset_transaction(1), lib/LINZ/BdeDatabase.pm)
         # — a conf-driven run gets dataset transactions exactly as
         # the reference would even for confs that omit the key;
-        # explicit-path CLI runs without a conf keep per-table commits
+        # explicit-path CLI runs without a conf keep per-table
+        # commits. Truthiness is Perl's, deliberately: only "0" and
+        # "" are false (a conf saying "false" is ON in the reference
+        # too — bug-for-bug conf compatibility).
         use_dataset_transaction=conf.get(
             "use_dataset_transaction", "1").strip() not in ("0", ""),
         max_level0_runtime_hours=_flt(conf, "max_level0_runtime_hours", 0.0),

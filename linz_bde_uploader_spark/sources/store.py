@@ -63,14 +63,19 @@ class TableStore:
                 with open(manifest) as fh:
                     staged = [(e["table"], e["pointer"])
                               for e in json.load(fh)]
-            except (ValueError, KeyError):
-                # torn manifest: the crash predates the fsync barrier
-                # in commit_dataset, so NO flip was applied — the
+            except (ValueError, KeyError, TypeError):
+                # torn manifest (empty / truncated / wrong-shaped
+                # JSON): the crash predates the fsync barrier in
+                # commit_dataset, so NO flip was applied — the
                 # dataset was never committed; retire the debris (the
                 # un-advanced ledger watermarks replay it)
                 staged = None
             if staged is not None:
+                # same durability discipline as commit_dataset: flips
+                # fsync'd before the manifest retires, or a second
+                # crash could persist the unlink while losing a rename
                 self._flip_all(staged)
+                self._fsync_table_dirs(staged)
             import contextlib
             with contextlib.suppress(FileNotFoundError):
                 os.remove(manifest)
@@ -84,7 +89,22 @@ class TableStore:
             tmp = self._pointer(table) + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(payload, fh)
+                # pointer CONTENT must be durable before the rename:
+                # without this, a dir fsync can persist the dirent
+                # while the data blocks are lost — a torn _CURRENT
+                # that bricks every later open (and, once the
+                # manifest has retired, nothing rolls it forward)
+                fh.flush()
+                os.fsync(fh.fileno())
             os.replace(tmp, self._pointer(table))
+
+    def _fsync_table_dirs(self, staged: list[tuple[str, dict]]) -> None:
+        for table, _p in staged:
+            tfd = os.open(self._tdir(table), os.O_RDONLY)
+            try:
+                os.fsync(tfd)
+            finally:
+                os.close(tfd)
 
     def begin_dataset_commit(self) -> None:
         """Open a dataset-transaction scope (the reference's
@@ -99,7 +119,17 @@ class TableStore:
         next store open, so readers never observe a partial dataset.
         Aborted/orphaned ``v=<n>`` data directories are harmless: the
         pointer never names them and the table's next write reuses the
-        version number (mode=overwrite)."""
+        version number (mode=overwrite).
+
+        SINGLE-COMMITTER CONTRACT: the scope is per TableStore
+        INSTANCE and the manifest per store ROOT — one open scope per
+        instance (a nested begin raises) and one committing writer
+        per root at a time, which is the system's normal shape (the
+        ledger's C1 job gate serializes driver jobs; the reference
+        likewise funnels a job through one database session).
+        Concurrent writers that must not participate in a scope
+        should use their own TableStore instance on the root —
+        instances are cheap and share nothing but the directory."""
         with self._staged_lock:
             if self._staged is not None:
                 raise RuntimeError("dataset commit scope already open")
@@ -133,12 +163,7 @@ class TableStore:
         # manifest retires, or a crash could lose pointer renames
         # with no manifest left to roll them forward (pointers live
         # in per-table dirs; fsync each so the renames persist)
-        for table, _p in staged:
-            tfd = os.open(self._tdir(table), os.O_RDONLY)
-            try:
-                os.fsync(tfd)
-            finally:
-                os.close(tfd)
+        self._fsync_table_dirs(staged)
         import contextlib
         with contextlib.suppress(FileNotFoundError):
             # tolerate a concurrent store open having rolled the
@@ -150,6 +175,29 @@ class TableStore:
             if self._staged is None:
                 raise RuntimeError("no dataset commit scope open")
             self._staged = None
+
+    def dataset_scope(self, enabled: bool = True):
+        """Context-manager form of the C4 scope: begin on enter,
+        abort on exception, commit on clean exit; a no-op when
+        ``enabled`` is False so callers can thread a config flag
+        through without duplicating the begin/abort/commit
+        boilerplate."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _scope():
+            if not enabled:
+                yield
+                return
+            self.begin_dataset_commit()
+            try:
+                yield
+            except BaseException:
+                self.abort_dataset()
+                raise
+            self.commit_dataset()
+
+        return _scope()
 
     def _staged_version(self, table: str) -> int | None:
         """Newest version staged for ``table`` in the open scope, so a

@@ -318,18 +318,10 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                     # leftover view state whatever its stamp says.
                     # Under the dataset transaction the base + seeds
                     # flip together, same as the CDC branch below.
-                    if use_dataset_transaction:
-                        store.begin_dataset_commit()
-                    try:
+                    with store.dataset_scope(use_dataset_transaction):
                         store.write(table_name, stg, key=key, dataset=ds)
                         seed_views(store, table_name, stg, ds, spec,
                                    key, force=True)
-                    except BaseException:
-                        if use_dataset_transaction:
-                            store.abort_dataset()
-                        raise
-                    if use_dataset_transaction:
-                        store.commit_dataset()
                     continue
                 cur = store.read(spark, table_name)
                 chg = M.prepare_change_table(
@@ -351,19 +343,15 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                 # view/base visibility per dataset on top of the
                 # guard's replay correctness — the guard stays
                 # load-bearing for foreachBatch redelivery either way.
-                if use_dataset_transaction:
-                    store.begin_dataset_commit()
                 try:
-                    refresh_views(spark, store, table_name, cur, stg,
-                                  actions, merged, ds, spec, key)
-                    store.write(table_name, merged, key=key, dataset=ds)
-                except BaseException:
-                    if use_dataset_transaction:
-                        store.abort_dataset()
-                    raise
-                if use_dataset_transaction:
-                    store.commit_dataset()
-                actions.unpersist()
+                    with store.dataset_scope(use_dataset_transaction):
+                        refresh_views(spark, store, table_name, cur,
+                                      stg, actions, merged, ds, spec,
+                                      key)
+                        store.write(table_name, merged, key=key,
+                                    dataset=ds)
+                finally:
+                    actions.unpersist()
         finally:
             batch.unpersist()
 
