@@ -271,3 +271,31 @@ def test_golden_dedup_best_survivors(spark, tmp_path):
     got = {r["doc_id"]: (r["cluster_id"], r["survivor_id"])
            for r in fn(spark, str(tmp_path)).collect()}
     assert got == {1: (1, 2), 4: (3, 3)}
+
+
+def test_golden_cdc_incremental_agg(spark, tmp_path):
+    """Hand-derived IVM aggregate through the CDC merge, same crafted
+    orders fixture as the join golden (key 3 deleted, key 5 price
+    100.50 -> 110.50, key 7 inserted, key 11 no-op, key 1 untouched).
+    Post-merge state by hand: O holds keys 1 (11.00) and 5 (110.50),
+    P holds key 7 (77.25), F holds key 11 (44.10) — so the maintained
+    view must read O:(2,2,12150), P:(1,1,7725), F:(1,1,4410) in
+    integer cents."""
+    orders = spark.createDataFrame(
+        [(1, 999, "O", 11.00, "1995-01-01", "1-URGENT"),
+         (3, 101, "F", 33.00, "1995-01-02", "2-HIGH"),
+         (5, 102, "O", 100.50, "1995-01-03", "3-MEDIUM"),
+         (7, 103, "P", 77.25, "1995-01-04", "2-HIGH"),
+         (11, 104, "F", 44.10, "1995-01-05", "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string")
+    orders.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(str(tmp_path), "orders.parquet"))
+    fn, _sql = ENGINE_QUERIES["cdc_incremental_agg"]
+    got = {r["o_orderstatus"]: (r["n"], r["n_vals"], r["total_cents"])
+           for r in fn(spark, str(tmp_path)).collect()}
+    assert got == {
+        "O": (2, 2, 12150),
+        "P": (1, 1, 7725),
+        "F": (1, 1, 4410),
+    }
