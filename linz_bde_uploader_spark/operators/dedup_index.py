@@ -253,8 +253,10 @@ def dedup_index_build(spark: SparkSession, store, docs: DataFrame,
 
 
 def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
-                       name: str, num_perm: int = 16, bands: int = 4,
-                       shingle_words: int = 3, id_col: str = "doc_id",
+                       name: str, num_perm: int | None = None,
+                       bands: int | None = None,
+                       shingle_words: int | None = None,
+                       id_col: str = "doc_id",
                        text_col: str = "text",
                        near_threshold: float = 0.5,
                        auto_compact_ratio: float | None = 0.25,
@@ -288,8 +290,26 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
     (pointer metadata, no counting job) exceeds
     ``auto_compact_ratio`` x base rows AND ``auto_compact_min_rows``,
     the ingest triggers ``dedup_index_compact`` itself — the
-    delta-chain bound a long-lived streaming ingest needs."""
+    delta-chain bound a long-lived streaming ingest needs.
+
+    Banding parameters are None-sentinel: absent arguments resolve
+    from the identity persisted at build time (``_index_params``) —
+    the same rule as ``dedup_index_compact`` — falling back to the
+    historical defaults (16/4/3) only for an index that predates
+    meta stamping. Explicit values are validated against the
+    persisted identity (ValueError on mismatch). Only EXPLICIT
+    values are forwarded to the auto-compact path: a pre-meta index
+    must never have literal defaults stamped as its frozen identity
+    by a maintenance pass the caller never parameterized."""
     content_t, bands_t, sigs_t, cd_t, bd_t, sd_t = _tables(name)
+    # raw caller values (possibly None) — what auto-compact may stamp
+    asserted = (num_perm, bands, shingle_words)
+    meta = _index_params(store, name) or {}
+    num_perm = num_perm if num_perm is not None else meta.get(
+        "num_perm", 16)
+    bands = bands if bands is not None else meta.get("bands", 4)
+    shingle_words = (shingle_words if shingle_words is not None
+                     else meta.get("shingle_words", 3))
     _check_params(store, name, num_perm, bands, shingle_words)
     min_matches = int(math.ceil(near_threshold * num_perm))
     b = batch.select(F.col(id_col).alias("id"),
@@ -446,8 +466,9 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
             _maybe_auto_compact(spark, store, name,
                                 auto_compact_ratio,
                                 auto_compact_min_rows,
-                                num_perm=num_perm, bands=bands,
-                                shingle_words=shingle_words)
+                                num_perm=asserted[0],
+                                bands=asserted[1],
+                                shingle_words=asserted[2])
         return verdicts  # persisted + materialized; caller unpersists
     except BaseException:
         if verdicts is not None:
@@ -467,15 +488,20 @@ def _maybe_auto_compact(spark: SparkSession, store, name: str,
     """Size trigger: compact when the content delta's recorded row
     count reaches both floors. Pointer metadata only — no job; if
     either count is unknown (never recorded), the trigger stays off
-    and explicit compaction remains the operator's tool. The ingest's
-    banding parameters are threaded through to the compact: when the
-    index carries persisted meta they were already validated by
-    ``_check_params`` at ingest start (so they equal the persisted
-    truth), and when the index PREDATES meta stamping they are the
-    caller's asserted truth — the auto-triggered purge-rebuild then
-    runs under the ingest's own band keys instead of silently falling
-    back to defaults, and the compact STAMPS them so the identity is
-    learned and enforced thereafter."""
+    and explicit compaction remains the operator's tool. Only the
+    ingest caller's EXPLICIT banding parameters are threaded through
+    to the compact (None for the rest): when the index carries
+    persisted meta they were already validated by ``_check_params``
+    at ingest start (so they equal the persisted truth), and when
+    the index PREDATES meta stamping they are the caller's asserted
+    truth — the auto-triggered purge-rebuild then runs under the
+    ingest's own band keys and the compact STAMPS them so the
+    identity is learned and enforced thereafter. A default-argument
+    ingest on a pre-meta index forwards all-None: the compact runs
+    under the historical defaults, unenforced and UNSTAMPED — an
+    identity the caller never asserted must not get frozen by a
+    maintenance pass (a later compact with the true parameters would
+    then raise, making the index unrecoverable)."""
     if ratio is None:
         return False
     content_t = _tables(name)[0]
@@ -493,8 +519,10 @@ def _maybe_auto_compact(spark: SparkSession, store, name: str,
 
 def stream_dedup_ingest(spark: SparkSession, src_dir: str, store,
                         name: str, checkpoint: str, schema,
-                        num_perm: int = 16, bands: int = 4,
-                        shingle_words: int = 3, id_col: str = "doc_id",
+                        num_perm: int | None = None,
+                        bands: int | None = None,
+                        shingle_words: int | None = None,
+                        id_col: str = "doc_id",
                         text_col: str = "text",
                         near_threshold: float = 0.5,
                         auto_compact_ratio: float | None = 0.25,
@@ -522,9 +550,17 @@ def stream_dedup_ingest(spark: SparkSession, src_dir: str, store,
         if batch.isEmpty():
             return
         if not store.exists(content_t):
+            # the bootstrap build defines the index identity, so it
+            # needs concrete values: caller's explicit args, else
+            # the defaults. build stamps meta, so the ingest below
+            # resolves the same values even when forwarded None.
             dedup_index_build(spark, store, batch.limit(0), name,
-                              num_perm=num_perm, bands=bands,
-                              shingle_words=shingle_words,
+                              num_perm=(num_perm if num_perm
+                                        is not None else 16),
+                              bands=bands if bands is not None else 4,
+                              shingle_words=(shingle_words
+                                             if shingle_words
+                                             is not None else 3),
                               id_col=id_col, text_col=text_col)
         dedup_index_ingest(
             spark, store, batch, name, num_perm=num_perm,

@@ -53,10 +53,11 @@ class TableStore:
         # crash recovery: a standing commit manifest means a dataset
         # commit was interrupted BETWEEN the manifest fsync and the
         # last pointer flip — every listed data directory is complete
-        # (the manifest is written only after all data lands), so the
-        # correct recovery is ROLL-FORWARD: re-apply every flip, then
-        # retire the manifest. Idempotent: re-flipping an
-        # already-flipped pointer rewrites the same content.
+        # AND durable (commit_dataset fsyncs the staged data trees
+        # before the manifest is written), so the correct recovery
+        # is ROLL-FORWARD: re-apply every flip, then retire the
+        # manifest. Idempotent: re-flipping an already-flipped
+        # pointer rewrites the same content.
         manifest = self._manifest_path()
         if os.path.exists(manifest):
             try:
@@ -106,6 +107,31 @@ class TableStore:
             finally:
                 os.close(tfd)
 
+    def _fsync_tree(self, path: str) -> None:
+        """Make a staged ``v=<n>`` data directory durable: fsync
+        every file, then every directory bottom-up. Spark's local
+        parquet writer goes through Hadoop's RawLocalFileSystem,
+        which never fsyncs — without this walk the commit manifest
+        could be durable while the data blocks it vouches for are
+        not, and the roll-forward recovery would flip pointers onto
+        incomplete files after a power failure. O(files) opens on
+        the driver; file count per version is bounded by the bucket
+        count, so this is a constant-ish cost per staged table, not
+        O(data)."""
+        for dirpath, _dirnames, filenames in os.walk(path,
+                                                     topdown=False):
+            for fn in filenames:
+                fd = os.open(os.path.join(dirpath, fn), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            dfd = os.open(dirpath, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+
     def begin_dataset_commit(self) -> None:
         """Open a dataset-transaction scope (the reference's
         ``use_dataset_transaction``, conf/linz_bde_uploader.conf:89-92;
@@ -116,7 +142,21 @@ class TableStore:
         all-or-nothing property is a roll-forward manifest: the commit
         first durably records every pending flip in one file, then
         applies them — a crash mid-commit replays the manifest on the
-        next store open, so readers never observe a partial dataset.
+        next store open, so no COMPLETED state ever exposes a partial
+        dataset. This is CRASH atomicity, not read isolation: the
+        flips themselves are applied sequentially, so a concurrent
+        reader on the same root (another TableStore instance or
+        process) polling mid-commit can transiently observe some
+        tables flipped and others not. (This is weaker than the
+        reference, whose dataset transaction is a real PostgreSQL
+        transaction — all tables become visible atomically at
+        COMMIT.) Under the single-committer contract below this
+        window only matters to out-of-band readers polling the same
+        root. Readers that need a consistent multi-table cut during
+        a commit should pin versions explicitly
+        (``read(..., version=...)`` over ``current_version`` taken
+        once), or read between jobs — which the ledger's C1 job gate
+        already guarantees for driver-managed work.
         Aborted/orphaned ``v=<n>`` data directories are harmless: the
         pointer never names them and the table's next write reuses the
         version number (mode=overwrite).
@@ -142,6 +182,15 @@ class TableStore:
             raise RuntimeError("no dataset commit scope open")
         if not staged:
             return
+        # durability barrier ZERO: the data the manifest will vouch
+        # for must hit disk before the manifest does — recovery
+        # assumes "every listed data directory is complete AND
+        # durable" and rolls pointers forward onto it. Spark's local
+        # parquet writes are not fsync'd, so walk each staged
+        # version directory here.
+        for table, payload in staged:
+            self._fsync_tree(os.path.join(self._tdir(table),
+                                          f"v={payload['version']}"))
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump([{"table": t, "pointer": p} for t, p in staged],

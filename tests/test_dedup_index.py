@@ -388,19 +388,26 @@ def test_crash_before_sigs_write_is_conservative(spark, store):
 
 def test_frozen_banding_ingest_mismatch_raises(spark, store):
     """Frozen-banding enforcement (_check_params): an index built
-    with non-default banding rejects an ingest under different
-    parameters — mismatched band keys would corrupt membership
-    silently — while an ingest under the true parameters works."""
+    with non-default banding rejects an ingest under explicitly
+    different parameters — mismatched band keys would corrupt
+    membership silently — while a default-argument ingest RESOLVES
+    the persisted identity (None-sentinel contract, same rule as
+    the compact) and classifies correctly."""
     DI.dedup_index_build(spark, store, corpus(spark), "fidx",
                          num_perm=32, bands=8)
     assert store.table_meta("fidx__content") == {
         "num_perm": 32, "bands": 8, "shingle_words": 3}
     batch = _docs(spark, [(70, BASE)])
     with pytest.raises(ValueError, match="frozen at build"):
-        DI.dedup_index_ingest(spark, store, batch, "fidx")  # 16/4
+        DI.dedup_index_ingest(spark, store, batch, "fidx",
+                              num_perm=16, bands=4)
     with pytest.raises(ValueError, match="frozen at build"):
         DI.dedup_index_ingest(spark, store, batch, "fidx",
                               num_perm=32, bands=8, shingle_words=5)
+    # absent args resolve from meta — not the literal defaults
+    v = {r["id"]: (r["verdict"], r["dup_of"]) for r in
+         _ingest(spark, store, batch, "fidx")}
+    assert v[70] == ("exact_dup", 1)
     v = {r["id"]: (r["verdict"], r["dup_of"]) for r in
          _ingest(spark, store, batch, "fidx", num_perm=32, bands=8)}
     assert v[70] == ("exact_dup", 1)
@@ -532,15 +539,52 @@ def test_premeta_index_fallback_and_identity_learning(spark, store):
                            num_perm=8, bands=4, shingle_words=3)
     assert store.table_meta("pidx__content") == {
         "num_perm": 8, "bands": 4, "shingle_words": 3}
-    # ...and it is enforced from now on
+    # ...and it is enforced from now on (explicit mismatch raises;
+    # a default-arg ingest resolves the learned identity instead)
     with pytest.raises(ValueError, match="frozen at build"):
         DI.dedup_index_ingest(spark, store,
-                              _docs(spark, [(71, BASE)]), "pidx")
+                              _docs(spark, [(71, BASE)]), "pidx",
+                              num_perm=16, bands=4)
     # the learned identity still classifies correctly
     v2 = {r["id"]: (r["verdict"], r["dup_of"]) for r in
           _ingest(spark, store, _docs(spark, [(71, BASE)]), "pidx",
                   num_perm=8, bands=4)}
     assert v2[71] == ("exact_dup", 1)
+
+
+def test_premeta_auto_compact_never_stamps_defaults(spark, store):
+    """The ADVICE.md None-sentinel gap, closed: a default-argument
+    ingest on a pre-meta index forwards all-None banding to the
+    auto-compact, so the compact runs under the historical defaults
+    but does NOT stamp them as the frozen identity — the caller
+    never asserted them. A later compact with the true parameters
+    can therefore still learn the identity (previously the literal
+    16/4/3 got frozen and the true-parameter compact raised)."""
+    import json as _json
+    DI.dedup_index_build(spark, store, corpus(spark), "nidx")
+    # simulate an index written before meta stamping
+    p = store._pointer("nidx__content")
+    with open(p) as fh:
+        d = _json.load(fh)
+    d["meta"] = None
+    with open(p, "w") as fh:
+        _json.dump(d, fh)
+
+    # thresholds force the size trigger on this very ingest
+    _ingest(spark, store, _docs(spark, [(31, NOVEL31)]), "nidx",
+            auto_compact_ratio=0.01, auto_compact_min_rows=1)
+    # the auto-compact ran (delta folded)...
+    assert DI._live_delta(spark, store, "nidx__content",
+                          "nidx__content_delta") is None
+    # ...but stamped NOTHING: the identity is still unlearned
+    assert store.table_meta("nidx__content") is None
+
+    # the index remains recoverable: the true parameters (here the
+    # defaults, asserted explicitly) learn the identity
+    DI.dedup_index_compact(spark, store, "nidx",
+                           num_perm=16, bands=4, shingle_words=3)
+    assert store.table_meta("nidx__content") == {
+        "num_perm": 16, "bands": 4, "shingle_words": 3}
 
 
 def test_verify_join_moves_candidate_side_only(spark, tmp_path):

@@ -712,6 +712,46 @@ def test_dataset_commit_crash_rolls_forward(spark, tmp_path):
     assert store2.read(spark, "t_b").count() == 1
 
 
+def test_dataset_commit_fsyncs_data_before_manifest(
+        spark, tmp_path, monkeypatch):
+    """Power-loss durability ordering (ADVICE r12): the staged v=N
+    parquet DATA must be fsync'd before the commit manifest is — the
+    roll-forward recovery flips pointers onto whatever the manifest
+    lists, so a manifest that becomes durable ahead of its data could
+    commit pointers to lost blocks. Recorded via a tracing os.fsync
+    (fd resolved through /proc/self/fd): every staged data file
+    appears in the fsync log strictly before the manifest."""
+    import os
+
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    synced: list[str] = []
+    real_fsync = os.fsync
+
+    def tracing_fsync(fd):
+        try:
+            synced.append(os.readlink(f"/proc/self/fd/{fd}"))
+        except OSError:
+            synced.append("?")
+        real_fsync(fd)
+
+    monkeypatch.setattr(os, "fsync", tracing_fsync)
+    store.begin_dataset_commit()
+    store.write("t_a", a, key="k", dataset="d1")
+    store.commit_dataset()
+
+    manifest_at = next(i for i, p in enumerate(synced)
+                       if p.endswith("_DATASET_COMMIT.tmp"))
+    data_files = [i for i, p in enumerate(synced)
+                  if f"{os.sep}t_a{os.sep}v=1{os.sep}" in p
+                  and p.endswith(".parquet")]
+    assert data_files, "no staged parquet file was fsync'd"
+    assert max(data_files) < manifest_at, \
+        "data fsync must precede the manifest fsync"
+    # and the commit still lands
+    assert store.current_version("t_a") == 1
+
+
 def test_view_attr_malformed_raises():
     with pytest.raises(ValueError, match="view="):
         parse_tables_conf(
