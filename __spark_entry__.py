@@ -74,21 +74,30 @@ _DRIVER_FIRST = [
     # has hashed these, their green rests on the local gate alone.
     "docs_dedup_ingest", "cdc_manifest_refresh",
     "events_transition_matrix",
-    # freshest green r5 (4 greens)
-    "dedup_clusters", "dedup_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    # NEW in r13 (zero-green rows take slots ahead of
+    # rotation-complete ones): the r12-new quality survivorship and
+    # the three r13 queries — deterministic distinct sketches
+    # (HLL + KMV, operators/sketches.py) and the held-out bigram-LM
+    # scorer with live backoff
+    "dedup_best_survivors", "events_hll_distinct",
+    "events_kmv_distinct", "text_bigram_logprob",
+    # freshest green r12 (5 greens)
+    "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_survivors", "docs_stratified_sample", "docs_topk_quality",
     "emb_norm_stats", "events_sliding_agg",
-    "events_value_winsorize", "q18_large_orders", "q1_pricing_summary",
+    "events_value_winsorize", "q18_large_orders",
     "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
     # (r12 rotation: text_term_freq, text_tfidf, emb_quantize — 4
     # driver greens each, freshest r5 — yielded their slots to the
     # three zero-green rows above and joined the FAST_QUERIES sf0.001
     # pytest differential as compensating coverage, alongside
     # text_token_stats and dedup_exact which rotated out in r9.)
-    # --- 50-slot cutoff lands here. dedup_best_survivors (r12-new,
-    # local exact/pandas green, FAST-covered) waits below the cutoff —
-    # first r13 rotation candidate. Deferred entries hold >=2 driver
+    # (r13 rotation: dedup_simhash and q1_pricing_summary — 5 driver
+    # greens, already FAST-covered; q1 is additionally the entry()
+    # flagship the driver smokes every round — plus dedup_clusters
+    # and dedup_jaccard — 5 greens, ADDED to FAST_QUERIES this round
+    # — yielded their slots to the four r13-new rows above.)
+    # --- 50-slot cutoff lands here. Deferred entries hold >=2 driver
     # greens with the most recent in r6-r8, stay covered by the
     # sf0.001 FAST_QUERIES pytest differential, and are green under
     # the local check_oracle --exact --pandas gate, which r7/r8 proved

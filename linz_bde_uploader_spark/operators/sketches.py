@@ -1,0 +1,190 @@
+"""Deterministic distinct-count sketches (HyperLogLog, KMV).
+
+Exact ``COUNT(DISTINCT x)`` is the classic 100 TB scale-killer: it
+shuffles every distinct key. These sketches compress the distinct set
+to a fixed-size summary whose aggregation is an ordinary map-side
+combinable ``groupBy`` — and, unlike Spark's native
+``approx_count_distinct`` (whose xxHash/HLL++ internals no other
+engine reproduces), they are built on the repo's portable md5-derived
+hashes with integer-exact register math, so a DuckDB oracle computes
+the BIT-IDENTICAL estimate. A sketch query here hash-matches its
+oracle like any exact query; the error-vs-exact property is pinned
+separately in tests (HLL rsd ~= 1.04/sqrt(m); KMV ~= 1/sqrt(k-2)).
+
+Portability rules (ORACLE.md doctrine):
+- register index / remainder via integer ``DIV`` / ``%`` (never a
+  double division of a >2^53 hash);
+- rho from ``length(bin(w))`` — both engines print identical minimal
+  binary strings, so leading-zero counting is integer-exact;
+- register sums in integer 2^(53-rho) units (max 2^61, no overflow;
+  the DuckDB HUGEINT sum is cast back to BIGINT in-query);
+- the final estimate is the only floating step: one textually
+  IDENTICAL expression on both sides built from IEEE-deterministic
+  ops (+ the proven round(ln(..),12) idiom on the linear-counting
+  branch), published as FLOOR'd integer micro-units.
+
+The reference has no approximate aggregates (its only distinct-ish
+operation is the COUNT(*) family in
+sql/02-bde_control_functions.sql.in); this extends the engine for
+training-data-pipeline cardinality work (dedup ratios, per-source
+user/url counts) where exact distinct is unaffordable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.hashing import hash60, sql_hash60
+from linz_bde_uploader_spark.operators.topk import grouped_topk
+
+# HLL geometry: m = 2^8 = 256 registers from the top 8 bits of the
+# 60-bit portable hash; the remaining 52 bits feed rho. rsd ~= 6.5%.
+HLL_M = 256
+_P52 = 4503599627370496          # 2^52
+_P53 = 9007199254740992.0        # 2^53 (exact in double)
+# alpha_256. Every literal is e0-suffixed: a bare `0.7213` parses as
+# a DECIMAL literal in BOTH engines, and decimal division semantics
+# (result scale, rounding) are engine-specific — the e0 form is the
+# DOUBLE literal in both, making the arithmetic IEEE-identical.
+_ALPHA = "(0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0))"
+
+# KMV: estimate from the k-th smallest distinct hash. rsd ~= 12.6%.
+KMV_K = 64
+_P60 = "1152921504606846976.0e0"   # 2^60 (exact in double)
+
+
+def hll_est_micro_sql(s_expr: str, v_expr: str) -> str:
+    """The HLL estimate in integer micro-units, as one SQL expression
+    evaluated by BOTH engines (textual identity => IEEE identity).
+    ``s_expr``: register sum in 2^(53-rho) units including the
+    2^53-per-empty-register contribution; ``v_expr``: count of empty
+    registers. Raw harmonic-mean estimate, with Flajolet's
+    linear-counting correction below 2.5m when empty registers
+    remain (the small-cardinality regime where raw HLL biases high).
+    ln() is the one non-IEEE-specified op — rounded to 12 dp first,
+    the idiom the unigram-LM and entropy queries proved
+    driver-stable; every later step is deterministic double math."""
+    raw = (f"({_ALPHA} * 65536.0 / "
+           f"(CAST({s_expr} AS DOUBLE) / {_P53!r}e0))")
+    lin = (f"floor(256.0 * round(ln(256.0 / CAST({v_expr} AS DOUBLE))"
+           f", 12) * 1000000.0)")
+    return (f"CAST(CASE WHEN {raw} <= 640.0 AND {v_expr} > 0 "
+            f"THEN {lin} ELSE floor({raw} * 1000000.0) END AS BIGINT)")
+
+
+def kmv_est_micro_sql(cnt_expr: str, kth_expr: str) -> str:
+    """KMV estimate in integer micro-units, shared-text like
+    :func:`hll_est_micro_sql`. Below k distinct hashes the sketch IS
+    the exact distinct set, so the exact count is published."""
+    return (f"CAST(CASE WHEN {cnt_expr} < {KMV_K} "
+            f"THEN {cnt_expr} * 1000000 "
+            f"ELSE floor({KMV_K - 1}.0 * ({_P60} / "
+            f"CAST({kth_expr} AS DOUBLE)) * 1000000.0) END AS BIGINT)")
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], key: Column,
+                 est_col: str = "hll_est_micro") -> DataFrame:
+    """Per-group HLL distinct estimate of ``key`` (a string column
+    expression), in integer micro-units.
+
+    Plan shape: one narrow projection (hash + register split, all
+    whole-stage-codegen built-ins), then two ordinary aggregations —
+    (group, register) max-rho, then per-group register sum. Both
+    combine map-side; the shuffled payload is at most
+    |groups| x 256 register rows regardless of input size, which is
+    the entire point at 100 TB. No UDFs, no windows, no collects."""
+    regs = (
+        df.select(*group_cols, hash60(key).alias("_h"))
+        .select(*group_cols,
+                F.expr(f"_h DIV {_P52}").alias("_idx"),
+                (F.col("_h") % F.lit(_P52)).alias("_w"))
+        .select(*group_cols, "_idx",
+                F.when(F.col("_w") == 0, F.lit(53))
+                 .otherwise(F.lit(53) - F.length(F.bin("_w")))
+                 .alias("_rho"))
+        .groupBy(*group_cols, "_idx").agg(F.max("_rho").alias("_m")))
+    per = (
+        regs.groupBy(*group_cols)
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                          "CAST(53 - _m AS INT))")).alias("_s_obs"),
+             F.count("*").alias("_vobs"))
+        .select(*group_cols,
+                (F.col("_s_obs")
+                 + (F.lit(HLL_M) - F.col("_vobs"))
+                 * F.lit(int(_P53))).alias("_s"),
+                (F.lit(HLL_M) - F.col("_vobs")).alias("_v")))
+    return per.select(
+        *group_cols,
+        F.expr(hll_est_micro_sql("_s", "_v")).alias(est_col))
+
+
+def kmv_distinct(df: DataFrame, group_cols: list[str], key: Column,
+                 est_col: str = "kmv_est_micro") -> DataFrame:
+    """Per-group KMV (k-minimum-values) distinct estimate of ``key``
+    in integer micro-units: keep the k smallest distinct 60-bit
+    hashes per group; the k-th's fractional position estimates the
+    density. Distinct-hash reduction first (map-side combinable),
+    then the salted two-phase ``grouped_topk`` — no global window,
+    the same scale shape as dedup_survivors. The sketch (k hashes
+    per group) is also the mergeable summary: union + re-topk
+    combines sketches from different partitions/days."""
+    dist = (df.select(*group_cols, hash60(key).alias("_h"))
+              .distinct())
+    top = grouped_topk(dist, list(group_cols), [F.col("_h")], KMV_K,
+                       salt_expr=F.col("_h"))
+    per = (top.groupBy(*group_cols)
+           .agg(F.count("*").alias("_cnt"), F.max("_h").alias("_kth")))
+    return per.select(
+        *group_cols,
+        F.expr(kmv_est_micro_sql("_cnt", "_kth")).alias(est_col))
+
+
+def sql_hll_distinct(src: str, group_cols: list[str],
+                     key_expr: str, est_col: str = "hll_est_micro",
+                     extra_select: str = "") -> str:
+    """DuckDB twin of :func:`hll_distinct` over subquery/CTE ``src``
+    (columns: group cols + the key expression's inputs). The estimate
+    expression text is shared with the Spark side by construction."""
+    g = ", ".join(group_cols)
+    h = sql_hash60(key_expr)
+    return f"""
+WITH hashed AS (
+  SELECT {g}, {h} AS h FROM {src}),
+regs AS (
+  SELECT {g}, h // {_P52} AS idx,
+         CASE WHEN h % {_P52} = 0 THEN 53
+              ELSE 53 - length(bin(h % {_P52})) END AS rho
+  FROM hashed),
+mx AS (SELECT {g}, idx, MAX(rho) AS m FROM regs GROUP BY {g}, idx),
+agg AS (
+  SELECT {g},
+         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+           + (256 - COUNT(*)) * {int(_P53)} AS s,
+         256 - COUNT(*) AS v
+  FROM mx GROUP BY {g})
+SELECT {g}{extra_select},
+       {hll_est_micro_sql('s', 'v')} AS {est_col}
+FROM agg"""
+
+
+def sql_kmv_distinct(src: str, group_cols: list[str],
+                     key_expr: str, est_col: str = "kmv_est_micro",
+                     extra_select: str = "") -> str:
+    """DuckDB twin of :func:`kmv_distinct` (window row_number is fine
+    at oracle scale; the Spark side uses the salted two-phase rank)."""
+    g = ", ".join(group_cols)
+    h = sql_hash60(key_expr)
+    return f"""
+WITH dist AS (
+  SELECT DISTINCT {g}, {h} AS h FROM {src}),
+ranked AS (
+  SELECT {g}, h,
+         row_number() OVER (PARTITION BY {g} ORDER BY h) AS rn
+  FROM dist),
+per AS (
+  SELECT {g}, COUNT(*) AS cnt, MAX(h) AS kth
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY {g})
+SELECT {g}{extra_select},
+       {kmv_est_micro_sql('cnt', 'kth')} AS {est_col}
+FROM per"""

@@ -1433,3 +1433,135 @@ ANALYTICS_QUERIES.update({
     "events_transition_matrix": (q_events_transition_matrix,
                                  SQL_EVENTS_TRANSITIONS),
 })
+
+
+# ---------------------------------------------------------------- r13
+# Deterministic distinct-count sketches (operators/sketches.py): the
+# approximate-distinct family the reference lacks entirely, built so
+# a DuckDB oracle computes the BIT-IDENTICAL estimate (portable md5
+# hashing + integer-exact register math) — unlike Spark's native
+# approx_count_distinct, whose estimate no other engine reproduces
+# (docs_sketch_stats, the rows-only entry, wraps that one). The
+# exact_ndv column is the demonstration/verification side-car; the
+# sketch is the scale path (the exact distinct over the same keys is
+# precisely what a 100 TB run would omit).
+
+def _keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, key_kind, key) over two cardinality regimes:
+    'user' (~150 distinct — exercises HLL linear counting / KMV
+    estimate) and 'userday' (~1.6k per type — raw harmonic HLL)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        "user_id IS NOT NULL AND ts IS NOT NULL")
+    day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    user = ev.select(
+        "event_type", F.lit("user").alias("key_kind"),
+        F.col("user_id").cast("string").alias("key"))
+    userday = ev.select(
+        "event_type", F.lit("userday").alias("key_kind"),
+        F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                 day).alias("key"))
+    return user.unionByName(userday)
+
+
+_SQL_KEYED_EVENTS = """
+keyed AS (
+  SELECT event_type, 'user' AS key_kind,
+         CAST(user_id AS VARCHAR) AS key
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  UNION ALL
+  SELECT event_type, 'userday' AS key_kind,
+         CAST(user_id AS VARCHAR) || ':' ||
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS key
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+ex AS (
+  SELECT event_type, key_kind, COUNT(DISTINCT key) AS exact_ndv
+  FROM keyed GROUP BY event_type, key_kind)
+"""
+
+
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users / user-days per event type, with
+    the exact counts alongside. Plan shape (the 100 TB argument): the
+    sketch side shuffles at most |groups| x 256 register rows no
+    matter the input size — both aggregations combine map-side, all
+    built-ins, no UDF/window/collect. Estimate formula text is shared
+    verbatim with the DuckDB oracle (hll_est_micro_sql), so this
+    hash-matches like an exact query."""
+    from linz_bde_uploader_spark.operators.sketches import hll_distinct
+    keyed = _keyed_events(spark, sf_dir)
+    est = hll_distinct(keyed, ["event_type", "key_kind"], F.col("key"))
+    exact = (keyed.groupBy("event_type", "key_kind")
+             .agg(F.countDistinct("key").alias("exact_ndv")))
+    return exact.join(est, ["event_type", "key_kind"]).select(
+        "event_type", "key_kind", "exact_ndv", "hll_est_micro")
+
+
+def _sql_events_hll() -> str:
+    from linz_bde_uploader_spark.operators.sketches import (
+        _P52, _P53, hll_est_micro_sql)
+    from linz_bde_uploader_spark.functions.hashing import sql_hash60
+    return f"""
+WITH {_SQL_KEYED_EVENTS},
+hashed AS (
+  SELECT event_type, key_kind, {sql_hash60('key')} AS h FROM keyed),
+regs AS (
+  SELECT event_type, key_kind, h // {_P52} AS idx,
+         CASE WHEN h % {_P52} = 0 THEN 53
+              ELSE 53 - length(bin(h % {_P52})) END AS rho
+  FROM hashed),
+mx AS (SELECT event_type, key_kind, idx, MAX(rho) AS m
+       FROM regs GROUP BY event_type, key_kind, idx),
+agg AS (
+  SELECT event_type, key_kind,
+         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+           + (256 - COUNT(*)) * {int(_P53)} AS s,
+         256 - COUNT(*) AS v
+  FROM mx GROUP BY event_type, key_kind)
+SELECT event_type, key_kind, exact_ndv,
+       {hll_est_micro_sql('s', 'v')} AS hll_est_micro
+FROM agg JOIN ex USING (event_type, key_kind)
+"""
+
+
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, k=64) distinct estimate — the simpler,
+    mergeable sibling of the HLL query: keep the 64 smallest distinct
+    hashes per group (salted two-phase grouped_topk, the
+    dedup_survivors shape — no global window), estimate from the
+    64th's fractional position. Same shared-text determinism."""
+    from linz_bde_uploader_spark.operators.sketches import kmv_distinct
+    keyed = _keyed_events(spark, sf_dir)
+    est = kmv_distinct(keyed, ["event_type", "key_kind"], F.col("key"))
+    exact = (keyed.groupBy("event_type", "key_kind")
+             .agg(F.countDistinct("key").alias("exact_ndv")))
+    return exact.join(est, ["event_type", "key_kind"]).select(
+        "event_type", "key_kind", "exact_ndv", "kmv_est_micro")
+
+
+def _sql_events_kmv() -> str:
+    from linz_bde_uploader_spark.operators.sketches import (
+        KMV_K, kmv_est_micro_sql)
+    from linz_bde_uploader_spark.functions.hashing import sql_hash60
+    return f"""
+WITH {_SQL_KEYED_EVENTS},
+dist AS (
+  SELECT DISTINCT event_type, key_kind, {sql_hash60('key')} AS h
+  FROM keyed),
+ranked AS (
+  SELECT event_type, key_kind, h,
+         row_number() OVER (PARTITION BY event_type, key_kind
+                            ORDER BY h) AS rn
+  FROM dist),
+per AS (
+  SELECT event_type, key_kind, COUNT(*) AS cnt, MAX(h) AS kth
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type, key_kind)
+SELECT event_type, key_kind, exact_ndv,
+       {kmv_est_micro_sql('cnt', 'kth')} AS kmv_est_micro
+FROM per JOIN ex USING (event_type, key_kind)
+"""
+
+
+ANALYTICS_QUERIES.update({
+    "events_hll_distinct": (q_events_hll_distinct, _sql_events_hll()),
+    "events_kmv_distinct": (q_events_kmv_distinct, _sql_events_kmv()),
+})

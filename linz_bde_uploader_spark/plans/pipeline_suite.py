@@ -4208,3 +4208,122 @@ WHERE a.side = 'b'
 PIPELINE_QUERIES.update({
     "docs_dedup_ingest": (q_docs_dedup_ingest, SQL_DEDUP_INGEST),
 })
+
+
+# ---------------------------------------------------------------- r13
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with stupid backoff — the
+    held-out upgrade of q_text_unigram_logprob (train on even doc_ids,
+    score the odd ones, so unseen bigrams actually occur and the
+    backoff path is live, as in real perplexity-filtering pipelines):
+
+        P(w2|w1) = c(w1,w2)/ctx(w1)            seen bigram
+                 = 0.4 * c(w2)/N               unseen bigram, seen w2
+                 = 0.4 * 1/N                   OOV w2
+
+    Plan shape: bigrams come from an ARRAY-side zip of the token list
+    with its own tail (zip_with over slices — one projection, no
+    positional self-join, no window on the corpus); the count tables
+    are plain groupBys and the scoring side left-joins them on their
+    keys (shuffle joins AQE sizes; the broadcast candidate is the
+    one-row total). Per-bigram log terms round to 12 dp and sum as
+    exact DECIMAL so the per-doc mean is order-independent across
+    engines — the proven unigram-LM portability idiom."""
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    train = base.filter("doc_id % 2 = 0")
+    score = base.filter("doc_id % 2 = 1")
+
+    utoks = train.select(F.explode("toks").alias("tok"))
+    uni = utoks.groupBy("tok").agg(F.count("*").alias("c_uni"))
+    total = utoks.agg(F.count("*").alias("n_train"))
+
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), "
+        "slice(toks, 2, size(toks) - 1), "
+        "(a, b) -> named_struct('w1', a, 'w2', b))")
+    big = (train.select(F.explode(bigrams).alias("b"))
+           .select("b.w1", "b.w2")
+           .groupBy("w1", "w2").agg(F.count("*").alias("c_big")))
+    ctx = big.groupBy("w1").agg(F.sum("c_big").alias("c_ctx"))
+
+    sb = (score.select("doc_id", F.explode(bigrams).alias("b"))
+          .select("doc_id", F.col("b.w1").alias("w1"),
+                  F.col("b.w2").alias("w2")))
+    nt = F.col("n_train").cast("double")
+    term = F.when(
+        F.col("c_big").isNotNull(),
+        F.round(F.log(F.col("c_big").cast("double")
+                      / F.col("c_ctx").cast("double")), 12)
+    ).when(
+        F.col("c_uni").isNotNull(),
+        F.round(F.log(F.lit(0.4)
+                      * (F.col("c_uni").cast("double") / nt)), 12)
+    ).otherwise(
+        F.round(F.log(F.lit(0.4) * (F.lit(1.0) / nt)), 12))
+    return (
+        sb.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2", "left")
+        .join(F.broadcast(total))
+        .select("doc_id", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round((F.sum(F.col("term").cast("decimal(28,12)"))
+                      .cast("double") / F.count("*")), 6)
+             .alias("mean_logprob"))
+    )
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+ttoks AS (
+  SELECT unnest(toks) AS tok FROM base WHERE doc_id % 2 = 0),
+uni AS (SELECT tok, COUNT(*) AS c_uni FROM ttoks GROUP BY tok),
+total AS (SELECT COUNT(*) AS n_train FROM ttoks),
+tpos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM base WHERE doc_id % 2 = 0),
+tbig AS (
+  SELECT w1, w2 FROM (
+    SELECT tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tpos) WHERE w2 IS NOT NULL),
+big AS (SELECT w1, w2, COUNT(*) AS c_big FROM tbig GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c_big) AS c_ctx FROM big GROUP BY w1),
+spos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM base WHERE doc_id % 2 = 1),
+sbig AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM spos) WHERE w2 IS NOT NULL),
+terms AS (
+  SELECT doc_id,
+         CASE
+           WHEN c_big IS NOT NULL THEN
+             round(ln(CAST(c_big AS DOUBLE) / CAST(c_ctx AS DOUBLE)), 12)
+           WHEN c_uni IS NOT NULL THEN
+             round(ln(0.4e0 * (CAST(c_uni AS DOUBLE)
+                               / CAST(n_train AS DOUBLE))), 12)
+           ELSE
+             round(ln(0.4e0 * (1.0e0 / CAST(n_train AS DOUBLE))), 12)
+         END AS term
+  FROM sbig
+  LEFT JOIN big USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  LEFT JOIN uni ON uni.tok = sbig.w2, total)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_logprob
+FROM terms GROUP BY doc_id
+"""
+
+
+PIPELINE_QUERIES.update({
+    "text_bigram_logprob": (q_text_bigram_logprob, SQL_BIGRAM_LOGPROB),
+})

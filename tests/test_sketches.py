@@ -39,3 +39,66 @@ def test_sketch_stats_error_bounds(spark):
             hi = max(i for i, v in enumerate(vals) if v == got)
             target = p * (n - 1)
             assert lo - tol <= target <= hi + tol, (src, p, got, target, lo, hi)
+
+
+def test_hll_estimate_within_error_bounds(spark):
+    """The deterministic HLL (operators/sketches.py) must land within
+    the theoretical relative error of the exact distinct count:
+    rsd = 1.04/sqrt(256) ~= 6.5%; allow 4 sigma (26%). Checked on
+    both cardinality regimes the events query exercises (the ~150
+    linear-counting regime and the ~1.6k raw-harmonic regime)."""
+    from linz_bde_uploader_spark.operators.sketches import hll_distinct
+    from linz_bde_uploader_spark.plans.analytics_suite import _keyed_events
+
+    keyed = _keyed_events(spark, SF_DIR)
+    est = {(r.event_type, r.key_kind): r.hll_est_micro / 1e6
+           for r in hll_distinct(
+               keyed, ["event_type", "key_kind"], F.col("key")).collect()}
+    exact = {(r.event_type, r.key_kind): r.nd
+             for r in keyed.groupBy("event_type", "key_kind")
+             .agg(F.countDistinct("key").alias("nd")).collect()}
+    assert set(est) == set(exact) and len(exact) == 10
+    for k, nd in exact.items():
+        assert abs(est[k] - nd) <= 0.26 * nd, (k, est[k], nd)
+
+
+def test_kmv_estimate_within_error_bounds_and_exact_branch(spark):
+    """KMV k=64: rsd ~= 1/sqrt(k-2) ~= 12.7%; allow 4 sigma (51%).
+    Below k distinct keys the sketch IS the distinct set, so the
+    estimate must be EXACT (the published exact branch)."""
+    from linz_bde_uploader_spark.operators.sketches import kmv_distinct
+    from linz_bde_uploader_spark.plans.analytics_suite import _keyed_events
+
+    keyed = _keyed_events(spark, SF_DIR)
+    est = {(r.event_type, r.key_kind): r.kmv_est_micro / 1e6
+           for r in kmv_distinct(
+               keyed, ["event_type", "key_kind"], F.col("key")).collect()}
+    exact = {(r.event_type, r.key_kind): r.nd
+             for r in keyed.groupBy("event_type", "key_kind")
+             .agg(F.countDistinct("key").alias("nd")).collect()}
+    for k, nd in exact.items():
+        assert abs(est[k] - nd) <= 0.51 * nd, (k, est[k], nd)
+
+    # exact branch: 40 distinct keys < k=64 -> estimate == 40.0
+    tiny = spark.createDataFrame(
+        [("g", f"key{i % 40}") for i in range(200)], "g string, k string")
+    (row,) = kmv_distinct(tiny, ["g"], F.col("k")).collect()
+    assert row.kmv_est_micro == 40 * 1_000_000
+
+
+def test_hll_sketch_shuffle_is_register_bounded(spark):
+    """The 100 TB claim, pinned on the plan: the HLL aggregation
+    pipeline contains no window, no UDF and no collect, and its
+    post-projection aggregates are partial (map-side combine) — the
+    final exchange carries register rows, not input rows. We assert
+    the physical plan has partial_ aggregates below the exchange and
+    no Window/Python nodes anywhere."""
+    from linz_bde_uploader_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"key{i}") for i in range(5000)], "g string, k string")
+    plan = hll_distinct(df, ["g"], F.col("k"))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Python" not in plan
+    assert "partial_max" in plan  # register max combines map-side
+    assert "partial_sum" in plan or "partial_count" in plan

@@ -41,6 +41,12 @@ FAST_QUERIES = [
     "text_term_freq", "text_tfidf", "emb_quantize",
     # new in r12
     "dedup_best_survivors",
+    # new in r13
+    "events_hll_distinct", "events_kmv_distinct", "text_bigram_logprob",
+    # rotated out of the driver top-50 in r13 (compensating coverage;
+    # dedup_simhash and q1_pricing_summary, also rotated out, were
+    # already listed above)
+    "dedup_clusters", "dedup_jaccard",
 ]
 
 
