@@ -64,8 +64,11 @@ _DRIVER_FIRST = [
     "cdc_distinct_refresh", "docs_cross_source_overlap",
     "cdc_join_refresh", "docs_filter_funnel",
     # stalest rotation-complete entries: freshest green r5 (3 greens)
+    # (r13: text_unigram_logprob — 4 greens, FAST-covered, and its
+    # held-out bigram sibling is in-gate below — yielded its slot to
+    # cdc_hll_refresh)
     "dedup_jaccard_prefix", "emb_outliers", "multimodal_features",
-    "text_char_entropy", "text_redact_pii", "text_unigram_logprob",
+    "text_char_entropy", "text_redact_pii",
     # NEW for r12 (the r11 verdict's top order, three times running):
     # the three r9-new queries with ZERO driver greens in eleven
     # rounds — docs_dedup_ingest (semantics changed in r10 empty-index
@@ -81,6 +84,10 @@ _DRIVER_FIRST = [
     # scorer with live backoff
     "dedup_best_survivors", "events_hll_distinct",
     "events_kmv_distinct", "text_bigram_logprob",
+    # ...and the seventh IVM member: HLL register-view maintenance
+    # through the CDC merge (max-merge inserts / recompute on loss),
+    # published as the pure-integer register table
+    "cdc_hll_refresh",
     # freshest green r12 (5 greens)
     "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_survivors", "docs_stratified_sample", "docs_topk_quality",

@@ -134,6 +134,11 @@ HEADLINE = [
     "docs_filter_funnel",
     "events_transition_matrix",
     "docs_dedup_ingest",
+    # r13 additions
+    "events_hll_distinct",
+    "events_kmv_distinct",
+    "text_bigram_logprob",
+    "cdc_hll_refresh",
 ]
 
 

@@ -34,13 +34,15 @@ class TableDef:
     # registry declares them: unique=col1,col2)
     unique_cols: list[str] = field(default_factory=list)
     # maintained-view declaration (our extension, like unique=):
-    # view=<g1>+<g2>:<value_col>[:minmax] registers a <table>__agg
-    # (and optionally __minmax) view the driver refreshes O(changes)
+    # view=<g1>+<g2>:<value_col>[:minmax][:hll=<col>] registers a
+    # <table>__agg (and optionally __minmax and/or a distinct-count
+    # sketch __hll over <col>) view the driver refreshes O(changes)
     # with every load (operators/view_refresh.py). Join views need a
     # dimension DataFrame and stay programmatic (UploadConfig.views).
     view_group_cols: list[str] = field(default_factory=list)
     view_value_col: str | None = None
     view_minmax: bool = False
+    view_hll_key: str | None = None
 
 
 def parse_tables_conf(text: str) -> list[TableDef]:
@@ -98,12 +100,20 @@ def _parse_attrs(t: TableDef, toks: list[str]) -> None:
             t.view_group_cols = [c for c in parts[0].split("+") if c]
             if len(parts) > 1 and parts[1]:
                 t.view_value_col = parts[1]
-            t.view_minmax = len(parts) > 2 and parts[2] == "minmax"
-            if not t.view_group_cols or t.view_value_col is None:
+            bad = None
+            for flag in parts[2:]:
+                if flag == "minmax":
+                    t.view_minmax = True
+                elif flag.startswith("hll=") and flag[4:]:
+                    t.view_hll_key = flag[4:]
+                else:
+                    bad = flag
+            if not t.view_group_cols or t.view_value_col is None \
+                    or bad is not None:
                 # fail at parse time, not as a silently-absent view
                 raise ValueError(
                     f"{t.name}: view= needs <group>[+<group>]:"
-                    f"<value_col>[:minmax], got {tok!r}")
+                    f"<value_col>[:minmax][:hll=<col>], got {tok!r}")
         elif low == "l5_is_full":
             t.l5_is_full = True
         elif low == "l5_change_table":

@@ -83,6 +83,49 @@ def kmv_est_micro_sql(cnt_expr: str, kth_expr: str) -> str:
             f"CAST({kth_expr} AS DOUBLE)) * 1000000.0) END AS BIGINT)")
 
 
+def hll_registers(df: DataFrame, group_cols: list[str],
+                  key: Column) -> DataFrame:
+    """Per-group HLL register table ``(group_cols..., idx, m)`` —
+    the sketch's STATE, pure integers: register index from the top 8
+    hash bits, ``m`` the max rho seen. One narrow codegen projection
+    then one map-side-combinable groupBy; at most |groups| x 256
+    rows leave the exchange regardless of input size. Register
+    tables are max-mergeable: union + groupBy max combines sketches
+    across partitions, days, or delta batches — the property
+    :func:`maintain_hll` exploits. NULL keys are ignored, matching
+    COUNT(DISTINCT) semantics (oracles filter the same way)."""
+    return (
+        df.filter(key.isNotNull())
+        .select(*group_cols, hash60(key).alias("_h"))
+        .select(*group_cols,
+                F.expr(f"_h DIV {_P52}").alias("idx"),
+                (F.col("_h") % F.lit(_P52)).alias("_w"))
+        .select(*group_cols, "idx",
+                F.when(F.col("_w") == 0, F.lit(53))
+                 .otherwise(F.lit(53) - F.length(F.bin("_w")))
+                 .cast("bigint").alias("_rho"))
+        .groupBy(*group_cols, "idx").agg(F.max("_rho").alias("m")))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str],
+                 est_col: str = "hll_est_micro") -> DataFrame:
+    """Collapse a register table to the per-group estimate (integer
+    micro-units, shared-text determinism — see module docstring)."""
+    per = (
+        regs.groupBy(*group_cols)
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                          "CAST(53 - m AS INT))")).alias("_s_obs"),
+             F.count("*").alias("_vobs"))
+        .select(*group_cols,
+                (F.col("_s_obs")
+                 + (F.lit(HLL_M) - F.col("_vobs"))
+                 * F.lit(int(_P53))).alias("_s"),
+                (F.lit(HLL_M) - F.col("_vobs")).alias("_v")))
+    return per.select(
+        *group_cols,
+        F.expr(hll_est_micro_sql("_s", "_v")).alias(est_col))
+
+
 def hll_distinct(df: DataFrame, group_cols: list[str], key: Column,
                  est_col: str = "hll_est_micro") -> DataFrame:
     """Per-group HLL distinct estimate of ``key`` (a string column
@@ -94,29 +137,80 @@ def hll_distinct(df: DataFrame, group_cols: list[str], key: Column,
     combine map-side; the shuffled payload is at most
     |groups| x 256 register rows regardless of input size, which is
     the entire point at 100 TB. No UDFs, no windows, no collects."""
-    regs = (
-        df.select(*group_cols, hash60(key).alias("_h"))
-        .select(*group_cols,
-                F.expr(f"_h DIV {_P52}").alias("_idx"),
-                (F.col("_h") % F.lit(_P52)).alias("_w"))
-        .select(*group_cols, "_idx",
-                F.when(F.col("_w") == 0, F.lit(53))
-                 .otherwise(F.lit(53) - F.length(F.bin("_w")))
-                 .alias("_rho"))
-        .groupBy(*group_cols, "_idx").agg(F.max("_rho").alias("_m")))
-    per = (
-        regs.groupBy(*group_cols)
-        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
-                          "CAST(53 - _m AS INT))")).alias("_s_obs"),
-             F.count("*").alias("_vobs"))
-        .select(*group_cols,
-                (F.col("_s_obs")
-                 + (F.lit(HLL_M) - F.col("_vobs"))
-                 * F.lit(int(_P53))).alias("_s"),
-                (F.lit(HLL_M) - F.col("_vobs")).alias("_v")))
-    return per.select(
-        *group_cols,
-        F.expr(hll_est_micro_sql("_s", "_v")).alias(est_col))
+    return hll_estimate(hll_registers(df, group_cols, key),
+                        group_cols, est_col)
+
+
+def maintain_hll(current: DataFrame, staged: DataFrame,
+                 actions: DataFrame, key: str,
+                 group_cols: list[str], sketch_key: Column,
+                 merged: DataFrame,
+                 old_regs: DataFrame | None = None) -> DataFrame:
+    """Incremental maintenance of a per-group HLL register view
+    through a CDC merge — the seventh IVM member, sitting between
+    the self-maintainable family (count/sum deltas) and the
+    touched-group recompute family (min/max/top-k):
+
+    - **Insertions are free**: registers are max-mergeable, so
+      groups that only GAIN rows absorb the staged rows' register
+      delta with a union + max — no rescan, O(|inserted rows|).
+    - **Row removal poisons a group's sketch** (a register's max
+      contributor may be gone — same asymmetry as deleting an
+      extremum), so groups that LOSE rows (current rows named by
+      D/U/X actions; an update's new value lands via the insert
+      side) recompute from the merged state, minmax-style:
+      broadcast |touched groups|, partition-pruned rescan of their
+      rows only, untouched register rows carry forward anti-join.
+
+    Returns the refreshed ``(group_cols..., idx, m)`` register
+    table. ``old_regs=None`` is the bootstrap path: the registers
+    are computed from ``merged`` directly (same result, not
+    O(changes)). Feed the result to :func:`hll_estimate` for the
+    per-group distinct estimate.
+
+    Reference anchor: the same derived-state-follows-merge contract
+    as maintain_aggregate/maintain_extrema
+    (sql/02-bde_control_functions.sql.in:2595-2676 post-upload
+    functions keeping derived tables consistent in-transaction)."""
+    from linz_bde_uploader_spark.operators.merge import (
+        ACTION_DELETE, ACTION_INSERT, ACTION_KEY_CHANGE, ACTION_UPDATE)
+    if old_regs is None:
+        return hll_registers(merged, group_cols, sketch_key)
+    del_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    ins_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    # groups losing rows: only the CURRENT side of D/U/X names them
+    rec_groups = F.broadcast(
+        current.join(del_keys, key, "left_semi")
+        .select(*group_cols).distinct())
+
+    def null_safe_on(left, right):
+        cond = None
+        for g in group_cols:
+            c = left[g].eqNullSafe(right[g])
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    t = rec_groups.alias("t")
+    m_ = merged.alias("m")
+    recomputed = hll_registers(
+        m_.join(t, null_safe_on(m_, t), "left_semi"),
+        group_cols, sketch_key)
+    adds = staged.join(ins_keys, key, "left_semi").alias("a")
+    add_regs = hll_registers(
+        adds.join(t, null_safe_on(adds, t), "left_anti"),
+        group_cols, sketch_key)
+    b = old_regs.alias("b")
+    untouched = b.join(t, null_safe_on(b, t), "left_anti")
+    merged_untouched = (
+        untouched.unionByName(add_regs)
+        .groupBy(*group_cols, "idx").agg(F.max("m").alias("m")))
+    return merged_untouched.unionByName(recomputed)
 
 
 def kmv_distinct(df: DataFrame, group_cols: list[str], key: Column,
@@ -129,7 +223,8 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], key: Column,
     the same scale shape as dedup_survivors. The sketch (k hashes
     per group) is also the mergeable summary: union + re-topk
     combines sketches from different partitions/days."""
-    dist = (df.select(*group_cols, hash60(key).alias("_h"))
+    dist = (df.filter(key.isNotNull())
+              .select(*group_cols, hash60(key).alias("_h"))
               .distinct())
     top = grouped_topk(dist, list(group_cols), [F.col("_h")], KMV_K,
                        salt_expr=F.col("_h"))

@@ -55,6 +55,11 @@ class ViewSpec:
     - ``join``: an enriched join view ``<table>__join`` maintained by
       the delta-join rule; keys ``dim`` (static dimension DataFrame),
       ``fact_col``, ``dim_col``, ``fact_cols``, ``dim_cols``.
+    - ``hll_key`` (requires ``group_cols``): a distinct-count sketch
+      view ``<table>__hll`` — the per-group HLL register table for
+      ndv(hll_key) — maintained by ``operators/sketches.maintain_hll``
+      (max-merge on insert-only groups, touched-group recompute on
+      row loss). Read it with ``sketches.hll_estimate``.
     """
 
     group_cols: list[str] | None = None
@@ -62,6 +67,7 @@ class ViewSpec:
     minmax: bool = False
     join: dict | None = None
     value_type: str = "decimal(12,2)"
+    hll_key: str | None = None
 
 
 def _behind(store, view_table: str, ds: str) -> bool:
@@ -98,6 +104,14 @@ def seed_views(store, table_name: str, df: DataFrame, ds: str,
     if spec.join is not None and (
             force or _behind(store, f"{table_name}__join", ds)):
         store.write(f"{table_name}__join", _enrich(df, key, spec.join),
+                    dataset=ds)
+    if spec.hll_key is not None and spec.group_cols and (
+            force or _behind(store, f"{table_name}__hll", ds)):
+        from linz_bde_uploader_spark.operators.sketches import (
+            hll_registers)
+        store.write(f"{table_name}__hll",
+                    hll_registers(df, spec.group_cols,
+                                  F.col(spec.hll_key).cast("string")),
                     dataset=ds)
     if spec.group_cols is None or spec.value_col is None:
         return
@@ -139,6 +153,16 @@ def refresh_views(spark: SparkSession, store, table_name: str,
                              spec.join["dim_col"], spec.join["fact_cols"],
                              spec.join["dim_cols"], old_view=old_jv)
         store.write(jt, jv, dataset=ds)
+    ht = f"{table_name}__hll"
+    if spec.hll_key is not None and spec.group_cols \
+            and _behind(store, ht, ds):
+        from linz_bde_uploader_spark.operators.sketches import (
+            maintain_hll)
+        old_regs = store.read(spark, ht) if store.exists(ht) else None
+        regs = maintain_hll(cur, stg, actions, key, spec.group_cols,
+                            F.col(spec.hll_key).cast("string"),
+                            merged, old_regs=old_regs)
+        store.write(ht, regs, dataset=ds)
     if spec.group_cols is None or spec.value_col is None:
         return
     at = f"{table_name}__agg"

@@ -799,3 +799,56 @@ GROUP BY 1
 ENGINE_QUERIES.update({
     "cdc_manifest_refresh": (q_cdc_manifest_refresh, SQL_CDC_MANIFEST),
 })
+
+
+# ---------------------------------------------------------------- r13
+def q_cdc_hll_refresh(spark, sf_dir: str):
+    """Incremental maintenance of a distinct-count SKETCH view
+    through the CDC merge — the seventh IVM member
+    (operators/sketches.py maintain_hll): per-status HLL registers
+    for ndv(o_custkey). Insert-only groups absorb the staged rows'
+    register delta by max-merge (registers are max-mergeable — no
+    rescan); groups that LOSE rows (D/U/X) recompute minmax-style,
+    because a removed row may have been a register's max
+    contributor. The view is published as the raw register table —
+    pure integers, so the oracle (which recomputes registers from
+    the merged state directly) hash-matches without a single
+    floating-point step; a match proves the max-merge/recompute
+    split is exactly equivalent to a full refresh."""
+    from linz_bde_uploader_spark.operators import sketches as SK
+    cur, stg, chg = cdc_frames(spark, sf_dir)
+    actions = M.classify_actions(cur, stg, chg, "o_orderkey",
+                                 ORDER_COLS).cache()
+    merged = M.apply_actions(cur, stg, actions, "o_orderkey")
+    skey = F.col("o_custkey").cast("string")
+    old = SK.hll_registers(cur, ["o_orderstatus"], skey)
+    return SK.maintain_hll(cur, stg, actions, "o_orderkey",
+                           ["o_orderstatus"], skey, merged,
+                           old_regs=old)
+
+
+def _sql_cdc_hll() -> str:
+    from linz_bde_uploader_spark.functions.hashing import sql_hash60
+    from linz_bde_uploader_spark.operators.sketches import _P52
+    return f"""WITH {_CDC_CTES},
+merged AS (
+  SELECT o_orderstatus, o_custkey FROM cur
+  WHERE o_orderkey NOT IN (SELECT key FROM act WHERE action IN ('D','U','X'))
+  UNION ALL
+  SELECT o_orderstatus, o_custkey FROM stg
+  WHERE o_orderkey IN (SELECT key FROM act WHERE action IN ('I','U','X'))),
+hashed AS (
+  SELECT o_orderstatus,
+         {sql_hash60("CAST(o_custkey AS VARCHAR)")} AS h
+  FROM merged WHERE o_custkey IS NOT NULL)
+SELECT o_orderstatus, h // {_P52} AS idx,
+       CAST(MAX(CASE WHEN h % {_P52} = 0 THEN 53
+                     ELSE 53 - length(bin(h % {_P52})) END)
+            AS BIGINT) AS m
+FROM hashed GROUP BY o_orderstatus, h // {_P52}
+"""
+
+
+ENGINE_QUERIES.update({
+    "cdc_hll_refresh": (q_cdc_hll_refresh, _sql_cdc_hll()),
+})

@@ -783,3 +783,57 @@ def test_torn_dataset_manifest_is_retired(spark, tmp_path):
     assert not os.path.exists(store2._manifest_path())
     assert store2.current_version("t_a") == 1
     assert store2.read(spark, "t_a").count() == 1
+
+
+def test_batch_driver_maintains_hll_view(spark, tmp_path):
+    """The sketch-view member, conf-declared end-to-end: a tables.conf
+    `view=...:hll=<col>` registers a <table>__hll register view the
+    CLI driver seeds at L0 (direct recompute) and refreshes O(changes)
+    at L5 (operators/sketches.maintain_hll). After every step the
+    stored registers equal a from-scratch register build over the
+    stored base — pure-integer comparison, no estimate involved."""
+    from linz_bde_uploader_spark.operators.sketches import hll_registers
+    from pyspark.sql import functions as F
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    tables = parse_tables_conf(
+        "TABLE l5_change_table l5_change_table files xaud\n"
+        "TABLE crs_parcel_bndry key=audit_id row_tol=0.20,0.95 "
+        "view=reversed:sequence:minmax:hll=audit_id files pab1")
+    up = BdeUploader(spark, repo, store, ledger, tables)
+
+    def regs(df):
+        return {(r["reversed"], r.idx): r.m for r in
+                hll_registers(df, ["reversed"],
+                              F.col("audit_id").cast("string"))
+                .collect()}
+
+    def stored():
+        return {(r["reversed"], r.idx): r.m for r in
+                store.read(spark, "crs_parcel_bndry__hll").collect()}
+
+    up.apply_updates(level0=True)
+    assert stored() == regs(store.read(spark, "crs_parcel_bndry"))
+    r5 = up.apply_updates(level5=True)
+    assert r5[-1].status == "loaded"
+    base = store.read(spark, "crs_parcel_bndry")
+    assert base.count() == 5
+    assert stored() == regs(base)
+    # the refresh was stamped with the dataset it incorporated
+    assert store.current_dataset("crs_parcel_bndry__hll") == \
+        "20160601171200"
+
+
+def test_view_attr_hll_flag_parses_and_rejects_garbage():
+    t = parse_tables_conf(
+        "TABLE t key=id view=g:v:hll=user files x")[0]
+    assert t.view_hll_key == "user" and t.view_minmax is False
+    t2 = parse_tables_conf(
+        "TABLE t key=id view=g:v:minmax:hll=user files x")[0]
+    assert t2.view_hll_key == "user" and t2.view_minmax is True
+    with pytest.raises(ValueError, match="view="):
+        parse_tables_conf("TABLE t key=id view=g:v:bogus files x")
+    with pytest.raises(ValueError, match="view="):
+        parse_tables_conf("TABLE t key=id view=g:v:hll= files x")

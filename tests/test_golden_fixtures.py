@@ -299,3 +299,72 @@ def test_golden_cdc_incremental_agg(spark, tmp_path):
         "P": (1, 1, 7725),
         "F": (1, 1, 4410),
     }
+
+
+def test_golden_hll_registers_pure_python(spark):
+    """Engine-free third implementation of the HLL sketch: registers
+    and estimate recomputed in pure Python over hashlib.md5 —
+    independent of BOTH the Spark plan and the DuckDB oracle (which
+    share their estimate expression text by design, so a differential
+    match alone could hide a correlated-wrong formula). Pins hash
+    extraction, register split, rho, the 2^(53-rho) sum, the
+    linear-counting branch selection, and the micro-unit floor."""
+    import hashlib
+    import math
+
+    from linz_bde_uploader_spark.operators.sketches import (
+        hll_distinct, hll_registers)
+
+    keys = [f"user{i}" for i in range(500)]
+    df = spark.createDataFrame([("g", k) for k in keys],
+                               "g string, k string")
+
+    # pure-python registers
+    P52 = 2 ** 52
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[17:32], 16)
+        idx, w = h // P52, h % P52
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+
+    got_regs = {r.idx: r.m for r in
+                hll_registers(df, ["g"], F.col("k")).collect()}
+    assert got_regs == regs
+
+    # pure-python estimate (same algorithm, independent code path)
+    s = sum(2 ** (53 - m) for m in regs.values()) \
+        + (256 - len(regs)) * 2 ** 53
+    v = 256 - len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = alpha * 65536.0 / (float(s) / 9007199254740992.0)
+    if raw <= 640.0 and v > 0:
+        est = math.floor(256.0 * round(math.log(256.0 / float(v)), 12)
+                         * 1000000.0)
+    else:
+        est = math.floor(raw * 1000000.0)
+    (row,) = hll_distinct(df, ["g"], F.col("k")).collect()
+    assert row.hll_est_micro == est
+    # and the estimate is a sane distinct count for 500 keys
+    assert abs(row.hll_est_micro / 1e6 - 500) <= 0.26 * 500
+
+
+def test_golden_kmv_estimate_pure_python(spark):
+    """Engine-free KMV: k-th smallest md5-derived hash and the
+    (k-1)/kth-fraction estimate recomputed with hashlib + sorted()."""
+    import hashlib
+    import math
+
+    from linz_bde_uploader_spark.operators.sketches import kmv_distinct
+
+    keys = [f"item{i}" for i in range(300)]
+    df = spark.createDataFrame([("g", k) for k in keys],
+                               "g string, k string")
+    hs = sorted({int(hashlib.md5(k.encode()).hexdigest()[17:32], 16)
+                 for k in keys})
+    kth = hs[63]
+    est = math.floor(
+        63.0 * (1152921504606846976.0 / float(kth)) * 1000000.0)
+    (row,) = kmv_distinct(df, ["g"], F.col("k")).collect()
+    assert row.kmv_est_micro == est
+    assert abs(row.kmv_est_micro / 1e6 - 300) <= 0.51 * 300

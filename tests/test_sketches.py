@@ -102,3 +102,75 @@ def test_hll_sketch_shuffle_is_register_bounded(spark):
     assert "Window" not in plan and "Python" not in plan
     assert "partial_max" in plan  # register max combines map-side
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_maintain_hll_equals_full_refresh(spark):
+    """The seventh IVM member: the maintained register table through
+    the CDC merge must equal a from-scratch register build over the
+    merged state — including groups that lost rows (recompute path),
+    insert-only groups (max-merge path), and the NULL-key filter."""
+    from linz_bde_uploader_spark.operators import merge as M
+    from linz_bde_uploader_spark.operators import sketches as SK
+    from linz_bde_uploader_spark.plans.engine_suite import (
+        ORDER_COLS, cdc_frames)
+
+    cur, stg, chg = cdc_frames(spark, SF_DIR)
+    actions = M.classify_actions(cur, stg, chg, "o_orderkey",
+                                 ORDER_COLS).cache()
+    merged = M.apply_actions(cur, stg, actions, "o_orderkey")
+    skey = F.col("o_custkey").cast("string")
+    old = SK.hll_registers(cur, ["o_orderstatus"], skey)
+    got = {(r.o_orderstatus, r.idx): r.m for r in
+           SK.maintain_hll(cur, stg, actions, "o_orderkey",
+                           ["o_orderstatus"], skey, merged,
+                           old_regs=old).collect()}
+    want = {(r.o_orderstatus, r.idx): r.m for r in
+            SK.hll_registers(merged, ["o_orderstatus"],
+                             skey).collect()}
+    assert got == want and len(want) > 100
+    # ...and the bootstrap path (old_regs=None) is the same thing
+    boot = {(r.o_orderstatus, r.idx): r.m for r in
+            SK.maintain_hll(cur, stg, actions, "o_orderkey",
+                            ["o_orderstatus"], skey, merged,
+                            old_regs=None).collect()}
+    assert boot == want
+
+
+def test_maintain_hll_insert_only_and_group_vanish(spark):
+    """Two hand-checked edges: (a) insert-only actions touch no
+    group, so the stored registers max-merge with the delta (the
+    estimate can only grow); (b) deleting a group's every row makes
+    the group vanish from the refreshed view."""
+    from linz_bde_uploader_spark.operators import merge as M
+    from linz_bde_uploader_spark.operators import sketches as SK
+
+    cur = spark.createDataFrame(
+        [(1, "a", "u1"), (2, "a", "u2"), (3, "b", "u3")],
+        "k long, g string, u string")
+    skey = F.col("u")
+    old = SK.hll_registers(cur, ["g"], skey)
+
+    # (a) pure inserts into group a
+    stg = cur.unionByName(spark.createDataFrame(
+        [(4, "a", "u4"), (5, "a", "u5")], "k long, g string, u string"))
+    chg = spark.createDataFrame([(4,), (5,)], "key long")
+    actions = M.classify_actions(cur, stg, chg, "k", ["k", "g", "u"])
+    merged = M.apply_actions(cur, stg, actions, "k")
+    got = {(r.g, r.idx): r.m for r in
+           SK.maintain_hll(cur, stg, actions, "k", ["g"], skey,
+                           merged, old_regs=old).collect()}
+    want = {(r.g, r.idx): r.m for r in
+            SK.hll_registers(merged, ["g"], skey).collect()}
+    assert got == want
+
+    # (b) delete every row of group b
+    stg2 = cur.filter("g <> 'b'")
+    chg2 = spark.createDataFrame([(3,)], "key long")
+    actions2 = M.classify_actions(cur, stg2, chg2, "k", ["k", "g", "u"])
+    merged2 = M.apply_actions(cur, stg2, actions2, "k")
+    got2 = SK.maintain_hll(cur, stg2, actions2, "k", ["g"], skey,
+                           merged2, old_regs=old)
+    assert got2.filter("g = 'b'").count() == 0
+    assert {(r.g, r.idx): r.m for r in got2.collect()} == \
+        {(r.g, r.idx): r.m for r in
+         SK.hll_registers(merged2, ["g"], skey).collect()}
