@@ -244,6 +244,7 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                          view_value_col: str | None = None,
                          view_minmax: bool = False,
                          view_join: dict | None = None,
+                         view_hll_key: str | None = None,
                          use_dataset_transaction: bool = False) -> None:
     """The poll-run upload loop as a stream: watch the level_5
     repository, and for every micro-batch of new dataset files run the
@@ -278,6 +279,12 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     forward from the stored view, touched groups recompute from the
     post-merge state.
 
+    ``view_hll_key`` (requires ``view_group_cols``) additionally
+    maintains a per-group distinct-count sketch view ``<table>__hll``
+    (operators/sketches.maintain_hll — register max-merge on
+    insert-only groups, touched-group recompute on row loss), the
+    streaming distinct-users-per-segment materialization.
+
     ``view_join`` (keys: ``dim`` DataFrame, ``fact_col``, ``dim_col``,
     ``fact_cols``, ``dim_cols``) additionally maintains an enriched
     join view ``<table>__join`` via the delta-join rule
@@ -302,7 +309,8 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     # the two upload paths cannot drift (its module docstring carries
     # the ordered-guard correctness argument)
     spec = ViewSpec(group_cols=view_group_cols, value_col=view_value_col,
-                    minmax=view_minmax, join=view_join)
+                    minmax=view_minmax, join=view_join,
+                    hll_key=view_hll_key)
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.cache()

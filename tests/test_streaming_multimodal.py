@@ -1248,3 +1248,52 @@ def test_streaming_cdc_dataset_transaction_same_state(spark, tmp_path):
                              use_dataset_transaction=True)
     assert stored_view() == direct()
     assert store.current_dataset("crs_parcel_bndry") == "20160602000000"
+
+
+def test_streaming_cdc_hll_view(spark, tmp_path):
+    """Continuously-maintained distinct-count SKETCH view alongside
+    the streaming CDC merge (maintain_hll in its streaming form):
+    after every drain the stored <table>__hll register table must
+    equal a from-scratch register build over the stored base. The
+    second drain exercises the incremental path — insert-only groups
+    max-merge the delta, groups losing rows recompute."""
+    from linz_bde_uploader_spark.operators.sketches import hll_registers
+    from linz_bde_uploader_spark.sources.crs import parse_header, read_crs
+    from linz_bde_uploader_spark.sources.store import TableStore
+    from tests.fixtures import write_crs
+
+    root = write_repository(str(tmp_path / "repo"))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    l0_file = os.path.join(root, "level_0", "20160601000000", "pab1.crs")
+    store.write("crs_parcel_bndry", read_crs(spark, l0_file), key="audit_id")
+    schema = parse_header(l0_file).schema()
+    ckpt = str(tmp_path / "ckpt")
+
+    def direct():
+        t = store.read(spark, "crs_parcel_bndry")
+        return {(r["reversed"], r.idx): r.m for r in
+                hll_registers(t, ["reversed"],
+                              F.col("audit_id").cast("string")).collect()}
+
+    def stored():
+        return {(r["reversed"], r.idx): r.m for r in
+                store.read(spark, "crs_parcel_bndry__hll").collect()}
+
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt,
+                             view_group_cols=["reversed"],
+                             view_value_col="sequence",
+                             view_hll_key="audit_id")
+    assert stored() == direct() and stored()
+
+    ds2 = os.path.join(root, "level_5", "20160602000000")
+    write_crs(os.path.join(ds2, "pab1.crs"), PAB1_L5B)
+    write_crs(os.path.join(ds2, "xaud.crs"), XAUD_B)
+    STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                             "audit_id", schema, "pab1", ckpt,
+                             view_group_cols=["reversed"],
+                             view_value_col="sequence",
+                             view_hll_key="audit_id")
+    assert stored() == direct()
+    assert store.current_dataset("crs_parcel_bndry__hll") == \
+        "20160602000000"
