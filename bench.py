@@ -139,6 +139,7 @@ HEADLINE = [
     "events_kmv_distinct",
     "text_bigram_logprob",
     "cdc_hll_refresh",
+    "docs_weighted_sample",
 ]
 
 

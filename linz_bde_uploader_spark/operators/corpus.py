@@ -343,3 +343,38 @@ def contrastive_triplets(corpus: DataFrame, pos: DataFrame,
         .select(F.col("id_a").alias("anchor_id"),
                 F.col("id_b").alias("positive_id"), "negative_id")
     )
+
+
+def weighted_sample(df: DataFrame, group_cols: list[str],
+                    weight_col: str, k: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): each row draws u in (0,1] from the
+    portable hash of its id and competes on the key u^(1/w) — the k
+    largest keys per group are a weight-proportional sample. We rank
+    DESCENDING on the log-monotone form ln(u)/w (maximizing u^(1/w)
+    is maximizing ln(u)/w), with ln rounded to 12 dp for
+    cross-engine determinism (ORACLE.md idiom) and the id as
+    tiebreaker.
+
+    Scale shape: one narrow projection (hash + two IEEE ops), then
+    the salted two-phase grouped_topk — no global window, no RNG (a
+    hash-derived u makes retries/replays/differential tests see the
+    SAME sample, the property rand(seed) cannot give across engine
+    boundaries). This is the token-weighted document sampler a
+    training-mix pipeline uses (w = token/char count => long docs
+    proportionally likelier, sampling without replacement).
+
+    Returns the sampled rows with a 1-based ``rank`` per group."""
+    from linz_bde_uploader_spark.functions.hashing import hash60
+    from linz_bde_uploader_spark.operators.topk import grouped_topk
+
+    u = (hash60(F.col(id_col).cast("string")) + F.lit(1)) \
+        .cast("double") / F.lit(1152921504606846976.0)
+    sk = F.round(F.log(u), 12) / F.col(weight_col).cast("double")
+    keyed = df.withColumn("_sk", sk)
+    return (grouped_topk(keyed, list(group_cols),
+                         [F.col("_sk").desc(), F.col(id_col).asc()],
+                         k, salt_expr=hash60(F.col(id_col)
+                                             .cast("string")))
+            .drop("_sk"))

@@ -4327,3 +4327,43 @@ FROM terms GROUP BY doc_id
 PIPELINE_QUERIES.update({
     "text_bigram_logprob": (q_text_bigram_logprob, SQL_BIGRAM_LOGPROB),
 })
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted document sampling without replacement
+    (operators/corpus.weighted_sample — Efraimidis–Spirakis A-Res
+    with a hash-derived u, so the sample is DETERMINISTIC across
+    retries, replays, and engines): per source, the k=5 docs whose
+    u^(1/n_chars) keys are largest — longer documents proportionally
+    likelier, the standard training-mix sampler. Guarded to positive
+    weights (w<=0 has no ES key). No global window: the salted
+    two-phase grouped_topk ranks; the oracle uses a plain window at
+    oracle scale."""
+    from linz_bde_uploader_spark.operators.corpus import weighted_sample
+    docs = (parallelize_small(load_table(spark, sf_dir, "documents"))
+            .filter("n_chars > 0")
+            .select("source", "doc_id", "n_chars"))
+    return (weighted_sample(docs, ["source"], "n_chars", 5)
+            .select("source", F.col("rank").cast("bigint").alias("rank"),
+                    "doc_id", "n_chars"))
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(ln(CAST({sql_hash60("CAST(doc_id AS VARCHAR)")} + 1
+                       AS DOUBLE) / 1152921504606846976.0e0), 12)
+           / CAST(n_chars AS DOUBLE) AS sk
+  FROM documents WHERE n_chars > 0),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY sk DESC, doc_id) AS rank
+  FROM keyed)
+SELECT source, rank, doc_id, n_chars FROM ranked WHERE rank <= 5
+"""
+
+
+PIPELINE_QUERIES.update({
+    "docs_weighted_sample": (q_docs_weighted_sample, SQL_WEIGHTED_SAMPLE),
+})

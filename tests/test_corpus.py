@@ -443,3 +443,32 @@ def test_drift_report_detects_planted_shift(spark):
               150 if (i % 2 == 0 or i % 4 == 1) else 450)
              for i in range(40)]
     assert 0 < run(mixed)["web"] < 1000
+
+
+def test_weighted_sample_proportionality(spark):
+    """Efraimidis-Spirakis correctness, checked statistically over
+    200 deterministic replicate groups: each group holds one
+    weight-10 item and ten weight-1 items; with k=1 the heavy item
+    should win P = 10/20 = 0.5 of groups. The hash-derived u makes
+    the draw FIXED (no flake) — the assertion is that the one
+    permanent sample lands inside +/-4 sigma of the ES expectation,
+    which a rank-by-u (unweighted) bug would miss by ~0.4."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.corpus import weighted_sample
+
+    rows = []
+    for g in range(200):
+        rows.append((g, g * 100, 10))          # the heavy item
+        rows.extend((g, g * 100 + j, 1) for j in range(1, 11))
+    df = spark.createDataFrame(rows, "g long, doc_id long, w long")
+    picked = weighted_sample(df, ["g"], "w", 1, id_col="doc_id")
+    assert picked.count() == 200
+    heavy = picked.filter(F.col("doc_id") % 100 == 0).count()
+    # E[share] = 10/20 = 0.5, sd = sqrt(0.25/200) ~= 0.035
+    assert 0.36 <= heavy / 200 <= 0.64, heavy
+    # determinism: a second run returns the identical sample
+    again = {(r.g, r.doc_id) for r in
+             weighted_sample(df, ["g"], "w", 1,
+                             id_col="doc_id").collect()}
+    assert again == {(r.g, r.doc_id) for r in picked.collect()}
