@@ -66,9 +66,10 @@ _DRIVER_FIRST = [
     # stalest rotation-complete entries: freshest green r5 (3 greens)
     # (r13: text_unigram_logprob — 4 greens, FAST-covered, and its
     # held-out bigram sibling is in-gate below — yielded its slot to
-    # cdc_hll_refresh; emb_outliers — 4 greens, FAST-covered —
-    # yielded its slot to docs_weighted_sample)
-    "dedup_jaccard_prefix", "multimodal_features",
+    # cdc_hll_refresh; emb_outliers and multimodal_features — 4
+    # greens each, FAST-covered — yielded their slots to
+    # docs_weighted_sample and events_hll_overlap)
+    "dedup_jaccard_prefix",
     "text_char_entropy", "text_redact_pii",
     # NEW for r12 (the r11 verdict's top order, three times running):
     # the three r9-new queries with ZERO driver greens in eleven
@@ -88,8 +89,10 @@ _DRIVER_FIRST = [
     # ...and the seventh IVM member: HLL register-view maintenance
     # through the CDC merge (max-merge inserts / recompute on loss),
     # published as the pure-integer register table; plus the
-    # deterministic Efraimidis-Spirakis token-weighted sampler
-    "cdc_hll_refresh", "docs_weighted_sample",
+    # deterministic Efraimidis-Spirakis token-weighted sampler and
+    # the sketch set-algebra overlap (inclusion-exclusion over
+    # register unions)
+    "cdc_hll_refresh", "docs_weighted_sample", "events_hll_overlap",
     # freshest green r12 (5 greens)
     "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_survivors", "docs_stratified_sample", "docs_topk_quality",

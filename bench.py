@@ -140,6 +140,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "cdc_hll_refresh",
     "docs_weighted_sample",
+    "events_hll_overlap",
 ]
 
 

@@ -1565,3 +1565,116 @@ ANALYTICS_QUERIES.update({
     "events_hll_distinct": (q_events_hll_distinct, _sql_events_hll()),
     "events_kmv_distinct": (q_events_kmv_distinct, _sql_events_kmv()),
 })
+
+
+def q_events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: pairwise distinct-user overlap between
+    event types by inclusion-exclusion over HLL register unions —
+    |A ∩ B| ~= est(A) + est(B) - est(A ∪ B), where the union sketch
+    is just the per-register MAX of the two register tables (the
+    mergeability that makes HLL a rollup primitive: no re-scan of
+    the events, the pair fan-out is |types|^2/2 x 256 register rows).
+    exact_overlap rides along as the verification side-car. The
+    estimate can undershoot/overshoot by sketch error (and even go
+    negative for small overlaps) — it is published raw, signed
+    micro-units, deterministic on both engines."""
+    from linz_bde_uploader_spark.operators.sketches import (
+        hll_estimate, hll_registers)
+    ev = (load_table(spark, sf_dir, "events")
+          .filter("user_id IS NOT NULL")
+          .select("event_type", F.col("user_id").cast("string")
+                  .alias("key")))
+    regs = hll_registers(ev, ["event_type"], F.col("key"))
+    types = regs.select("event_type").distinct()
+    pairs = (types.select(F.col("event_type").alias("type_a"))
+             .join(types.select(F.col("event_type").alias("type_b")),
+                   F.col("type_a") < F.col("type_b")))
+    # union registers per pair: every register of a member type joins
+    # its (broadcast-tiny) pairs, then per-(pair, idx) max
+    union_regs = (regs.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")))
+        .groupBy("type_a", "type_b", "idx")
+        .agg(F.max("m").alias("m")))
+    est_u = hll_estimate(union_regs, ["type_a", "type_b"],
+                         est_col="est_union")
+    est_t = hll_estimate(regs, ["event_type"], est_col="est_t")
+    ex_users = ev.distinct()
+    exact = (ex_users.withColumnRenamed("event_type", "type_a")
+             .join(ex_users.withColumnRenamed("event_type", "type_b"),
+                   "key")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count("*").alias("exact_overlap")))
+    ea = est_t.select(F.col("event_type").alias("type_a"),
+                      F.col("est_t").alias("est_a"))
+    eb = est_t.select(F.col("event_type").alias("type_b"),
+                      F.col("est_t").alias("est_b"))
+    return (est_u.join(ea, "type_a").join(eb, "type_b")
+            .join(exact, ["type_a", "type_b"])
+            .select("type_a", "type_b", "exact_overlap",
+                    (F.col("est_a") + F.col("est_b")
+                     - F.col("est_union")).alias("hll_overlap_micro")))
+
+
+def _sql_events_hll_overlap() -> str:
+    from linz_bde_uploader_spark.functions.hashing import sql_hash60
+    from linz_bde_uploader_spark.operators.sketches import (
+        _P52, _P53, hll_est_micro_sql)
+    est_u = hll_est_micro_sql("s", "v")
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS key
+  FROM events WHERE user_id IS NOT NULL),
+hashed AS (
+  SELECT event_type, {sql_hash60('key')} AS h FROM ev),
+regs AS (
+  SELECT event_type, h // {_P52} AS idx,
+         MAX(CASE WHEN h % {_P52} = 0 THEN 53
+                  ELSE 53 - length(bin(h % {_P52})) END) AS m
+  FROM hashed GROUP BY event_type, h // {_P52}),
+types AS (SELECT DISTINCT event_type FROM regs),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type),
+union_regs AS (
+  SELECT type_a, type_b, idx, MAX(m) AS m
+  FROM regs JOIN pairs
+    ON regs.event_type = pairs.type_a OR regs.event_type = pairs.type_b
+  GROUP BY type_a, type_b, idx),
+agg_u AS (
+  SELECT type_a, type_b,
+         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+           + (256 - COUNT(*)) * {int(_P53)} AS s,
+         256 - COUNT(*) AS v
+  FROM union_regs GROUP BY type_a, type_b),
+est_union AS (
+  SELECT type_a, type_b, {est_u} AS est_union FROM agg_u),
+agg_t AS (
+  SELECT event_type,
+         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+           + (256 - COUNT(*)) * {int(_P53)} AS s,
+         256 - COUNT(*) AS v
+  FROM regs GROUP BY event_type),
+est_t AS (SELECT event_type, {est_u.replace('est_union', 'est_t')} AS est_t
+          FROM agg_t),
+ex AS (
+  SELECT a.type_a, b.type_b, COUNT(*) AS exact_overlap
+  FROM (SELECT DISTINCT event_type AS type_a, key FROM ev) a
+  JOIN (SELECT DISTINCT event_type AS type_b, key FROM ev) b USING (key)
+  WHERE a.type_a < b.type_b
+  GROUP BY a.type_a, b.type_b)
+SELECT type_a, type_b, exact_overlap,
+       ea.est_t + eb.est_t - est_union AS hll_overlap_micro
+FROM est_union
+JOIN est_t ea ON ea.event_type = est_union.type_a
+JOIN est_t eb ON eb.event_type = est_union.type_b
+JOIN ex USING (type_a, type_b)
+"""
+
+
+ANALYTICS_QUERIES.update({
+    "events_hll_overlap": (q_events_hll_overlap,
+                           _sql_events_hll_overlap()),
+})

@@ -174,3 +174,21 @@ def test_maintain_hll_insert_only_and_group_vanish(spark):
     assert {(r.g, r.idx): r.m for r in got2.collect()} == \
         {(r.g, r.idx): r.m for r in
          SK.hll_registers(merged2, ["g"], skey).collect()}
+
+
+def test_hll_overlap_tracks_exact(spark):
+    """Inclusion-exclusion overlap over register unions must track
+    the exact intersection. Differencing compounds the error of
+    THREE estimates, each rsd ~6.5% of its own (union-sized)
+    cardinality — allow 4 sigma of 3x the union rsd. The events
+    user sets overlap heavily, so the signal is large."""
+    from linz_bde_uploader_spark.plans.analytics_suite import (
+        q_events_hll_overlap)
+
+    rows = q_events_hll_overlap(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5 types, 2)
+    for r in rows:
+        est = r.hll_overlap_micro / 1e6
+        # union <= 150 users; 4 sigma * 3 * 0.065 * 150 ~= 117
+        assert abs(est - r.exact_overlap) <= 120, \
+            (r.type_a, r.type_b, est, r.exact_overlap)
