@@ -66,11 +66,11 @@ _DRIVER_FIRST = [
     # stalest rotation-complete entries: freshest green r5 (3 greens)
     # (r13: text_unigram_logprob — 4 greens, FAST-covered, and its
     # held-out bigram sibling is in-gate below — yielded its slot to
-    # cdc_hll_refresh; emb_outliers and multimodal_features — 4
-    # greens each, FAST-covered — yielded their slots to
-    # docs_weighted_sample and events_hll_overlap)
-    "dedup_jaccard_prefix",
-    "text_char_entropy", "text_redact_pii",
+    # cdc_hll_refresh; emb_outliers, multimodal_features and
+    # text_char_entropy — 4 greens each, FAST-covered — yielded
+    # their slots to docs_weighted_sample, events_hll_overlap and
+    # docs_sampled_percentiles)
+    "dedup_jaccard_prefix", "text_redact_pii",
     # NEW for r12 (the r11 verdict's top order, three times running):
     # the three r9-new queries with ZERO driver greens in eleven
     # rounds — docs_dedup_ingest (semantics changed in r10 empty-index
@@ -93,6 +93,9 @@ _DRIVER_FIRST = [
     # the sketch set-algebra overlap (inclusion-exclusion over
     # register unions)
     "cdc_hll_refresh", "docs_weighted_sample", "events_hll_overlap",
+    # ...and deterministic hash-sampled percentiles (the quantile
+    # scale path with a hash-verifiable oracle)
+    "docs_sampled_percentiles",
     # freshest green r12 (5 greens)
     "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_survivors", "docs_stratified_sample", "docs_topk_quality",

@@ -141,6 +141,7 @@ HEADLINE = [
     "cdc_hll_refresh",
     "docs_weighted_sample",
     "events_hll_overlap",
+    "docs_sampled_percentiles",
 ]
 
 

@@ -4367,3 +4367,64 @@ SELECT source, rank, doc_id, n_chars FROM ranked WHERE rank <= 5
 PIPELINE_QUERIES.update({
     "docs_weighted_sample": (q_docs_weighted_sample, SQL_WEIGHTED_SAMPLE),
 })
+
+
+def q_docs_sampled_percentiles(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Quantiles on a DETERMINISTIC hash sample — the scale path for
+    percentile work: a 1/16 portable-hash sample (the rate is the
+    knob; 1/256+ at 100 TB) followed by exact rank selection within
+    the sample. Unlike percentile_approx / DuckDB approx quantiles
+    (engine-specific sketches — the rows-only docs_sketch_stats
+    wraps those), every step here is integer-exact and
+    hash-verifiable: the sample membership is a hash equality, the
+    rank positions are floor((n-1)*p) in integer arithmetic, and
+    the outputs are actual sampled values. The per-source sort is
+    over the SAMPLE only (range-partitioned at scale); sample-vs-
+    population error is pinned by a rank-bound pytest."""
+    from linz_bde_uploader_spark.functions.hashing import hash60
+    docs = (parallelize_small(load_table(spark, sf_dir, "documents"))
+            .filter(hash60(F.col("doc_id").cast("string")) % 16 == 0)
+            .select("source", "n_chars", "doc_id"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    cw = Window.partitionBy("source")
+    ranked = (docs.withColumn("rn", F.row_number().over(w))
+              .withColumn("cnt", F.count("*").over(cw)))
+    pos = {p: F.expr(f"CAST((cnt - 1) * {p} AS BIGINT) DIV 100 + 1")
+           for p in (50, 90, 99)}
+    return (ranked.groupBy("source")
+            .agg(F.max("cnt").alias("n_sample"),
+                 F.max(F.when(F.col("rn") == pos[50],
+                              F.col("n_chars"))).alias("p50"),
+                 F.max(F.when(F.col("rn") == pos[90],
+                              F.col("n_chars"))).alias("p90"),
+                 F.max(F.when(F.col("rn") == pos[99],
+                              F.col("n_chars"))).alias("p99")))
+
+
+SQL_SAMPLED_PERCENTILES = f"""
+WITH s AS (
+  SELECT source, n_chars, doc_id
+  FROM documents
+  WHERE {sql_hash60("CAST(doc_id AS VARCHAR)")} % 16 = 0),
+r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM s)
+SELECT source, MAX(cnt) AS n_sample,
+       MAX(CASE WHEN rn = CAST((cnt - 1) * 50 AS BIGINT) // 100 + 1
+                THEN n_chars END) AS p50,
+       MAX(CASE WHEN rn = CAST((cnt - 1) * 90 AS BIGINT) // 100 + 1
+                THEN n_chars END) AS p90,
+       MAX(CASE WHEN rn = CAST((cnt - 1) * 99 AS BIGINT) // 100 + 1
+                THEN n_chars END) AS p99
+FROM r GROUP BY source
+"""
+
+
+PIPELINE_QUERIES.update({
+    "docs_sampled_percentiles": (q_docs_sampled_percentiles,
+                                 SQL_SAMPLED_PERCENTILES),
+})

@@ -192,3 +192,29 @@ def test_hll_overlap_tracks_exact(spark):
         # union <= 150 users; 4 sigma * 3 * 0.065 * 150 ~= 117
         assert abs(est - r.exact_overlap) <= 120, \
             (r.type_a, r.type_b, est, r.exact_overlap)
+
+
+def test_sampled_percentiles_rank_error(spark):
+    """The 1/16 hash sample's percentile must land near the
+    population percentile. On 1..5000 uniform values the sample is
+    ~312 rows; binomial rank sd ~= sqrt(p(1-p)/n_s) * N ~= 140 for
+    p50 — allow 4 sigma (~11%). The hash sample is FIXED, so the
+    assertion is permanent, not flaky. (The suite query runs the
+    same operator pipeline per source at sf0.01; this test supplies
+    the statistically meaningful group size.)"""
+    import duckdb
+
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        SQL_SAMPLED_PERCENTILES)
+
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW documents AS
+        SELECT 'g' AS source, range AS doc_id, range AS n_chars,
+               '' AS text, 'en' AS lang
+        FROM range(1, 5001)""")
+    (row,) = con.execute(SQL_SAMPLED_PERCENTILES).fetchall()
+    _src, n_sample, p50, p90, p99 = row
+    assert 200 <= n_sample <= 450, n_sample
+    assert abs(p50 - 2500) <= 550, p50
+    assert abs(p90 - 4500) <= 400, p90
+    assert abs(p99 - 4950) <= 250, p99
