@@ -386,6 +386,84 @@ def _topk_soak(spark, sf_dir: str) -> dict:
     return out
 
 
+def _hll_soak(spark, sf_dir: str) -> dict:
+    """Seventh IVM member measured like its siblings: a CDC batch
+    updating 1% of sf0.1 orders keys refreshes the per-status
+    ndv(o_custkey) HLL register view via maintain_hll, timed against
+    a from-scratch register rebuild of the merged table. Structural
+    claims recorded: (a) rows the recompute branch touches (groups
+    that LOST rows) vs all rows; (b) the insert-only batch touches
+    ZERO rows — pure register max-merge, the property that puts the
+    sketch between the self-maintainable family and the
+    recompute-on-loss family."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import sketches as SK
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    # fine-grained groups (per-customer, ~1.5k at sf0.1): the
+    # recompute granularity is the GROUP, so the O(changes) claim
+    # needs groups comparable to ivm_soak's — a 3-group o_orderstatus
+    # view degrades to full recompute whenever every status loses a
+    # row, which is the honest coarse-group property documented in
+    # SCALE.md, not what this soak measures
+    key, grp = "o_orderkey", "o_custkey"
+    skey = F.col(key).cast("string")
+    cur = load_table(spark, sf_dir, "orders") \
+        .select(key, grp).persist()
+    n_all = cur.count()
+    upd = cur.filter(F.col(key) % 100 == 0).persist()
+    n_upd = upd.count()
+    actions = upd.select(F.col(key).alias("key"),
+                         F.lit("U").alias("action")).persist()
+    actions.count()
+    merged = cur.join(upd.select(key), key, "left_anti") \
+        .unionByName(upd).persist()
+    merged.count()
+    old = SK.hll_registers(cur, [grp], skey).persist()
+    old.count()
+
+    out = {"rows_total": n_all, "rows_changed": n_upd}
+    t0 = _time.perf_counter()
+    regs = SK.maintain_hll(cur, upd, actions, key, [grp], skey,
+                           merged, old_regs=old)
+    out["register_rows"] = regs.count()
+    out["hll_incremental_sec"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    SK.hll_registers(merged, [grp], skey).count()
+    out["hll_full_sec"] = round(_time.perf_counter() - t0, 3)
+    # structural claim (a): the recompute branch rescans only groups
+    # that lost rows
+    touched = (cur.join(F.broadcast(actions.select(
+        F.col("key").alias(key))), key, "left_semi")
+        .select(grp).distinct())
+    n_touched_rows = merged.join(F.broadcast(touched), grp,
+                                 "left_semi").count()
+    out["rows_recomputed_partial"] = n_touched_rows
+    out["partial_over_full_rows"] = round(n_touched_rows / n_all, 4)
+    # structural claim (b): a pure-insert batch max-merges — ZERO
+    # recompute rows (no group lost a row)
+    ins = merged.filter(F.col(key) % 97 == 3) \
+        .withColumn(key, F.col(key) + 10_000_000)
+    ins_actions = ins.select(F.col(key).alias("key"),
+                             F.lit("I").alias("action"))
+    merged2 = merged.unionByName(ins)
+    t0 = _time.perf_counter()
+    SK.maintain_hll(merged, ins, ins_actions, key, [grp], skey,
+                    merged2, old_regs=old).count()
+    out["insert_only_sec"] = round(_time.perf_counter() - t0, 3)
+    rec_groups = (merged.join(F.broadcast(ins_actions.filter(
+        F.col("action").isin("D", "U", "X")).select(
+        F.col("key").alias(key))), key, "left_semi")
+        .select(grp).distinct().count())
+    out["insert_only_recomputed_groups"] = rec_groups  # must be 0
+    for d in (cur, upd, actions, merged, old):
+        d.unpersist()
+    return out
+
+
 def _join_soak(spark, sf_dir: str) -> dict:
     """Fifth IVM member measured like its siblings: a CDC batch
     updating 1% of sf0.1 orders keys refreshes the orders-customer
@@ -874,6 +952,12 @@ def main():
               file=sys.stderr)
     except Exception as e:
         detail["topk_soak"] = {"error": str(e).splitlines()[0][:300]}
+    try:
+        detail["hll_soak"] = _hll_soak(spark, sf_dir)
+        print("# hll_soak: " + json.dumps(detail["hll_soak"]),
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        detail["hll_soak"] = {"error": str(e).splitlines()[0][:300]}
     try:
         detail["join_soak"] = _join_soak(spark, sf_dir)
         print("# join_soak: " + json.dumps(detail["join_soak"]),
