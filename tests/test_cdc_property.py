@@ -362,3 +362,37 @@ def test_maintain_join_equals_direct_refresh(spark, cur, stg, chg):
             enrich(merged).collect()}
     assert got == want
     actions.unpersist()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cur=table, stg=table, chg=keys)
+def test_maintain_hll_equals_direct_refresh(spark, cur, stg, chg):
+    """The seventh IVM member over the randomized CDC state space:
+    max-merge (insert-only groups) + recompute (groups losing rows)
+    must equal a from-scratch register build over the merged state —
+    including NULL group keys, NULL sketch keys (ignored, like
+    COUNT(DISTINCT)), group-moving updates, and groups that vanish
+    entirely."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import sketches as SK
+
+    curdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(cur.items())], SCHEMA)
+    stgdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(stg.items())], SCHEMA)
+    chgdf = spark.createDataFrame(
+        [(k,) for k in sorted(chg)],
+        T.StructType([T.StructField("key", T.LongType(), False)]))
+    actions = M.classify_actions(curdf, stgdf, chgdf, "id",
+                                 ["id", "a", "b"])
+    merged = M.apply_actions(curdf, stgdf, actions, "id")
+    skey = F.col("a").cast("string")   # nullable sketch key
+    old = SK.hll_registers(curdf, ["b"], skey)
+    got = {(r["b"], r.idx): r.m for r in
+           SK.maintain_hll(curdf, stgdf, actions, "id", ["b"], skey,
+                           merged, old_regs=old).collect()}
+    want = {(r["b"], r.idx): r.m for r in
+            SK.hll_registers(merged, ["b"], skey).collect()}
+    assert got == want
