@@ -142,6 +142,7 @@ HEADLINE = [
     "docs_weighted_sample",
     "events_hll_overlap",
     "docs_sampled_percentiles",
+    "events_window_hll",
 ]
 
 

@@ -1678,3 +1678,60 @@ ANALYTICS_QUERIES.update({
     "events_hll_overlap": (q_events_hll_overlap,
                            _sql_events_hll_overlap()),
 })
+
+
+def q_events_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling hour — the windowed face of the
+    sketch family (streaming dashboards maintain exactly this by
+    max-merging each micro-batch's register delta; registers make
+    the window state fixed-size instead of one-entry-per-user).
+    Hour buckets via date_trunc on both engines (identical
+    boundaries); the estimate hash-matches the oracle like every
+    sketch query, with exact_ndv as the side-car."""
+    from linz_bde_uploader_spark.operators.sketches import hll_distinct
+    ev = (load_table(spark, sf_dir, "events")
+          .filter("user_id IS NOT NULL AND ts IS NOT NULL")
+          .select(F.date_format(
+              F.date_trunc("hour", F.col("ts").cast("timestamp")),
+              "yyyy-MM-dd HH:mm:ss").alias("hour"),
+              F.col("user_id").cast("string").alias("key")))
+    est = hll_distinct(ev, ["hour"], F.col("key"))
+    exact = ev.groupBy("hour").agg(
+        F.countDistinct("key").alias("exact_ndv"))
+    return exact.join(est, "hour").select(
+        "hour", "exact_ndv", "hll_est_micro")
+
+
+def _sql_events_window_hll() -> str:
+    from linz_bde_uploader_spark.functions.hashing import sql_hash60
+    from linz_bde_uploader_spark.operators.sketches import (
+        _P52, _P53, hll_est_micro_sql)
+    return f"""
+WITH ev AS (
+  SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                  '%Y-%m-%d %H:%M:%S') AS hour,
+         CAST(user_id AS VARCHAR) AS key
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+hashed AS (SELECT hour, {sql_hash60('key')} AS h FROM ev),
+mx AS (
+  SELECT hour, h // {_P52} AS idx,
+         MAX(CASE WHEN h % {_P52} = 0 THEN 53
+                  ELSE 53 - length(bin(h % {_P52})) END) AS m
+  FROM hashed GROUP BY hour, h // {_P52}),
+agg AS (
+  SELECT hour,
+         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+           + (256 - COUNT(*)) * {int(_P53)} AS s,
+         256 - COUNT(*) AS v
+  FROM mx GROUP BY hour),
+ex AS (SELECT hour, COUNT(DISTINCT key) AS exact_ndv
+       FROM ev GROUP BY hour)
+SELECT hour, exact_ndv, {hll_est_micro_sql('s', 'v')} AS hll_est_micro
+FROM agg JOIN ex USING (hour)
+"""
+
+
+ANALYTICS_QUERIES.update({
+    "events_window_hll": (q_events_window_hll,
+                          _sql_events_window_hll()),
+})

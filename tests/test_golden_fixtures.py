@@ -368,3 +368,35 @@ def test_golden_kmv_estimate_pure_python(spark):
     (row,) = kmv_distinct(df, ["g"], F.col("k")).collect()
     assert row.kmv_est_micro == est
     assert abs(row.kmv_est_micro / 1e6 - 300) <= 0.51 * 300
+
+
+def test_golden_bigram_logprob_pure_python(spark, tmp_path):
+    """Engine-free third implementation of the bigram-LM scorer on a
+    hand-crafted fixture that exercises ALL THREE probability
+    branches: train doc (id 0) = 'a b a c'; score doc 1 = 'a b d'
+    hits the seen-bigram branch (a,b -> 1/2) and the OOV branch
+    (d -> 0.4/4); score doc 3 = 'c a' hits the backoff branch (c,a
+    unseen, a seen -> 0.4 * 2/4). Expected means computed with
+    math.log + Decimal in pure Python — independent of both the
+    Spark plan and the DuckDB oracle."""
+    import math
+    from decimal import Decimal
+
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        q_text_bigram_logprob)
+
+    _write_docs(spark, str(tmp_path), [
+        (0, "a b a c", "en", "s", 7),
+        (1, "a b d", "en", "s", 5),
+        (3, "c a", "en", "s", 3),
+    ])
+
+    def term(x):
+        return Decimal(str(round(math.log(x), 12)))
+
+    exp1 = round(float((term(1 / 2) + term(0.4 * (1 / 4))) / 2), 6)
+    exp3 = round(float(term(0.4 * (2 / 4)) / 1), 6)
+
+    got = {r.doc_id: (r.n_bigrams, r.mean_logprob) for r in
+           q_text_bigram_logprob(spark, str(tmp_path)).collect()}
+    assert got == {1: (2, exp1), 3: (1, exp3)}
