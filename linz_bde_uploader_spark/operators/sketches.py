@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from linz_bde_uploader_spark.functions.hashing import hash60, sql_hash60
+from linz_bde_uploader_spark.functions.hashing import hash60
 from linz_bde_uploader_spark.operators.topk import grouped_topk
 
 # HLL geometry: m = 2^8 = 256 registers from the top 8 bits of the
@@ -233,53 +233,3 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], key: Column,
     return per.select(
         *group_cols,
         F.expr(kmv_est_micro_sql("_cnt", "_kth")).alias(est_col))
-
-
-def sql_hll_distinct(src: str, group_cols: list[str],
-                     key_expr: str, est_col: str = "hll_est_micro",
-                     extra_select: str = "") -> str:
-    """DuckDB twin of :func:`hll_distinct` over subquery/CTE ``src``
-    (columns: group cols + the key expression's inputs). The estimate
-    expression text is shared with the Spark side by construction."""
-    g = ", ".join(group_cols)
-    h = sql_hash60(key_expr)
-    return f"""
-WITH hashed AS (
-  SELECT {g}, {h} AS h FROM {src}),
-regs AS (
-  SELECT {g}, h // {_P52} AS idx,
-         CASE WHEN h % {_P52} = 0 THEN 53
-              ELSE 53 - length(bin(h % {_P52})) END AS rho
-  FROM hashed),
-mx AS (SELECT {g}, idx, MAX(rho) AS m FROM regs GROUP BY {g}, idx),
-agg AS (
-  SELECT {g},
-         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
-           + (256 - COUNT(*)) * {int(_P53)} AS s,
-         256 - COUNT(*) AS v
-  FROM mx GROUP BY {g})
-SELECT {g}{extra_select},
-       {hll_est_micro_sql('s', 'v')} AS {est_col}
-FROM agg"""
-
-
-def sql_kmv_distinct(src: str, group_cols: list[str],
-                     key_expr: str, est_col: str = "kmv_est_micro",
-                     extra_select: str = "") -> str:
-    """DuckDB twin of :func:`kmv_distinct` (window row_number is fine
-    at oracle scale; the Spark side uses the salted two-phase rank)."""
-    g = ", ".join(group_cols)
-    h = sql_hash60(key_expr)
-    return f"""
-WITH dist AS (
-  SELECT DISTINCT {g}, {h} AS h FROM {src}),
-ranked AS (
-  SELECT {g}, h,
-         row_number() OVER (PARTITION BY {g} ORDER BY h) AS rn
-  FROM dist),
-per AS (
-  SELECT {g}, COUNT(*) AS cnt, MAX(h) AS kth
-  FROM ranked WHERE rn <= {KMV_K} GROUP BY {g})
-SELECT {g}{extra_select},
-       {kmv_est_micro_sql('cnt', 'kth')} AS {est_col}
-FROM per"""

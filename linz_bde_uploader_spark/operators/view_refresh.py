@@ -69,6 +69,11 @@ class ViewSpec:
     value_type: str = "decimal(12,2)"
     hll_key: str | None = None
 
+    def __post_init__(self):
+        if self.hll_key is not None and not self.group_cols:
+            # fail at registration, not as a silently-absent view
+            raise ValueError("ViewSpec.hll_key requires group_cols")
+
 
 def _behind(store, view_table: str, ds: str) -> bool:
     stamp = store.current_dataset(view_table)
