@@ -143,6 +143,7 @@ HEADLINE = [
     "events_hll_overlap",
     "docs_sampled_percentiles",
     "events_window_hll",
+    "events_kmv_jaccard",
 ]
 
 

@@ -1735,3 +1735,126 @@ ANALYTICS_QUERIES.update({
     "events_window_hll": (q_events_window_hll,
                           _sql_events_window_hll()),
 })
+
+
+def q_events_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-similarity: pairwise Jaccard of per-type user sets
+    from the k-minimum-values sketches alone — J ~= |L ∩ A ∩ B| / |L|
+    where L is the k smallest hashes of the UNION of the two
+    sketches (combining two KMV sketches IS taking the k smallest of
+    their union — the mergeability again). Everything here is
+    INTEGER arithmetic end to end: hashes, ranks, counts, and the
+    published micro-unit ratios (floor(x*1e6/y) via integer DIV) —
+    the only sketch query with literally zero floating-point steps.
+    exact_jaccard_micro rides along as the side-car."""
+    from linz_bde_uploader_spark.operators.sketches import KMV_K
+    from linz_bde_uploader_spark.functions.hashing import hash60
+    from linz_bde_uploader_spark.operators.topk import grouped_topk
+    ev = (load_table(spark, sf_dir, "events")
+          .filter("user_id IS NOT NULL")
+          .select("event_type", F.col("user_id").cast("string")
+                  .alias("key")))
+    dist = ev.select("event_type", hash60(F.col("key")).alias("h")) \
+             .distinct()
+    sk = grouped_topk(dist, ["event_type"], [F.col("h")], KMV_K,
+                      salt_expr=F.col("h")).select("event_type", "h")
+    types = sk.select("event_type").distinct()
+    pairs = (types.select(F.col("event_type").alias("type_a"))
+             .join(types.select(F.col("event_type").alias("type_b")),
+                   F.col("type_a") < F.col("type_b")))
+    tagged = (sk.join(F.broadcast(pairs),
+                      (F.col("event_type") == F.col("type_a"))
+                      | (F.col("event_type") == F.col("type_b")))
+              .groupBy("type_a", "type_b", "h")
+              .agg(F.max((F.col("event_type") == F.col("type_a"))
+                         .cast("int")).alias("in_a"),
+                   F.max((F.col("event_type") == F.col("type_b"))
+                         .cast("int")).alias("in_b")))
+    kmin = grouped_topk(tagged, ["type_a", "type_b"], [F.col("h")],
+                        KMV_K, salt_expr=F.col("h"))
+    est = (kmin.groupBy("type_a", "type_b")
+           .agg(F.count("*").alias("l_size"),
+                F.sum((F.col("in_a") * F.col("in_b"))).alias("inter")))
+    ex_users = ev.distinct()
+    ea = ex_users.withColumnRenamed("event_type", "type_a")
+    eb = ex_users.withColumnRenamed("event_type", "type_b")
+    exact = (ea.join(eb, "key")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count("*").alias("n_inter")))
+    sizes = ev.distinct().groupBy("event_type").agg(
+        F.count("*").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("n_b"))
+    return (est.join(exact, ["type_a", "type_b"])
+            .join(sa, "type_a").join(sb, "type_b")
+            .select(
+                "type_a", "type_b",
+                F.expr("(n_inter * 1000000) DIV "
+                       "(n_a + n_b - n_inter)")
+                .alias("exact_jaccard_micro"),
+                F.expr("(inter * 1000000) DIV l_size")
+                .alias("kmv_jaccard_micro")))
+
+
+def _sql_events_kmv_jaccard() -> str:
+    from linz_bde_uploader_spark.functions.hashing import sql_hash60
+    from linz_bde_uploader_spark.operators.sketches import KMV_K
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS key
+  FROM events WHERE user_id IS NOT NULL),
+dist AS (
+  SELECT DISTINCT event_type, {sql_hash60('key')} AS h FROM ev),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM dist) WHERE rn <= {KMV_K}),
+types AS (SELECT DISTINCT event_type FROM sk),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type),
+tagged AS (
+  SELECT type_a, type_b, h,
+         MAX(CASE WHEN sk.event_type = pairs.type_a THEN 1 ELSE 0 END)
+           AS in_a,
+         MAX(CASE WHEN sk.event_type = pairs.type_b THEN 1 ELSE 0 END)
+           AS in_b
+  FROM sk JOIN pairs
+    ON sk.event_type = pairs.type_a OR sk.event_type = pairs.type_b
+  GROUP BY type_a, type_b, h),
+kmin AS (
+  SELECT type_a, type_b, in_a, in_b FROM (
+    SELECT type_a, type_b, in_a, in_b,
+           row_number() OVER (PARTITION BY type_a, type_b
+                              ORDER BY h) AS rn
+    FROM tagged) WHERE rn <= {KMV_K}),
+est AS (
+  SELECT type_a, type_b, COUNT(*) AS l_size,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS inter
+  FROM kmin GROUP BY type_a, type_b),
+du AS (SELECT DISTINCT event_type, key FROM ev),
+exact AS (
+  SELECT a.type_a, b.type_b, COUNT(*) AS n_inter
+  FROM (SELECT event_type AS type_a, key FROM du) a
+  JOIN (SELECT event_type AS type_b, key FROM du) b USING (key)
+  WHERE a.type_a < b.type_b GROUP BY a.type_a, b.type_b),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type)
+SELECT type_a, type_b,
+       (n_inter * 1000000) // (sa.n + sb.n - n_inter)
+         AS exact_jaccard_micro,
+       (inter * 1000000) // l_size AS kmv_jaccard_micro
+FROM est
+JOIN exact USING (type_a, type_b)
+JOIN sizes sa ON sa.event_type = est.type_a
+JOIN sizes sb ON sb.event_type = est.type_b
+"""
+
+
+ANALYTICS_QUERIES.update({
+    "events_kmv_jaccard": (q_events_kmv_jaccard,
+                           _sql_events_kmv_jaccard()),
+})

@@ -218,3 +218,20 @@ def test_sampled_percentiles_rank_error(spark):
     assert abs(p50 - 2500) <= 550, p50
     assert abs(p90 - 4500) <= 400, p90
     assert abs(p99 - 4950) <= 250, p99
+
+
+def test_kmv_jaccard_tracks_exact(spark):
+    """The KMV Jaccard estimator (|L ∩ A ∩ B| / |L| over the merged
+    k-min sketch) is a binomial draw of k=64 samples: sd =
+    sqrt(J(1-J)/64) <= 0.0625. Allow 4 sigma (0.25) against the
+    exact Jaccard — and require the two columns to be integer
+    micro-units (the query's zero-float claim)."""
+    from linz_bde_uploader_spark.plans.analytics_suite import (
+        q_events_kmv_jaccard)
+
+    rows = q_events_kmv_jaccard(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert isinstance(r.kmv_jaccard_micro, int)
+        assert abs(r.kmv_jaccard_micro - r.exact_jaccard_micro) \
+            <= 250_000, (r.type_a, r.type_b)
