@@ -144,6 +144,7 @@ HEADLINE = [
     "docs_sampled_percentiles",
     "events_window_hll",
     "events_kmv_jaccard",
+    "text_cms_freq",
 ]
 
 

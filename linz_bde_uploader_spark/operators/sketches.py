@@ -233,3 +233,66 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], key: Column,
     return per.select(
         *group_cols,
         F.expr(kmv_est_micro_sql("_cnt", "_kth")).alias(est_col))
+
+
+# Count-min sketch: d independent hash rows x w counters. Point
+# estimate = min over rows (one-sided: never underestimates).
+CMS_D = 4
+CMS_W = 1024
+
+
+def cms_counter_expr(row: int, key: str = "tok") -> str:
+    """Spark-SQL counter index of ``key`` in hash row ``row``:
+    md5-derived 32-bit slice mod w, a distinct salt prefix per row
+    making the rows independent hashes. The hex-to-int step is the
+    one place the two engines need different TEXT (Spark ``conv``,
+    DuckDB ``CAST('0x'||..)``) — same paired-form convention as
+    functions/hashing.py, bit-identical values."""
+    h = (f"CAST(conv(substring(md5(CONCAT('{row}:', {key})), "
+         f"25, 8), 16, 10) AS BIGINT)")
+    return f"({h} % {CMS_W})"
+
+
+def sql_cms_counter_expr(row: int, key: str = "tok") -> str:
+    """DuckDB rendering of :func:`cms_counter_expr`."""
+    h = (f"CAST('0x' || substring(md5(CONCAT('{row}:', {key})), "
+         f"25, 8) AS BIGINT)")
+    return f"({h} % {CMS_W})"
+
+
+def cms_build(toks: DataFrame, token_col: str = "tok") -> DataFrame:
+    """Count-min sketch of a token stream: ``(row, idx, c)`` counter
+    table, d x w = 4096 integer cells regardless of input size — the
+    frequency-estimation sibling of the HLL registers (cardinality)
+    and KMV minima (similarity). Counters are SUMS, so sketches
+    merge by union + groupBy-sum (fully mergeable, partial
+    aggregation map-side); the whole build is one explode(d) + one
+    combinable groupBy, no UDF/window/collect."""
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 F.expr(cms_counter_expr(i, token_col)).alias("idx"))
+        for i in range(CMS_D)])
+    return (toks.select(F.col(token_col).alias("tok"),
+                        F.explode(rows).alias("cell"))
+            .groupBy(F.col("cell.row").alias("row"),
+                     F.col("cell.idx").alias("idx"))
+            .agg(F.count("*").alias("c")))
+
+
+def cms_lookup(cms: DataFrame, probes: DataFrame,
+               token_col: str = "tok") -> DataFrame:
+    """Point-frequency estimates for ``probes`` (a small DataFrame of
+    tokens): min over the d rows of each token's counter. The probe
+    side is broadcast; the sketch is 4096 rows — the lookup never
+    touches the original stream. One-sided error: estimates are
+    >= the true count, over by at most ~2N/w with high probability."""
+    joined = None
+    for i in range(CMS_D):
+        p = (probes.select(F.col(token_col).alias("tok"))
+             .withColumn("row", F.lit(i))
+             .withColumn("idx", F.expr(cms_counter_expr(i, "tok"))))
+        joined = p if joined is None else joined.unionByName(p)
+    return (F.broadcast(joined).join(cms, ["row", "idx"], "left")
+            .groupBy("tok")
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .alias("cms_count")))

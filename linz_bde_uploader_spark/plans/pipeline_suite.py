@@ -4428,3 +4428,60 @@ PIPELINE_QUERIES.update({
     "docs_sampled_percentiles": (q_docs_sampled_percentiles,
                                  SQL_SAMPLED_PERCENTILES),
 })
+
+
+def q_text_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term frequencies vs exact counts for the ten
+    most frequent tokens — the FREQUENCY member of the deterministic
+    sketch family (HLL: cardinality, KMV: similarity, CMS: point
+    frequency). The sketch is 4 x 1024 integer counters built in one
+    explode + one combinable groupBy; lookups broadcast the probe
+    set against the 4096-row sketch and never touch the corpus
+    again. Everything is integer arithmetic (md5-derived counter
+    indexes, count sums, min-over-rows), so the oracle hash-matches
+    with no IEEE caveats; CMS error is one-sided (cms_count >=
+    exact_count, over by ~2N/w w.h.p.), pinned in pytest."""
+    from linz_bde_uploader_spark.operators.sketches import (
+        cms_build, cms_lookup)
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    cms = cms_build(toks)
+    probes = (toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+              .orderBy(F.col("exact_count").desc(), F.col("tok"))
+              .limit(10))
+    est = cms_lookup(cms, probes)
+    return probes.join(est, "tok").select(
+        "tok", "exact_count", "cms_count")
+
+
+def _sql_text_cms_freq() -> str:
+    from linz_bde_uploader_spark.operators.sketches import (
+        CMS_D, sql_cms_counter_expr)
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS row, {sql_cms_counter_expr(i, 'tok')} AS idx, "
+        f"tok FROM toks" for i in range(CMS_D))
+    pcells = " UNION ALL ".join(
+        f"SELECT tok, {i} AS row, {sql_cms_counter_expr(i, 'tok')} "
+        f"AS idx FROM probes" for i in range(CMS_D))
+    return rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents),
+cells AS ({cells}),
+cms AS (SELECT row, idx, COUNT(*) AS c FROM cells GROUP BY row, idx),
+probes AS (
+  SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok
+  ORDER BY exact_count DESC, tok LIMIT 10),
+pcells AS ({pcells}),
+lookup AS (
+  SELECT tok, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS cms_count
+  FROM pcells LEFT JOIN cms USING (row, idx) GROUP BY tok)
+SELECT tok, exact_count, cms_count
+FROM probes JOIN lookup USING (tok)
+"""
+
+
+PIPELINE_QUERIES.update({
+    "text_cms_freq": (q_text_cms_freq, _sql_text_cms_freq()),
+})

@@ -235,3 +235,31 @@ def test_kmv_jaccard_tracks_exact(spark):
         assert isinstance(r.kmv_jaccard_micro, int)
         assert abs(r.kmv_jaccard_micro - r.exact_jaccard_micro) \
             <= 250_000, (r.type_a, r.type_b)
+
+
+def test_cms_one_sided_error(spark):
+    """Count-min guarantees: the estimate NEVER undercounts, and
+    overcounts by at most ~2N/w with high probability (N tokens,
+    w=1024 counters, min over 4 rows). Checked for EVERY distinct
+    token of the sf0.01 corpus, not just the probe set — the
+    never-undercount property is structural and must hold
+    universally."""
+    from linz_bde_uploader_spark.operators.sketches import (
+        cms_build, cms_lookup)
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    toks = (load_table(spark, SF_DIR, "documents")
+            .select(F.explode(F.split(F.trim("text"), r"\s+"))
+                    .alias("tok")))
+    n_total = toks.count()
+    cms = cms_build(toks)
+    assert cms.count() <= 4 * 1024
+    exact = toks.groupBy("tok").count()
+    est = cms_lookup(cms, exact.select("tok"))
+    joined = {r.tok: (r["count"], r.cms_count) for r in
+              exact.join(est, "tok").collect()}
+    assert joined
+    bound = 4 * (2 * n_total / 1024)  # 4x the Markov bound, generous
+    for tok, (ex, cm) in joined.items():
+        assert cm >= ex, (tok, ex, cm)          # one-sided, always
+        assert cm - ex <= bound, (tok, ex, cm)  # w.h.p. overcount cap
