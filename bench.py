@@ -145,6 +145,7 @@ HEADLINE = [
     "events_window_hll",
     "events_kmv_jaccard",
     "text_cms_freq",
+    "text_cms_heavy_hitters",
 ]
 
 

@@ -4485,3 +4485,53 @@ FROM probes JOIN lookup USING (tok)
 PIPELINE_QUERIES.update({
     "text_cms_freq": (q_text_cms_freq, _sql_text_cms_freq()),
 })
+
+
+def q_text_cms_heavy_hitters(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """EXACT heavy hitters through a lossless sketch prefilter — the
+    two-pass pattern that makes exact frequency thresholds affordable
+    at 100 TB: pass 1 builds the 4x1024 CMS; pass 2 computes exact
+    counts ONLY for tokens whose CMS estimate clears the threshold.
+    CMS never undercounts, so the prefilter has NO false negatives —
+    the result is exactly the true heavy-hitter set (false positives
+    just cost a little pass-2 work, bounded by the sketch's ~2N/w
+    overcount). The oracle is the plain exact computation, which is
+    the point: sketch-accelerated Spark plan, sketch-free SQL truth.
+    Threshold: tokens appearing in >= 1/200 of all token positions."""
+    from linz_bde_uploader_spark.operators.sketches import (
+        cms_build, cms_lookup)
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    cms = cms_build(toks)
+    # pass 2 candidates: distinct tokens whose CMS clears N/200
+    cand = (cms_lookup(cms, toks.select("tok").distinct())
+            .join(F.broadcast(total))
+            .filter(F.col("cms_count") * 200 >= F.col("n_total"))
+            .select("tok"))
+    exact = (toks.join(F.broadcast(cand), "tok")
+             .groupBy("tok").agg(F.count("*").alias("n"))
+             .join(F.broadcast(total))
+             .filter(F.col("n") * 200 >= F.col("n_total"))
+             .select("tok", "n"))
+    return exact
+
+
+SQL_CMS_HEAVY_HITTERS = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents),
+total AS (SELECT COUNT(*) AS n_total FROM toks)
+SELECT tok, COUNT(*) AS n
+FROM toks, total
+GROUP BY tok, n_total
+HAVING COUNT(*) * 200 >= n_total
+"""
+
+
+PIPELINE_QUERIES.update({
+    "text_cms_heavy_hitters": (q_text_cms_heavy_hitters,
+                               SQL_CMS_HEAVY_HITTERS),
+})
