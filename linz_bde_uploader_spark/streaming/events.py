@@ -701,3 +701,51 @@ def stream_drift_monitor(spark: SparkSession, src_dir: str, store,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_hll_counts(spark: SparkSession, src_dir: str, store,
+                      table: str, checkpoint: str, schema,
+                      ts_col: str = "ts", key_col: str = "user_id"
+                      ) -> None:
+    """Continuously-maintained windowed distinct-count sketch: a
+    file-source stream of event batches folds into a persistent
+    ``(hour, idx, m)`` HLL register table via foreachBatch
+    (availableNow trigger, the drain-what's-there contract). Read
+    estimates with ``operators.sketches.hll_estimate``.
+
+    The state story is the cleanest in the streaming family:
+    register max-merge is IDEMPOTENT and commutative, so
+    foreachBatch's at-least-once redelivery needs NO replay guard —
+    re-merging a delivered batch changes nothing (max(a, a) = a),
+    unlike the additive views whose double-apply the dataset-stamp
+    guard exists to prevent. Window state is fixed-size (256
+    registers per hour, integers) instead of one-entry-per-user,
+    which is what lets an unbounded-cardinality stream keep a
+    bounded distinct-count dashboard."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.sketches import hll_registers
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        keyed = (batch.filter(F.col(key_col).isNotNull()
+                              & F.col(ts_col).isNotNull())
+                 .select(F.date_format(
+                     F.date_trunc("hour",
+                                  F.col(ts_col).cast("timestamp")),
+                     "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                     F.col(key_col).cast("string").alias("key")))
+        regs = hll_registers(keyed, ["hour"], F.col("key"))
+        if store.exists(table):
+            regs = (store.read(spark, table).unionByName(regs)
+                    .groupBy("hour", "idx").agg(F.max("m").alias("m")))
+        store.write(table, regs, key="hour")
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
