@@ -114,10 +114,9 @@ _DRIVER_FIRST = [
     # — yielded their slots to the four r13-new rows above.)
     # --- 50-slot cutoff lands here. events_window_hll,
     # events_kmv_jaccard, text_cms_freq and text_cms_heavy_hitters
-    # (r13-new, local
-    # exact/pandas green, FAST-covered) wait below the cutoff —
-    # first r14 rotation candidates; nine r13-new rows already took
-    # slots this round. Deferred entries hold >=2 driver
+    # (r13-new, local exact/pandas green, FAST-covered) wait below
+    # the cutoff — first r14 rotation candidates; nine r13-new rows
+    # already took slots this round. Deferred entries hold >=2 driver
     # greens with the most recent in r6-r8, stay covered by the
     # sf0.001 FAST_QUERIES pytest differential, and are green under
     # the local check_oracle --exact --pandas gate, which r7/r8 proved
