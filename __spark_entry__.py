@@ -113,7 +113,8 @@ _DRIVER_FIRST = [
     # and dedup_jaccard — 5 greens, ADDED to FAST_QUERIES this round
     # — yielded their slots to the four r13-new rows above.)
     # --- 50-slot cutoff lands here. events_window_hll,
-    # events_kmv_jaccard, text_cms_freq and text_cms_heavy_hitters
+    # events_kmv_jaccard, text_cms_freq, text_cms_heavy_hitters and
+    # cdc_cms_refresh (the 8th IVM member, linear-sketch branch)
     # (r13-new, local exact/pandas green, FAST-covered) wait below
     # the cutoff — first r14 rotation candidates; nine r13-new rows
     # already took slots this round. Deferred entries hold >=2 driver

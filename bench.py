@@ -146,6 +146,7 @@ HEADLINE = [
     "events_kmv_jaccard",
     "text_cms_freq",
     "text_cms_heavy_hitters",
+    "cdc_cms_refresh",
 ]
 
 

@@ -267,13 +267,15 @@ def cms_build(toks: DataFrame, token_col: str = "tok") -> DataFrame:
     and KMV minima (similarity). Counters are SUMS, so sketches
     merge by union + groupBy-sum (fully mergeable, partial
     aggregation map-side); the whole build is one explode(d) + one
-    combinable groupBy, no UDF/window/collect."""
+    combinable groupBy, no UDF/window/collect. NULL tokens are
+    ignored (COUNT-of-occurrences semantics)."""
     rows = F.array(*[
         F.struct(F.lit(i).alias("row"),
                  F.expr(cms_counter_expr(i, token_col)).alias("idx"))
         for i in range(CMS_D)])
-    return (toks.select(F.col(token_col).alias("tok"),
-                        F.explode(rows).alias("cell"))
+    return (toks.filter(F.col(token_col).isNotNull())
+            .select(F.col(token_col).alias("tok"),
+                    F.explode(rows).alias("cell"))
             .groupBy(F.col("cell.row").alias("row"),
                      F.col("cell.idx").alias("idx"))
             .agg(F.count("*").alias("c")))
@@ -296,3 +298,40 @@ def cms_lookup(cms: DataFrame, probes: DataFrame,
             .groupBy("tok")
             .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
                  .alias("cms_count")))
+
+
+def maintain_cms(current: DataFrame, staged: DataFrame,
+                 actions: DataFrame, key: str, sketch_key: Column,
+                 old_cms: DataFrame) -> DataFrame:
+    """Incremental maintenance of a CMS counter view through a CDC
+    merge — and the reason it completes the IVM taxonomy: CMS is a
+    LINEAR sketch (counters are sums), so it is FULLY
+    self-maintainable, like count/sum aggregates and unlike the
+    max-based HLL registers. Removed rows' cells subtract, added
+    rows' cells add, and there is NO recompute branch at any
+    granularity — deletes are as cheap as inserts, the property
+    max-sketches structurally cannot have (maintain_hll recomputes
+    groups that lose rows because max has no inverse; sums do).
+    O(|changed rows| x d) cell deltas against the 4096-row view.
+    Cells that return to zero are dropped so the maintained table
+    stays identical to a from-scratch build."""
+    from linz_bde_uploader_spark.operators.merge import (
+        ACTION_DELETE, ACTION_INSERT, ACTION_KEY_CHANGE, ACTION_UPDATE)
+    del_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    ins_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    removed = cms_build(
+        current.join(del_keys, key, "left_semi")
+        .select(sketch_key.alias("tok"))) \
+        .withColumn("c", -F.col("c"))
+    added = cms_build(
+        staged.join(ins_keys, key, "left_semi")
+        .select(sketch_key.alias("tok")))
+    return (old_cms.unionByName(added).unionByName(removed)
+            .groupBy("row", "idx").agg(F.sum("c").alias("c"))
+            .filter(F.col("c") > 0))

@@ -852,3 +852,49 @@ FROM hashed GROUP BY o_orderstatus, h // {_P52}
 ENGINE_QUERIES.update({
     "cdc_hll_refresh": (q_cdc_hll_refresh, _sql_cdc_hll()),
 })
+
+
+def q_cdc_cms_refresh(spark, sf_dir: str):
+    """Incremental maintenance of a count-min frequency view through
+    the CDC merge — the LINEAR branch of the sketch-IVM taxonomy
+    (operators/sketches.maintain_cms): counters are sums, so the
+    view is FULLY self-maintainable — removed rows' cells subtract,
+    added rows' cells add, no recompute branch at any granularity
+    (deletes are as cheap as inserts; contrast maintain_hll, whose
+    max registers have no inverse). The maintained 4x1024 counter
+    table over o_custkey occurrences is published raw; the oracle
+    rebuilds it from the merged state, so a hash match proves the
+    delta arithmetic exactly equals a full rebuild — pure integers
+    end to end."""
+    from linz_bde_uploader_spark.operators import sketches as SK
+    cur, stg, chg = cdc_frames(spark, sf_dir)
+    actions = M.classify_actions(cur, stg, chg, "o_orderkey",
+                                 ORDER_COLS).cache()
+    skey = F.col("o_custkey").cast("string")
+    old = SK.cms_build(cur.select(skey.alias("tok")))
+    return SK.maintain_cms(cur, stg, actions, "o_orderkey", skey, old)
+
+
+def _sql_cdc_cms() -> str:
+    from linz_bde_uploader_spark.operators.sketches import (
+        CMS_D, sql_cms_counter_expr)
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS row, "
+        f"{sql_cms_counter_expr(i, 'CAST(o_custkey AS VARCHAR)')} "
+        f"AS idx FROM merged WHERE o_custkey IS NOT NULL"
+        for i in range(CMS_D))
+    return f"""WITH {_CDC_CTES},
+merged AS (
+  SELECT o_custkey FROM cur
+  WHERE o_orderkey NOT IN (SELECT key FROM act WHERE action IN ('D','U','X'))
+  UNION ALL
+  SELECT o_custkey FROM stg
+  WHERE o_orderkey IN (SELECT key FROM act WHERE action IN ('I','U','X'))),
+cells AS ({cells})
+SELECT row, idx, COUNT(*) AS c FROM cells GROUP BY row, idx
+"""
+
+
+ENGINE_QUERIES.update({
+    "cdc_cms_refresh": (q_cdc_cms_refresh, _sql_cdc_cms()),
+})

@@ -396,3 +396,37 @@ def test_maintain_hll_equals_direct_refresh(spark, cur, stg, chg):
     want = {(r["b"], r.idx): r.m for r in
             SK.hll_registers(merged, ["b"], skey).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cur=table, stg=table, chg=keys)
+def test_maintain_cms_equals_direct_refresh(spark, cur, stg, chg):
+    """The linear-sketch IVM branch over the randomized CDC state
+    space: pure delta arithmetic (subtract removed cells, add added
+    cells, drop zeros) must equal a from-scratch CMS of the merged
+    state — including NULL sketch keys (ignored) and rows that churn
+    through updates. No recompute branch exists to fall back on, so
+    this equality IS the operator."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import sketches as SK
+
+    curdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(cur.items())], SCHEMA)
+    stgdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(stg.items())], SCHEMA)
+    chgdf = spark.createDataFrame(
+        [(k,) for k in sorted(chg)],
+        T.StructType([T.StructField("key", T.LongType(), False)]))
+    actions = M.classify_actions(curdf, stgdf, chgdf, "id",
+                                 ["id", "a", "b"])
+    merged = M.apply_actions(curdf, stgdf, actions, "id")
+    skey = F.col("a").cast("string")
+    old = SK.cms_build(curdf.select(skey.alias("tok")))
+    got = {(r.row, r.idx): r.c for r in
+           SK.maintain_cms(curdf, stgdf, actions, "id", skey,
+                           old).collect()}
+    want = {(r.row, r.idx): r.c for r in
+            SK.cms_build(merged.select(skey.alias("tok"))).collect()}
+    assert got == want
