@@ -114,7 +114,8 @@ _DRIVER_FIRST = [
     # — yielded their slots to the four r13-new rows above.)
     # --- 50-slot cutoff lands here. events_window_hll,
     # events_kmv_jaccard, text_cms_freq, text_cms_heavy_hitters and
-    # cdc_cms_refresh (the 8th IVM member, linear-sketch branch)
+    # cdc_cms_refresh (the 8th IVM member, linear-sketch branch) and
+    # events_hll_rollup (the sketch-cube pattern)
     # (r13-new, local exact/pandas green, FAST-covered) wait below
     # the cutoff — first r14 rotation candidates; nine r13-new rows
     # already took slots this round. Deferred entries hold >=2 driver

@@ -147,6 +147,7 @@ HEADLINE = [
     "text_cms_freq",
     "text_cms_heavy_hitters",
     "cdc_cms_refresh",
+    "events_hll_rollup",
 ]
 
 

@@ -1858,3 +1858,84 @@ ANALYTICS_QUERIES.update({
     "events_kmv_jaccard": (q_events_kmv_jaccard,
                            _sql_events_kmv_jaccard()),
 })
+
+
+def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-CUBE pattern: build HLL registers ONCE at the fine
+    (event_type, day) grain, then derive BOTH the fine estimates and
+    the per-type rollup from that same register table — the coarse
+    registers are just the per-register MAX across days (register
+    max-rollup is algebraically exact: max over a union is the max
+    of maxes; pinned by test_hll_rollup_equals_direct). At 100 TB
+    this is how a sketch warehouse works: one pass over the events
+    materializes the finest grain, and every coarser granularity
+    aggregates 256-int register rows, never the corpus. Output is
+    long-form: grain='day' rows and grain='type' rollup rows."""
+    from linz_bde_uploader_spark.operators.sketches import (
+        hll_estimate, hll_registers)
+    ev = (load_table(spark, sf_dir, "events")
+          .filter("user_id IS NOT NULL AND ts IS NOT NULL")
+          .select("event_type",
+                  F.date_format(F.col("ts").cast("timestamp"),
+                                "yyyy-MM-dd").alias("day"),
+                  F.col("user_id").cast("string").alias("key")))
+    fine = hll_registers(ev, ["event_type", "day"], F.col("key"))
+    fine_est = (hll_estimate(fine, ["event_type", "day"])
+                .select("event_type", "day",
+                        F.lit("day").alias("grain"), "hll_est_micro"))
+    coarse = (fine.groupBy("event_type", "idx")
+              .agg(F.max("m").alias("m")))
+    coarse_est = (hll_estimate(coarse, ["event_type"])
+                  .select("event_type",
+                          F.lit("ALL").alias("day"),
+                          F.lit("type").alias("grain"),
+                          "hll_est_micro"))
+    return fine_est.unionByName(coarse_est)
+
+
+def _sql_events_hll_rollup() -> str:
+    from linz_bde_uploader_spark.functions.hashing import sql_hash60
+    from linz_bde_uploader_spark.operators.sketches import (
+        _P52, _P53, hll_est_micro_sql)
+    est = hll_est_micro_sql("s", "v")
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         CAST(user_id AS VARCHAR) AS key
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+hashed AS (
+  SELECT event_type, day, {sql_hash60('key')} AS h FROM ev),
+fine AS (
+  SELECT event_type, day, h // {_P52} AS idx,
+         MAX(CASE WHEN h % {_P52} = 0 THEN 53
+                  ELSE 53 - length(bin(h % {_P52})) END) AS m
+  FROM hashed GROUP BY event_type, day, h // {_P52}),
+fine_agg AS (
+  SELECT event_type, day,
+         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+           + (256 - COUNT(*)) * {int(_P53)} AS s,
+         256 - COUNT(*) AS v
+  FROM fine GROUP BY event_type, day),
+coarse AS (
+  SELECT event_type, idx, MAX(m) AS m
+  FROM fine GROUP BY event_type, idx),
+coarse_agg AS (
+  SELECT event_type,
+         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+           + (256 - COUNT(*)) * {int(_P53)} AS s,
+         256 - COUNT(*) AS v
+  FROM coarse GROUP BY event_type)
+SELECT event_type, day, 'day' AS grain, {est} AS hll_est_micro
+FROM fine_agg
+UNION ALL
+SELECT event_type, 'ALL' AS day, 'type' AS grain,
+       {est} AS hll_est_micro
+FROM coarse_agg
+"""
+
+
+ANALYTICS_QUERIES.update({
+    "events_hll_rollup": (q_events_hll_rollup,
+                          _sql_events_hll_rollup()),
+})

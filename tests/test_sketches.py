@@ -263,3 +263,28 @@ def test_cms_one_sided_error(spark):
     for tok, (ex, cm) in joined.items():
         assert cm >= ex, (tok, ex, cm)          # one-sided, always
         assert cm - ex <= bound, (tok, ex, cm)  # w.h.p. overcount cap
+
+
+def test_hll_rollup_equals_direct(spark):
+    """Register max-rollup is algebraically EXACT, not approximate:
+    rolling the (type, day) registers up to type by per-register max
+    must be bit-identical to building type-grain registers directly
+    from the events (max over a union == max of maxes). This is the
+    identity the sketch-cube pattern (events_hll_rollup) rests on."""
+    from linz_bde_uploader_spark.plans.tables import load_table
+    from linz_bde_uploader_spark.operators.sketches import hll_registers
+
+    ev = (load_table(spark, SF_DIR, "events")
+          .filter("user_id IS NOT NULL AND ts IS NOT NULL")
+          .select("event_type",
+                  F.date_format(F.col("ts").cast("timestamp"),
+                                "yyyy-MM-dd").alias("day"),
+                  F.col("user_id").cast("string").alias("key")))
+    fine = hll_registers(ev, ["event_type", "day"], F.col("key"))
+    rolled = {(r.event_type, r.idx): r.m for r in
+              fine.groupBy("event_type", "idx")
+              .agg(F.max("m").alias("m")).collect()}
+    direct = {(r.event_type, r.idx): r.m for r in
+              hll_registers(ev, ["event_type"],
+                            F.col("key")).collect()}
+    assert rolled == direct and len(direct) > 200

@@ -46,7 +46,7 @@ FAST_QUERIES = [
     "cdc_hll_refresh", "docs_weighted_sample", "events_hll_overlap",
     "docs_sampled_percentiles", "events_window_hll",
     "events_kmv_jaccard", "text_cms_freq", "text_cms_heavy_hitters",
-    "cdc_cms_refresh",
+    "cdc_cms_refresh", "events_hll_rollup",
     # rotated out of the driver top-50 in r13 (compensating coverage;
     # dedup_simhash and q1_pricing_summary, also rotated out, were
     # already listed above)
