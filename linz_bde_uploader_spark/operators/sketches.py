@@ -1,4 +1,6 @@
-"""Deterministic distinct-count sketches (HyperLogLog, KMV).
+"""Deterministic sketches: HyperLogLog (cardinality), KMV
+(similarity), count-min (frequency) — plus their IVM forms
+(maintain_hll: max-branch, maintain_cms: linear branch).
 
 Exact ``COUNT(DISTINCT x)`` is the classic 100 TB scale-killer: it
 shuffles every distinct key. These sketches compress the distinct set

@@ -1,8 +1,11 @@
 """Structured Streaming operators.
 
 The reference is strictly batch (SURVEY.md §2.8) — its "incremental"
-mode is batch CDC gated by watermark columns. Two streaming surfaces
-are still natural re-expressions:
+mode is batch CDC gated by watermark columns. Several streaming
+surfaces are still natural re-expressions (the upload loop itself —
+``streaming_cdc_upload`` with maintained views, the dedup-on-ingest
+drain, the windowed distinct-count sketch ``stream_hll_counts`` —
+plus the event-analytics operators below):
 
 1. ``stream_repository`` — the poll-run loop over the BDE repository
    as a file stream with the ``availableNow`` trigger: each trigger
