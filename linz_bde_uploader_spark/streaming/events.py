@@ -752,3 +752,49 @@ def stream_hll_counts(spark: SparkSession, src_dir: str, store,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_cms_counts(spark: SparkSession, src_dir: str, store,
+                      table: str, checkpoint: str, schema,
+                      token_col: str = "event_type") -> None:
+    """Continuously-maintained count-min frequency sketch — the
+    ADDITIVE counterpart of ``stream_hll_counts``, and the reason
+    the two exist side by side: CMS counters fold by SUM, and sums
+    are NOT idempotent, so at-least-once redelivery would
+    double-count without a guard. The guard here is the canonical
+    Structured Streaming idempotent-sink pattern: foreachBatch's
+    ``batch_id`` is monotone per checkpoint, so the sink records the
+    last folded id in the store pointer's meta and skips any batch
+    at or below it. (Contrast the HLL stream, whose max-merge needs
+    NO guard; and the CDC upload views, whose guard is the
+    dataset stamp because datasets — not batch ids — are their
+    replay unit.) The checkpoint and the sink state travel together,
+    per the standard foreachBatch contract: discarding the
+    checkpoint while keeping the table makes earlier file batches
+    replay with already-folded ids, which the guard then skips."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.sketches import cms_build
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if store.exists(table):
+            meta = store.table_meta(table) or {}
+            last = meta.get("last_batch_id")
+            if last is not None and batch_id <= last:
+                return  # redelivered batch: already folded
+        delta = cms_build(batch.select(F.col(token_col).alias("tok")))
+        if store.exists(table):
+            delta = (store.read(spark, table).unionByName(delta)
+                     .groupBy("row", "idx").agg(F.sum("c").alias("c")))
+        store.write(table, delta, key="idx",
+                    meta={"last_batch_id": batch_id})
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -1363,3 +1363,50 @@ def test_stream_hll_counts(spark, tmp_path):
     assert set(est) == set(exact)
     for h, nd in exact.items():
         assert abs(est[h] - nd) <= max(2.0, 0.26 * nd), (h, est[h], nd)
+
+
+def test_stream_cms_counts_guarded_against_redelivery(spark, tmp_path):
+    """The additive-sketch stream needs what the max-merge stream
+    does not: a replay guard. After each drain the stored counters
+    equal a from-scratch CMS over all events seen; a full redelivery
+    (fresh checkpoint, batch ids restart at values already folded)
+    is SKIPPED by the batch-id guard — without it the counters would
+    double."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.sketches import cms_build
+    from linz_bde_uploader_spark.plans.tables import load_table
+    from linz_bde_uploader_spark.sources.store import TableStore
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    c1 = ev.filter("event_id % 2 = 0")
+    c2 = ev.filter("event_id % 2 = 1")
+    c1.write.mode("append").parquet(src)
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    schema = ev.schema
+
+    def direct(df):
+        return {(r.row, r.idx): r.c for r in
+                cms_build(df.select(F.col("event_type").alias("tok")))
+                .collect()}
+
+    def stored():
+        return {(r.row, r.idx): r.c for r in
+                store.read(spark, "ev_cms").collect()}
+
+    STR.stream_cms_counts(spark, src, store, "ev_cms",
+                          str(tmp_path / "ck"), schema)
+    assert stored() == direct(c1)
+    assert store.table_meta("ev_cms")["last_batch_id"] == 0
+
+    c2.write.mode("append").parquet(src)
+    STR.stream_cms_counts(spark, src, store, "ev_cms",
+                          str(tmp_path / "ck"), schema)
+    assert stored() == direct(ev)
+
+    # full redelivery from a fresh checkpoint: batch id 0 <= stored
+    # last id -> skipped; counters unchanged (no double-count)
+    STR.stream_cms_counts(spark, src, store, "ev_cms",
+                          str(tmp_path / "ck2"), schema)
+    assert stored() == direct(ev)
