@@ -394,9 +394,10 @@ def _topk_soak(spark, sf_dir: str) -> dict:
 
 def _hll_soak(spark, sf_dir: str) -> dict:
     """Seventh IVM member measured like its siblings: a CDC batch
-    updating 1% of sf0.1 orders keys refreshes the per-status
-    ndv(o_custkey) HLL register view via maintain_hll, timed against
-    a from-scratch register rebuild of the merged table. Structural
+    updating 1% of sf0.1 orders keys refreshes the PER-CUSTOMER
+    ndv(o_orderkey) HLL register view via maintain_hll (fine-grained
+    groups — see the inline note), timed against a from-scratch
+    register rebuild of the merged table. Structural
     claims recorded: (a) rows the recompute branch touches (groups
     that LOST rows) vs all rows; (b) the insert-only batch touches
     ZERO rows — pure register max-merge, the property that puts the

@@ -372,7 +372,13 @@ def weighted_sample(df: DataFrame, group_cols: list[str],
     u = (hash60(F.col(id_col).cast("string")) + F.lit(1)) \
         .cast("double") / F.lit(1152921504606846976.0)
     sk = F.round(F.log(u), 12) / F.col(weight_col).cast("double")
-    keyed = df.withColumn("_sk", sk)
+    # Guard the contract, not just the caller: a NULL or w <= 0
+    # weight would produce a NULL/inverted sort key and silently
+    # corrupt the sample's weight-proportionality. A-Res is defined
+    # over positive weights only, so such rows are excluded here.
+    keyed = (df.filter(F.col(weight_col).isNotNull()
+                       & (F.col(weight_col).cast("double") > 0))
+             .withColumn("_sk", sk))
     return (grouped_topk(keyed, list(group_cols),
                          [F.col("_sk").desc(), F.col(id_col).asc()],
                          k, salt_expr=hash60(F.col(id_col)

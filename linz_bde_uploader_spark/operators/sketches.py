@@ -67,12 +67,12 @@ def hll_est_micro_sql(s_expr: str, v_expr: str) -> str:
     ln() is the one non-IEEE-specified op — rounded to 12 dp first,
     the idiom the unigram-LM and entropy queries proved
     driver-stable; every later step is deterministic double math."""
-    raw = (f"({_ALPHA} * 65536.0 / "
+    raw = (f"({_ALPHA} * 65536.0e0 / "
            f"(CAST({s_expr} AS DOUBLE) / {_P53!r}e0))")
-    lin = (f"floor(256.0 * round(ln(256.0 / CAST({v_expr} AS DOUBLE))"
-           f", 12) * 1000000.0)")
-    return (f"CAST(CASE WHEN {raw} <= 640.0 AND {v_expr} > 0 "
-            f"THEN {lin} ELSE floor({raw} * 1000000.0) END AS BIGINT)")
+    lin = (f"floor(256.0e0 * round(ln(256.0e0 / CAST({v_expr} AS DOUBLE))"
+           f", 12) * 1000000.0e0)")
+    return (f"CAST(CASE WHEN {raw} <= 640.0e0 AND {v_expr} > 0 "
+            f"THEN {lin} ELSE floor({raw} * 1000000.0e0) END AS BIGINT)")
 
 
 def kmv_est_micro_sql(cnt_expr: str, kth_expr: str) -> str:
@@ -81,8 +81,8 @@ def kmv_est_micro_sql(cnt_expr: str, kth_expr: str) -> str:
     the exact distinct set, so the exact count is published."""
     return (f"CAST(CASE WHEN {cnt_expr} < {KMV_K} "
             f"THEN {cnt_expr} * 1000000 "
-            f"ELSE floor({KMV_K - 1}.0 * ({_P60} / "
-            f"CAST({kth_expr} AS DOUBLE)) * 1000000.0) END AS BIGINT)")
+            f"ELSE floor({KMV_K - 1}.0e0 * ({_P60} / "
+            f"CAST({kth_expr} AS DOUBLE)) * 1000000.0e0) END AS BIGINT)")
 
 
 def hll_registers(df: DataFrame, group_cols: list[str],

@@ -329,9 +329,18 @@ class TableStore:
                 # seeing the pre-dataset snapshot until then
                 self._staged.append((table, payload))
                 return new_v
+        # Same durability barriers as the dataset-commit path: the
+        # v=N data tree must be durable before any pointer names it
+        # (Spark's local parquet writer never fsyncs), and the
+        # pointer content must be durable before the rename — else a
+        # power failure can leave a torn _CURRENT or a pointer
+        # vouching for lost data blocks.
+        self._fsync_tree(vdir)
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, self._pointer(table))  # atomic commit
         return new_v
 

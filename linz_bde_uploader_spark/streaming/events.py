@@ -771,7 +771,15 @@ def stream_cms_counts(spark: SparkSession, src_dir: str, store,
     replay unit.) The checkpoint and the sink state travel together,
     per the standard foreachBatch contract: discarding the
     checkpoint while keeping the table makes earlier file batches
-    replay with already-folded ids, which the guard then skips."""
+    replay with already-folded ids, which the guard then skips —
+    and because the skip is by BATCH ID, not by content, any NEW
+    source files that landed before the re-drain get bundled into
+    those replayed ids and dropped with them. Do not add source
+    files between discarding a checkpoint and re-draining under a
+    fresh one (or fold them through a fresh checkpoint directory);
+    each skip is logged as a warning so the loss is never silent."""
+    import logging
+
     from pyspark.sql import functions as F
 
     from linz_bde_uploader_spark.operators.sketches import cms_build
@@ -785,7 +793,16 @@ def stream_cms_counts(spark: SparkSession, src_dir: str, store,
             meta = store.table_meta(table) or {}
             last = meta.get("last_batch_id")
             if last is not None and batch_id <= last:
-                return  # redelivered batch: already folded
+                # Redelivered batch: already folded. Loud, because a
+                # reset checkpoint can bundle genuinely-new files
+                # into a replayed id (see docstring contract).
+                logging.getLogger(__name__).warning(
+                    "stream_cms_counts[%s]: skipping batch_id=%d "
+                    "(<= folded last_batch_id=%d); if the checkpoint "
+                    "was reset with new source files present, drain "
+                    "them under a fresh checkpoint", table, batch_id,
+                    last)
+                return
         delta = cms_build(batch.select(F.col(token_col).alias("tok")))
         if store.exists(table):
             delta = (store.read(spark, table).unionByName(delta)
