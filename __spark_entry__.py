@@ -96,12 +96,20 @@ _DRIVER_FIRST = [
     # ...and deterministic hash-sampled percentiles (the quantile
     # scale path with a hash-verifiable oracle)
     "docs_sampled_percentiles",
-    # freshest green r12 (5 greens)
+    # NEW for r14 (the r13 verdict's top order): the six r13-born
+    # sketch queries with ZERO driver greens — the count-min triad
+    # (point estimates, exact heavy hitters via the lossless CMS
+    # prefilter, and the 8th IVM member's linear-sketch refresh),
+    # the windowed HLL, the zero-float KMV Jaccard, and the
+    # sketch-cube rollup. All six were local exact+pandas green in
+    # r13 AND independently re-verified by the r13 judge; the
+    # driver's DuckDB is still the contract.
+    "text_cms_freq", "text_cms_heavy_hitters", "cdc_cms_refresh",
+    "events_window_hll", "events_kmv_jaccard", "events_hll_rollup",
+    # freshest green r13 (6 greens)
     "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_survivors", "docs_stratified_sample", "docs_topk_quality",
-    "emb_norm_stats", "events_sliding_agg",
-    "events_value_winsorize", "q18_large_orders",
-    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "emb_norm_stats",
     # (r12 rotation: text_term_freq, text_tfidf, emb_quantize — 4
     # driver greens each, freshest r5 — yielded their slots to the
     # three zero-green rows above and joined the FAST_QUERIES sf0.001
@@ -112,22 +120,21 @@ _DRIVER_FIRST = [
     # flagship the driver smokes every round — plus dedup_clusters
     # and dedup_jaccard — 5 greens, ADDED to FAST_QUERIES this round
     # — yielded their slots to the four r13-new rows above.)
-    # --- 50-slot cutoff lands here. events_window_hll,
-    # events_kmv_jaccard, text_cms_freq, text_cms_heavy_hitters and
-    # cdc_cms_refresh (the 8th IVM member, linear-sketch branch) and
-    # events_hll_rollup (the sketch-cube pattern)
-    # (r13-new, local exact/pandas green, FAST-covered) wait below
-    # the cutoff — first r14 rotation candidates; nine r13-new rows
-    # already took slots this round. Deferred entries hold >=2 driver
-    # greens with the most recent in r6-r8, stay covered by the
-    # sf0.001 FAST_QUERIES pytest differential, and are green under
-    # the local check_oracle --exact --pandas gate, which r7/r8 proved
-    # predicts the driver's gate (reproduced the r7 44/6 split
-    # exactly; its one known deviation, nullable-int, is
-    # pessimistic-only). The two rows-only entries (stream_continuity,
-    # docs_sketch_stats) stay below the cutoff by design — their
-    # driver check is weak (rows>0), so slots go to hash-verified
-    # entries instead.
+    # (r14 rotation: events_sliding_agg, events_value_winsorize,
+    # q18_large_orders, q3_shipping_priority, q5_local_supplier and
+    # q6_forecast_revenue — 6 driver greens each, shapes unchanged
+    # since r8 or earlier, ADDED to FAST_QUERIES this round —
+    # yielded their slots to the six zero-green r13 sketch rows
+    # above, per the r13 verdict's top order.)
+    # --- 50-slot cutoff lands here. Deferred entries hold >=2
+    # driver greens, stay covered by the sf0.001 FAST_QUERIES pytest
+    # differential, and are green under the local check_oracle
+    # --exact --pandas gate, which r7/r8 proved predicts the
+    # driver's gate (reproduced the r7 44/6 split exactly; its one
+    # known deviation, nullable-int, is pessimistic-only). The two
+    # rows-only entries (stream_continuity, docs_sketch_stats) stay
+    # below the cutoff by design — their driver check is weak
+    # (rows>0), so slots go to hash-verified entries instead.
 ]
 _ALL = {**{k: _ALL[k] for k in _DRIVER_FIRST if k in _ALL}, **_ALL}
 
