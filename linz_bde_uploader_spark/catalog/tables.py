@@ -34,15 +34,18 @@ class TableDef:
     # registry declares them: unique=col1,col2)
     unique_cols: list[str] = field(default_factory=list)
     # maintained-view declaration (our extension, like unique=):
-    # view=<g1>+<g2>:<value_col>[:minmax][:hll=<col>] registers a
-    # <table>__agg (and optionally __minmax and/or a distinct-count
-    # sketch __hll over <col>) view the driver refreshes O(changes)
-    # with every load (operators/view_refresh.py). Join views need a
-    # dimension DataFrame and stay programmatic (UploadConfig.views).
+    # view=<g1>+<g2>:<value_col>[:minmax][:hll=<col>][:cms=<col>]
+    # registers a <table>__agg (and optionally __minmax, a
+    # distinct-count sketch __hll over <col>, and/or a count-min
+    # frequency sketch __cms over <col>) view the driver refreshes
+    # O(changes) with every load (operators/view_refresh.py). Join
+    # views need a dimension DataFrame and stay programmatic
+    # (UploadConfig.views).
     view_group_cols: list[str] = field(default_factory=list)
     view_value_col: str | None = None
     view_minmax: bool = False
     view_hll_key: str | None = None
+    view_cms_key: str | None = None
 
 
 def parse_tables_conf(text: str) -> list[TableDef]:
@@ -106,6 +109,8 @@ def _parse_attrs(t: TableDef, toks: list[str]) -> None:
                     t.view_minmax = True
                 elif flag.startswith("hll=") and flag[4:]:
                     t.view_hll_key = flag[4:]
+                elif flag.startswith("cms=") and flag[4:]:
+                    t.view_cms_key = flag[4:]
                 else:
                     bad = flag
             if not t.view_group_cols or t.view_value_col is None \
@@ -113,7 +118,8 @@ def _parse_attrs(t: TableDef, toks: list[str]) -> None:
                 # fail at parse time, not as a silently-absent view
                 raise ValueError(
                     f"{t.name}: view= needs <group>[+<group>]:"
-                    f"<value_col>[:minmax][:hll=<col>], got {tok!r}")
+                    f"<value_col>[:minmax][:hll=<col>][:cms=<col>], "
+                    f"got {tok!r}")
         elif low == "l5_is_full":
             t.l5_is_full = True
         elif low == "l5_change_table":

@@ -161,7 +161,8 @@ class BdeUploader:
                     group_cols=t.view_group_cols,
                     value_col=t.view_value_col,
                     minmax=t.view_minmax,
-                    hll_key=t.view_hll_key)
+                    hll_key=t.view_hll_key,
+                    cms_key=t.view_cms_key)
         self._start = time.time()
         # X2 SQL hook executor — replaceable for JDBC targets / tests
         self.sql_runner = lambda sql: self.spark.sql(sql)

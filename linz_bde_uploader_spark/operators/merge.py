@@ -51,6 +51,81 @@ ACTION_NULL_UPDATE = "0"
 ACTION_KEY_CHANGE = "X"
 
 
+def mark_selective_for_dpp(df: DataFrame,
+                           cols: list[str]) -> DataFrame:
+    """Unlock dynamic partition pruning for a touched-group frame.
+
+    The partial-refresh family (maintain_extrema / maintain_topk /
+    sketches.maintain_hll) rescans ONLY touched groups — but without
+    physical-layout support that "rescan" is a full scan plus a
+    filter, so the O(changes) claim dies at the scan. When the base
+    is stored partitioned by the group column, Spark's DPP can prune
+    the rescan to the touched partitions; its PartitionPruning rule,
+    however, only fires when the pruning side shows a "likely
+    selective" predicate (a Filter with a comparison — Spark's
+    `isLikelySelective`), and a touched-group frame derived via
+    semi-join + distinct has none, so DPP silently stays off
+    (measured: `dedup scan of 15M rows for a 10% recompute`,
+    SCALE_SOAK.json).
+
+    This helper states the selectivity the operator KNOWS (touched
+    groups are a strict subset of the group domain) in the one form
+    the heuristic can see: an always-true comparison.
+    ``xxhash64(group_cols) >= Long.MinValue`` holds for every row
+    including NULL groups (xxhash64 never returns NULL and its range
+    is exactly [Long.MinValue, Long.MaxValue]), costs one hash per
+    touched GROUP (not per row), and is not constant-folded because
+    the left side is non-foldable. Pinned by
+    tests/test_plan_shapes.py::test_maintain_extrema_recompute_prunes
+    — if a Spark upgrade starts folding it or stops accepting it as
+    selective, that test fails loudly rather than the plan silently
+    degrading to full scans."""
+    return df.filter(
+        F.xxhash64(*[F.col(c) for c in cols])
+        >= F.lit(-(2 ** 63)))
+
+
+def touched_group_semi(merged: DataFrame, touched: DataFrame,
+                       group_cols: list[str]) -> DataFrame:
+    """Left-semi restrict ``merged`` to the touched groups, in the
+    one shape dynamic partition pruning can use.
+
+    GROUP BY treats NULL as one group, so the recompute family
+    compares groups null-safely — but Spark plans a null-safe
+    equi-join with ``coalesce``/``isnull``-wrapped keys, and DPP
+    only prunes when the join key is the bare partition column. A
+    single null-safe semi join therefore ALWAYS full-scans a
+    group-partitioned base. Split instead:
+
+    - touched groups with no NULL member join on plain column-name
+      equality — the partition attribute stays bare, DPP prunes the
+      scan to those groups' partitions (pinned by
+      tests/test_plan_shapes.py::test_maintain_extrema_recompute_prunes);
+    - the rare touched group containing a NULL goes through the
+      null-safe join. When no such group exists — every real refresh
+      — the broadcast side is empty and AQE's empty-relation
+      propagation eliminates that branch at runtime, so the planned
+      second scan never executes.
+
+    Plain equality on the fast branch is exact for it: a NULL-group
+    merged row cannot equal a non-null touched row under either
+    semantics, and non-null rows compare identically."""
+    nn = None
+    for g in group_cols:
+        c = F.col(g).isNotNull()
+        nn = c if nn is None else (nn & c)
+    fast = merged.join(F.broadcast(touched.filter(nn)),
+                       group_cols, "left_semi")
+    t = touched.filter(~nn).alias("t")
+    m = merged.alias("m")
+    cond = None
+    for g in group_cols:
+        c = m[g].eqNullSafe(t[g])
+        cond = c if cond is None else (cond & c)
+    slow = m.join(F.broadcast(t), cond, "left_semi")
+    return fast.unionByName(slow)
+
+
 @dataclass
 class MergeStats:
     """Per-load counts, mirroring bde_control.upload_stats
@@ -439,11 +514,11 @@ def maintain_extrema(current: DataFrame, staged: DataFrame,
         actions.filter(F.col("action").isin(
             ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
         .select(F.col("key").alias(key)))
-    touched = F.broadcast(
+    touched = mark_selective_for_dpp(
         current.join(del_keys, key, "left_semi").select(*group_cols)
         .unionByName(
             staged.join(ins_keys, key, "left_semi").select(*group_cols))
-        .distinct())
+        .distinct(), group_cols)
 
     def null_safe_on(left, right):
         cond = None
@@ -452,13 +527,12 @@ def maintain_extrema(current: DataFrame, staged: DataFrame,
             cond = c if cond is None else (cond & c)
         return cond
 
-    t = touched.alias("t")
-    m = merged.alias("m")
     recomputed = (
-        m.join(t, null_safe_on(m, t), "left_semi")
+        touched_group_semi(merged, touched, group_cols)
         .groupBy(*group_cols)
         .agg(F.count("*").alias("n"), F.min(v).alias("vmin"),
              F.max(v).alias("vmax")))
+    t = F.broadcast(touched).alias("t")
     base = old_extrema if old_extrema is not None else (
         merged.groupBy(*group_cols)
         .agg(F.count("*").alias("n"), F.min(v).alias("vmin"),
@@ -505,11 +579,11 @@ def maintain_topk(current: DataFrame, staged: DataFrame,
         actions.filter(F.col("action").isin(
             ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
         .select(F.col("key").alias(key)))
-    touched = F.broadcast(
+    touched = mark_selective_for_dpp(
         current.join(del_keys, key, "left_semi").select(*group_cols)
         .unionByName(
             staged.join(ins_keys, key, "left_semi").select(*group_cols))
-        .distinct())
+        .distinct(), group_cols)
 
     def null_safe_on(left, right):
         cond = None
@@ -529,9 +603,8 @@ def maintain_topk(current: DataFrame, staged: DataFrame,
                 .select(*group_cols, F.col("rank").cast("bigint"),
                         F.col(key), F.col("_v").alias(value_col)))
 
-    t = touched.alias("t")
-    m = merged.alias("m")
-    recomputed = topk(m.join(t, null_safe_on(m, t), "left_semi"))
+    recomputed = topk(touched_group_semi(merged, touched, group_cols))
+    t = F.broadcast(touched).alias("t")
     base = old_topk if old_topk is not None else topk(merged)
     b = base.alias("b")
     untouched = b.join(t, null_safe_on(b, t), "left_anti")
@@ -695,11 +768,11 @@ def maintain_distinct(current: DataFrame, staged: DataFrame,
         actions.filter(F.col("action").isin(
             ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
         .select(F.col("key").alias(key)))
-    touched = F.broadcast(
+    touched = mark_selective_for_dpp(
         current.join(del_keys, key, "left_semi").select(*group_cols)
         .unionByName(
             staged.join(ins_keys, key, "left_semi").select(*group_cols))
-        .distinct())
+        .distinct(), group_cols)
 
     def null_safe_on(left, right):
         cond = None
@@ -715,10 +788,9 @@ def maintain_distinct(current: DataFrame, staged: DataFrame,
                 .agg(F.sum("_m").cast("bigint").alias("n"),
                      F.count(value_col).alias("n_distinct")))
 
-    t = touched.alias("t")
-    m = merged.alias("m")
-    recomputed = distinct_counts(m.join(t, null_safe_on(m, t),
-                                        "left_semi"))
+    recomputed = distinct_counts(
+        touched_group_semi(merged, touched, group_cols))
+    t = F.broadcast(touched).alias("t")
     base = old_distinct if old_distinct is not None \
         else distinct_counts(merged)
     b = base.alias("b")

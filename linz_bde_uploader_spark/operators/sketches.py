@@ -186,10 +186,15 @@ def maintain_hll(current: DataFrame, staged: DataFrame,
         actions.filter(F.col("action").isin(
             ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
         .select(F.col("key").alias(key)))
-    # groups losing rows: only the CURRENT side of D/U/X names them
-    rec_groups = F.broadcast(
+    # groups losing rows: only the CURRENT side of D/U/X names them.
+    # mark_selective_for_dpp + touched_group_semi let a
+    # group-partitioned merged scan prune to these groups' partitions
+    # (see merge.py for the DPP heuristic and null-split story).
+    from linz_bde_uploader_spark.operators.merge import (
+        mark_selective_for_dpp, touched_group_semi)
+    rec_groups = mark_selective_for_dpp(
         current.join(del_keys, key, "left_semi")
-        .select(*group_cols).distinct())
+        .select(*group_cols).distinct(), group_cols)
 
     def null_safe_on(left, right):
         cond = None
@@ -198,11 +203,10 @@ def maintain_hll(current: DataFrame, staged: DataFrame,
             cond = c if cond is None else (cond & c)
         return cond
 
-    t = rec_groups.alias("t")
-    m_ = merged.alias("m")
     recomputed = hll_registers(
-        m_.join(t, null_safe_on(m_, t), "left_semi"),
+        touched_group_semi(merged, rec_groups, group_cols),
         group_cols, sketch_key)
+    t = F.broadcast(rec_groups).alias("t")
     adds = staged.join(ins_keys, key, "left_semi").alias("a")
     add_regs = hll_registers(
         adds.join(t, null_safe_on(adds, t), "left_anti"),

@@ -60,6 +60,12 @@ class ViewSpec:
       ndv(hll_key) — maintained by ``operators/sketches.maintain_hll``
       (max-merge on insert-only groups, touched-group recompute on
       row loss). Read it with ``sketches.hll_estimate``.
+    - ``cms_key``: a count-min frequency-sketch view
+      ``<table>__cms`` — the 4x1024 counter table over cms_key —
+      maintained by ``operators/sketches.maintain_cms``. CMS is a
+      LINEAR sketch, so unlike hll_key it needs no group_cols and
+      no recompute branch: deletes subtract, inserts add. Read it
+      with ``sketches.cms_lookup``.
     """
 
     group_cols: list[str] | None = None
@@ -68,6 +74,7 @@ class ViewSpec:
     join: dict | None = None
     value_type: str = "decimal(12,2)"
     hll_key: str | None = None
+    cms_key: str | None = None
 
     def __post_init__(self):
         if self.hll_key is not None and not self.group_cols:
@@ -117,6 +124,13 @@ def seed_views(store, table_name: str, df: DataFrame, ds: str,
         store.write(f"{table_name}__hll",
                     hll_registers(df, spec.group_cols,
                                   F.col(spec.hll_key).cast("string")),
+                    dataset=ds)
+    if spec.cms_key is not None and (
+            force or _behind(store, f"{table_name}__cms", ds)):
+        from linz_bde_uploader_spark.operators.sketches import cms_build
+        store.write(f"{table_name}__cms",
+                    cms_build(df.select(F.col(spec.cms_key)
+                                        .cast("string").alias("tok"))),
                     dataset=ds)
     if spec.group_cols is None or spec.value_col is None:
         return
@@ -168,6 +182,18 @@ def refresh_views(spark: SparkSession, store, table_name: str,
                             F.col(spec.hll_key).cast("string"),
                             merged, old_regs=old_regs)
         store.write(ht, regs, dataset=ds)
+    ct = f"{table_name}__cms"
+    if spec.cms_key is not None and _behind(store, ct, ds):
+        from linz_bde_uploader_spark.operators.sketches import (
+            cms_build, maintain_cms)
+        if store.exists(ct):
+            cms = maintain_cms(cur, stg, actions, key,
+                               F.col(spec.cms_key).cast("string"),
+                               old_cms=store.read(spark, ct))
+        else:  # bootstrap: no prior sketch to delta against
+            cms = cms_build(merged.select(F.col(spec.cms_key)
+                                          .cast("string").alias("tok")))
+        store.write(ct, cms, dataset=ds)
     if spec.group_cols is None or spec.value_col is None:
         return
     at = f"{table_name}__agg"

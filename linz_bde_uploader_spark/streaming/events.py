@@ -248,6 +248,7 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                          view_minmax: bool = False,
                          view_join: dict | None = None,
                          view_hll_key: str | None = None,
+                         view_cms_key: str | None = None,
                          use_dataset_transaction: bool = False) -> None:
     """The poll-run upload loop as a stream: watch the level_5
     repository, and for every micro-batch of new dataset files run the
@@ -288,6 +289,12 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     insert-only groups, touched-group recompute on row loss), the
     streaming distinct-users-per-segment materialization.
 
+    ``view_cms_key`` additionally maintains a count-min frequency
+    sketch view ``<table>__cms`` (operators/sketches.maintain_cms —
+    a LINEAR sketch: deletes subtract, inserts add, no recompute
+    branch at any granularity), the streaming token-frequency
+    materialization. Needs no group columns.
+
     ``view_join`` (keys: ``dim`` DataFrame, ``fact_col``, ``dim_col``,
     ``fact_cols``, ``dim_cols``) additionally maintains an enriched
     join view ``<table>__join`` via the delta-join rule
@@ -313,7 +320,7 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     # the ordered-guard correctness argument)
     spec = ViewSpec(group_cols=view_group_cols, value_col=view_value_col,
                     minmax=view_minmax, join=view_join,
-                    hll_key=view_hll_key)
+                    hll_key=view_hll_key, cms_key=view_cms_key)
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.cache()

@@ -837,3 +837,58 @@ def test_view_attr_hll_flag_parses_and_rejects_garbage():
         parse_tables_conf("TABLE t key=id view=g:v:bogus files x")
     with pytest.raises(ValueError, match="view="):
         parse_tables_conf("TABLE t key=id view=g:v:hll= files x")
+
+
+def test_view_attr_cms_flag_parses_and_rejects_garbage():
+    t = parse_tables_conf(
+        "TABLE t key=id view=g:v:cms=tok files x")[0]
+    assert t.view_cms_key == "tok" and t.view_hll_key is None
+    t2 = parse_tables_conf(
+        "TABLE t key=id view=g:v:minmax:hll=user:cms=tok files x")[0]
+    assert (t2.view_cms_key == "tok" and t2.view_hll_key == "user"
+            and t2.view_minmax is True)
+    with pytest.raises(ValueError, match="view="):
+        parse_tables_conf("TABLE t key=id view=g:v:cms= files x")
+
+
+def test_batch_driver_maintains_cms_view(spark, tmp_path):
+    """The eighth IVM member, conf-declared end-to-end (mirror of
+    test_batch_driver_maintains_hll_view): a tables.conf
+    `view=...:cms=<col>` registers a <table>__cms counter view the
+    CLI driver seeds at L0 (direct cms_build) and refreshes
+    O(changes) at L5 (operators/sketches.maintain_cms — linear
+    sketch, deletes subtract, no recompute branch). After every step
+    the stored counters equal a from-scratch sketch of the stored
+    base — pure-integer comparison."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.sketches import cms_build
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    tables = parse_tables_conf(
+        "TABLE l5_change_table l5_change_table files xaud\n"
+        "TABLE crs_parcel_bndry key=audit_id row_tol=0.20,0.95 "
+        "view=reversed:sequence:cms=audit_id files pab1")
+    up = BdeUploader(spark, repo, store, ledger, tables)
+
+    def sketch(df):
+        return {(r.row, r.idx): r.c for r in
+                cms_build(df.select(F.col("audit_id").cast("string")
+                                    .alias("tok"))).collect()}
+
+    def stored():
+        return {(r.row, r.idx): r.c for r in
+                store.read(spark, "crs_parcel_bndry__cms").collect()}
+
+    up.apply_updates(level0=True)
+    assert stored() == sketch(store.read(spark, "crs_parcel_bndry"))
+    r5 = up.apply_updates(level5=True)
+    assert r5[-1].status == "loaded"
+    base = store.read(spark, "crs_parcel_bndry")
+    assert base.count() == 5
+    assert stored() == sketch(base)
+    # the refresh was stamped with the dataset it incorporated
+    assert store.current_dataset("crs_parcel_bndry__cms") == \
+        "20160601171200"

@@ -224,3 +224,95 @@ def test_maintain_aggregate_incremental_sides_broadcast(spark):
     plan = _executed_plan(out)
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+# ------------------------------------------------------------- r14:
+# partition-pruned touched-group recompute. The partial-refresh
+# family's "rescan touched groups only" is an O(N) scan + filter
+# unless the physical layout lets the scan prune; with the base
+# stored PARTITIONED BY the group column, Spark's dynamic partition
+# pruning (DPP) can skip untouched partitions — but its
+# PartitionPruning rule needs a "likely selective" predicate on the
+# pruning side, which merge.mark_selective_for_dpp supplies (an
+# always-true xxhash64 comparison the optimizer cannot fold). These
+# tests pin that the recompute branch's scan actually carries the
+# dynamicpruningexpression; if a Spark upgrade folds the marker or
+# tightens the heuristic, they fail loudly (SCALE.md "pruned
+# recompute" section).
+
+
+def _partitioned_merge_fixture(spark, tmp_path):
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cur = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 40).alias("g"),
+        (F.col("id") * 7 % 101).cast("decimal(12,2)").alias("v"))
+    # localized change batch: keys inside two groups only
+    stg = cur.withColumn(
+        "v", F.when(F.col("g").isin(3, 11) & (F.col("k") % 5 == 0),
+                    F.col("v") + 500)
+        .otherwise(F.col("v")).cast("decimal(12,2)"))
+    chg = (cur.filter(F.col("g").isin(3, 11) & (F.col("k") % 5 == 0))
+           .select(F.col("k").alias("key")))
+    actions = M.classify_actions(cur, stg, chg, "k", ["g", "v"])
+    merged_path = str(tmp_path / "merged_by_g")
+    M.apply_actions(cur, stg, actions, "k") \
+        .write.mode("overwrite").partitionBy("g").parquet(merged_path)
+    merged = spark.read.parquet(merged_path)
+    return cur, stg, actions, merged
+
+
+def test_maintain_extrema_recompute_prunes(spark, tmp_path):
+    """maintain_extrema over a group-partitioned merged base: the
+    recompute branch's parquet scan must carry a DPP filter on g —
+    i.e. only touched groups' partitions are read, which is what
+    makes the refresh O(touched rows) in scan cost, not just in
+    aggregated rows."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cur, stg, actions, merged = _partitioned_merge_fixture(
+        spark, tmp_path)
+    old = cur.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.min(F.col("v")).alias("vmin"), F.max(F.col("v")).alias("vmax"))
+    out = M.maintain_extrema(cur, stg, actions, "k", ["g"], "v",
+                             merged, old_extrema=old)
+    plan = _executed_plan(out)
+    assert "dynamicpruning" in plan.lower(), (
+        "touched-group recompute scan is NOT partition-pruned — the "
+        "rescan reads every partition:\n" + plan)
+
+
+def test_maintain_hll_recompute_prunes(spark, tmp_path):
+    """Same pin for the sketch member: maintain_hll's recompute
+    branch (groups that lost rows rebuild registers from merged)
+    must prune a group-partitioned merged scan to touched groups."""
+    from linz_bde_uploader_spark.operators import sketches as SK
+
+    cur, stg, actions, merged = _partitioned_merge_fixture(
+        spark, tmp_path)
+    old_regs = SK.hll_registers(cur, ["g"], F.col("k").cast("string"))
+    out = SK.maintain_hll(cur, stg, actions, "k", ["g"],
+                          F.col("k").cast("string"), merged,
+                          old_regs=old_regs)
+    plan = _executed_plan(out)
+    assert "dynamicpruning" in plan.lower(), (
+        "HLL recompute scan is NOT partition-pruned:\n" + plan)
+
+
+def test_dpp_marker_not_folded_and_lossless(spark):
+    """The always-true marker itself: never drops a row (including
+    NULL groups) and survives optimization as a Filter node — the
+    two properties mark_selective_for_dpp's contract rests on."""
+    from linz_bde_uploader_spark.operators.merge import (
+        mark_selective_for_dpp,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1), ("a", 2), ("b", None)], "g string, x int")
+    out = mark_selective_for_dpp(df, ["g"])
+    assert out.count() == 3  # lossless, NULL group included
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in optimized.lower(), (
+        "marker predicate was constant-folded away — DPP unlock "
+        "lost:\n" + optimized)
