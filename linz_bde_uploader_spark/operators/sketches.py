@@ -147,7 +147,9 @@ def maintain_hll(current: DataFrame, staged: DataFrame,
                  actions: DataFrame, key: str,
                  group_cols: list[str], sketch_key: Column,
                  merged: DataFrame,
-                 old_regs: DataFrame | None = None) -> DataFrame:
+                 old_regs: DataFrame | None = None,
+                 groups_nullable: bool = True,
+                 touched_inline_threshold: int = 0) -> DataFrame:
     """Incremental maintenance of a per-group HLL register view
     through a CDC merge — the seventh IVM member, sitting between
     the self-maintainable family (count/sum deltas) and the
@@ -187,14 +189,20 @@ def maintain_hll(current: DataFrame, staged: DataFrame,
             ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
         .select(F.col("key").alias(key)))
     # groups losing rows: only the CURRENT side of D/U/X names them.
-    # mark_selective_for_dpp + touched_group_semi let a
+    # With carried group columns (classify_actions carry_cols) the
+    # set derives from the actions frame alone — O(changes);
+    # mark_selective_for_dpp + touched_group_semi then let a
     # group-partitioned merged scan prune to these groups' partitions
     # (see merge.py for the DPP heuristic and null-split story).
     from linz_bde_uploader_spark.operators.merge import (
-        mark_selective_for_dpp, touched_group_semi)
-    rec_groups = mark_selective_for_dpp(
-        current.join(del_keys, key, "left_semi")
-        .select(*group_cols).distinct(), group_cols)
+        carried_touched_groups, mark_selective_for_dpp,
+        touched_group_semi)
+    rec_groups = carried_touched_groups(actions, group_cols,
+                                        del_only=True)
+    if rec_groups is None:
+        rec_groups = mark_selective_for_dpp(
+            current.join(del_keys, key, "left_semi")
+            .select(*group_cols).distinct(), group_cols)
 
     def null_safe_on(left, right):
         cond = None
@@ -204,7 +212,9 @@ def maintain_hll(current: DataFrame, staged: DataFrame,
         return cond
 
     recomputed = hll_registers(
-        touched_group_semi(merged, rec_groups, group_cols),
+        touched_group_semi(merged, rec_groups, group_cols,
+                           null_safe=groups_nullable,
+                           inline_threshold=touched_inline_threshold),
         group_cols, sketch_key)
     t = F.broadcast(rec_groups).alias("t")
     adds = staged.join(ins_keys, key, "left_semi").alias("a")

@@ -95,6 +95,139 @@ def run_ivm_extension(ivm_dir: str, label: str) -> None:
     print(json.dumps({k: out[k] for k in out if label in k}))
 
 
+def run_pruned_soak() -> None:
+    """Measure what the DPP-pruned touched-group recompute buys on a
+    month-partitioned base with a LOCALIZED change batch — the
+    workload partial refresh exists for (the reference's dataset
+    loads touch recent audit windows; a training-corpus refresh
+    touches the newest crawl). 15M orders (sf10) partitioned by
+    o_orderdate month (80 partitions); the batch updates 10% of ONE
+    mid-range month's keys, so 1 of 80 partitions is touched.
+
+    Three timings per view family (extrema + HLL), min over reps:
+    - full: from-scratch rebuild over the merged base;
+    - incremental (DPP on): maintain_* against the partitioned
+      merged read — the recompute branch's scan should prune to the
+      touched month;
+    - incremental (DPP off): same plan with
+      spark.sql.optimizer.dynamicPartitionPruning.enabled=false —
+      the pre-r14 behavior, isolating what pruning itself
+      contributes.
+
+    Merged into SCALE_SOAK.json under "pruned_recompute_soak"."""
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    import bench
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import merge as M
+    from linz_bde_uploader_spark.operators import sketches as SK
+    from linz_bde_uploader_spark.session import get_spark
+
+    spark = get_spark("pruned_soak")
+    src = os.path.join(REPO, ".scale_data", "sf10", "orders.parquet")
+    base_dir = os.path.join(REPO, ".scale_data", "sf10_by_month")
+    post_dir = os.path.join(REPO, ".scale_data", "sf10_by_month_post")
+    month = "1998-06-01"
+    key, grp, val = "o_orderkey", "o_month", "o_totalprice"
+
+    def with_month(df):
+        return df.withColumn(
+            grp, F.date_format(F.date_trunc("month", "o_orderdate"),
+                               "yyyy-MM-dd"))
+
+    if not os.path.exists(base_dir):
+        with_month(spark.read.parquet(src)) \
+            .write.partitionBy(grp).parquet(base_dir)
+    cur = spark.read.parquet(base_dir)
+    upd = (cur.filter((F.col(grp) == month) & (F.col(key) % 10 == 0))
+           .withColumn(val, F.col(val) + F.lit(1000.0)))
+    # the realistic refresh configuration: actions CARRY the group
+    # column (classify sees both rows, carrying is free), so touched
+    # groups derive O(changes) from the actions frame — no key
+    # semi-join rescan of the 15M-row base
+    actions = upd.select(
+        F.col(key).alias("key"), F.lit("U").alias("action"),
+        F.col(grp).alias(f"_old_{grp}"),
+        F.col(grp).alias(f"_new_{grp}")).persist()
+    n_upd = actions.count()
+    if not os.path.exists(post_dir):
+        M.apply_actions(cur, upd, actions, key) \
+            .write.partitionBy(grp).parquet(post_dir)
+    merged = spark.read.parquet(post_dir)
+    vt = "decimal(12,2)"
+    old_mm = cur.groupBy(grp).agg(
+        F.count("*").alias("n"),
+        F.min(F.col(val).cast(vt)).alias("vmin"),
+        F.max(F.col(val).cast(vt)).alias("vmax")).persist()
+    old_mm.count()
+    skey = F.col("o_custkey").cast("string")
+    old_regs = SK.hll_registers(cur, [grp], skey).persist()
+    old_regs.count()
+
+    def best(fn, reps=3):
+        t = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn().count()
+            dt = time.perf_counter() - t0
+            t = dt if t is None else min(t, dt)
+        return round(t, 3)
+
+    out = {"rows_total": 15_000_000, "rows_changed": n_upd,
+           "months_total": 80, "months_touched": 1,
+           "loadavg_start": [round(x, 2) for x in os.getloadavg()]}
+
+    def inc_mm(inline=0):
+        return M.maintain_extrema(cur, upd, actions, key, [grp], val,
+                                  merged, old_extrema=old_mm,
+                                  value_type=vt,
+                                  groups_nullable=False,
+                                  touched_inline_threshold=inline)
+
+    def full_mm():
+        return merged.groupBy(grp).agg(
+            F.count("*").alias("n"),
+            F.min(F.col(val).cast(vt)).alias("vmin"),
+            F.max(F.col(val).cast(vt)).alias("vmax"))
+
+    def inc_hll(inline=0):
+        return SK.maintain_hll(cur, upd, actions, key, [grp], skey,
+                               merged, old_regs=old_regs,
+                               groups_nullable=False,
+                               touched_inline_threshold=inline)
+
+    def full_hll():
+        return SK.hll_registers(merged, [grp], skey)
+
+    dpp = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    out["minmax_full_sec"] = best(full_mm)
+    out["minmax_incremental_inline_sec"] = best(
+        lambda: inc_mm(inline=128))
+    out["minmax_incremental_dpp_sec"] = best(inc_mm)
+    spark.conf.set(dpp, "false")
+    out["minmax_incremental_unpruned_sec"] = best(inc_mm)
+    spark.conf.set(dpp, "true")
+    out["hll_full_sec"] = best(full_hll)
+    out["hll_incremental_inline_sec"] = best(
+        lambda: inc_hll(inline=128))
+    out["hll_incremental_dpp_sec"] = best(inc_hll)
+    spark.conf.set(dpp, "false")
+    out["hll_incremental_unpruned_sec"] = best(inc_hll)
+    spark.conf.set(dpp, "true")
+    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    for d in (actions, old_mm, old_regs):
+        d.unpersist()
+    bench.release_caches()
+
+    path = os.path.join(REPO, "SCALE_SOAK.json")
+    with open(path) as f:
+        doc = json.load(f)
+    doc["pruned_recompute_soak"] = out
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"pruned_recompute_soak": out}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps-small", type=int, default=3)
@@ -104,7 +237,13 @@ def main() -> None:
                     help="run only the IVM/HLL soaks against this dir "
                          "and merge into SCALE_SOAK.json")
     ap.add_argument("--ivm-label", default="sf10")
+    ap.add_argument("--pruned", action="store_true",
+                    help="run only the pruned-recompute soak and "
+                         "merge into SCALE_SOAK.json")
     args = ap.parse_args()
+    if args.pruned:
+        run_pruned_soak()
+        return
     if args.ivm_dir:
         run_ivm_extension(args.ivm_dir, args.ivm_label)
         return

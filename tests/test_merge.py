@@ -3,6 +3,7 @@ reference t/linz_bde_uploader.t:656-711 (level 0) and :1176-1221
 (level 5 merge: 3 ins, 2 upd, 1 del, 0 null-upd -> 5 rows)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from linz_bde_uploader_spark.operators import merge as M
 
@@ -288,3 +289,132 @@ def test_maintain_sums_multi_measure_delta(spark):
                            ["chars", "ck"]).collect()}
     # A: k2 stays + k4 inserted; B: k3 deleted, k1 moved in
     assert got == {"A": (2, 60, 777), "B": (1, 12, 444)}
+
+
+def _ivm_fixture(spark, with_nulls=False):
+    """current/staged/change triple with group-moving updates,
+    deletes, inserts — the full partial-refresh exercise."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, str(i % 5) if not (with_nulls and i % 11 == 0)
+             else None, float(i * 7 % 101)) for i in range(300)]
+    cur = spark.createDataFrame(rows, "k long, g string, v double")
+    stg = (cur.filter("k % 3 != 0 OR k < 30")
+           .withColumn("g", F.when(F.col("k") % 4 == 0,
+                                   F.lit("moved")).otherwise(F.col("g")))
+           .withColumn("v", F.when(F.col("k") % 2 == 0,
+                                   F.col("v") + 500.0)
+                       .otherwise(F.col("v"))))
+    new = spark.createDataFrame(
+        [(1000 + i, "newgrp", 9.0 + i) for i in range(5)],
+        "k long, g string, v double")
+    stg = stg.unionByName(new)
+    chg = (cur.select(F.col("k").alias("key"))
+           .unionByName(new.select(F.col("k").alias("key"))))
+    return cur, stg, chg
+
+
+@pytest.mark.parametrize("with_nulls", [False, True])
+def test_carried_actions_touched_equivalence(spark, with_nulls):
+    """classify_actions(carry_cols=...) + the carried-actions fast
+    path must produce EXACTLY the views of the semi-join fallback —
+    across deletes, inserts, group-moving updates and (parametrized)
+    NULL groups."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cur, stg, chg = _ivm_fixture(spark, with_nulls)
+    plain = M.classify_actions(cur, stg, chg, "k", ["g", "v"])
+    carried = M.classify_actions(cur, stg, chg, "k", ["g", "v"],
+                                 carry_cols=["g"])
+    assert "_old_g" in carried.columns and "_new_g" in carried.columns
+    # action classification itself is unchanged by carrying
+    assert (sorted((r.key, r.action) for r in plain.collect())
+            == sorted((r.key, r.action) for r in carried.collect()))
+    merged = M.apply_actions(cur, stg, carried, "k")
+    old = cur.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.min(F.col("v").cast("decimal(12,2)")).alias("vmin"),
+        F.max(F.col("v").cast("decimal(12,2)")).alias("vmax"))
+
+    def norm(df):
+        return sorted(str(tuple(r)) for r in df.collect())
+
+    for fn, kw in [(M.maintain_extrema, {"old_extrema": old}),
+                   (M.maintain_topk, {"old_topk": None}),
+                   (M.maintain_distinct, {"old_distinct": None})]:
+        got_plain = fn(cur, stg, plain, "k", ["g"], "v", merged, **kw)
+        got_carried = fn(cur, stg, carried, "k", ["g"], "v", merged,
+                         **kw)
+        assert norm(got_plain) == norm(got_carried), fn.__name__
+        # both must equal the from-scratch truth where applicable
+        if fn is M.maintain_extrema:
+            truth = merged.groupBy("g").agg(
+                F.count("*").alias("n"),
+                F.min(F.col("v").cast("decimal(12,2)")).alias("vmin"),
+                F.max(F.col("v").cast("decimal(12,2)")).alias("vmax"))
+            assert norm(got_carried) == norm(truth)
+
+
+def test_carried_actions_hll_equivalence(spark):
+    from linz_bde_uploader_spark.operators import merge as M
+    from linz_bde_uploader_spark.operators import sketches as SK
+
+    cur, stg, chg = _ivm_fixture(spark)
+    carried = M.classify_actions(cur, stg, chg, "k", ["g", "v"],
+                                 carry_cols=["g"])
+    merged = M.apply_actions(cur, stg, carried, "k")
+    skey = F.col("k").cast("string")
+    old_regs = SK.hll_registers(cur, ["g"], skey)
+    got = SK.maintain_hll(cur, stg, carried, "k", ["g"], skey,
+                          merged, old_regs=old_regs)
+    truth = SK.hll_registers(merged, ["g"], skey)
+    assert (sorted(tuple(r) for r in got.collect())
+            == sorted(tuple(r) for r in truth.collect()))
+
+
+def test_groups_nullable_false_matches_on_nonnull_groups(spark):
+    """The null-branch-free fast path must be value-identical to the
+    default on NOT-NULL group columns (its documented contract)."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cur, stg, chg = _ivm_fixture(spark, with_nulls=False)
+    acts = M.classify_actions(cur, stg, chg, "k", ["g", "v"],
+                              carry_cols=["g"])
+    merged = M.apply_actions(cur, stg, acts, "k")
+    a = M.maintain_extrema(cur, stg, acts, "k", ["g"], "v", merged,
+                           old_extrema=None)
+    b = M.maintain_extrema(cur, stg, acts, "k", ["g"], "v", merged,
+                           old_extrema=None, groups_nullable=False)
+    assert (sorted(tuple(r) for r in a.collect())
+            == sorted(tuple(r) for r in b.collect()))
+
+
+@pytest.mark.parametrize("with_nulls", [False, True])
+def test_touched_inline_threshold_matches_join_path(spark, with_nulls):
+    """The bounded-inline static-pruning path (touched groups
+    collected and inlined as a literal predicate) must be
+    value-identical to the join path — including NULL groups, which
+    inline as IS NULL — and must fall back cleanly when the touched
+    set exceeds the threshold."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cur, stg, chg = _ivm_fixture(spark, with_nulls)
+    acts = M.classify_actions(cur, stg, chg, "k", ["g", "v"],
+                              carry_cols=["g"])
+    merged = M.apply_actions(cur, stg, acts, "k")
+
+    def norm(df):
+        return sorted(str(tuple(r)) for r in df.collect())
+
+    base = norm(M.maintain_extrema(cur, stg, acts, "k", ["g"], "v",
+                                   merged, old_extrema=None))
+    inl = norm(M.maintain_extrema(cur, stg, acts, "k", ["g"], "v",
+                                  merged, old_extrema=None,
+                                  touched_inline_threshold=64))
+    assert base == inl
+    # threshold smaller than the touched set -> silent fallback,
+    # same values
+    tiny = norm(M.maintain_extrema(cur, stg, acts, "k", ["g"], "v",
+                                   merged, old_extrema=None,
+                                   touched_inline_threshold=2))
+    assert base == tiny

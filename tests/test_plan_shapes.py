@@ -316,3 +316,34 @@ def test_dpp_marker_not_folded_and_lossless(spark):
     assert "xxhash64" in optimized.lower(), (
         "marker predicate was constant-folded away — DPP unlock "
         "lost:\n" + optimized)
+
+
+def test_inline_threshold_reaches_scan_as_static_partition_filter(
+        spark, tmp_path):
+    """touched_group_semi(inline_threshold=N) over a partitioned base
+    must turn the touched set into a STATIC PartitionFilter (IN set /
+    equality on the partition column) — the strongest pruning form,
+    measured 4-6x cheaper than the DPP subquery at sf10
+    (SCALE_SOAK.json pruned_recompute_soak)."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 40).alias("g"),
+        (F.col("id") * 7 % 101).alias("v"))
+    path = str(tmp_path / "by_g")
+    base.write.partitionBy("g").parquet(path)
+    stored = spark.read.parquet(path)
+    touched = spark.createDataFrame([(3,), (11,)], "g long")
+    out = M.touched_group_semi(stored, touched, ["g"],
+                               inline_threshold=16) \
+        .groupBy("g").agg(F.max("v"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    pf = scan[scan.index("PartitionFilters"):][:200]
+    assert ("g#" in pf and ("IN (" in pf or "INSET" in pf
+                            or "= 3" in pf or "(g" in pf)), (
+        "touched groups did not reach the scan as a static "
+        "partition filter:\n" + pf)
+    # and the result is the right rows
+    got = {r.g for r in out.collect()}
+    assert got == {3, 11}
