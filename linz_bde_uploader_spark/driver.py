@@ -431,8 +431,16 @@ class BdeUploader:
             return TableResult(table.name, ds.name, "5", "loaded", M.MergeStats())
 
         chg = M.fix_key_swaps(stg, cur, chg, table.key, table.unique_cols)
+        spec = self._views.get(table.name)
+        # carry the view group columns through classify (free — the
+        # classify join holds both rows) so every partial-refresh
+        # view derives its touched groups O(changes) from the actions
+        # frame instead of re-scanning the base by key
+        carry = (sorted(set(spec.group_cols))
+                 if spec is not None and spec.group_cols else None)
         actions = M.classify_actions(cur, stg, chg, table.key, cur.columns,
-                                     unique_cols=table.unique_cols)
+                                     unique_cols=table.unique_cols,
+                                     carry_cols=carry)
         actions = actions.cache()
         stats = M.merge_stats(actions)
         merged = M.apply_actions(cur, stg, actions, table.key)
@@ -444,7 +452,6 @@ class BdeUploader:
             actions.unpersist()
             return TableResult(table.name, ds.name, "5", "error", stats,
                                f"tolerance: {new_count} < error floor of {prev_count}")
-        spec = self._views.get(table.name)
         if spec is not None:
             # maintained views refresh O(changes) BEFORE the base
             # write, behind the dataset-stamp replay guard shared

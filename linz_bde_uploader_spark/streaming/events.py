@@ -345,8 +345,14 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                 chg = M.prepare_change_table(
                     read_crs(spark, f"{root}/level_5/{ds}/xaud.crs"),
                     table_name)
+                # carry view group columns (free in the classify
+                # join) so partial-refresh views derive touched
+                # groups O(changes) — same wiring as the batch driver
+                carry = (sorted(set(spec.group_cols))
+                         if spec.group_cols else None)
                 actions = M.classify_actions(cur, stg, chg, key,
-                                             cur.columns).cache()
+                                             cur.columns,
+                                             carry_cols=carry).cache()
                 merged = M.apply_actions(cur, stg, actions, key)
                 # Views refresh BEFORE the base write, each behind its
                 # dataset-stamp replay guard (see refresh_view). The
