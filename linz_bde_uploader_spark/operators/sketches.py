@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from linz_bde_uploader_spark.functions.hashing import hash60
+from linz_bde_uploader_spark.operators.merge import TOUCHED_INLINE_DEFAULT
 from linz_bde_uploader_spark.operators.topk import grouped_topk
 
 # HLL geometry: m = 2^8 = 256 registers from the top 8 bits of the
@@ -149,7 +150,7 @@ def maintain_hll(current: DataFrame, staged: DataFrame,
                  merged: DataFrame,
                  old_regs: DataFrame | None = None,
                  groups_nullable: bool = True,
-                 touched_inline_threshold: int = 0) -> DataFrame:
+                 touched_inline_threshold: int = TOUCHED_INLINE_DEFAULT) -> DataFrame:
     """Incremental maintenance of a per-group HLL register view
     through a CDC merge — the seventh IVM member, sitting between
     the self-maintainable family (count/sum deltas) and the

@@ -247,14 +247,19 @@ def _partitioned_merge_fixture(spark, tmp_path):
     cur = spark.range(2000).select(
         F.col("id").alias("k"), (F.col("id") % 40).alias("g"),
         (F.col("id") * 7 % 101).cast("decimal(12,2)").alias("v"))
-    # localized change batch: keys inside two groups only
+    # localized change batch: keys inside two groups only. (k < 1000,
+    # NOT k % 5 == 0: k ≡ 3 or 11 (mod 40) is never ≡ 0 (mod 5), so a
+    # mod-based pick intersected to the EMPTY set and the fixture
+    # exercised a zero-action maintenance — caught in r14 when the
+    # bounded-inline default folded the empty recompute branch away
+    # entirely.)
+    changed = F.col("g").isin(3, 11) & (F.col("k") < 1000)
     stg = cur.withColumn(
-        "v", F.when(F.col("g").isin(3, 11) & (F.col("k") % 5 == 0),
-                    F.col("v") + 500)
+        "v", F.when(changed, F.col("v") + 500)
         .otherwise(F.col("v")).cast("decimal(12,2)"))
-    chg = (cur.filter(F.col("g").isin(3, 11) & (F.col("k") % 5 == 0))
-           .select(F.col("k").alias("key")))
+    chg = cur.filter(changed).select(F.col("k").alias("key"))
     actions = M.classify_actions(cur, stg, chg, "k", ["g", "v"])
+    assert actions.filter(F.col("action") == "U").count() == 50
     merged_path = str(tmp_path / "merged_by_g")
     M.apply_actions(cur, stg, actions, "k") \
         .write.mode("overwrite").partitionBy("g").parquet(merged_path)
@@ -275,8 +280,12 @@ def test_maintain_extrema_recompute_prunes(spark, tmp_path):
     old = cur.groupBy("g").agg(
         F.count("*").alias("n"),
         F.min(F.col("v")).alias("vmin"), F.max(F.col("v")).alias("vmax"))
+    # threshold=0 pins the JOIN fallback form (the path taken when a
+    # touched set overflows TOUCHED_INLINE_DEFAULT): even there the
+    # rescan must prune, via DPP
     out = M.maintain_extrema(cur, stg, actions, "k", ["g"], "v",
-                             merged, old_extrema=old)
+                             merged, old_extrema=old,
+                             touched_inline_threshold=0)
     plan = _executed_plan(out)
     assert "dynamicpruning" in plan.lower(), (
         "touched-group recompute scan is NOT partition-pruned — the "
@@ -294,7 +303,8 @@ def test_maintain_hll_recompute_prunes(spark, tmp_path):
     old_regs = SK.hll_registers(cur, ["g"], F.col("k").cast("string"))
     out = SK.maintain_hll(cur, stg, actions, "k", ["g"],
                           F.col("k").cast("string"), merged,
-                          old_regs=old_regs)
+                          old_regs=old_regs,
+                          touched_inline_threshold=0)
     plan = _executed_plan(out)
     assert "dynamicpruning" in plan.lower(), (
         "HLL recompute scan is NOT partition-pruned:\n" + plan)
@@ -347,3 +357,42 @@ def test_inline_threshold_reaches_scan_as_static_partition_filter(
     # and the result is the right rows
     got = {r.g for r in out.collect()}
     assert got == {3, 11}
+
+
+def test_maintain_extrema_default_takes_inline_single_scan(
+        spark, tmp_path):
+    """The DEFAULT refresh path (touched set under
+    TOUCHED_INLINE_DEFAULT): the recompute must take the bounded-
+    inline form — the touched groups reach the merged scan as a
+    STATIC PartitionFilter with NO DPP subquery machinery and no
+    second null-branch scan. This pins the r14 default flip: the
+    join+DPP form is the >threshold fallback, not the common case
+    (it costs ~0.5 s of subquery overhead per refresh — SCALE.md)."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cur, stg, actions, merged = _partitioned_merge_fixture(
+        spark, tmp_path)
+    old = cur.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.min(F.col("v")).alias("vmin"), F.max(F.col("v")).alias("vmax"))
+    out = M.maintain_extrema(cur, stg, actions, "k", ["g"], "v",
+                             merged, old_extrema=old)
+    plan = _executed_plan(out)
+    assert "dynamicpruning" not in plan.lower(), (
+        "default refresh took the DPP fallback, not bounded-inline:\n"
+        + plan)
+    # the touched groups (2 of 40) reach the merged scan statically
+    scan = plan[plan.index("FileScan"):]
+    pf = scan[scan.index("PartitionFilters"):][:200]
+    assert "g#" in pf, (
+        "touched groups did not reach the merged scan as a static "
+        "partition filter:\n" + pf)
+    # and the maintained view still equals the direct recompute
+    direct = {(r.g, r.n, r.vmin, r.vmax) for r in
+              merged.groupBy("g").agg(
+                  F.count("*").alias("n"),
+                  F.min(F.col("v").cast("decimal(12,2)")).alias("vmin"),
+                  F.max(F.col("v").cast("decimal(12,2)")).alias("vmax"))
+              .collect()}
+    got = {(r.g, r.n, r.vmin, r.vmax) for r in out.collect()}
+    assert got == direct
