@@ -522,7 +522,8 @@ def q_cdc_minmax_refresh(spark, sf_dir: str):
     driver red/green split (ORACLE.md)."""
     cur, stg, chg = cdc_frames(spark, sf_dir)
     actions = M.classify_actions(cur, stg, chg, "o_orderkey",
-                                 ORDER_COLS).cache()
+                                 ORDER_COLS,
+                                 carry_cols=["o_orderstatus"]).cache()
     merged = M.apply_actions(cur, stg, actions, "o_orderkey")
     v = F.col("o_totalprice").cast("decimal(12,2)")
     old = cur.groupBy("o_orderstatus").agg(
@@ -569,7 +570,8 @@ def q_cdc_topk_refresh(spark, sf_dir: str):
     Values publish as integer cents (ORACLE.md portable types)."""
     cur, stg, chg = cdc_frames(spark, sf_dir)
     actions = M.classify_actions(cur, stg, chg, "o_orderkey",
-                                 ORDER_COLS).cache()
+                                 ORDER_COLS,
+                                 carry_cols=["o_orderstatus"]).cache()
     merged = M.apply_actions(cur, stg, actions, "o_orderkey")
     v = F.col("o_totalprice").cast("decimal(12,2)")
     from pyspark.sql import Window
@@ -628,7 +630,8 @@ def q_cdc_distinct_refresh(spark, sf_dir: str):
     columns are BIGINT-only (ORACLE.md portable by construction)."""
     cur, stg, chg = cdc_frames(spark, sf_dir)
     actions = M.classify_actions(cur, stg, chg, "o_orderkey",
-                                 ORDER_COLS).cache()
+                                 ORDER_COLS,
+                                 carry_cols=["o_orderstatus"]).cache()
     merged = M.apply_actions(cur, stg, actions, "o_orderkey")
     old = (cur.groupBy("o_orderstatus", "o_custkey")
            .agg(F.count("*").alias("_m"))
@@ -818,7 +821,8 @@ def q_cdc_hll_refresh(spark, sf_dir: str):
     from linz_bde_uploader_spark.operators import sketches as SK
     cur, stg, chg = cdc_frames(spark, sf_dir)
     actions = M.classify_actions(cur, stg, chg, "o_orderkey",
-                                 ORDER_COLS).cache()
+                                 ORDER_COLS,
+                                 carry_cols=["o_orderstatus"]).cache()
     merged = M.apply_actions(cur, stg, actions, "o_orderkey")
     skey = F.col("o_custkey").cast("string")
     old = SK.hll_registers(cur, ["o_orderstatus"], skey)
