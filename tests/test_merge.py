@@ -406,8 +406,12 @@ def test_touched_inline_threshold_matches_join_path(spark, with_nulls):
     def norm(df):
         return sorted(str(tuple(r)) for r in df.collect())
 
+    # threshold=0 pins the JOIN path explicitly (since r14 the
+    # DEFAULT is bounded-inline, so omitting it would compare the
+    # inline path against itself)
     base = norm(M.maintain_extrema(cur, stg, acts, "k", ["g"], "v",
-                                   merged, old_extrema=None))
+                                   merged, old_extrema=None,
+                                   touched_inline_threshold=0))
     inl = norm(M.maintain_extrema(cur, stg, acts, "k", ["g"], "v",
                                   merged, old_extrema=None,
                                   touched_inline_threshold=64))
@@ -418,3 +422,35 @@ def test_touched_inline_threshold_matches_join_path(spark, with_nulls):
                                    merged, old_extrema=None,
                                    touched_inline_threshold=2))
     assert base == tiny
+
+
+def test_touched_inline_threshold_boundary(spark):
+    """The inline/fallback boundary is exact: a touched set of
+    exactly `threshold` groups takes the inline form (no join in the
+    restricted plan), one more group falls back to the semi join.
+    The LIMIT threshold+1 collect is what makes the driver cost a
+    declared constant — this pins that the fallback really engages
+    rather than inlining an unbounded predicate."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g"),
+        (F.col("id") % 97).alias("v"))
+    touched3 = spark.createDataFrame([(1,), (4,), (7,)], "g long")
+
+    at = M.touched_group_semi(base, touched3, ["g"],
+                              inline_threshold=3)
+    plan_at = at._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_at, (
+        "exactly-at-threshold set did not inline:\n" + plan_at)
+    assert {r.g for r in at.select("g").distinct().collect()} \
+        == {1, 4, 7}
+
+    over = M.touched_group_semi(base, touched3, ["g"],
+                                inline_threshold=2)
+    plan_over = over._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan_over, (
+        "over-threshold set did not fall back to the join form:\n"
+        + plan_over)
+    assert {r.g for r in over.select("g").distinct().collect()} \
+        == {1, 4, 7}
