@@ -35,17 +35,21 @@ class TableDef:
     unique_cols: list[str] = field(default_factory=list)
     # maintained-view declaration (our extension, like unique=):
     # view=<g1>+<g2>:<value_col>[:minmax][:hll=<col>][:cms=<col>]
+    #     [:topk=<k>][:distinct=<col>]
     # registers a <table>__agg (and optionally __minmax, a
-    # distinct-count sketch __hll over <col>, and/or a count-min
-    # frequency sketch __cms over <col>) view the driver refreshes
-    # O(changes) with every load (operators/view_refresh.py). Join
-    # views need a dimension DataFrame and stay programmatic
-    # (UploadConfig.views).
+    # distinct-count sketch __hll over <col>, a count-min frequency
+    # sketch __cms over <col>, a per-group leaderboard __topk of the
+    # value column, and/or an exact per-group count-distinct
+    # __distinct over <col>) view the driver refreshes O(changes)
+    # with every load (operators/view_refresh.py). Join views need a
+    # dimension DataFrame and stay programmatic (UploadConfig.views).
     view_group_cols: list[str] = field(default_factory=list)
     view_value_col: str | None = None
     view_minmax: bool = False
     view_hll_key: str | None = None
     view_cms_key: str | None = None
+    view_topk: int | None = None
+    view_distinct_col: str | None = None
 
 
 def parse_tables_conf(text: str) -> list[TableDef]:
@@ -111,6 +115,11 @@ def _parse_attrs(t: TableDef, toks: list[str]) -> None:
                     t.view_hll_key = flag[4:]
                 elif flag.startswith("cms=") and flag[4:]:
                     t.view_cms_key = flag[4:]
+                elif flag.startswith("topk=") and flag[5:].isdigit() \
+                        and int(flag[5:]) >= 1:
+                    t.view_topk = int(flag[5:])
+                elif flag.startswith("distinct=") and flag[9:]:
+                    t.view_distinct_col = flag[9:]
                 else:
                     bad = flag
             if not t.view_group_cols or t.view_value_col is None \
@@ -118,8 +127,8 @@ def _parse_attrs(t: TableDef, toks: list[str]) -> None:
                 # fail at parse time, not as a silently-absent view
                 raise ValueError(
                     f"{t.name}: view= needs <group>[+<group>]:"
-                    f"<value_col>[:minmax][:hll=<col>][:cms=<col>], "
-                    f"got {tok!r}")
+                    f"<value_col>[:minmax][:hll=<col>][:cms=<col>]"
+                    f"[:topk=<k>][:distinct=<col>], got {tok!r}")
         elif low == "l5_is_full":
             t.l5_is_full = True
         elif low == "l5_change_table":

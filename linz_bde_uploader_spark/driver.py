@@ -162,7 +162,9 @@ class BdeUploader:
                     value_col=t.view_value_col,
                     minmax=t.view_minmax,
                     hll_key=t.view_hll_key,
-                    cms_key=t.view_cms_key)
+                    cms_key=t.view_cms_key,
+                    topk=t.view_topk,
+                    distinct_col=t.view_distinct_col)
         self._start = time.time()
         # X2 SQL hook executor — replaceable for JDBC targets / tests
         self.sql_runner = lambda sql: self.spark.sql(sql)

@@ -658,6 +658,44 @@ def maintain_extrema(current: DataFrame, staged: DataFrame,
     return untouched.unionByName(recomputed)
 
 
+def topk_view(df: DataFrame, group_cols: list[str], key: str,
+              value_col: str, k: int,
+              value_type: str = "decimal(12,2)") -> DataFrame:
+    """The top-k view shape — (group_cols..., rank, key, value) with
+    rank = row_number over (value DESC, key ASC), a total order so
+    the view is set-deterministic. Single source of truth for
+    :func:`maintain_topk`'s recompute/bootstrap AND the direct
+    seeding path (view_refresh.seed_views): both MUST rank
+    identically or an L0 seed and a later L5 refresh would disagree
+    on ties. The rank<=k filter is WindowGroupLimit-pruned (pinned
+    by tests/test_plan_shapes.py)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_v").desc(), F.col(key).asc())
+    return (df.select(*group_cols, F.col(key),
+                      F.col(value_col).cast(value_type).alias("_v"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(*group_cols, F.col("rank").cast("bigint"),
+                    F.col(key), F.col("_v").alias(value_col)))
+
+
+def distinct_view(df: DataFrame, group_cols: list[str],
+                  value_col: str) -> DataFrame:
+    """The distinct-count view shape — (group_cols..., n,
+    n_distinct), both BIGINT. Shared by :func:`maintain_distinct`
+    and the direct seeding path. Two-key hash aggregate ((group,
+    value) then group), NOT count-distinct-with-other-aggs: keeping
+    n as the sum of first-level multiplicities avoids Catalyst's
+    Expand doubling of the input stream."""
+    per_value = (df.groupBy(*group_cols, value_col)
+                 .agg(F.count("*").alias("_m")))
+    return (per_value.groupBy(*group_cols)
+            .agg(F.sum("_m").cast("bigint").alias("n"),
+                 F.count(value_col).alias("n_distinct")))
+
+
 def maintain_topk(current: DataFrame, staged: DataFrame,
                   actions: DataFrame, key: str,
                   group_cols: list[str], value_col: str,
@@ -688,7 +726,6 @@ def maintain_topk(current: DataFrame, staged: DataFrame,
     Returns (group_cols..., rank, key, value-as-``value_type``).
     ``old_topk=None`` recomputes the untouched side from ``merged``
     directly (bootstrap / differential-test path)."""
-    v = F.col(value_col).cast(value_type)
     touched = carried_touched_groups(actions, group_cols)
     if touched is None:
         del_keys = F.broadcast(
@@ -713,16 +750,8 @@ def maintain_topk(current: DataFrame, staged: DataFrame,
             cond = c if cond is None else (cond & c)
         return cond
 
-    from pyspark.sql import Window
-
     def topk(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(*group_cols).orderBy(
-            F.col("_v").desc(), F.col(key).asc())
-        return (df.select(*group_cols, F.col(key), v.alias("_v"))
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select(*group_cols, F.col("rank").cast("bigint"),
-                        F.col(key), F.col("_v").alias(value_col)))
+        return topk_view(df, group_cols, key, value_col, k, value_type)
 
     recomputed = topk(touched_group_semi(
         merged, touched, group_cols, null_safe=groups_nullable,
@@ -910,11 +939,7 @@ def maintain_distinct(current: DataFrame, staged: DataFrame,
         return cond
 
     def distinct_counts(df: DataFrame) -> DataFrame:
-        per_value = (df.groupBy(*group_cols, value_col)
-                     .agg(F.count("*").alias("_m")))
-        return (per_value.groupBy(*group_cols)
-                .agg(F.sum("_m").cast("bigint").alias("n"),
-                     F.count(value_col).alias("n_distinct")))
+        return distinct_view(df, group_cols, value_col)
 
     recomputed = distinct_counts(
         touched_group_semi(merged, touched, group_cols,

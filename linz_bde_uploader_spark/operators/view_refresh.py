@@ -66,6 +66,17 @@ class ViewSpec:
       LINEAR sketch, so unlike hll_key it needs no group_cols and
       no recompute branch: deletes subtract, inserts add. Read it
       with ``sketches.cms_lookup``.
+    - ``topk`` (requires ``group_cols`` + ``value_col``): a per-group
+      leaderboard view ``<table>__topk`` (group_cols, rank, key,
+      value) maintained by ``merge.maintain_topk`` (touched-group
+      partial refresh; ranking is value DESC, key ASC — the
+      set-deterministic total order ``merge.topk_view`` defines for
+      both the seed and the refresh).
+    - ``distinct_col`` (requires ``group_cols``): a per-group
+      COUNT(DISTINCT distinct_col) view ``<table>__distinct``
+      (group_cols, n, n_distinct) maintained by
+      ``merge.maintain_distinct`` (last-holder deletes force the
+      same touched-group recompute split).
     """
 
     group_cols: list[str] | None = None
@@ -75,11 +86,21 @@ class ViewSpec:
     value_type: str = "decimal(12,2)"
     hll_key: str | None = None
     cms_key: str | None = None
+    topk: int | None = None
+    distinct_col: str | None = None
 
     def __post_init__(self):
+        # fail at registration, not as a silently-absent view
         if self.hll_key is not None and not self.group_cols:
-            # fail at registration, not as a silently-absent view
             raise ValueError("ViewSpec.hll_key requires group_cols")
+        if self.topk is not None and (
+                not self.group_cols or self.value_col is None):
+            raise ValueError(
+                "ViewSpec.topk requires group_cols and value_col")
+        if self.topk is not None and self.topk < 1:
+            raise ValueError("ViewSpec.topk must be >= 1")
+        if self.distinct_col is not None and not self.group_cols:
+            raise ValueError("ViewSpec.distinct_col requires group_cols")
 
 
 def _behind(store, view_table: str, ds: str) -> bool:
@@ -131,6 +152,19 @@ def seed_views(store, table_name: str, df: DataFrame, ds: str,
         store.write(f"{table_name}__cms",
                     cms_build(df.select(F.col(spec.cms_key)
                                         .cast("string").alias("tok"))),
+                    dataset=ds)
+    if spec.topk is not None and (
+            force or _behind(store, f"{table_name}__topk", ds)):
+        store.write(f"{table_name}__topk",
+                    M.topk_view(df, spec.group_cols, key,
+                                spec.value_col, spec.topk,
+                                value_type=spec.value_type),
+                    dataset=ds)
+    if spec.distinct_col is not None and (
+            force or _behind(store, f"{table_name}__distinct", ds)):
+        store.write(f"{table_name}__distinct",
+                    M.distinct_view(df, spec.group_cols,
+                                    spec.distinct_col),
                     dataset=ds)
     if spec.group_cols is None or spec.value_col is None:
         return
@@ -194,6 +228,21 @@ def refresh_views(spark: SparkSession, store, table_name: str,
             cms = cms_build(merged.select(F.col(spec.cms_key)
                                           .cast("string").alias("tok")))
         store.write(ct, cms, dataset=ds)
+    tt = f"{table_name}__topk"
+    if spec.topk is not None and _behind(store, tt, ds):
+        old_tk = store.read(spark, tt) if store.exists(tt) else None
+        tk = M.maintain_topk(cur, stg, actions, key,
+                             spec.group_cols, spec.value_col,
+                             merged, k=spec.topk, old_topk=old_tk,
+                             value_type=spec.value_type)
+        store.write(tt, tk, dataset=ds)
+    dt = f"{table_name}__distinct"
+    if spec.distinct_col is not None and _behind(store, dt, ds):
+        old_dc = store.read(spark, dt) if store.exists(dt) else None
+        dc = M.maintain_distinct(cur, stg, actions, key,
+                                 spec.group_cols, spec.distinct_col,
+                                 merged, old_distinct=old_dc)
+        store.write(dt, dc, dataset=ds)
     if spec.group_cols is None or spec.value_col is None:
         return
     at = f"{table_name}__agg"

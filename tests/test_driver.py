@@ -892,3 +892,67 @@ def test_batch_driver_maintains_cms_view(spark, tmp_path):
     # the refresh was stamped with the dataset it incorporated
     assert store.current_dataset("crs_parcel_bndry__cms") == \
         "20160601171200"
+
+
+def test_tables_conf_topk_distinct_views(spark, tmp_path):
+    """r14 conf symmetry: `topk=` and `distinct=` in the view=
+    declaration register the third and fourth IVM members from the
+    conf surface alone. After a full L0+L5 run, __topk equals the
+    direct leaderboard and __distinct the direct count-distinct of
+    the merged base — seed (L0) and refresh (L5) agree on the shared
+    topk_view/distinct_view shapes."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    conf = """
+TABLE l5_change_table l5_change_table files xaud
+TABLE crs_parcel_bndry key=audit_id view=reversed:sequence:topk=2:distinct=lin_id files pab1
+"""
+    tables = parse_tables_conf(conf)
+    t = [x for x in tables if x.name == "crs_parcel_bndry"][0]
+    assert t.view_topk == 2 and t.view_distinct_col == "lin_id"
+
+    repo = BdeRepository(write_repository(str(tmp_path / "repo")))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    ledger = Ledger(str(tmp_path / "ctl"))
+    up = BdeUploader(spark, repo, store, ledger, tables)
+
+    def check():
+        base = store.read(spark, "crs_parcel_bndry")
+        tk = {(r["reversed"], r["rank"], r["audit_id"])
+              for r in store.read(spark, "crs_parcel_bndry__topk")
+              .collect()}
+        direct_tk = {(r["reversed"], r["rank"], r["audit_id"])
+                     for r in M.topk_view(base, ["reversed"],
+                                          "audit_id", "sequence", 2)
+                     .collect()}
+        assert tk == direct_tk, (tk, direct_tk)
+        dc = {r["reversed"]: (r["n"], r["n_distinct"])
+              for r in store.read(spark, "crs_parcel_bndry__distinct")
+              .collect()}
+        direct_dc = {r["reversed"]: (r["n"], r["n_distinct"])
+                     for r in M.distinct_view(base, ["reversed"],
+                                              "lin_id").collect()}
+        assert dc == direct_dc, (dc, direct_dc)
+
+    up.apply_updates(level0=True)
+    check()
+    up.apply_updates(level5=True)
+    check()
+
+
+def test_viewspec_topk_distinct_validation():
+    """Misdeclared sketch/leaderboard specs fail at registration."""
+    from linz_bde_uploader_spark.operators.view_refresh import ViewSpec
+
+    with pytest.raises(ValueError):
+        ViewSpec(group_cols=["g"], topk=3)          # no value_col
+    with pytest.raises(ValueError):
+        ViewSpec(group_cols=["g"], value_col="v", topk=0)
+    with pytest.raises(ValueError):
+        ViewSpec(distinct_col="c")                  # no group_cols
+    with pytest.raises(ValueError):
+        parse_tables_conf(
+            "TABLE t key=id view=g:v:topk=x files f")
+    with pytest.raises(ValueError):
+        parse_tables_conf(
+            "TABLE t key=id view=g:v:distinct= files f")
