@@ -249,6 +249,8 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
                          view_join: dict | None = None,
                          view_hll_key: str | None = None,
                          view_cms_key: str | None = None,
+                         view_topk: int | None = None,
+                         view_distinct_col: str | None = None,
                          use_dataset_transaction: bool = False) -> None:
     """The poll-run upload loop as a stream: watch the level_5
     repository, and for every micro-batch of new dataset files run the
@@ -295,6 +297,13 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     branch at any granularity), the streaming token-frequency
     materialization. Needs no group columns.
 
+    ``view_topk`` / ``view_distinct_col`` additionally maintain the
+    per-group leaderboard ``<table>__topk`` (merge.maintain_topk,
+    k rows per group, value DESC / key ASC total order) and the exact
+    count-distinct ``<table>__distinct`` (merge.maintain_distinct,
+    last-holder deletes recompute touched groups) — the same
+    touched-group partial-refresh discipline as minmax/hll.
+
     ``view_join`` (keys: ``dim`` DataFrame, ``fact_col``, ``dim_col``,
     ``fact_cols``, ``dim_cols``) additionally maintains an enriched
     join view ``<table>__join`` via the delta-join rule
@@ -320,7 +329,8 @@ def streaming_cdc_upload(spark: SparkSession, root: str, store,
     # the ordered-guard correctness argument)
     spec = ViewSpec(group_cols=view_group_cols, value_col=view_value_col,
                     minmax=view_minmax, join=view_join,
-                    hll_key=view_hll_key, cms_key=view_cms_key)
+                    hll_key=view_hll_key, cms_key=view_cms_key,
+                    topk=view_topk, distinct_col=view_distinct_col)
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.cache()

@@ -1410,3 +1410,59 @@ def test_stream_cms_counts_guarded_against_redelivery(spark, tmp_path):
     STR.stream_cms_counts(spark, src, store, "ev_cms",
                           str(tmp_path / "ck2"), schema)
     assert stored() == direct(ev)
+
+
+def test_streaming_cdc_topk_distinct_views(spark, tmp_path):
+    """r14 streaming symmetry: view_topk/view_distinct_col maintain
+    the leaderboard and count-distinct views alongside the streaming
+    CDC merge. After every drain both stored views equal from-scratch
+    recomputes of the stored base (the second drain exercises the
+    touched-group incremental path)."""
+    from linz_bde_uploader_spark.operators.merge import (
+        distinct_view, topk_view,
+    )
+    from linz_bde_uploader_spark.sources.crs import parse_header, read_crs
+    from linz_bde_uploader_spark.sources.store import TableStore
+    from tests.fixtures import write_crs
+
+    root = write_repository(str(tmp_path / "repo"))
+    store = TableStore(str(tmp_path / "store"), n_buckets=2)
+    l0_file = os.path.join(root, "level_0", "20160601000000", "pab1.crs")
+    store.write("crs_parcel_bndry", read_crs(spark, l0_file), key="audit_id")
+    schema = parse_header(l0_file).schema()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        STR.streaming_cdc_upload(spark, root, store, "crs_parcel_bndry",
+                                 "audit_id", schema, "pab1", ckpt,
+                                 view_group_cols=["reversed"],
+                                 view_value_col="sequence",
+                                 view_topk=2,
+                                 view_distinct_col="lin_id")
+
+    def check():
+        base = store.read(spark, "crs_parcel_bndry")
+        tk = {(r["reversed"], r["rank"], r["audit_id"]) for r in
+              store.read(spark, "crs_parcel_bndry__topk").collect()}
+        want_tk = {(r["reversed"], r["rank"], r["audit_id"]) for r in
+                   topk_view(base, ["reversed"], "audit_id",
+                             "sequence", 2).collect()}
+        assert tk == want_tk and tk, (tk, want_tk)
+        dc = {r["reversed"]: (r["n"], r["n_distinct"]) for r in
+              store.read(spark, "crs_parcel_bndry__distinct").collect()}
+        want_dc = {r["reversed"]: (r["n"], r["n_distinct"]) for r in
+                   distinct_view(base, ["reversed"],
+                                 "lin_id").collect()}
+        assert dc == want_dc, (dc, want_dc)
+
+    run()
+    check()
+    ds2 = os.path.join(root, "level_5", "20160602000000")
+    write_crs(os.path.join(ds2, "pab1.crs"), PAB1_L5B)
+    write_crs(os.path.join(ds2, "xaud.crs"), XAUD_B)
+    run()
+    check()
+    assert store.current_dataset("crs_parcel_bndry__topk") == \
+        "20160602000000"
+    assert store.current_dataset("crs_parcel_bndry__distinct") == \
+        "20160602000000"
