@@ -106,10 +106,18 @@ _DRIVER_FIRST = [
     # driver's DuckDB is still the contract.
     "text_cms_freq", "text_cms_heavy_hitters", "cdc_cms_refresh",
     "events_window_hll", "events_kmv_jaccard", "events_hll_rollup",
-    # freshest green r13 (6 greens)
+    # NEW in r15 (zero-green rows take slots ahead of
+    # rotation-complete ones): the densification-bounded embedding
+    # near-dedup — the r14 verdict's top order (star-edge bucket cap
+    # extended from text LSH to the embedding bucket join; the oracle
+    # reproduces the cap deterministically)
+    "emb_near_dedup_capped",
+    # freshest green r14 (7 greens)
     "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_survivors", "docs_stratified_sample", "docs_topk_quality",
-    "emb_norm_stats",
+    # (r15 rotation: emb_norm_stats — 7 driver greens, shape
+    # unchanged since r8, ADDED to FAST_QUERIES this round — yielded
+    # its slot to emb_near_dedup_capped above.)
     # (r12 rotation: text_term_freq, text_tfidf, emb_quantize — 4
     # driver greens each, freshest r5 — yielded their slots to the
     # three zero-green rows above and joined the FAST_QUERIES sf0.001

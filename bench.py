@@ -1002,11 +1002,16 @@ def main():
     soak_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "SCALE_SOAK.json")
     if os.path.exists(soak_path):
+        # (OSError too: a permission change or unlink racing the
+        # exists() check must degrade to an error record, like the
+        # neighboring soak blocks — never abort the headline run)
         try:
             with open(soak_path) as f:
                 detail["scale_soak"] = json.load(f)
-        except ValueError:
-            detail["scale_soak"] = {"error": "unreadable SCALE_SOAK.json"}
+        except (OSError, ValueError) as e:
+            detail["scale_soak"] = {
+                "error": f"unreadable SCALE_SOAK.json: "
+                         f"{str(e).splitlines()[0][:200]}"}
     if pq:
         shared = [n for n in times
                   if isinstance(pq.get(n), (int, float)) and pq[n]]

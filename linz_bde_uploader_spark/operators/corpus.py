@@ -347,7 +347,8 @@ def contrastive_triplets(corpus: DataFrame, pos: DataFrame,
 
 def weighted_sample(df: DataFrame, group_cols: list[str],
                     weight_col: str, k: int,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    invalid_weights: str = "error") -> DataFrame:
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis A-Res): each row draws u in (0,1] from the
     portable hash of its id and competes on the key u^(1/w) — the k
@@ -371,14 +372,33 @@ def weighted_sample(df: DataFrame, group_cols: list[str],
 
     u = (hash60(F.col(id_col).cast("string")) + F.lit(1)) \
         .cast("double") / F.lit(1152921504606846976.0)
-    sk = F.round(F.log(u), 12) / F.col(weight_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    sk = F.round(F.log(u), 12) / w
     # Guard the contract, not just the caller: a NULL or w <= 0
     # weight would produce a NULL/inverted sort key and silently
     # corrupt the sample's weight-proportionality. A-Res is defined
-    # over positive weights only, so such rows are excluded here.
-    keyed = (df.filter(F.col(weight_col).isNotNull()
-                       & (F.col(weight_col).cast("double") > 0))
-             .withColumn("_sk", sk))
+    # over positive weights only. Default is LOUD: a bad weight
+    # raises at execution (distributed, lazy — no driver action at
+    # construction), so a caller feeding bad weights cannot get a
+    # quietly smaller, differently-composed sample.
+    # ``invalid_weights="drop"`` restores the documented filter for
+    # callers that pre-declare the exclusion as intended semantics.
+    valid = w.isNotNull() & (w > 0)
+    if invalid_weights == "error":
+        # the guard lives INSIDE the consumed sort-key expression —
+        # an assert in a separate projected-away column would be
+        # pruned by Catalyst and never evaluated
+        keyed = df.withColumn("_sk", F.when(valid, sk).otherwise(
+            F.raise_error(F.concat(
+                F.lit("weighted_sample: NULL or non-positive "
+                      f"{weight_col} for {id_col}="),
+                F.col(id_col).cast("string")))))
+    elif invalid_weights == "drop":
+        keyed = df.filter(valid).withColumn("_sk", sk)
+    else:
+        raise ValueError(
+            f"invalid_weights must be 'error' or 'drop', "
+            f"got {invalid_weights!r}")
     return (grouped_topk(keyed, list(group_cols),
                          [F.col("_sk").desc(), F.col(id_col).asc()],
                          k, salt_expr=hash60(F.col(id_col)

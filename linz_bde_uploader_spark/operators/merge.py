@@ -126,6 +126,53 @@ def carried_touched_groups(actions: DataFrame,
                                   group_cols)
 
 
+def fallback_touched_groups(current: DataFrame, staged: DataFrame,
+                            actions: DataFrame, key: str,
+                            group_cols: list[str],
+                            del_only: bool = False) -> DataFrame:
+    """Semi-join derivation of the touched-group relation for an
+    actions frame built WITHOUT carried group columns — an O(N)
+    key-semi-join scan of current/staged (key + group columns only),
+    unlike :func:`carried_touched_groups`' O(|changes|) read of the
+    actions frame. Shared by the maintain_* recompute family so the
+    derivation exists once, not four times.
+
+    The result is PERSISTED (tracked; released with the engine's
+    other caches via ``dedup.release_caches``): the consumer
+    evaluates the relation several times — the bounded inline probe
+    collect, both semi-join branches when the probe overflows the
+    inline threshold, and the untouched-view anti join — and without
+    the persist each evaluation re-runs the two base-table scans
+    (measured as the r14 advice item this closes). The carried path
+    needs no persist: its derivation is a projection of the
+    |changes|-sized actions frame.
+
+    ``del_only`` mirrors carried_touched_groups: just the groups
+    that LOSE rows (maintain_hll's recompute trigger)."""
+    from pyspark import StorageLevel
+
+    from linz_bde_uploader_spark.operators.dedup import _track
+
+    del_keys = F.broadcast(
+        actions.filter(F.col("action").isin(
+            ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
+        .select(F.col("key").alias(key)))
+    dels = current.join(del_keys, key, "left_semi").select(*group_cols)
+    if del_only:
+        touched = dels.distinct()
+    else:
+        ins_keys = F.broadcast(
+            actions.filter(F.col("action").isin(
+                ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
+            .select(F.col("key").alias(key)))
+        touched = dels.unionByName(
+            staged.join(ins_keys, key, "left_semi")
+            .select(*group_cols)).distinct()
+    return mark_selective_for_dpp(
+        _track(touched.persist(StorageLevel.MEMORY_AND_DISK)),
+        group_cols)
+
+
 def touched_group_semi(merged: DataFrame, touched: DataFrame,
                        group_cols: list[str],
                        null_safe: bool = True,
@@ -619,20 +666,8 @@ def maintain_extrema(current: DataFrame, staged: DataFrame,
     v = F.col(value_col).cast(value_type)
     touched = carried_touched_groups(actions, group_cols)
     if touched is None:
-        del_keys = F.broadcast(
-            actions.filter(F.col("action").isin(
-                ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
-            .select(F.col("key").alias(key)))
-        ins_keys = F.broadcast(
-            actions.filter(F.col("action").isin(
-                ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
-            .select(F.col("key").alias(key)))
-        touched = mark_selective_for_dpp(
-            current.join(del_keys, key, "left_semi").select(*group_cols)
-            .unionByName(
-                staged.join(ins_keys, key, "left_semi")
-                .select(*group_cols))
-            .distinct(), group_cols)
+        touched = fallback_touched_groups(current, staged, actions,
+                                          key, group_cols)
 
     def null_safe_on(left, right):
         cond = None
@@ -728,20 +763,8 @@ def maintain_topk(current: DataFrame, staged: DataFrame,
     directly (bootstrap / differential-test path)."""
     touched = carried_touched_groups(actions, group_cols)
     if touched is None:
-        del_keys = F.broadcast(
-            actions.filter(F.col("action").isin(
-                ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
-            .select(F.col("key").alias(key)))
-        ins_keys = F.broadcast(
-            actions.filter(F.col("action").isin(
-                ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
-            .select(F.col("key").alias(key)))
-        touched = mark_selective_for_dpp(
-            current.join(del_keys, key, "left_semi").select(*group_cols)
-            .unionByName(
-                staged.join(ins_keys, key, "left_semi")
-                .select(*group_cols))
-            .distinct(), group_cols)
+        touched = fallback_touched_groups(current, staged, actions,
+                                          key, group_cols)
 
     def null_safe_on(left, right):
         cond = None
@@ -916,20 +939,8 @@ def maintain_distinct(current: DataFrame, staged: DataFrame,
     views."""
     touched = carried_touched_groups(actions, group_cols)
     if touched is None:
-        del_keys = F.broadcast(
-            actions.filter(F.col("action").isin(
-                ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
-            .select(F.col("key").alias(key)))
-        ins_keys = F.broadcast(
-            actions.filter(F.col("action").isin(
-                ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
-            .select(F.col("key").alias(key)))
-        touched = mark_selective_for_dpp(
-            current.join(del_keys, key, "left_semi").select(*group_cols)
-            .unionByName(
-                staged.join(ins_keys, key, "left_semi")
-                .select(*group_cols))
-            .distinct(), group_cols)
+        touched = fallback_touched_groups(current, staged, actions,
+                                          key, group_cols)
 
     def null_safe_on(left, right):
         cond = None

@@ -15,7 +15,9 @@
   broadcast LUT; the scan never reads embeddings at query time.
 - ``embedding_near_pairs`` — corpus-vs-corpus near-duplicate pairs
   above a cosine threshold, bucketed the same way, with
-  ``collapse_identical`` guarding the exact-copy blow-up.
+  ``collapse_identical`` guarding the exact-copy blow-up and
+  ``max_bucket_size`` bounding output under DENSIFICATION (near- but
+  not-identical dense regions — star edges per over-cap bucket).
 """
 
 from __future__ import annotations
@@ -420,7 +422,8 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          n_planes: int = 4, dim: int = 64,
                          collapse_identical: bool = False,
-                         n_probes: int = 1) -> DataFrame:
+                         n_probes: int = 1,
+                         max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine_sim >=
     threshold), pruned by shared hyperplane bucket.
 
@@ -435,7 +438,34 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
     (rep -> member, cosine 1.0) for the identical groups. Component
     structure downstream is unchanged: an identical-vector group is a
     clique spanned exactly by its star; cross-group near-pairs keep
-    their rep-to-rep edge."""
+    their rep-to-rep edge.
+
+    ``max_bucket_size`` is the DENSIFICATION guard — the failure mode
+    ``collapse_identical`` cannot bound (measured in
+    SCALE_SOAK.json r14: 10x vectors in a fixed embedding space grew
+    output pairs 73-90x, wall 20-23x, with zero identical vectors).
+    A genuinely dense region — boilerplate embeddings, near-duplicate
+    web templates — puts B NEAR-identical (not identical) vectors in
+    one hyperplane bucket and the self-join emits B(B-1)/2 pairs; AQE
+    cannot split it because the blow-up is in join OUTPUT, not input
+    bytes. Buckets over the cap emit STAR edges instead — (bucket-min
+    id, member, cosine(hub, member)) — linear in bucket size, same
+    pattern as ``dedup.lsh_candidate_pairs(max_bucket_size=)``. The
+    threshold still applies to star edges, so no pair below threshold
+    is ever emitted. Downstream trade: connected-components clustering
+    of a dense region (members mutually near, which is what made the
+    bucket dense) is unchanged — the star spans the region's
+    component through the hub; pairwise consumers see each member
+    scored against the bucket's canonical vector instead of every
+    sibling. Composes with ``collapse_identical`` (collapse first,
+    cap the distinct-vector bucket that remains); unsupported with
+    ``n_probes > 1`` (probe replication makes per-bucket output
+    accounting ambiguous — a capped run is a first-pass candidate
+    generator, recall knobs belong to the uncapped verifier)."""
+    if max_bucket_size is not None and n_probes > 1:
+        raise ValueError(
+            "max_bucket_size composes with the single-probe bucket "
+            "join only (n_probes must be 1)")
     c = corpus.select(F.col(id_col).alias("id"),
                       _as_double(F.col(vec_col)).alias("v"))
     star = None
@@ -456,6 +486,37 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
     # Cost is an n_probes-way replication of one side's index rows;
     # the b side stays single-bucket, so a pair can match at most
     # once (the probe list is duplicate-free).
+    if max_bucket_size is not None:
+        # bucket stats reuse the bucket exchange (same grouping key);
+        # the join back is co-partitioned — the pattern proven for
+        # text LSH in dedup.lsh_candidate_pairs / tests/test_skew_soak
+        stats = c.groupBy("bucket").agg(
+            F.count("*").alias("_n"), F.min("id").alias("_hub"))
+        cb = c.join(stats, "bucket")
+        small = cb.filter(F.col("_n") <= max_bucket_size)
+        a, b = small.alias("a"), small.alias("b")
+        all_pairs = (
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.round(cosine(F.col("a.v"), F.col("b.v")),
+                            6).alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
+        hubs = (cb.filter((F.col("_n") > max_bucket_size)
+                          & (F.col("id") == F.col("_hub")))
+                .select("bucket", F.col("v").alias("_hv")))
+        over = (  # hub = bucket-min id, so id_a < id_b by construction
+            cb.filter((F.col("_n") > max_bucket_size)
+                      & (F.col("id") != F.col("_hub")))
+            .join(hubs, "bucket")
+            .select(F.col("_hub").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.round(cosine(F.col("_hv"), F.col("v")),
+                            6).alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
+        near = all_pairs.unionByName(over)
+        return near if star is None else near.unionByName(star)
     if n_probes > 1:
         ap = c.withColumn("pbucket", F.explode(multiprobe_buckets(
             F.col("v"), n_planes, dim, n_probes)))

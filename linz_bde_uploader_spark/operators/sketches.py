@@ -181,10 +181,6 @@ def maintain_hll(current: DataFrame, staged: DataFrame,
         ACTION_DELETE, ACTION_INSERT, ACTION_KEY_CHANGE, ACTION_UPDATE)
     if old_regs is None:
         return hll_registers(merged, group_cols, sketch_key)
-    del_keys = F.broadcast(
-        actions.filter(F.col("action").isin(
-            ACTION_DELETE, ACTION_UPDATE, ACTION_KEY_CHANGE))
-        .select(F.col("key").alias(key)))
     ins_keys = F.broadcast(
         actions.filter(F.col("action").isin(
             ACTION_INSERT, ACTION_UPDATE, ACTION_KEY_CHANGE))
@@ -196,14 +192,16 @@ def maintain_hll(current: DataFrame, staged: DataFrame,
     # group-partitioned merged scan prune to these groups' partitions
     # (see merge.py for the DPP heuristic and null-split story).
     from linz_bde_uploader_spark.operators.merge import (
-        carried_touched_groups, mark_selective_for_dpp,
+        carried_touched_groups, fallback_touched_groups,
         touched_group_semi)
     rec_groups = carried_touched_groups(actions, group_cols,
                                         del_only=True)
     if rec_groups is None:
-        rec_groups = mark_selective_for_dpp(
-            current.join(del_keys, key, "left_semi")
-            .select(*group_cols).distinct(), group_cols)
+        # shared persisted derivation (see merge.fallback_touched_
+        # groups): the relation feeds the inline probe, the semi
+        # branches AND two anti joins below — one scan, not four
+        rec_groups = fallback_touched_groups(
+            current, staged, actions, key, group_cols, del_only=True)
 
     def null_safe_on(left, right):
         cond = None

@@ -1357,6 +1357,85 @@ SELECT id AS vec_id, cluster_id FROM comp WHERE id <> cluster_id
 """
 
 
+def q_emb_near_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dedup under DENSIFICATION with a bounded bucket
+    join — the guard the r14 scale soak showed ``emb_near_dedup``
+    lacks (10x vectors grew output pairs 90x, wall 23x; identical-
+    vector collapse cannot bound it because the dense region is
+    near- but not-identical). Every 13th vector is pulled toward
+    vector 0 (0.97*v0 + 0.03*v_i — a boilerplate/template embedding
+    region: mutually near-duplicate, none identical), so one
+    hyperplane bucket densifies. ``max_bucket_size=40`` makes
+    over-cap buckets emit linear star edges (hub = bucket-min id,
+    scored hub-vs-member, threshold still applied) while small
+    buckets keep exact all-pairs — then connected components and the
+    same drop-list shape as emb_near_dedup. Output stays linear in
+    the dense region's size no matter how dense it gets."""
+    emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    v0 = F.broadcast(emb.filter(F.col("vec_id") == 0)
+                     .select(F.col("embedding").cast("array<double>")
+                             .alias("_v0")))
+    corpus = emb.crossJoin(v0).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 13 == 0,
+               F.zip_with(F.col("_v0"),
+                          F.col("embedding").cast("array<double>"),
+                          lambda a, b: a * F.lit(0.97) + b * F.lit(0.03)))
+         .otherwise(F.col("embedding").cast("array<double>"))
+         .alias("embedding"))
+    pairs = S.embedding_near_pairs(corpus, threshold=0.4, n_planes=4,
+                                   dim=64, max_bucket_size=40) \
+        .select("id_a", "id_b")
+    clusters = D.duplicate_clusters(pairs)
+    return (
+        clusters.filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("vec_id"), "cluster_id")
+    )
+
+
+SQL_EMB_NEAR_DEDUP_CAPPED = f"""
+WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+mixed AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 13 = 0
+              THEN list_transform(
+                     list_zip((SELECT v FROM e0 WHERE vec_id = 0), v),
+                     x -> 0.97e0 * x[1] + 0.03e0 * x[2])
+              ELSE v END AS v
+  FROM e0),
+b AS (SELECT vec_id, v, {{bucket}} AS bucket FROM mixed),
+stats AS (SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS hub
+          FROM b GROUP BY bucket),
+small AS (SELECT b.vec_id, b.v, b.bucket FROM b
+          JOIN stats USING (bucket) WHERE stats.n <= 40),
+allp AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+  FROM small a JOIN small bb
+    ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+  WHERE round(list_dot_product(a.v, bb.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.4),
+star AS (
+  SELECT s.hub AS id_a, m.vec_id AS id_b
+  FROM b m
+  JOIN stats s USING (bucket)
+  JOIN b h ON h.vec_id = s.hub AND h.bucket = s.bucket
+  WHERE s.n > 40 AND m.vec_id <> s.hub
+    AND round(list_dot_product(h.v, m.v)
+        / (sqrt(list_dot_product(h.v, h.v))
+           * sqrt(list_dot_product(m.v, m.v))), 6) >= 0.4),
+pairs AS (SELECT id_a, id_b FROM allp UNION SELECT id_a, id_b FROM star),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e2.src, r.r FROM edges e2 JOIN reach r ON e2.dst = r.id),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT id AS vec_id, cluster_id FROM comp WHERE id <> cluster_id
+""".replace("{bucket}", _sql_bucket("v"))
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (pure scan + 3 pushed filters + single sum): the
     whole-stage-codegen floor — no shuffle at all beyond the final
@@ -3808,6 +3887,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "sim_ivf_index_query": (q_sim_ivf_index_query, SQL_SIM_IVF_TOPK),
     "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS),
     "emb_near_dedup": (q_emb_near_dedup, SQL_EMB_NEAR_DEDUP),
+    "emb_near_dedup_capped": (q_emb_near_dedup_capped,
+                              SQL_EMB_NEAR_DEDUP_CAPPED),
     "text_paragraph_dedup": (q_text_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
     "sim_near_pairs_capped": (q_sim_near_pairs_capped, SQL_SIM_NEAR_PAIRS_CAPPED),

@@ -114,7 +114,10 @@ def _gen_documents(factor: int, out_dir: str, seed: int = 42) -> None:
     lang_vals = sorted(lang_c)
     lang_p = np.array([lang_c[v] for v in lang_vals], dtype=np.float64)
     lang_p /= lang_p.sum()
-    src_vals = sorted(set(sources))
+    src_c = Counter(sources)
+    src_vals = sorted(src_c)
+    src_p = np.array([src_c[v] for v in src_vals], dtype=np.float64)
+    src_p /= src_p.sum()
 
     rng = np.random.default_rng(seed)
     n_words = rng.choice(len(lvals), size=n_out, p=lp)
@@ -131,8 +134,9 @@ def _gen_documents(factor: int, out_dir: str, seed: int = 42) -> None:
         "lang": pa.array([lang_vals[j] for j in
                           rng.choice(len(lang_vals), size=n_out,
                                      p=lang_p)]),
-        "source": pa.array([src_vals[i % len(src_vals)]
-                            for i in range(n_out)]),
+        "source": pa.array([src_vals[j] for j in
+                            rng.choice(len(src_vals), size=n_out,
+                                       p=src_p)]),
         "n_chars": pa.array(np.array([len(t) for t in out_texts],
                                      dtype=np.int64)),
     }).cast(src.schema)

@@ -78,8 +78,11 @@ def run_ivm_extension(ivm_dir: str, label: str) -> None:
 
     spark = get_spark("scale_soak_ivm")
     path = os.path.join(REPO, "SCALE_SOAK.json")
-    with open(path) as f:
-        out = json.load(f)
+    try:
+        with open(path) as f:
+            out = json.load(f)
+    except FileNotFoundError:
+        out = {}  # --ivm-dir can run standalone; the merge starts fresh
     for soak_name, soak_fn in (("ivm_soak", bench._ivm_soak),
                                ("hll_soak", bench._hll_soak)):
         key = f"{soak_name}_{label}"
@@ -220,8 +223,11 @@ def run_pruned_soak() -> None:
     bench.release_caches()
 
     path = os.path.join(REPO, "SCALE_SOAK.json")
-    with open(path) as f:
-        doc = json.load(f)
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        doc = {}  # --pruned can run standalone; the merge starts fresh
     doc["pruned_recompute_soak"] = out
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)

@@ -472,3 +472,30 @@ def test_weighted_sample_proportionality(spark):
              weighted_sample(df, ["g"], "w", 1,
                              id_col="doc_id").collect()}
     assert again == {(r.g, r.doc_id) for r in picked.collect()}
+
+
+def test_weighted_sample_invalid_weights(spark):
+    """A NULL or non-positive weight must be LOUD by default (the
+    A-Res key is undefined there; silently dropping the row changes
+    the sample's composition without telling the caller), and the
+    explicit drop mode must exclude exactly the invalid rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.corpus import weighted_sample
+
+    rows = [(0, 1, 10), (0, 2, 0), (0, 3, None), (0, 4, -5),
+            (1, 5, 2), (1, 6, 3)]
+    df = spark.createDataFrame(rows, "g long, doc_id long, w long")
+    with pytest.raises(Exception, match="non-positive"):
+        weighted_sample(df, ["g"], "w", 10, id_col="doc_id").collect()
+    # drop mode: the sample is drawn over exactly the valid rows
+    got = weighted_sample(df, ["g"], "w", 10, id_col="doc_id",
+                          invalid_weights="drop")
+    picked = {r.doc_id for r in got.collect()}
+    assert picked == {1, 5, 6}
+    n_valid = df.filter(F.col("w").isNotNull()
+                        & (F.col("w") > 0)).count()
+    assert got.count() == n_valid  # exclusion count accounted for
+    with pytest.raises(ValueError, match="invalid_weights"):
+        weighted_sample(df, ["g"], "w", 1, invalid_weights="bogus")

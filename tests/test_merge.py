@@ -454,3 +454,38 @@ def test_touched_inline_threshold_boundary(spark):
         + plan_over)
     assert {r.g for r in over.select("g").distinct().collect()} \
         == {1, 4, 7}
+
+
+def test_fallback_touched_derivation_cached_once(spark):
+    """The semi-join fallback touched derivation (actions WITHOUT
+    carried group columns) is persisted before its multiple uses —
+    the bounded inline probe, the >threshold join branches, and the
+    untouched anti join — so the O(N) current/staged scan runs once
+    per refresh, not up to four times (r14 advice/verdict item).
+    Pinned by the InMemoryTableScan in the consuming plan."""
+    from linz_bde_uploader_spark.operators import merge as M
+
+    cur, stg, chg = _ivm_fixture(spark, False)
+    plain = M.classify_actions(cur, stg, chg, "k", ["g", "v"])
+    merged = M.apply_actions(cur, stg, plain, "k")
+    old = cur.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.min(F.col("v").cast("decimal(12,2)")).alias("vmin"),
+        F.max(F.col("v").cast("decimal(12,2)")).alias("vmax"))
+    # threshold=0: the join path evaluates touched in BOTH semi
+    # branches plus the anti join — all three must read the cache
+    out = M.maintain_extrema(cur, stg, plain, "k", ["g"], "v",
+                             merged, old_extrema=old,
+                             touched_inline_threshold=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, (
+        "fallback touched derivation is not cached — the base-table "
+        "semi-join scan re-runs per consumer:\n" + plan)
+    # and the default (inline probe) path reuses the same cache for
+    # the anti join after the probe collect materialized it
+    out2 = M.maintain_extrema(cur, stg, plain, "k", ["g"], "v",
+                              merged, old_extrema=old)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan2
+    from linz_bde_uploader_spark.operators.dedup import release_caches
+    release_caches()

@@ -312,3 +312,67 @@ def test_grouped_topk_equals_single_window(spark):
                     .filter(F.col("rank") <= k)
                     .select("grp", "rank", "id").collect()}
             assert got == want, (k, n_salts)
+
+
+def test_embedding_cap_bounds_densified_bucket(spark):
+    """max_bucket_size on embedding_near_pairs: a DENSIFIED region —
+    near- but not-identical vectors, the case collapse_identical
+    cannot touch (measured superlinear in the r14 scale soak: 90x
+    output pairs at 10x data) — emits linear star edges instead of
+    C(n,2) bucket-join pairs; components of the dense region are
+    unchanged because its members are mutually near the hub."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.dedup import duplicate_clusters
+    from linz_bde_uploader_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    hub = rng.randn(64)
+    rows = []
+    for i in range(500):
+        if i % 10 == 0:  # dense region: 50 distinct near-duplicates
+            v = hub + 0.01 * rng.randn(64)
+        else:
+            v = rng.randn(64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    n_dense = 50
+    capped = embedding_near_pairs(emb, threshold=0.4,
+                                  max_bucket_size=30)
+    full = embedding_near_pairs(emb, threshold=0.4)
+    n_c, n_f = capped.count(), full.count()
+    quad = n_dense * (n_dense - 1) // 2
+    assert n_f >= quad  # the uncapped join really is quadratic here
+    assert n_c <= n_f - quad + n_dense  # cap removed the blow-up
+    # all 50 dense members are distinct vectors — identical-collapse
+    # would have changed nothing
+    assert emb.select("embedding").distinct().count() == 500
+    # star edges are REAL thresholded pairs (hub-vs-member cosine),
+    # so the capped output is a subset of the exact pair set — the
+    # cap drops non-hub-adjacent pairs in over-cap buckets (the
+    # documented trade), it never invents pairs
+    p_c = {(r.id_a, r.id_b) for r in capped.select("id_a", "id_b").collect()}
+    p_f = {(r.id_a, r.id_b) for r in full.select("id_a", "id_b").collect()}
+    assert p_c <= p_f
+    # and the dense region's drop list is unchanged: its members are
+    # mutually near the hub, so the star spans exactly its component
+    c_a = {(r["id"], r["cluster_id"]) for r in
+           duplicate_clusters(capped.select("id_a", "id_b")).collect()
+           if r["id"] % 10 == 0}
+    c_b = {(r["id"], r["cluster_id"]) for r in
+           duplicate_clusters(full.select("id_a", "id_b")).collect()
+           if r["id"] % 10 == 0}
+    assert c_a == c_b and len(c_a) == n_dense
+    # cap composes with a huge bound: results identical to uncapped
+    loose = embedding_near_pairs(emb, threshold=0.4,
+                                 max_bucket_size=10_000)
+    assert sorted(map(tuple, loose.collect())) \
+        == sorted(map(tuple, full.collect()))
+    # unsupported combination fails loudly
+    import pytest
+    with pytest.raises(ValueError, match="n_probes"):
+        embedding_near_pairs(emb, threshold=0.4, n_probes=2,
+                             max_bucket_size=8)

@@ -54,6 +54,10 @@ FAST_QUERIES = [
     # rotated out of the driver top-50 in r14 (compensating coverage)
     "events_sliding_agg", "events_value_winsorize", "q18_large_orders",
     "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+    # rotated out of the driver top-50 in r15 (compensating coverage)
+    "emb_norm_stats",
+    # new in r15
+    "emb_near_dedup_capped",
 ]
 
 
