@@ -779,7 +779,7 @@ def stream_hll_counts(spark: SparkSession, src_dir: str, store,
 
 def stream_cms_counts(spark: SparkSession, src_dir: str, store,
                       table: str, checkpoint: str, schema,
-                      token_col: str = "event_type") -> None:
+                      token_col: str = "event_type") -> dict:
     """Continuously-maintained count-min frequency sketch — the
     ADDITIVE counterpart of ``stream_hll_counts``, and the reason
     the two exist side by side: CMS counters fold by SUM, and sums
@@ -800,7 +800,12 @@ def stream_cms_counts(spark: SparkSession, src_dir: str, store,
     those replayed ids and dropped with them. Do not add source
     files between discarding a checkpoint and re-draining under a
     fresh one (or fold them through a fresh checkpoint directory);
-    each skip is logged as a warning so the loss is never silent."""
+    each skip is logged as a warning so the loss is never silent,
+    and the drain's return value carries the counts (r14 advice:
+    per-skip warnings alone made the guard's activity invisible to
+    a caller watching query progress) — ``{"folded_batches": n,
+    "skipped_batches": m}``, with a run-end summary warning when any
+    batch was skipped."""
     import logging
 
     from pyspark.sql import functions as F
@@ -808,6 +813,7 @@ def stream_cms_counts(spark: SparkSession, src_dir: str, store,
     from linz_bde_uploader_spark.operators.sketches import cms_build
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
+    counts = {"folded_batches": 0, "skipped_batches": 0}
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -819,6 +825,7 @@ def stream_cms_counts(spark: SparkSession, src_dir: str, store,
                 # Redelivered batch: already folded. Loud, because a
                 # reset checkpoint can bundle genuinely-new files
                 # into a replayed id (see docstring contract).
+                counts["skipped_batches"] += 1
                 logging.getLogger(__name__).warning(
                     "stream_cms_counts[%s]: skipping batch_id=%d "
                     "(<= folded last_batch_id=%d); if the checkpoint "
@@ -832,9 +839,16 @@ def stream_cms_counts(spark: SparkSession, src_dir: str, store,
                      .groupBy("row", "idx").agg(F.sum("c").alias("c")))
         store.write(table, delta, key="idx",
                     meta={"last_batch_id": batch_id})
+        counts["folded_batches"] += 1
 
     q = (stream.writeStream.foreachBatch(apply_batch)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    if counts["skipped_batches"]:
+        logging.getLogger(__name__).warning(
+            "stream_cms_counts[%s]: drain complete — %d batch(es) "
+            "folded, %d SKIPPED by the replay guard", table,
+            counts["folded_batches"], counts["skipped_batches"])
+    return counts

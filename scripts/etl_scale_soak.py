@@ -1,0 +1,306 @@
+"""ETL ingest scale soak — the measured scale point for the
+reference's OWN hot path, the one SURVEY §3 lifecycle the r14 round
+left without one: repository discovery → `.crs` parse → cleanse →
+level-0 load → two level-5 classify/apply merges, driven through the
+REAL BdeUploader (ledger, store versions, maintained view and all),
+not a hand-assembled merge.
+
+Reference anchor: EP1/EP2 (lib/LINZ/BdeUpload.pm:909-1005 ApplyUpdates;
+sql/02-bde_control_functions.sql.in:1576-1818 level-5 apply). The
+golden fixtures (tests/fixtures.py, 3-5 rows) pin CORRECTNESS; this
+script pins the SLOPE: a structure-preserving generator builds the
+same two-dataset repository at a base size and at 10x, the driver
+runs end-to-end at both, and the wall ratio lands in SCALE_SOAK.json
+under ``etl_soak``. A linear ingest should ride near the data ratio
+(below it while fixed stage costs amortize); anything superlinear is
+a scale bug the row-count fixtures can never see.
+
+The generated table deliberately carries a varchar column with
+planted mapped/unmapped characters so the CLEANSE stage
+(sources/crs.py cleanse_text) does real work, and the run is made
+with the PRODUCTION bde_copy configuration parsed from the reference
+conf (~300 replace rules + utf8 enforcement). The script also
+records WHICH physical path that conf takes — the composed
+translate/regexp form (pure codegen) or the per-row single-pass UDF
+fallback (taken only when a rule's output collides with another
+rule's input) — because the repo's one per-row Python fallback lives
+here and the 100 TB story depends on production NOT taking it.
+
+Level-5 datasets follow the reference contract: the .crs file is the
+FULL post-state snapshot; the xaud change table names the ~1%
+changed keys (U/I/D). The merge must therefore read the snapshot
+once but classify/apply only the named keys — the broadcast
+semi-join shape classify_actions pins.
+
+Run:  python scripts/etl_scale_soak.py [--base-rows 120000]
+      [--factors 1 10] [--reps 2]
+Merges results into SCALE_SOAK.json under "etl_soak".
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+HEADER = """\
+HEDR\t 2.0.0
+SOFTWARE cbe_b30 V1.0.1
+SCHEMA\t V1.0
+USER\t crs_bde
+START\t {start}
+END\t {end}
+SQL\t SELECT * FROM crs_parcel_bndry
+TABLE\tcrs_parcel_bndry
+COLUMN\t pri_id                         integer NULL
+COLUMN\t sequence                       integer NULL
+COLUMN\t lin_id                         integer NULL
+COLUMN\t reversed                       char NULL
+COLUMN\t notes                          varchar NULL
+COLUMN\t audit_id                       integer NOT NULL
+DESC
+SIZE          {size}
+{{CRS-DATA}}
+"""
+
+XAUD_HEADER = """\
+HEDR\t 2.0.0
+SOFTWARE cbe_b30 V1.0.1
+SCHEMA\t V1.0
+USER\t crs_bde
+START\t {start}
+END\t {end}
+SQL\t SELECT * FROM cbe_data
+TABLE\tcbe_data
+COLUMN\t id                             integer NOT NULL
+COLUMN\t tablename                      varchar NOT NULL
+COLUMN\t tablekeyvalue                  integer NOT NULL
+COLUMN\t action                         char NOT NULL
+COLUMN\t timestamp                      datetime NOT NULL
+DESC
+SIZE          {size}
+{{CRS-DATA}}
+"""
+
+CONF = """
+TABLE l5_change_table l5_change_table files xaud
+TABLE crs_parcel_bndry key=audit_id view=reversed:sequence:minmax files pab1
+"""
+
+
+def _row(i: int) -> tuple:
+    """Deterministic base row for audit_id i. Every 97th notes value
+    plants characters the production map must handle (kept non-ASCII
+    é/–, unmapped ♯ -> '?'), so the cleanse expressions do real work
+    on a real fraction of rows."""
+    notes = (f"parcel {i} é–♯ boundary" if i % 97 == 0
+             else f"parcel {i} boundary")
+    return (4_000_000 + i, i % 997, (i * 2654435761) % (2 ** 31),
+            "Y" if i % 2 == 0 else "N", notes, i)
+
+
+def _fmt(row: tuple) -> str:
+    return "|".join(str(v) for v in row) + "|"
+
+
+def _write(path: str, header: str, rows: list[str],
+           start: str, end: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    body = "\n".join(rows) + "\n"
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(header.format(start=start, end=end, size=len(body)))
+        fh.write(body)
+
+
+def gen_repository(root: str, n_rows: int) -> dict:
+    """Two-dataset repository (one L0, two L5) at ``n_rows`` base
+    rows, ~1% changes per L5 dataset split evenly across U/I/D —
+    the structure of the golden F1/F2 fixtures, scaled."""
+    state = {i: _row(i) for i in range(1, n_rows + 1)}
+    _write(os.path.join(root, "level_0", "20160601000000", "pab1.crs"),
+           HEADER, [_fmt(r) for r in state.values()],
+           "2016-06-01 00:00:00", "2016-06-01 00:00:25")
+
+    def apply_l5(state: dict, ts_dir: str, stamp: str,
+                 next_id: int) -> tuple[dict, int, dict]:
+        keys = sorted(state)
+        changed = keys[::101]  # ~1%
+        xaud, counts = [], {"U": 0, "I": 0, "D": 0}
+        xid = 0
+        for j, k in enumerate(changed):
+            xid += 1
+            if j % 3 == 0:  # update: bump sequence, flip reversed
+                p, s, l, rv, nt, a = state[k]
+                state[k] = (p, s + 7, l, "Y" if rv == "N" else "N",
+                            nt, a)
+                xaud.append(f"{xid}|crs_parcel_bndry|{k}|U|{stamp}|")
+                counts["U"] += 1
+            elif j % 3 == 1:  # delete
+                del state[k]
+                xaud.append(f"{xid}|crs_parcel_bndry|{k}|D|{stamp}|")
+                counts["D"] += 1
+            else:  # insert a brand-new key
+                state[next_id] = _row(next_id)
+                xaud.append(
+                    f"{xid}|crs_parcel_bndry|{next_id}|I|{stamp}|")
+                counts["I"] += 1
+                next_id += 1
+        _write(os.path.join(root, "level_5", ts_dir, "pab1.crs"),
+               HEADER, [_fmt(state[k]) for k in sorted(state)],
+               stamp, stamp)
+        _write(os.path.join(root, "level_5", ts_dir, "xaud.crs"),
+               XAUD_HEADER, xaud, stamp, stamp)
+        return state, next_id, counts
+
+    next_id = n_rows + 1
+    state, next_id, c1 = apply_l5(state, "20160601171200",
+                                  "2016-06-01 17:12:17", next_id)
+    state, next_id, c2 = apply_l5(state, "20160601180000",
+                                  "2016-06-01 18:00:05", next_id)
+    return {"n_rows": n_rows, "l5a_changes": c1, "l5b_changes": c2,
+            "final_rows": len(state)}
+
+
+def production_cleanse():
+    """The reference's real bde_copy block (~300 rules, utf8
+    enforced) — the same parse test_production_conf_block pins."""
+    import re
+
+    from linz_bde_uploader_spark.sources.crs import CleanseConfig
+
+    path = "/root/reference/conf/linz_bde_uploader.conf"
+    block = re.search(
+        r"bde_copy_configuration << end_bde_copy_configuration(.*?)"
+        r"end_bde_copy_configuration", open(path).read(), re.S).group(1)
+    return CleanseConfig.from_conf_block(block)
+
+
+def cleanse_path_taken(spark, cfg) -> str:
+    """'composed' when the production map folds into
+    translate+regexp (whole-stage codegen), 'udf' when the
+    single-pass per-character fallback fires."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.sources.crs import cleanse_text
+
+    df = spark.range(1).select(
+        cleanse_text(F.lit("x é – \\ | probe"), cfg).alias("t"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return ("udf" if ("EvalPython" in plan or "PythonUDF" in plan)
+            else "composed")
+
+
+def run_once(spark, repo_root: str, cleanse) -> dict:
+    """One end-to-end driver run (fresh store + ledger): L0 load,
+    then both L5 merges. Returns per-phase walls + final count."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from linz_bde_uploader_spark.catalog.tables import parse_tables_conf
+    from linz_bde_uploader_spark.control.ledger import Ledger
+    from linz_bde_uploader_spark.driver import BdeUploader, UploadConfig
+    from linz_bde_uploader_spark.sources.repository import BdeRepository
+    from linz_bde_uploader_spark.sources.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="etl_soak_")
+    try:
+        repo = BdeRepository(repo_root)
+        store = TableStore(os.path.join(tmp, "store"), n_buckets=8)
+        ledger = Ledger(os.path.join(tmp, "ctl"))
+        cfg = UploadConfig(cleanse=cleanse)
+        up = BdeUploader(spark, repo, store, ledger,
+                         parse_tables_conf(CONF), config=cfg)
+        t0 = time.perf_counter()
+        up.apply_updates(level0=True)
+        t1 = time.perf_counter()
+        up.apply_updates(level5=True)
+        t2 = time.perf_counter()
+        n = store.read(spark, "crs_parcel_bndry").count()
+        view = store.read(spark, "crs_parcel_bndry__minmax").count()
+        return {"l0_sec": round(t1 - t0, 3),
+                "l5_sec": round(t2 - t1, 3),
+                "total_sec": round(t2 - t0, 3),
+                "final_rows": n, "view_groups": view}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-rows", type=int, default=120_000)
+    ap.add_argument("--factors", type=int, nargs="*", default=[1, 10])
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from linz_bde_uploader_spark.session import get_spark
+
+    spark = get_spark("etl_scale_soak")
+    cleanse = production_cleanse()
+    out = {
+        "recorded_utc": datetime.datetime.now(
+            datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "base_rows": args.base_rows,
+        "reps": args.reps,
+        "change_frac": "~1% per level-5 dataset (U/I/D even split)",
+        "cleanse_conf": "production bde_copy block "
+                        "(conf/linz_bde_uploader.conf:349-1245)",
+        "cleanse_path": cleanse_path_taken(spark, cleanse),
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "scales": {},
+    }
+    for f in args.factors:
+        n = args.base_rows * f
+        root = os.path.join(REPO, ".scale_data", f"etl_f{f}", "repo")
+        marker = os.path.join(root, ".meta.json")
+        meta = None
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                prev = json.load(fh)
+            if prev.get("n_rows") == n:
+                meta = {**prev, "reused": True}
+        if meta is None:
+            shutil.rmtree(root, ignore_errors=True)
+            meta = gen_repository(root, n)
+            with open(marker, "w") as fh:
+                json.dump(meta, fh)
+        best = None
+        for _ in range(args.reps):
+            r = run_once(spark, root, cleanse)
+            if best is None or r["total_sec"] < best["total_sec"]:
+                best = r
+        out["scales"][f"f{f}"] = {**meta, **best}
+        print(f"# f{f}: {json.dumps(best)}", file=sys.stderr,
+              flush=True)
+    fs = sorted(args.factors)
+    if len(fs) >= 2:
+        a, b = out["scales"][f"f{fs[0]}"], out["scales"][f"f{fs[-1]}"]
+        ratio = fs[-1] / fs[0]
+        out["data_ratio"] = ratio
+        out["wall_ratio_total"] = round(
+            b["total_sec"] / a["total_sec"], 2)
+        out["wall_ratio_l0"] = round(b["l0_sec"] / a["l0_sec"], 2)
+        out["wall_ratio_l5"] = round(b["l5_sec"] / a["l5_sec"], 2)
+    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+
+    path = os.path.join(REPO, "SCALE_SOAK.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        doc = {}  # standalone run; the merge starts fresh
+    doc["etl_soak"] = out
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"etl_soak": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1395,21 +1395,25 @@ def test_stream_cms_counts_guarded_against_redelivery(spark, tmp_path):
         return {(r.row, r.idx): r.c for r in
                 store.read(spark, "ev_cms").collect()}
 
-    STR.stream_cms_counts(spark, src, store, "ev_cms",
-                          str(tmp_path / "ck"), schema)
+    r1 = STR.stream_cms_counts(spark, src, store, "ev_cms",
+                               str(tmp_path / "ck"), schema)
     assert stored() == direct(c1)
     assert store.table_meta("ev_cms")["last_batch_id"] == 0
+    assert r1 == {"folded_batches": 1, "skipped_batches": 0}
 
     c2.write.mode("append").parquet(src)
-    STR.stream_cms_counts(spark, src, store, "ev_cms",
-                          str(tmp_path / "ck"), schema)
+    r2 = STR.stream_cms_counts(spark, src, store, "ev_cms",
+                               str(tmp_path / "ck"), schema)
     assert stored() == direct(ev)
+    assert r2 == {"folded_batches": 1, "skipped_batches": 0}
 
     # full redelivery from a fresh checkpoint: batch id 0 <= stored
-    # last id -> skipped; counters unchanged (no double-count)
-    STR.stream_cms_counts(spark, src, store, "ev_cms",
-                          str(tmp_path / "ck2"), schema)
+    # last id -> skipped; counters unchanged (no double-count) and
+    # the drain REPORTS the skip (guard observability, r14 advice)
+    r3 = STR.stream_cms_counts(spark, src, store, "ev_cms",
+                               str(tmp_path / "ck2"), schema)
     assert stored() == direct(ev)
+    assert r3["skipped_batches"] >= 1 and r3["folded_batches"] == 0
 
 
 def test_streaming_cdc_topk_distinct_views(spark, tmp_path):
