@@ -234,6 +234,61 @@ def run_pruned_soak() -> None:
     print(json.dumps({"pruned_recompute_soak": out}))
 
 
+def run_density_soak(reps_small: int, reps_big: int) -> None:
+    """The r14 verdict's open soak row, answered with a mechanism:
+    emb_near_dedup went 23x wall at 10x data because near-neighbor
+    DENSIFICATION grew the bucket join's output 90x. The capped
+    variant (embedding_near_pairs max_bucket_size — over-cap buckets
+    emit linear star edges) must hold its wall near the data ratio
+    on the SAME 10x embeddings. Runs both at sf0.1 and sf1, merges
+    into SCALE_SOAK.json under "density_cap_soak". The uncapped
+    row's superlinear ratio is already recorded in queries/
+    emb_near_dedup; this measures the bound, not the blow-up."""
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    import bench
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        PIPELINE_QUERIES,
+    )
+    from linz_bde_uploader_spark.session import get_spark
+
+    spark = get_spark("scale_soak_density")
+    out = {
+        "recorded_utc": datetime.datetime.now(
+            datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "queries": {},
+    }
+    for name in ("emb_near_dedup_capped", "emb_near_dedup"):
+        fn = PIPELINE_QUERIES[name][0]
+        try:
+            t_small, n_small = _time_query(fn, spark, SMALL, reps_small)
+            t_big, n_big = _time_query(fn, spark, BIG, reps_big)
+            out["queries"][name] = {
+                "sf0.1_sec": round(t_small, 3),
+                "sf1_sec": round(t_big, 3),
+                "time_ratio": round(t_big / t_small, 2),
+                "rows_small": n_small, "rows_big": n_big,
+                "rows_ratio": round(n_big / max(n_small, 1), 1),
+            }
+        except Exception as e:  # noqa: BLE001
+            out["queries"][name] = {
+                "error": str(e).splitlines()[0][:300]}
+        print(f"# {name}: {json.dumps(out['queries'][name])}",
+              file=sys.stderr, flush=True)
+        bench.release_caches()
+    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    path = os.path.join(REPO, "SCALE_SOAK.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        doc = {}  # --density can run standalone; the merge starts fresh
+    doc["density_cap_soak"] = out
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"density_cap_soak": out}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps-small", type=int, default=3)
@@ -246,7 +301,15 @@ def main() -> None:
     ap.add_argument("--pruned", action="store_true",
                     help="run only the pruned-recompute soak and "
                          "merge into SCALE_SOAK.json")
+    ap.add_argument("--density", action="store_true",
+                    help="run only the densification-cap soak "
+                         "(capped vs uncapped embedding near-dedup "
+                         "at sf0.1 vs sf1) and merge into "
+                         "SCALE_SOAK.json")
     args = ap.parse_args()
+    if args.density:
+        run_density_soak(args.reps_small, args.reps_big)
+        return
     if args.pruned:
         run_pruned_soak()
         return
