@@ -423,7 +423,8 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
                          n_planes: int = 4, dim: int = 64,
                          collapse_identical: bool = False,
                          n_probes: int = 1,
-                         max_bucket_size: int | None = None) -> DataFrame:
+                         max_bucket_size: int | None = None,
+                         cache_buckets: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine_sim >=
     threshold), pruned by shared hyperplane bucket.
 
@@ -461,7 +462,15 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
     cap the distinct-vector bucket that remains); unsupported with
     ``n_probes > 1`` (probe replication makes per-bucket output
     accounting ambiguous — a capped run is a first-pass candidate
-    generator, recall knobs belong to the uncapped verifier)."""
+    generator, recall knobs belong to the uncapped verifier).
+
+    ``cache_buckets`` persists the (id, v, bucket, stats) relation
+    the capped plan consumes in three branches (the small-bucket
+    self-join sides, the hub rows, the members) — without it
+    Catalyst re-runs the corpus scan + bucket aggregate per branch.
+    One row per vector; callers in long-lived sessions release via
+    ``dedup.release_caches()``. Same knob, same reason, as
+    ``lsh_candidate_pairs(cache_index=)``."""
     if max_bucket_size is not None and n_probes > 1:
         raise ValueError(
             "max_bucket_size composes with the single-probe bucket "
@@ -493,6 +502,11 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
         stats = c.groupBy("bucket").agg(
             F.count("*").alias("_n"), F.min("id").alias("_hub"))
         cb = c.join(stats, "bucket")
+        if cache_buckets:
+            from pyspark import StorageLevel
+
+            from linz_bde_uploader_spark.operators.dedup import _track
+            cb = _track(cb.persist(StorageLevel.MEMORY_AND_DISK))
         small = cb.filter(F.col("_n") <= max_bucket_size)
         a, b = small.alias("a"), small.alias("b")
         all_pairs = (

@@ -6,11 +6,16 @@ semantics across the state space (null values, overlapping and
 disjoint key sets, keys in neither table, empty changesets).
 """
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T
 
 from linz_bde_uploader_spark.operators import merge as M
+
+# heavy module: excluded from the inner-loop run (pytest.ini, -m "not slow")
+pytestmark = pytest.mark.slow
 
 SCHEMA = T.StructType([
     T.StructField("id", T.LongType(), False),

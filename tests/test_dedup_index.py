@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 from linz_bde_uploader_spark.operators import dedup_index as DI
 from linz_bde_uploader_spark.sources.store import TableStore
 
+# heavy module: excluded from the inner-loop run (pytest.ini, -m "not slow")
+pytestmark = pytest.mark.slow
+
 BASE = ("the quick brown fox jumps over the lazy dog while the "
         "patient heron watches from the river bank and the morning "
         "light settles on the quiet water near the old stone bridge "

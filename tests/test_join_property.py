@@ -4,6 +4,8 @@ tests in test_asof.py / test_rangejoin.py pin known scenarios; these
 pin the semantics across randomized key/timestamp space (ties, empty
 sides, out-of-range rows, negative interval bounds)."""
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -11,6 +13,9 @@ from hypothesis import strategies as st
 
 from linz_bde_uploader_spark.operators.asof import asof_join
 from linz_bde_uploader_spark.operators.rangejoin import interval_join
+
+# heavy module: excluded from the inner-loop run (pytest.ini, -m "not slow")
+pytestmark = pytest.mark.slow
 
 BASE = dt.datetime(2024, 1, 1)
 

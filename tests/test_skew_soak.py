@@ -17,12 +17,17 @@ from __future__ import annotations
 
 import contextlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from linz_bde_uploader_spark.operators.dedup import (
     lsh_band_hashes, lsh_candidate_pairs,
 )
 from linz_bde_uploader_spark.operators.skew import salted_join
+
+# heavy module: excluded from the inner-loop run (pytest.ini, -m "not slow")
+pytestmark = pytest.mark.slow
 
 
 @contextlib.contextmanager
@@ -371,6 +376,14 @@ def test_embedding_cap_bounds_densified_bucket(spark):
                                  max_bucket_size=10_000)
     assert sorted(map(tuple, loose.collect())) \
         == sorted(map(tuple, full.collect()))
+    # cache_buckets is a pure plan knob: identical results
+    from linz_bde_uploader_spark.operators.dedup import release_caches
+    cached = embedding_near_pairs(emb, threshold=0.4,
+                                  max_bucket_size=30,
+                                  cache_buckets=True)
+    assert sorted(map(tuple, cached.collect())) \
+        == sorted(map(tuple, capped.collect()))
+    release_caches()
     # unsupported combination fails loudly
     import pytest
     with pytest.raises(ValueError, match="n_probes"):

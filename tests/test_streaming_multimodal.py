@@ -11,6 +11,9 @@ from linz_bde_uploader_spark.plans.tables import load_table
 from linz_bde_uploader_spark.streaming import events as STR
 from tests.fixtures import write_repository
 
+# heavy module: excluded from the inner-loop run (pytest.ini, -m "not slow")
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

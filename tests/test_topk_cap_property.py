@@ -10,6 +10,8 @@ these pin the equivalences across the input space.
   spans a clique's component) — not just the boilerplate fixture.
 """
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
@@ -20,6 +22,9 @@ from linz_bde_uploader_spark.operators.dedup import (
     duplicate_clusters, lsh_candidate_pairs,
 )
 from linz_bde_uploader_spark.operators.topk import grouped_topk
+
+# heavy module: excluded from the inner-loop run (pytest.ini, -m "not slow")
+pytestmark = pytest.mark.slow
 
 SLOW = settings(max_examples=8, deadline=None,
                 suppress_health_check=list(HealthCheck))
