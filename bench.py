@@ -148,6 +148,8 @@ HEADLINE = [
     "text_cms_heavy_hitters",
     "cdc_cms_refresh",
     "events_hll_rollup",
+    # r15 additions
+    "emb_near_dedup_capped",
 ]
 
 
