@@ -296,6 +296,23 @@ def main() -> None:
             doc = json.load(f)
     except FileNotFoundError:
         doc = {}  # standalone run; the merge starts fresh
+    # MERGE scales across invocations (a later single-factor run must
+    # not clobber earlier factors' recordings) and recompute the
+    # headline ratios over the widest factor span present
+    prev = doc.get("etl_soak")
+    if isinstance(prev, dict) and isinstance(prev.get("scales"), dict) \
+            and prev.get("base_rows") == args.base_rows:
+        merged_scales = {**prev["scales"], **out["scales"]}
+        out["scales"] = merged_scales
+        fs_all = sorted(int(k[1:]) for k in merged_scales)
+        if len(fs_all) >= 2:
+            a = merged_scales[f"f{fs_all[0]}"]
+            b = merged_scales[f"f{fs_all[-1]}"]
+            out["data_ratio"] = fs_all[-1] / fs_all[0]
+            out["wall_ratio_total"] = round(
+                b["total_sec"] / a["total_sec"], 2)
+            out["wall_ratio_l0"] = round(b["l0_sec"] / a["l0_sec"], 2)
+            out["wall_ratio_l5"] = round(b["l5_sec"] / a["l5_sec"], 2)
     doc["etl_soak"] = out
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
