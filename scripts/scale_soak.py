@@ -50,6 +50,10 @@ QUERIES = [
     "dedup_simhash", "docs_split_leakage_safe",
     # adjudicated (dedup_simhash doubles as top-10 member)
     "dedup_survivors", "sim_lsh_topk",
+    # r15: the densification-bounded twin of emb_near_dedup — its
+    # ~1x wall ratio belongs beside the uncapped row's adjudicated
+    # output-driven blow-up (see density_cap_soak for the A/B)
+    "emb_near_dedup_capped",
     # one shuffle-heavy SQL representative + the flagship
     "q1_pricing_summary", "q18_large_orders",
 ]
