@@ -882,7 +882,6 @@ def main():
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     repstats: dict[str, dict] = {}
-    allreps: dict[str, list] = {}
     for name in HEADLINE:
         fn = allq[name][0]
         best, n, reps = None, 0, []
@@ -910,7 +909,6 @@ def main():
               / len(warm)) ** 0.5 / mu if mu else 0.0
         times[name] = round(best, 3)
         repstats[name] = {"reps": len(reps), "cv": round(cv, 3)}
-        allreps[name] = reps
         print(f"# {name}: {times[name]:.3f}s ({n} rows, "
               f"{len(reps)} reps, cv {cv:.2f})", file=sys.stderr)
         release_caches()  # per-query persists must not pile up across reps
@@ -934,17 +932,22 @@ def main():
             fn = allq[name][0]
             reps2 = []
             try:
-                for _ in range(4):
+                for _ in range(5):
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).count()
                     reps2.append(time.perf_counter() - t0)
             except Exception:
-                continue  # keep the original flag; errors stay rare
+                release_caches()  # a failed retry must not leak its
+                continue          # persists into the next query's reps
             release_caches()
             best2 = min(reps2)
-            mu2 = sum(reps2) / len(reps2)
-            cv2 = (sum((x - mu2) ** 2 for x in reps2)
-                   / len(reps2)) ** 0.5 / mu2 if mu2 else 0.0
+            # CV over the WARM retry reps only, like the main loop:
+            # the first retry rep re-pays cache/codegen warmup after
+            # release_caches and would false-flag a stable query
+            warm2 = reps2[1:]
+            mu2 = sum(warm2) / len(warm2)
+            cv2 = (sum((x - mu2) ** 2 for x in warm2)
+                   / len(warm2)) ** 0.5 / mu2 if mu2 else 0.0
             times[name] = round(min(times[name], best2), 3)
             repstats[name]["retry_reps"] = len(reps2)
             repstats[name]["retry_cv"] = round(cv2, 3)
@@ -983,7 +986,8 @@ def main():
     if unstable:
         out["noisy"] = len(unstable)
     detail = dict(out, errors=errors, repstats=repstats,
-                  unstable=unstable, carried_prev_times=carried,
+                  unstable=unstable, stabilized=stabilized,
+                  carried_prev_times=carried,
                   loadavg={"start": [round(x, 2) for x in load_start],
                            "end": [round(x, 2) for x in os.getloadavg()],
                            "quiet_wait_sec": quiet_wait})

@@ -202,7 +202,6 @@ def cleanse_path_taken(spark, cfg) -> str:
 def run_once(spark, repo_root: str, cleanse) -> dict:
     """One end-to-end driver run (fresh store + ledger): L0 load,
     then both L5 merges. Returns per-phase walls + final count."""
-    sys.path.insert(0, os.path.join(REPO, "tests"))
     from linz_bde_uploader_spark.catalog.tables import parse_tables_conf
     from linz_bde_uploader_spark.control.ledger import Ledger
     from linz_bde_uploader_spark.driver import BdeUploader, UploadConfig
@@ -276,7 +275,19 @@ def main() -> None:
             r = run_once(spark, root, cleanse)
             if best is None or r["total_sec"] < best["total_sec"]:
                 best = r
-        out["scales"][f"f{f}"] = {**meta, **best}
+        expected = meta.get("final_rows") or meta.get(
+            "expected_final_rows")
+        # the generator's expected post-merge count IS the soak's
+        # correctness check — a silently-lossy merge must fail the
+        # soak, not be recorded as if it were the expectation
+        if expected is not None and best["final_rows"] != expected:
+            raise SystemExit(
+                f"f{f}: merged row count {best['final_rows']} != "
+                f"generator expectation {expected} — the ETL path "
+                f"dropped or duplicated rows; soak aborted")
+        rec = {**meta, **best}
+        rec["expected_final_rows"] = expected
+        out["scales"][f"f{f}"] = rec
         print(f"# f{f}: {json.dumps(best)}", file=sys.stderr,
               flush=True)
     fs = sorted(args.factors)
@@ -302,7 +313,17 @@ def main() -> None:
     prev = doc.get("etl_soak")
     if isinstance(prev, dict) and isinstance(prev.get("scales"), dict) \
             and prev.get("base_rows") == args.base_rows:
-        merged_scales = {**prev["scales"], **out["scales"]}
+        merged_scales = dict(prev["scales"])
+        for k, rec in out["scales"].items():
+            # min-over-runs, the same discipline as min-over-reps: a
+            # later (possibly colder or shorter) run must not replace
+            # a better recording of the same factor
+            if (k in merged_scales
+                    and merged_scales[k].get("n_rows") == rec.get("n_rows")
+                    and merged_scales[k].get("total_sec", 1e18)
+                    <= rec.get("total_sec", 1e18)):
+                continue
+            merged_scales[k] = rec
         out["scales"] = merged_scales
         fs_all = sorted(int(k[1:]) for k in merged_scales)
         if len(fs_all) >= 2:
