@@ -917,10 +917,14 @@ def main():
     # almost always hit by a mid-run foreign-tenant spike, not by its
     # own plan (every such flag that got a low-load A/B in r13/r14
     # cleared). Instead of shipping the flag, re-gate for a quiet
-    # window (bounded) and give each unstable query up to 4 more
-    # reps at the END of the run; minima merge, the CV is recomputed
-    # over the retry reps alone (a clean window) and the query only
-    # stays flagged if it is STILL noisy when the host is quiet.
+    # window (bounded) and give each unstable query 5 more reps at
+    # the END of the run; minima merge, the CV is recomputed over
+    # the retry reps alone (a clean window) and the query only stays
+    # flagged if it is STILL noisy when the host is quiet. Window
+    # sizes differ by design: the retry CV covers the 4 warm retry
+    # reps (rep 1 re-pays cache/codegen warmup after release_caches)
+    # while the main loop flags over up to 5 warm reps — the retry
+    # gate is therefore slightly more lenient on a one-off outlier.
     retry = sorted(n for n, s in repstats.items() if s["cv"] > 0.25)
     stabilized = []
     if retry:
@@ -936,7 +940,12 @@ def main():
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).count()
                     reps2.append(time.perf_counter() - t0)
-            except Exception:
+            except Exception as e:  # noqa: BLE001
+                # record the retry failure — without this the query
+                # is silently left flagged with its original cv and
+                # an adjudicator cannot distinguish "still noisy
+                # when quiet" from "retry crashed"
+                repstats[name]["retry_error"] = str(e)[:200]
                 release_caches()  # a failed retry must not leak its
                 continue          # persists into the next query's reps
             release_caches()

@@ -662,7 +662,15 @@ def maintain_extrema(current: DataFrame, staged: DataFrame,
 
     Returns (group_cols, n, vmin, vmax). With ``old_extrema=None``
     the untouched side is computed from ``merged`` directly (the
-    bootstrap / differential-test path — same result, not O(changes))."""
+    bootstrap / differential-test path — same result, not O(changes)).
+
+    Cache note: on the fallback (non-carried) path the touched
+    relation is persisted MEMORY_AND_DISK into the engine's tracked
+    registry (see fallback_touched_groups — the returned plan is
+    lazy, so the persist cannot be dropped here). Long-lived
+    sessions issuing repeated non-carried refreshes must call
+    ``dedup.release_caches()`` between refreshes or the persisted
+    relations accumulate; the carried path persists nothing."""
     v = F.col(value_col).cast(value_type)
     touched = carried_touched_groups(actions, group_cols)
     if touched is None:
@@ -760,7 +768,11 @@ def maintain_topk(current: DataFrame, staged: DataFrame,
 
     Returns (group_cols..., rank, key, value-as-``value_type``).
     ``old_topk=None`` recomputes the untouched side from ``merged``
-    directly (bootstrap / differential-test path)."""
+    directly (bootstrap / differential-test path). Cache note: the
+    non-carried fallback persists its touched relation into the
+    tracked registry — long-lived sessions must
+    ``dedup.release_caches()`` between repeated non-carried
+    refreshes (see maintain_extrema)."""
     touched = carried_touched_groups(actions, group_cols)
     if touched is None:
         touched = fallback_touched_groups(current, staged, actions,
@@ -936,7 +948,12 @@ def maintain_distinct(current: DataFrame, staged: DataFrame,
     distinct affected keys per table incrementally as each change
     applies (sql/02-bde_control_functions.sql.in:2300-2373); this
     generalizes that ledger shape to user-facing distinct-count
-    views."""
+    views.
+
+    Cache note: the non-carried fallback persists its touched
+    relation into the tracked registry — long-lived sessions must
+    ``dedup.release_caches()`` between repeated non-carried
+    refreshes (see maintain_extrema)."""
     touched = carried_touched_groups(actions, group_cols)
     if touched is None:
         touched = fallback_touched_groups(current, staged, actions,

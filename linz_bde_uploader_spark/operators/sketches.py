@@ -176,7 +176,12 @@ def maintain_hll(current: DataFrame, staged: DataFrame,
     Reference anchor: the same derived-state-follows-merge contract
     as maintain_aggregate/maintain_extrema
     (sql/02-bde_control_functions.sql.in:2595-2676 post-upload
-    functions keeping derived tables consistent in-transaction)."""
+    functions keeping derived tables consistent in-transaction).
+
+    Cache note: the non-carried fallback persists its touched
+    relation into the tracked registry — long-lived sessions must
+    ``dedup.release_caches()`` between repeated non-carried
+    refreshes (see merge.maintain_extrema)."""
     from linz_bde_uploader_spark.operators.merge import (
         ACTION_DELETE, ACTION_INSERT, ACTION_KEY_CHANGE, ACTION_UPDATE)
     if old_regs is None:

@@ -117,7 +117,11 @@ def _write(path: str, header: str, rows: list[str],
     os.makedirs(os.path.dirname(path), exist_ok=True)
     body = "\n".join(rows) + "\n"
     with open(path, "w", encoding="utf-8") as fh:
-        fh.write(header.format(start=start, end=end, size=len(body)))
+        # SIZE is the body's BYTE length (the reference's bde_copy
+        # writes byte counts); planted notes contain multi-byte é/–
+        # so len(body) in characters would under-count
+        fh.write(header.format(start=start, end=end,
+                               size=len(body.encode("utf-8"))))
         fh.write(body)
 
 
