@@ -1262,7 +1262,14 @@ FROM ranked WHERE rank <= 3
 
 def q_sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.4) within shared
-    hyperplane buckets."""
+    hyperplane buckets.
+
+    UNCAPPED — kept as the A/B contrast for the guard family, not
+    the corpus-scale form. A densifying embedding space grows the
+    bucket join's OUTPUT quadratically (measured: 10x vectors ->
+    ~90x pairs, ~20x wall, SCALE_SOAK.json); corpus-scale callers
+    must pass ``max_bucket_size=`` (see ``sim_near_pairs_capped``,
+    measured ~1x wall at 10x data with linear rows)."""
     emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     return S.embedding_near_pairs(emb, threshold=0.4, n_planes=4, dim=64)
 
@@ -1279,12 +1286,23 @@ WHERE round(list_dot_product(a.v, bb.v)
 """
 
 def q_sim_near_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-pairs with identical-vector collapse on a hot
-    corpus: every 29th vector replaced by vec 0's embedding (an
-    exact-copy group, the re-crawl/template case). The group emits
-    linear star edges (rep -> member, cosine 1.0) instead of
-    B(B-1)/2 bucket-join pairs — the third member of the boilerplate
-    guard family (LSH max_bucket_size, SimHash collapse_identical)."""
+    """Embedding near-pairs with BOTH boilerplate guards composed —
+    identical-vector collapse AND the densification bucket cap
+    (collapse first, cap the distinct-vector buckets that remain,
+    similarity.py:461). The corpus plants the exact-copy case (every
+    29th vector replaced by vec 0's embedding — re-crawl/template):
+    the identical group emits linear star edges (rep -> member,
+    cosine 1.0) instead of B(B-1)/2 bucket-join pairs. The cap
+    (max_bucket_size=40) bounds the failure mode collapse alone
+    cannot: a bucket densified by NEAR- but not-identical vectors —
+    the r15 standing soak showed the collapse-only form at 20.5x
+    wall for 10x data because 10x vectors in a fixed embedding space
+    densify every hyperplane bucket. Over-cap buckets emit hub-star
+    edges (bucket-min rep vs member, threshold still applied), so
+    output stays linear in corpus size however dense the space gets;
+    under-cap buckets keep exact all-pairs. At sf0.01 both branches
+    are live (3 of 16 post-collapse buckets exceed the cap), so the
+    oracle gate is non-vacuous on each."""
     emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     v0 = F.broadcast(emb.filter(F.col("vec_id") == 0)
                      .select(F.col("embedding").alias("_v0")))
@@ -1293,7 +1311,8 @@ def q_sim_near_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vec_id") % 29 == 0, F.col("_v0"))
          .otherwise(F.col("embedding")).alias("embedding"))
     return S.embedding_near_pairs(corpus, threshold=0.4, n_planes=4,
-                                  dim=64, collapse_identical=True)
+                                  dim=64, collapse_identical=True,
+                                  max_bucket_size=40)
 
 
 SQL_SIM_NEAR_PAIRS_CAPPED = f"""
@@ -1303,19 +1322,42 @@ e AS (SELECT vec_id,
                   THEN (SELECT v FROM e0 WHERE vec_id = 0) ELSE v END AS v
       FROM e0),
 groups AS (SELECT v, MIN(vec_id) AS rep FROM e GROUP BY v),
-star AS (
+ident AS (
   SELECT g.rep AS id_a, x.vec_id AS id_b, CAST(1.0 AS DOUBLE) AS cosine_sim
   FROM e x JOIN groups g ON x.v = g.v WHERE x.vec_id <> g.rep),
 reps AS (SELECT rep AS vec_id, v FROM groups),
-b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM reps)
-SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
-       round(list_dot_product(a.v, bb.v)
-         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) AS cosine_sim
-FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
-WHERE round(list_dot_product(a.v, bb.v)
-    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.4
+b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM reps),
+stats AS (SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS hub
+          FROM b GROUP BY bucket),
+small AS (SELECT b.vec_id, b.v, b.bucket FROM b
+          JOIN stats USING (bucket) WHERE stats.n <= 40),
+allp AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+         round(list_dot_product(a.v, bb.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(bb.v, bb.v))), 6) AS cosine_sim
+  FROM small a JOIN small bb
+    ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+  WHERE round(list_dot_product(a.v, bb.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.4),
+hubstar AS (
+  SELECT s.hub AS id_a, m.vec_id AS id_b,
+         round(list_dot_product(h.v, m.v)
+           / (sqrt(list_dot_product(h.v, h.v))
+              * sqrt(list_dot_product(m.v, m.v))), 6) AS cosine_sim
+  FROM b m
+  JOIN stats s USING (bucket)
+  JOIN b h ON h.vec_id = s.hub AND h.bucket = s.bucket
+  WHERE s.n > 40 AND m.vec_id <> s.hub
+    AND round(list_dot_product(h.v, m.v)
+        / (sqrt(list_dot_product(h.v, h.v))
+           * sqrt(list_dot_product(m.v, m.v))), 6) >= 0.4)
+SELECT id_a, id_b, cosine_sim FROM allp
 UNION ALL
-SELECT id_a, id_b, cosine_sim FROM star
+SELECT id_a, id_b, cosine_sim FROM hubstar
+UNION ALL
+SELECT id_a, id_b, cosine_sim FROM ident
 """
 
 
@@ -1326,7 +1368,15 @@ def q_emb_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_near_survivors``; the bucket join keeps it off the
     all-pairs path at corpus scale. Threshold 0.4 exercises the path
     on the synthetic (near-orthogonal) TESTDATA vectors; a production
-    run against real embeddings sets ~0.95+."""
+    run against real embeddings sets ~0.95+.
+
+    UNCAPPED — kept deliberately as the measured A/B control for the
+    densification guard (SCALE_SOAK.json density_cap_soak: this form
+    15x wall / 89.9x rows at 10x data vs the capped twin's 0.90x /
+    linear). Corpus-scale callers must use ``emb_near_dedup_capped``
+    / ``embedding_near_pairs(max_bucket_size=)`` — bucket
+    densification grows this plan's join output quadratically and no
+    engine knob (AQE, skew split) can bound an output-side blow-up."""
     emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     pairs = S.embedding_near_pairs(emb, threshold=0.4, n_planes=4,
                                    dim=64) \

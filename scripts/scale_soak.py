@@ -341,6 +341,10 @@ def main() -> None:
     allq["cdc_stats"][0](spark, SMALL).collect()  # warm JVM
 
     data_ratio = 10.0
+    # an explicit --queries run RE-MEASURES a subset (e.g. after a
+    # plan change) — merge into the standing document instead of
+    # clobbering the other recordings and the ivm/hll sidecars
+    partial = bool(args.queries)
     out = {
         "recorded_utc": datetime.datetime.now(
             datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
@@ -348,6 +352,15 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
         "queries": {},
     }
+    if partial:
+        try:
+            with open(os.path.join(REPO, "SCALE_SOAK.json")) as f:
+                prior = json.load(f)
+        except FileNotFoundError:
+            prior = {}
+        out = {**prior, **{k: out[k] for k in
+                           ("recorded_utc", "loadavg_start")}}
+        out.setdefault("queries", {})
     names = args.queries or QUERIES
     for name in names:
         fn = allq[name][0]
@@ -369,17 +382,18 @@ def main() -> None:
               flush=True)
         bench.release_caches()
 
-    for soak_name, soak_fn in (("ivm_soak", bench._ivm_soak),
-                               ("hll_soak", bench._hll_soak)):
-        for scale, d in (("sf0.1", SMALL), ("sf1", BIG)):
-            key = f"{soak_name}_{scale}"
-            try:
-                out[key] = soak_fn(spark, d)
-            except Exception as e:  # noqa: BLE001
-                out[key] = {"error": str(e).splitlines()[0][:300]}
-            print(f"# {key}: {json.dumps(out[key])}", file=sys.stderr,
-                  flush=True)
-            bench.release_caches()
+    if not partial:  # subset re-measures keep the standing sidecars
+        for soak_name, soak_fn in (("ivm_soak", bench._ivm_soak),
+                                   ("hll_soak", bench._hll_soak)):
+            for scale, d in (("sf0.1", SMALL), ("sf1", BIG)):
+                key = f"{soak_name}_{scale}"
+                try:
+                    out[key] = soak_fn(spark, d)
+                except Exception as e:  # noqa: BLE001
+                    out[key] = {"error": str(e).splitlines()[0][:300]}
+                print(f"# {key}: {json.dumps(out[key])}",
+                      file=sys.stderr, flush=True)
+                bench.release_caches()
 
     out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     ratios = [r["time_ratio"] for r in out["queries"].values()

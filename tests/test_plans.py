@@ -313,6 +313,50 @@ def test_capped_guard_family_plans_stay_bucketed(spark, allq):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sim_near_pairs_capped_query_composes_both_guards(spark, allq):
+    """The headline query must compose BOTH boilerplate guards —
+    identical-vector collapse AND the densification bucket cap. The
+    r15 soak caught the collapse-only form at 20.5x wall for 10x
+    data (densified buckets blow up the join output; collapse cannot
+    bound near- but not-identical vectors). Pins: (a) the identical
+    star edges are present (the %29 exact-copy group), (b) the cap is
+    ACTIVE — strictly fewer pairs than the collapse-only A/B on the
+    same corpus (3 of 16 post-collapse buckets exceed the cap on this
+    fixture), (c) the cap never invents pairs (capped ⊆ collapse-only
+    plus identical stars are shared)."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+    from linz_bde_uploader_spark.plans.tables import (
+        load_table, parallelize_small,
+    )
+
+    capped = allq["sim_near_pairs_capped"][0](spark, SF_DIR)
+    emb = parallelize_small(load_table(spark, SF_DIR, "embeddings"))
+    v0 = F.broadcast(emb.filter(F.col("vec_id") == 0)
+                     .select(F.col("embedding").alias("_v0")))
+    corpus = emb.crossJoin(v0).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 29 == 0, F.col("_v0"))
+         .otherwise(F.col("embedding")).alias("embedding"))
+    collapse_only = embedding_near_pairs(
+        corpus, threshold=0.4, n_planes=4, dim=64,
+        collapse_identical=True)
+    c_rows = capped.collect()
+    f_rows = collapse_only.collect()
+    ident_c = {(r.id_a, r.id_b) for r in c_rows if r.cosine_sim == 1.0}
+    ident_f = {(r.id_a, r.id_b) for r in f_rows if r.cosine_sim == 1.0}
+    assert ident_c == ident_f and len(ident_c) > 0
+    pairs_c = {(r.id_a, r.id_b) for r in c_rows}
+    pairs_f = {(r.id_a, r.id_b) for r in f_rows}
+    assert len(pairs_c) < len(pairs_f)  # the cap is live on this fixture
+    # hub-star edges score hub-vs-member, a pair the exact all-pairs
+    # join also emits when >= threshold — so no invented pairs
+    assert pairs_c <= pairs_f
+
+
 def test_exact_survivorship_no_text_window(spark, allq):
     """First-occurrence selection for exact dedup must be the
     digest-aggregate + join form: a window partitioned by the text
