@@ -855,11 +855,39 @@ def main():
     # (r15: budget raised 300 -> 600 s after two rounds recorded the
     # headline under foreign-tenant load — the wait is cheap, a noisy
     # artifact costs a round of adjudication)
+    # (r16: the gate is now two-tier and HARD. Tier 1 waits for a
+    # genuinely quiet start (< 1.5 — r15 accepted a borderline 1.87
+    # because the old single threshold was also the refusal line).
+    # Tier 2: if the tier-1 budget expires, keep waiting against a
+    # 2.5 ceiling for up to 900 s more. If the host is STILL above
+    # the ceiling after ~25 min it is not going to quiet down this
+    # window, and a recorded headline would be garbage that costs a
+    # round of A/B adjudication — so the bench REFUSES to start: it
+    # emits a one-line JSON artifact naming the refusal (the driver
+    # records it verbatim) and exits 3. SPARK_GRAFT_BENCH_FORCE=1
+    # overrides for a deliberately-loaded capture.)
     quiet_wait = 0
-    while os.getloadavg()[0] > 2.0 and quiet_wait < 600:
+    while os.getloadavg()[0] > 1.5 and quiet_wait < 600:
+        time.sleep(10)
+        quiet_wait += 10
+    while os.getloadavg()[0] > 2.5 and quiet_wait < 1500:
         time.sleep(10)
         quiet_wait += 10
     load_start = list(os.getloadavg())
+    if load_start[0] > 2.5 and not os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
+        print(json.dumps({
+            "metric": "headline_queries_total_runtime",
+            "value": None, "unit": "sec", "queries": {}, "sf": sf,
+            "refused_noisy_host": True,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "quiet_wait_sec": quiet_wait,
+        }))
+        print(f"# REFUSED: loadavg {load_start[0]:.2f} > 2.5 after "
+              f"{quiet_wait}s quiet wait — a headline recorded now "
+              "would be foreign-tenant noise (see BASELINE.md r13/r15 "
+              "adjudications). Set SPARK_GRAFT_BENCH_FORCE=1 to "
+              "override.", file=sys.stderr)
+        sys.exit(3)
     spark = get_spark("bench")
     allq = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 
