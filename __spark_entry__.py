@@ -63,14 +63,12 @@ _DRIVER_FIRST = [
     # and the first-fail filter-funnel ledger
     "cdc_distinct_refresh", "docs_cross_source_overlap",
     "cdc_join_refresh", "docs_filter_funnel",
-    # stalest rotation-complete entries: freshest green r5 (3 greens)
     # (r13: text_unigram_logprob — 4 greens, FAST-covered, and its
     # held-out bigram sibling is in-gate below — yielded its slot to
     # cdc_hll_refresh; emb_outliers, multimodal_features and
     # text_char_entropy — 4 greens each, FAST-covered — yielded
     # their slots to docs_weighted_sample, events_hll_overlap and
     # docs_sampled_percentiles)
-    "dedup_jaccard_prefix", "text_redact_pii",
     # NEW for r12 (the r11 verdict's top order, three times running):
     # the three r9-new queries with ZERO driver greens in eleven
     # rounds — docs_dedup_ingest (semantics changed in r10 empty-index
@@ -112,9 +110,26 @@ _DRIVER_FIRST = [
     # extended from text LSH to the embedding bucket join; the oracle
     # reproduces the cap deterministically)
     "emb_near_dedup_capped",
-    # freshest green r14 (7 greens)
-    "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "dedup_survivors", "docs_stratified_sample", "docs_topk_quality",
+    # RE-SHAPED in r16 (the r15 verdict's top order): the headline
+    # capped near-pairs query now composes max_bucket_size=40 with
+    # the identical collapse, and its oracle reproduces the
+    # star/all-pairs split — a changed plan re-enters the gate per
+    # the standing invariant (2 prior greens, r5/r6, pre-reshape)
+    "sim_near_pairs_capped",
+    # r16 rotation (the r15 verdict's order #4): the six stalest
+    # greens — dedup_exact/text_token_stats (freshest driver green
+    # r5), sim_cosine_topk/active_jobs/q8_market_share/
+    # events_retention (r6) — re-enter for a freshness green; all
+    # six were locally exact+pandas green in the r15 judge's own
+    # 12-query spot-check, but driver evidence should not be 10
+    # rounds old
+    "dedup_exact", "text_token_stats", "sim_cosine_topk",
+    "active_jobs", "q8_market_share", "events_retention",
+    # (r16 rotation out: dedup_minhash_lsh, dedup_simhash_pairs,
+    # dedup_survivors, docs_stratified_sample, docs_topk_quality —
+    # 11 driver greens each — and dedup_jaccard_prefix — 10 greens —
+    # ADDED to FAST_QUERIES this round as compensating coverage;
+    # text_redact_pii — 10 greens — was already FAST-covered.)
     # (r15 rotation: emb_norm_stats — 7 driver greens, shape
     # unchanged since r8, ADDED to FAST_QUERIES this round — yielded
     # its slot to emb_near_dedup_capped above.)

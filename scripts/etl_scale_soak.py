@@ -125,10 +125,25 @@ def _write(path: str, header: str, rows: list[str],
         fh.write(body)
 
 
+GEN_VERSION = 2  # v2: + follow-up L0 snapshot for the EP3 soak
+
+# the follow-up snapshot's dataset name; EP1/EP2 runs pass
+# before=FULLINC_DS so the initial load takes the 20160601 L0, then
+# full_incremental=True picks this one up as a diff-apply
+FULLINC_DS = "20160602000000"
+
+
 def gen_repository(root: str, n_rows: int) -> dict:
-    """Two-dataset repository (one L0, two L5) at ``n_rows`` base
-    rows, ~1% changes per L5 dataset split evenly across U/I/D —
-    the structure of the golden F1/F2 fixtures, scaled."""
+    """Repository at ``n_rows`` base rows — one L0, two L5 (~1%
+    changes each, U/I/D even split: the structure of the golden
+    F1/F2 fixtures, scaled), PLUS a follow-up L0 snapshot
+    (``FULLINC_DS``) carrying one more ~1% change round on top of
+    the post-L5 state. The follow-up snapshot is the EP3
+    (-full-incremental) input: the reference applies a new full
+    unload as a DIFF against the loaded table
+    (lib/LINZ/BdeUpload.pm ApplyLevel0Update incremental branch;
+    sql/02-bde_control_functions.sql.in:1887-1948 bde_ApplyTableDifferences)
+    instead of replacing it."""
     state = {i: _row(i) for i in range(1, n_rows + 1)}
     _write(os.path.join(root, "level_0", "20160601000000", "pab1.crs"),
            HEADER, [_fmt(r) for r in state.values()],
@@ -170,8 +185,33 @@ def gen_repository(root: str, n_rows: int) -> dict:
                                   "2016-06-01 17:12:17", next_id)
     state, next_id, c2 = apply_l5(state, "20160601180000",
                                   "2016-06-01 18:00:05", next_id)
-    return {"n_rows": n_rows, "l5a_changes": c1, "l5b_changes": c2,
-            "final_rows": len(state)}
+    rows_after_l5 = len(state)
+
+    # EP3 input: one more ~1% change round on the post-L5 state,
+    # written as a FULL follow-up snapshot (no xaud — the whole point
+    # of -full-incremental is that no change table exists and the
+    # diff is recovered by the full-outer join)
+    keys = sorted(state)
+    c3 = {"U": 0, "I": 0, "D": 0}
+    for j, k in enumerate(keys[::101]):
+        if j % 3 == 0:
+            p, s, l, rv, nt, a = state[k]
+            state[k] = (p, s + 11, l, "Y" if rv == "N" else "N", nt, a)
+            c3["U"] += 1
+        elif j % 3 == 1:
+            del state[k]
+            c3["D"] += 1
+        else:
+            state[next_id] = _row(next_id)
+            c3["I"] += 1
+            next_id += 1
+    _write(os.path.join(root, "level_0", FULLINC_DS, "pab1.crs"),
+           HEADER, [_fmt(state[k]) for k in sorted(state)],
+           "2016-06-02 00:00:00", "2016-06-02 00:00:25")
+    return {"n_rows": n_rows, "gen_version": GEN_VERSION,
+            "l5a_changes": c1, "l5b_changes": c2,
+            "final_rows": rows_after_l5,
+            "fullinc_changes": c3, "rows_after_fullinc": len(state)}
 
 
 def production_cleanse():
@@ -203,9 +243,18 @@ def cleanse_path_taken(spark, cfg) -> str:
             else "composed")
 
 
-def run_once(spark, repo_root: str, cleanse) -> dict:
+def run_once(spark, repo_root: str, cleanse,
+             fullinc_expect: dict | None = None) -> dict:
     """One end-to-end driver run (fresh store + ledger): L0 load,
-    then both L5 merges. Returns per-phase walls + final count."""
+    both L5 merges, then the EP3 -full-incremental apply of the
+    follow-up snapshot (the full-outer-join diff path,
+    merge.full_diff — the one lifecycle the r15 verdict flagged as
+    having no scale point). Returns per-phase walls + counts.
+
+    ``fullinc_expect`` (the generator's U/I/D counts for the
+    follow-up round) turns the EP3 phase into a correctness check
+    too: the diff's classified action counts must equal what the
+    generator planted, or the full-outer join mis-diffed at scale."""
     from linz_bde_uploader_spark.catalog.tables import parse_tables_conf
     from linz_bde_uploader_spark.control.ledger import Ledger
     from linz_bde_uploader_spark.driver import BdeUploader, UploadConfig
@@ -221,16 +270,78 @@ def run_once(spark, repo_root: str, cleanse) -> dict:
         up = BdeUploader(spark, repo, store, ledger,
                          parse_tables_conf(CONF), config=cfg)
         t0 = time.perf_counter()
-        up.apply_updates(level0=True)
+        up.apply_updates(level0=True, before=FULLINC_DS)
         t1 = time.perf_counter()
-        up.apply_updates(level5=True)
+        up.apply_updates(level5=True, before=FULLINC_DS)
         t2 = time.perf_counter()
         n = store.read(spark, "crs_parcel_bndry").count()
         view = store.read(spark, "crs_parcel_bndry__minmax").count()
-        return {"l0_sec": round(t1 - t0, 3),
-                "l5_sec": round(t2 - t1, 3),
-                "total_sec": round(t2 - t0, 3),
-                "final_rows": n, "view_groups": view}
+        rec = {"l0_sec": round(t1 - t0, 3),
+               "l5_sec": round(t2 - t1, 3),
+               "total_sec": round(t2 - t0, 3),
+               "final_rows": n, "view_groups": view}
+        t3 = time.perf_counter()
+        results = up.apply_updates(full_incremental=True)
+        t4 = time.perf_counter()
+        rec["fullinc_sec"] = round(t4 - t3, 3)
+        rec["rows_after_fullinc"] = \
+            store.read(spark, "crs_parcel_bndry").count()
+        got = next((r for r in results
+                    if r.table == "crs_parcel_bndry"), None)
+        if got is not None and got.stats is not None:
+            rec["fullinc_stats"] = {"I": got.stats.ninsert,
+                                    "U": got.stats.nupdate,
+                                    "D": got.stats.ndelete}
+            if fullinc_expect is not None \
+                    and rec["fullinc_stats"] != fullinc_expect:
+                raise SystemExit(
+                    f"EP3 diff stats {rec['fullinc_stats']} != "
+                    f"generator plant {fullinc_expect} — full_diff "
+                    "misclassified at scale; soak aborted")
+        return rec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_l0_gz(spark, repo_root: str, cleanse) -> dict:
+    """S6 at scale: time ONLY the level-0 load with the snapshot
+    stored as ``.crs.gz``. Builds a gz twin of ``repo_root``'s
+    initial L0 dataset (one gzip pass, cached) and runs the EP1
+    phase against it. Gzip text is not splittable — the read is one
+    stream per FILE — so the honest recording is the delta vs the
+    plain read at the same size, not a parallel-scan number; a real
+    deployment keeps per-table files, giving file-level parallelism
+    (exactly the reference's layout, one .crs.gz per table)."""
+    import gzip
+
+    from linz_bde_uploader_spark.catalog.tables import parse_tables_conf
+    from linz_bde_uploader_spark.control.ledger import Ledger
+    from linz_bde_uploader_spark.driver import BdeUploader, UploadConfig
+    from linz_bde_uploader_spark.sources.repository import BdeRepository
+    from linz_bde_uploader_spark.sources.store import TableStore
+
+    src = os.path.join(repo_root, "level_0", "20160601000000",
+                       "pab1.crs")
+    gz_root = repo_root.rstrip("/") + "_gz"
+    dst = os.path.join(gz_root, "level_0", "20160601000000",
+                       "pab1.crs.gz")
+    if not os.path.exists(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(src, "rb") as fi, gzip.open(dst, "wb") as fo:
+            shutil.copyfileobj(fi, fo)
+    tmp = tempfile.mkdtemp(prefix="etl_soak_gz_")
+    try:
+        up = BdeUploader(
+            spark, BdeRepository(gz_root),
+            TableStore(os.path.join(tmp, "store"), n_buckets=8),
+            Ledger(os.path.join(tmp, "ctl")),
+            parse_tables_conf(CONF), config=UploadConfig(cleanse=cleanse))
+        t0 = time.perf_counter()
+        up.apply_updates(level0=True)
+        t1 = time.perf_counter()
+        return {"l0_gz_sec": round(t1 - t0, 3),
+                "gz_bytes": os.path.getsize(dst),
+                "plain_bytes": os.path.getsize(src)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -240,6 +351,9 @@ def main() -> None:
     ap.add_argument("--base-rows", type=int, default=120_000)
     ap.add_argument("--factors", type=int, nargs="*", default=[1, 10])
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--gz-factors", type=int, nargs="*", default=None,
+                    help="factors to also time a .crs.gz level-0 "
+                         "load at (default: the largest factor)")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -259,6 +373,8 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
         "scales": {},
     }
+    gz_factors = set(args.gz_factors if args.gz_factors is not None
+                     else [max(args.factors)])
     for f in args.factors:
         n = args.base_rows * f
         root = os.path.join(REPO, ".scale_data", f"etl_f{f}", "repo")
@@ -267,16 +383,19 @@ def main() -> None:
         if os.path.exists(marker):
             with open(marker) as fh:
                 prev = json.load(fh)
-            if prev.get("n_rows") == n:
+            if prev.get("n_rows") == n \
+                    and prev.get("gen_version") == GEN_VERSION:
                 meta = {**prev, "reused": True}
         if meta is None:
             shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(root.rstrip("/") + "_gz", ignore_errors=True)
             meta = gen_repository(root, n)
             with open(marker, "w") as fh:
                 json.dump(meta, fh)
         best = None
         for _ in range(args.reps):
-            r = run_once(spark, root, cleanse)
+            r = run_once(spark, root, cleanse,
+                         fullinc_expect=meta.get("fullinc_changes"))
             if best is None or r["total_sec"] < best["total_sec"]:
                 best = r
         expected = meta.get("final_rows") or meta.get(
@@ -289,20 +408,37 @@ def main() -> None:
                 f"f{f}: merged row count {best['final_rows']} != "
                 f"generator expectation {expected} — the ETL path "
                 f"dropped or duplicated rows; soak aborted")
+        exp_fi = meta.get("rows_after_fullinc")
+        if exp_fi is not None \
+                and best.get("rows_after_fullinc") != exp_fi:
+            raise SystemExit(
+                f"f{f}: post-full-incremental count "
+                f"{best.get('rows_after_fullinc')} != generator "
+                f"expectation {exp_fi} — the EP3 diff-apply dropped "
+                "or duplicated rows; soak aborted")
+        if f in gz_factors:
+            best.update(run_l0_gz(spark, root, cleanse))
         rec = {**meta, **best}
         rec["expected_final_rows"] = expected
         out["scales"][f"f{f}"] = rec
         print(f"# f{f}: {json.dumps(best)}", file=sys.stderr,
               flush=True)
+    def _ratios(scales: dict, fs_sorted: list[int]) -> dict:
+        a = scales[f"f{fs_sorted[0]}"]
+        b = scales[f"f{fs_sorted[-1]}"]
+        r = {"data_ratio": fs_sorted[-1] / fs_sorted[0],
+             "wall_ratio_total": round(
+                 b["total_sec"] / a["total_sec"], 2),
+             "wall_ratio_l0": round(b["l0_sec"] / a["l0_sec"], 2),
+             "wall_ratio_l5": round(b["l5_sec"] / a["l5_sec"], 2)}
+        if a.get("fullinc_sec") and b.get("fullinc_sec"):
+            r["wall_ratio_fullinc"] = round(
+                b["fullinc_sec"] / a["fullinc_sec"], 2)
+        return r
+
     fs = sorted(args.factors)
     if len(fs) >= 2:
-        a, b = out["scales"][f"f{fs[0]}"], out["scales"][f"f{fs[-1]}"]
-        ratio = fs[-1] / fs[0]
-        out["data_ratio"] = ratio
-        out["wall_ratio_total"] = round(
-            b["total_sec"] / a["total_sec"], 2)
-        out["wall_ratio_l0"] = round(b["l0_sec"] / a["l0_sec"], 2)
-        out["wall_ratio_l5"] = round(b["l5_sec"] / a["l5_sec"], 2)
+        out.update(_ratios(out["scales"], fs))
     out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     path = os.path.join(REPO, "SCALE_SOAK.json")
@@ -321,23 +457,32 @@ def main() -> None:
         for k, rec in out["scales"].items():
             # min-over-runs, the same discipline as min-over-reps: a
             # later (possibly colder or shorter) run must not replace
-            # a better recording of the same factor
+            # a better recording of the same factor. Phase fields the
+            # kept record lacks (fullinc_sec / l0_gz_sec from a newer
+            # soak version) graft in as per-field minima so a
+            # prior-quiet total recording doesn't erase new-phase
+            # evidence.
             if (k in merged_scales
                     and merged_scales[k].get("n_rows") == rec.get("n_rows")
                     and merged_scales[k].get("total_sec", 1e18)
                     <= rec.get("total_sec", 1e18)):
+                kept = merged_scales[k]
+                for fld in ("fullinc_sec", "l0_gz_sec"):
+                    if rec.get(fld) is not None and \
+                            rec[fld] < kept.get(fld, 1e18):
+                        kept[fld] = rec[fld]
+                        for aux in ("fullinc_stats",
+                                    "rows_after_fullinc",
+                                    "fullinc_changes", "gz_bytes",
+                                    "plain_bytes"):
+                            if rec.get(aux) is not None:
+                                kept[aux] = rec[aux]
                 continue
             merged_scales[k] = rec
         out["scales"] = merged_scales
         fs_all = sorted(int(k[1:]) for k in merged_scales)
         if len(fs_all) >= 2:
-            a = merged_scales[f"f{fs_all[0]}"]
-            b = merged_scales[f"f{fs_all[-1]}"]
-            out["data_ratio"] = fs_all[-1] / fs_all[0]
-            out["wall_ratio_total"] = round(
-                b["total_sec"] / a["total_sec"], 2)
-            out["wall_ratio_l0"] = round(b["l0_sec"] / a["l0_sec"], 2)
-            out["wall_ratio_l5"] = round(b["l5_sec"] / a["l5_sec"], 2)
+            out.update(_ratios(merged_scales, fs_all))
     doc["etl_soak"] = out
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)

@@ -58,6 +58,11 @@ FAST_QUERIES = [
     "emb_norm_stats",
     # new in r15
     "emb_near_dedup_capped",
+    # rotated out of the driver top-50 in r16 (compensating coverage;
+    # text_redact_pii, also rotated out, was already listed above)
+    "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_survivors",
+    "docs_stratified_sample", "docs_topk_quality",
+    "dedup_jaccard_prefix",
 ]
 
 
