@@ -1,0 +1,78 @@
+"""The bench quiet-start gate must actually refuse (r16): three
+rounds recorded headlines under foreign-tenant load because the old
+gate only waited and then started anyway, and each cost the next
+round an A/B adjudication (BASELINE.md r13/r15/r16 sections). These
+tests pin the refusal contract WITHOUT starting Spark — the gate
+sits before session creation by design, so a refused run costs
+nothing."""
+
+import json
+import sys
+
+import pytest
+
+
+def _run_gate(monkeypatch, capsys, loadavg, force=False,
+              sleep_fn=None):
+    """Drive bench.main() with a fake host load; returns (exit_code,
+    parsed last stdout JSON line) when it refuses, or (None, None)
+    when the gate passes (we stop at get_spark — the test must never
+    launch a real session)."""
+    import bench
+
+    class _Started(Exception):
+        pass
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: loadavg)
+    monkeypatch.setattr(bench.time, "sleep",
+                        sleep_fn or (lambda s: None))
+    monkeypatch.setattr(
+        bench, "get_spark",
+        lambda *a, **k: (_ for _ in ()).throw(_Started()))
+    if force:
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE", "1")
+    else:
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
+    try:
+        bench.main()
+    except SystemExit as e:
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        return e.code, json.loads(line)
+    except _Started:
+        return None, None
+    pytest.fail("bench.main() returned without starting or refusing")
+
+
+def test_gate_refuses_on_persistently_loaded_host(monkeypatch, capsys):
+    code, artifact = _run_gate(monkeypatch, capsys, (9.0, 9.0, 9.0))
+    assert code == 3
+    assert artifact["refused_noisy_host"] is True
+    assert artifact["value"] is None and artifact["queries"] == {}
+    # the exhausted two-tier budget is recorded for the adjudicator
+    assert artifact["quiet_wait_sec"] >= 1500
+    assert artifact["loadavg_start"][0] == 9.0
+
+
+def test_gate_force_override_starts(monkeypatch, capsys):
+    code, _ = _run_gate(monkeypatch, capsys, (9.0, 9.0, 9.0),
+                        force=True)
+    assert code is None  # reached get_spark: the run would proceed
+
+
+def test_gate_quiet_host_starts_immediately(monkeypatch, capsys):
+    slept = []
+    code, _ = _run_gate(monkeypatch, capsys, (0.4, 0.4, 0.4),
+                        sleep_fn=lambda s: slept.append(s))
+    assert code is None  # reached get_spark
+    assert slept == []  # zero wait on a quiet host
+
+
+def test_gate_borderline_host_waits_then_starts(monkeypatch, capsys):
+    """Between the 1.5 quiet target and the 2.5 refusal ceiling the
+    gate burns its tier-1 budget but still records (the r15 case —
+    1.87 at start — now costs a bounded wait, not a refusal)."""
+    slept = []
+    code, _ = _run_gate(monkeypatch, capsys, (1.9, 1.9, 1.9),
+                        sleep_fn=lambda s: slept.append(s))
+    assert code is None  # reached get_spark: borderline still runs
+    assert sum(slept) == 600  # tier-1 budget only; tier 2 passes
