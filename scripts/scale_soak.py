@@ -420,8 +420,19 @@ def main() -> None:
             "all_at_or_under_data_ratio_excl_controls": bool(
                 max(non_ctrl) <= data_ratio) if non_ctrl else None,
         }
-    with open(os.path.join(REPO, "SCALE_SOAK.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    # a full run refreshes the standard keys but must PRESERVE the
+    # sidecars other entry points own (etl_soak, density_cap_soak,
+    # pruned_recompute_soak, the sf10 ivm/hll extensions): clobbering
+    # them silently erased committed scale evidence once (r16)
+    path = os.path.join(REPO, "SCALE_SOAK.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        doc = {}
+    doc.update(out)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
     print(json.dumps(out.get("summary", out)))
 
 
