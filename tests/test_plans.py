@@ -357,6 +357,24 @@ def test_sim_near_pairs_capped_query_composes_both_guards(spark, allq):
     assert pairs_c <= pairs_f
 
 
+def test_full_diff_stays_key_shuffled_full_outer(spark, allq):
+    """EP3 (-full-incremental): the table-vs-snapshot diff must stay
+    ONE key-partitioned full-outer sort-merge join — the shape whose
+    f1/f10/f30 slope the ETL soak pins (SCALE_SOAK.json
+    etl_soak.*.fullinc_sec, linear after fixed costs). A nested-loop
+    or cartesian fallback here is the canonical 100 TB incident: both
+    sides are full table scans by construction (no change list
+    exists — recovering it IS the mode), so the join strategy is the
+    entire cost model."""
+    plan = _simple(allq["full_diff"][0](spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the key's null filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(o_orderkey)]" in plan
+
+
 def test_exact_survivorship_no_text_window(spark, allq):
     """First-occurrence selection for exact dedup must be the
     digest-aggregate + join form: a window partitioned by the text
