@@ -266,6 +266,25 @@ def read_crs(spark: SparkSession, path: str, header: CrsHeader | None = None,
     """
     header = header or parse_header(path)
     lines = spark.read.text(path)
+    if path.endswith(".gz"):
+        # gzip is not splittable, so the text scan is ONE task no
+        # matter how big the file — and without intervention every
+        # narrow transformation downstream (split, casts, the
+        # ~300-rule cleanse: the expensive part) inherits that single
+        # partition. Decompression is inherently serial; the parse is
+        # not. Redistribute the raw lines across the session's
+        # parallelism before parsing — one shuffle of the raw text
+        # buys a fully parallel cleanse. Row order is irrelevant: the
+        # loader's semantics are set-based over keyed rows (the
+        # reference COPYes into a keyed table). Measured at 3.6M rows
+        # (SCALE_SOAK.json etl_soak f30 l0_gz_sec): serial-parse
+        # 172 s -> 90 s with this repartition (42 s plain). The
+        # remaining premium is the serial decompress itself, paid
+        # once per pass (the malformed-row budget check and the load
+        # are two passes, mirroring the reference's two); only a
+        # splittable codec or chunked files can remove that part.
+        lines = lines.repartition(
+            spark.sparkContext.defaultParallelism)
     # normalize CRLF: header parsing strips \r, data rows must too or
     # every line of a CRLF file would fail the trailing-pipe filter
     value = F.regexp_replace(F.col("value"), r"\r$", "")
