@@ -36,6 +36,21 @@ def test_read_gzip(spark, tmp_path):
     assert read_crs(spark, p).count() == 3
 
 
+def test_read_gzip_parse_parallelizes(spark, tmp_path):
+    """gzip is not splittable, so the text scan is one task — the
+    r16 ETL soak caught the whole split/cast/cleanse pipeline
+    inheriting that single partition (172 s serial vs 90 s fixed at
+    3.6M rows). read_crs must redistribute gz lines before parsing;
+    the plain read keeps its native splits (no gratuitous shuffle)."""
+    gz = write_crs(str(tmp_path / "pab1.crs.gz"), PAB1_L0, gz=True)
+    assert read_crs(spark, gz).rdd.getNumPartitions() \
+        == spark.sparkContext.defaultParallelism
+    plain = write_crs(str(tmp_path / "pab1.crs"), PAB1_L0)
+    df = read_crs(spark, plain)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan() \
+        .toString().split("FileScan")[0]
+
+
 def test_timestamp_and_null(spark, tmp_path):
     p = write_crs(str(tmp_path / "xaud.crs"), XAUD)
     df = read_crs(spark, p)
