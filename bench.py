@@ -866,15 +866,18 @@ def main():
     # emits a one-line JSON artifact naming the refusal (the driver
     # records it verbatim) and exits 3. SPARK_GRAFT_BENCH_FORCE=1
     # overrides for a deliberately-loaded capture.)
+    forced = bool(os.environ.get("SPARK_GRAFT_BENCH_FORCE"))
     quiet_wait = 0
-    while os.getloadavg()[0] > 1.5 and quiet_wait < 600:
+    # a forced (deliberately-loaded) capture skips the waits too —
+    # the load is there by premise and may be gone in 25 minutes
+    while not forced and os.getloadavg()[0] > 1.5 and quiet_wait < 600:
         time.sleep(10)
         quiet_wait += 10
-    while os.getloadavg()[0] > 2.5 and quiet_wait < 1500:
+    while not forced and os.getloadavg()[0] > 2.5 and quiet_wait < 1500:
         time.sleep(10)
         quiet_wait += 10
     load_start = list(os.getloadavg())
-    if load_start[0] > 2.5 and not os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
+    if load_start[0] > 2.5 and not forced:
         print(json.dumps({
             "metric": "headline_queries_total_runtime",
             "value": None, "unit": "sec", "queries": {}, "sf": sf,

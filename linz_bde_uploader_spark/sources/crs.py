@@ -266,41 +266,29 @@ def read_crs(spark: SparkSession, path: str, header: CrsHeader | None = None,
     """
     header = header or parse_header(path)
     lines = spark.read.text(path)
-    if path.endswith(".gz"):
-        # gzip is not splittable, so the text scan is ONE task no
-        # matter how big the file — and without intervention every
-        # narrow transformation downstream (split, casts, the
-        # ~300-rule cleanse: the expensive part) inherits that single
-        # partition. Decompression is inherently serial; the parse is
-        # not. Redistribute the raw lines across the session's
-        # parallelism before parsing — one shuffle of the raw text
-        # buys a fully parallel cleanse. Row order is irrelevant: the
-        # loader's semantics are set-based over keyed rows (the
-        # reference COPYes into a keyed table). Measured at 3.6M rows
-        # (SCALE_SOAK.json etl_soak f30 l0_gz_sec): serial-parse
-        # 172 s -> 90 s with this repartition (42 s plain). The
-        # remaining premium is the serial decompress itself, paid
-        # once per pass (the malformed-row budget check and the load
-        # are two passes, mirroring the reference's two); only a
-        # splittable codec or chunked files can remove that part.
-        lines = lines.repartition(
-            spark.sparkContext.defaultParallelism)
     # normalize CRLF: header parsing strips \r, data rows must too or
     # every line of a CRLF file would fail the trailing-pipe filter
     value = F.regexp_replace(F.col("value"), r"\r$", "")
     # Data rows carry a trailing '|'; header lines never do.
-    data = lines.select(value.alias("value")) \
+    rows = lines.select(value.alias("value")) \
                 .filter(F.col("value").endswith("|"))
 
     ncols = len(header.columns)
     parts = F.split(F.col("value"), r"\|", -1)
     # trailing '|' => len == ncols + 1 with empty last element
     ok = F.size(parts) == ncols + 1
-    data = data.select(parts.alias("_p"), ok.alias("_ok"))
+
+    def split_rows(df: DataFrame) -> DataFrame:
+        return df.select(parts.alias("_p"), ok.alias("_ok"))
 
     if enforce_budget:
+        # the budget pass runs on the UN-repartitioned scan on
+        # purpose: at the production budget of 0 the limit(1) stops
+        # the (single-task, for gzip) decompress at the first bad
+        # row — a shuffle in this branch would force a full
+        # decompress+shuffle-write before the limit could fire
         budget = (cleanse.max_errors if cleanse else 0)
-        bad_rows = data.filter(~F.col("_ok"))
+        bad_rows = split_rows(rows).filter(~F.col("_ok"))
         if budget == 0:
             # short-circuit: any bad row is fatal, stop at the first
             bad = bad_rows.limit(1).count()
@@ -313,6 +301,26 @@ def read_crs(spark: SparkSession, path: str, header: CrsHeader | None = None,
                 f"{path}: {count} malformed row(s) exceed "
                 f"max_errors={budget}; sample={sample[:3]!r}"
             )
+
+    if path.endswith(".gz"):
+        # gzip is not splittable, so the text scan is ONE task no
+        # matter how big the file — and without intervention every
+        # narrow transformation downstream (split, casts, the
+        # ~300-rule cleanse: the expensive part) inherits that single
+        # partition. Decompression is inherently serial; the parse is
+        # not. Redistribute the raw lines across the session's
+        # parallelism before parsing — one shuffle of the raw text
+        # buys a fully parallel cleanse. Row order is irrelevant: the
+        # loader's semantics are set-based over keyed rows (the
+        # reference COPYes into a keyed table). Measured at 3.6M rows
+        # (SCALE_SOAK.json etl_soak f30 l0_gz_sec): serial-parse
+        # 172 s -> ~90 s with this repartition (42 s plain). The
+        # remaining premium is the serial decompress itself, paid
+        # once per pass (the malformed-row budget pass above stays
+        # deliberately unshuffled to keep its fail-fast limit); only
+        # a splittable codec or chunked files can remove that part.
+        rows = rows.repartition(spark.sparkContext.defaultParallelism)
+    data = split_rows(rows)
 
     cols = header.columns
     if valid_columns is not None:

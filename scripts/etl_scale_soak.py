@@ -303,7 +303,8 @@ def run_once(spark, repo_root: str, cleanse,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_l0_gz(spark, repo_root: str, cleanse) -> dict:
+def run_l0_gz(spark, repo_root: str, cleanse,
+              expected_rows: int | None = None) -> dict:
     """S6 at scale: time ONLY the level-0 load with the snapshot
     stored as ``.crs.gz``. Builds a gz twin of ``repo_root``'s
     initial L0 dataset (one gzip pass, cached) and runs the EP1
@@ -327,18 +328,29 @@ def run_l0_gz(spark, repo_root: str, cleanse) -> dict:
                        "pab1.crs.gz")
     if not os.path.exists(dst):
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        with open(src, "rb") as fi, gzip.open(dst, "wb") as fo:
+        # write-then-rename: an interrupted gzip write must not leave
+        # a truncated twin the exists-check would reuse forever (a
+        # gzip cut at a block boundary decompresses cleanly to fewer
+        # rows and would silently shrink the measured dataset)
+        part = dst + ".part"
+        with open(src, "rb") as fi, gzip.open(part, "wb") as fo:
             shutil.copyfileobj(fi, fo)
+        os.replace(part, dst)
     tmp = tempfile.mkdtemp(prefix="etl_soak_gz_")
     try:
+        store = TableStore(os.path.join(tmp, "store"), n_buckets=8)
         up = BdeUploader(
-            spark, BdeRepository(gz_root),
-            TableStore(os.path.join(tmp, "store"), n_buckets=8),
+            spark, BdeRepository(gz_root), store,
             Ledger(os.path.join(tmp, "ctl")),
             parse_tables_conf(CONF), config=UploadConfig(cleanse=cleanse))
         t0 = time.perf_counter()
         up.apply_updates(level0=True)
         t1 = time.perf_counter()
+        n = store.read(spark, "crs_parcel_bndry").count()
+        if expected_rows is not None and n != expected_rows:
+            raise SystemExit(
+                f"gz L0 load read {n} rows, expected {expected_rows} "
+                "— truncated or stale gz twin; soak aborted")
         return {"l0_gz_sec": round(t1 - t0, 3),
                 "gz_bytes": os.path.getsize(dst),
                 "plain_bytes": os.path.getsize(src)}
@@ -375,6 +387,14 @@ def main() -> None:
     }
     gz_factors = set(args.gz_factors if args.gz_factors is not None
                      else [max(args.factors)])
+    stray = gz_factors - set(args.factors)
+    if stray:
+        # silent no-op would leave the standing l0_gz_sec stale while
+        # the operator believes it was re-measured
+        raise SystemExit(
+            f"--gz-factors {sorted(stray)} not in --factors "
+            f"{sorted(args.factors)} — the gz pass only runs on "
+            "factors the soak visits")
     for f in args.factors:
         n = args.base_rows * f
         root = os.path.join(REPO, ".scale_data", f"etl_f{f}", "repo")
@@ -417,7 +437,8 @@ def main() -> None:
                 f"expectation {exp_fi} — the EP3 diff-apply dropped "
                 "or duplicated rows; soak aborted")
         if f in gz_factors:
-            best.update(run_l0_gz(spark, root, cleanse))
+            best.update(run_l0_gz(spark, root, cleanse,
+                                  expected_rows=meta.get("n_rows")))
         rec = {**meta, **best}
         rec["expected_final_rows"] = expected
         out["scales"][f"f{f}"] = rec
@@ -454,30 +475,43 @@ def main() -> None:
     if isinstance(prev, dict) and isinstance(prev.get("scales"), dict) \
             and prev.get("base_rows") == args.base_rows:
         merged_scales = dict(prev["scales"])
+        # per-field minima with their PAIRED aux fields: a kept
+        # fullinc_sec must travel with the stats/counts of the run
+        # that produced it, never mix-and-match across runs
+        phase_aux = {
+            "fullinc_sec": ("fullinc_stats", "rows_after_fullinc",
+                            "fullinc_changes"),
+            "l0_gz_sec": ("gz_bytes", "plain_bytes"),
+        }
+
+        def graft(dst: dict, src: dict) -> None:
+            for fld, auxes in phase_aux.items():
+                if src.get(fld) is not None \
+                        and src[fld] < dst.get(fld, 1e18):
+                    dst[fld] = src[fld]
+                    for a in auxes:
+                        if src.get(a) is not None:
+                            dst[a] = src[a]
+
         for k, rec in out["scales"].items():
             # min-over-runs, the same discipline as min-over-reps: a
             # later (possibly colder or shorter) run must not replace
-            # a better recording of the same factor. Phase fields the
-            # kept record lacks (fullinc_sec / l0_gz_sec from a newer
-            # soak version) graft in as per-field minima so a
-            # prior-quiet total recording doesn't erase new-phase
-            # evidence.
-            if (k in merged_scales
-                    and merged_scales[k].get("n_rows") == rec.get("n_rows")
-                    and merged_scales[k].get("total_sec", 1e18)
-                    <= rec.get("total_sec", 1e18)):
-                kept = merged_scales[k]
-                for fld in ("fullinc_sec", "l0_gz_sec"):
-                    if rec.get(fld) is not None and \
-                            rec[fld] < kept.get(fld, 1e18):
-                        kept[fld] = rec[fld]
-                        for aux in ("fullinc_stats",
-                                    "rows_after_fullinc",
-                                    "fullinc_changes", "gz_bytes",
-                                    "plain_bytes"):
-                            if rec.get(aux) is not None:
-                                kept[aux] = rec[aux]
+            # a better recording of the same factor — and whichever
+            # record wins on total_sec, the OTHER record's better
+            # phase fields graft in so evidence is never erased in
+            # either direction. Records are only comparable when the
+            # generator version matches (a re-plant changes what the
+            # phases measure).
+            kept = merged_scales.get(k)
+            same = (kept is not None
+                    and kept.get("n_rows") == rec.get("n_rows")
+                    and kept.get("gen_version") == rec.get("gen_version"))
+            if same and kept.get("total_sec", 1e18) \
+                    <= rec.get("total_sec", 1e18):
+                graft(kept, rec)
                 continue
+            if same:
+                graft(rec, kept)
             merged_scales[k] = rec
         out["scales"] = merged_scales
         fs_all = sorted(int(k[1:]) for k in merged_scales)

@@ -53,10 +53,17 @@ def test_gate_refuses_on_persistently_loaded_host(monkeypatch, capsys):
     assert artifact["loadavg_start"][0] == 9.0
 
 
-def test_gate_force_override_starts(monkeypatch, capsys):
+def test_gate_force_override_starts_without_waiting(monkeypatch,
+                                                    capsys):
+    """A forced capture is a deliberately-loaded one: it must skip
+    the quiet waits too, not just the refusal — the load is there by
+    premise and may be gone in 25 minutes."""
+    slept = []
     code, _ = _run_gate(monkeypatch, capsys, (9.0, 9.0, 9.0),
-                        force=True)
+                        force=True,
+                        sleep_fn=lambda s: slept.append(s))
     assert code is None  # reached get_spark: the run would proceed
+    assert slept == []  # and without burning the wait budget
 
 
 def test_gate_quiet_host_starts_immediately(monkeypatch, capsys):
