@@ -358,6 +358,53 @@ def run_l0_gz(spark, repo_root: str, cleanse,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# per-field minima with their PAIRED aux fields: a kept fullinc_sec
+# must travel with the stats/counts of the run that produced it,
+# never mix-and-match across runs
+PHASE_AUX = {
+    "fullinc_sec": ("fullinc_stats", "rows_after_fullinc",
+                    "fullinc_changes"),
+    "l0_gz_sec": ("gz_bytes", "plain_bytes"),
+}
+
+
+def _graft(dst: dict, src: dict) -> None:
+    for fld, auxes in PHASE_AUX.items():
+        if src.get(fld) is not None and src[fld] < dst.get(fld, 1e18):
+            dst[fld] = src[fld]
+            for a in auxes:
+                if src.get(a) is not None:
+                    dst[a] = src[a]
+
+
+def merge_scales(prev_scales: dict, new_scales: dict) -> dict:
+    """Min-over-runs merge of per-factor records — the same
+    discipline as min-over-reps: a later (possibly colder or
+    shorter) run must not replace a better recording of the same
+    factor, and whichever record wins on total_sec, the OTHER
+    record's better phase fields graft in (with their paired aux
+    fields) so evidence is never erased in either direction. Records
+    are comparable only at matching n_rows AND generator version — a
+    re-plant changes what the phases measure, so a version bump
+    replaces wholesale. Unit-tested Spark-free in
+    tests/test_etl_soak_merge.py."""
+    merged = {k: dict(v) for k, v in prev_scales.items()}
+    for k, rec in new_scales.items():
+        rec = dict(rec)
+        kept = merged.get(k)
+        same = (kept is not None
+                and kept.get("n_rows") == rec.get("n_rows")
+                and kept.get("gen_version") == rec.get("gen_version"))
+        if same and kept.get("total_sec", 1e18) \
+                <= rec.get("total_sec", 1e18):
+            _graft(kept, rec)
+            continue
+        if same:
+            _graft(rec, kept)
+        merged[k] = rec
+    return merged
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base-rows", type=int, default=120_000)
@@ -474,46 +521,8 @@ def main() -> None:
     prev = doc.get("etl_soak")
     if isinstance(prev, dict) and isinstance(prev.get("scales"), dict) \
             and prev.get("base_rows") == args.base_rows:
-        merged_scales = dict(prev["scales"])
-        # per-field minima with their PAIRED aux fields: a kept
-        # fullinc_sec must travel with the stats/counts of the run
-        # that produced it, never mix-and-match across runs
-        phase_aux = {
-            "fullinc_sec": ("fullinc_stats", "rows_after_fullinc",
-                            "fullinc_changes"),
-            "l0_gz_sec": ("gz_bytes", "plain_bytes"),
-        }
-
-        def graft(dst: dict, src: dict) -> None:
-            for fld, auxes in phase_aux.items():
-                if src.get(fld) is not None \
-                        and src[fld] < dst.get(fld, 1e18):
-                    dst[fld] = src[fld]
-                    for a in auxes:
-                        if src.get(a) is not None:
-                            dst[a] = src[a]
-
-        for k, rec in out["scales"].items():
-            # min-over-runs, the same discipline as min-over-reps: a
-            # later (possibly colder or shorter) run must not replace
-            # a better recording of the same factor — and whichever
-            # record wins on total_sec, the OTHER record's better
-            # phase fields graft in so evidence is never erased in
-            # either direction. Records are only comparable when the
-            # generator version matches (a re-plant changes what the
-            # phases measure).
-            kept = merged_scales.get(k)
-            same = (kept is not None
-                    and kept.get("n_rows") == rec.get("n_rows")
-                    and kept.get("gen_version") == rec.get("gen_version"))
-            if same and kept.get("total_sec", 1e18) \
-                    <= rec.get("total_sec", 1e18):
-                graft(kept, rec)
-                continue
-            if same:
-                graft(rec, kept)
-            merged_scales[k] = rec
-        out["scales"] = merged_scales
+        out["scales"] = merge_scales(prev["scales"], out["scales"])
+        merged_scales = out["scales"]
         fs_all = sorted(int(k[1:]) for k in merged_scales)
         if len(fs_all) >= 2:
             out.update(_ratios(merged_scales, fs_all))
