@@ -54,7 +54,7 @@ _DRIVER_FIRST = [
     # the 2 r8-new queries — each owed a second green under its
     # current shape
     "events_json_props", "q11_important_parts", "cdc_minmax_refresh",
-    "docs_quality_deciles", "docs_epoch_plan", "events_cube",
+    "docs_quality_deciles", "docs_epoch_plan",
     "cdc_incremental_agg", "orders_salted_join",
     "cdc_topk_refresh", "docs_shard_manifest",
     # NEW in r9 (zero-green rows take slots ahead of rotation-complete
@@ -125,6 +125,15 @@ _DRIVER_FIRST = [
     # rounds old
     "dedup_exact", "text_token_stats", "sim_cosine_topk",
     "active_jobs", "q8_market_share", "events_retention",
+    # RE-SHAPED in r16: the per-part average now aggregates the
+    # Brand#3-semi-joined lineitem instead of the whole table (same
+    # result by the inner-join restriction; kills the unbounded
+    # full-part-average broadcast that was the artifact's one
+    # persistent warm-rep instability). A changed plan re-enters the
+    # gate (2 prior greens, r4/r6, pre-reshape); events_cube — 8
+    # consecutive greens r8-r15, shape unchanged since r8, already
+    # FAST-covered — yields its slot.
+    "q17_small_quantity",
     # (r16 rotation out: dedup_minhash_lsh, dedup_simhash_pairs,
     # dedup_survivors, docs_stratified_sample, docs_topk_quality —
     # 11 driver greens each — and dedup_jaccard_prefix — 10 greens —

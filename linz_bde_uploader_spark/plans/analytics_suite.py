@@ -372,18 +372,33 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     average quantity. The correlated subquery becomes a per-part
     aggregate re-joined on partkey; the per-part average is an exact
     decimal sum over an exact count so both engines compare the same
-    doubles."""
+    doubles.
+
+    The per-part average is computed AFTER semi-joining lineitem to
+    the Brand#3 part keys (statistics-driven broadcast — no hint, so
+    a corpus where the brand's key set outgrows the threshold falls
+    back to a shuffle join instead of OOMing the driver), not over
+    the whole table: the
+    inner join only ever consumes avg_qty for that brand's parts, so
+    the result is identical, but the aggregate's shuffle input and
+    the re-join's broadcast build shrink by the brand selectivity
+    (~1/50). The unfiltered form broadcast a per-part average for
+    EVERY part — unbounded at corpus scale, and its per-rep broadcast
+    rebuild was the one persistent warm-rep instability in the r16
+    bench artifact (CV 0.30 on a quiet host; every other sub-second
+    query sat under 0.2)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part") \
         .filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li_brand = li.join(part, li["l_partkey"] == part["p_partkey"])
     part_avg = (
-        li.groupBy(F.col("l_partkey").alias("pa_partkey"))
+        li_brand.groupBy(F.col("l_partkey").alias("pa_partkey"))
         .agg((F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
               / F.count("*")).alias("avg_qty"))
     )
     return (
-        li.join(part, li["l_partkey"] == part["p_partkey"])
-        .join(part_avg, li["l_partkey"] == part_avg["pa_partkey"])
+        li_brand
+        .join(part_avg, li_brand["l_partkey"] == part_avg["pa_partkey"])
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
               .cast("double") / F.lit(7.0)).alias("avg_yearly"))

@@ -175,6 +175,31 @@ def test_flagship_queries_have_no_cartesian_product(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
 
 
+def test_q17_part_average_aggregates_brand_filtered_rows(
+        spark, sf_dir):
+    """Q17's per-part average must aggregate the Brand#3-semi-joined
+    lineitem, NOT the whole table (plans/analytics_suite.py
+    q17_small_quantity). The unfiltered form shuffles every partkey
+    into the aggregate and then broadcasts a per-part average for
+    EVERY part — unbounded at corpus scale, and measured as the one
+    persistent warm-rep instability in the r16 bench artifact. Pin:
+    (a) the brand predicate reaches BOTH part scans (each lineitem
+    branch is brand-restricted before any shuffle), and (b) the
+    per-part aggregate's subtree — printed below its partial_sum
+    node — contains the brand-filtered part join."""
+    from linz_bde_uploader_spark.plans.analytics_suite import (
+        q17_small_quantity,
+    )
+
+    plan = _executed_plan(q17_small_quantity(spark, sf_dir))
+    assert plan.count("EqualTo(p_brand,Brand#3)") >= 2, (
+        "brand predicate did not reach both part scans:\n" + plan)
+    agg_subtree = plan.rsplit("partial_sum(cast(l_quantity", 1)[-1]
+    assert "Brand#3" in agg_subtree, (
+        "per-part average aggregates the UNFILTERED lineitem — the "
+        "aggregate's input lost the brand semi-join:\n" + plan)
+
+
 def test_maintain_join_delta_sides_broadcast(spark):
     """The delta-join refresh must broadcast its action-key sides:
     the kept-rows anti join and the staged-delta semi join are both

@@ -63,6 +63,8 @@ FAST_QUERIES = [
     "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_survivors",
     "docs_stratified_sample", "docs_topk_quality",
     "dedup_jaccard_prefix",
+    # re-shaped in r16 (brand-filtered per-part average)
+    "q17_small_quantity",
 ]
 
 
