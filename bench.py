@@ -837,6 +837,56 @@ def _prev_bench() -> tuple[str, dict] | tuple[None, None]:
     return None, None
 
 
+def _steal_counters() -> tuple[int, int] | None:
+    """(steal, demand) clock ticks from /proc/stat's aggregate cpu
+    line. demand = all CPU the guest wanted to run (busy + steal) —
+    idle/iowait excluded, so steal/demand is the fraction of WANTED
+    cpu the hypervisor gave to other tenants. None where /proc/stat
+    steal is unavailable (non-Linux / old kernel): the steal gate
+    then skips rather than guessing."""
+    try:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+    if len(v) < 8:
+        return None
+    user, nice, system, _idle, _iowait, irq, softirq, steal = v[:8]
+    return steal, user + nice + system + irq + softirq + steal
+
+
+def _spin_until(deadline: float) -> None:
+    while time.time() < deadline:
+        pass
+
+
+def _steal_probe(seconds: float = 2.0) -> float | None:
+    """CPU-steal percentage while this guest is fully busy: spin every
+    vCPU for ``seconds`` and measure how much of the demanded CPU the
+    hypervisor actually delivered. Steal only accrues on RUNNABLE
+    vCPUs — an idle-host sample reads ~0 no matter how oversold the
+    box is — so the probe must generate the demand itself. A quiet
+    window on this host measures ~0.1%; the stolen windows that cost
+    the r13/r15/r16 adjudications inflated every untouched query
+    1.2-1.9x, which needs tens of percent stolen."""
+    before = _steal_counters()
+    if before is None:
+        return None
+    import multiprocessing as mp
+
+    deadline = time.time() + seconds
+    procs = [mp.Process(target=_spin_until, args=(deadline,))
+             for _ in range(os.cpu_count() or 1)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    after = _steal_counters()
+    d_steal = after[0] - before[0]
+    d_demand = after[1] - before[1]
+    return round(100.0 * d_steal / d_demand, 2) if d_demand > 0 else 0.0
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -891,6 +941,41 @@ def main():
               "adjudications). Set SPARK_GRAFT_BENCH_FORCE=1 to "
               "override.", file=sys.stderr)
         sys.exit(3)
+    # steal gate (r16): loadavg only sees LOCAL demand. Twice this
+    # round a loadavg-quiet window (1-min < 1.5 at start) still
+    # inflated every untouched query 1.2-1.9x with stable in-run CV —
+    # the hypervisor had given the CPU to other tenants, a mode no
+    # local load metric can see before the fact. /proc/stat's steal
+    # counter measures exactly that, but only under demand, so probe
+    # it with a short full-load spin. Above 5% stolen (a quiet window
+    # measures ~0.1%) the window is stolen: wait bounded for the
+    # tenant to leave, refuse if it never does — the same economics
+    # as the loadavg refusal, a stolen headline costs a round of A/B.
+    steal_pct = None if forced else _steal_probe()
+    steal_wait = 0
+    while (not forced and steal_pct is not None and steal_pct > 5.0
+           and steal_wait < 600):
+        time.sleep(30)
+        steal_wait += 30
+        steal_pct = _steal_probe()
+    if steal_pct is not None and steal_pct > 5.0 and not forced:
+        print(json.dumps({
+            "metric": "headline_queries_total_runtime",
+            "value": None, "unit": "sec", "queries": {}, "sf": sf,
+            "refused_stolen_host": True,
+            "steal_pct": steal_pct,
+            "steal_wait_sec": steal_wait,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "quiet_wait_sec": quiet_wait,
+        }))
+        print(f"# REFUSED: {steal_pct:.1f}% of demanded CPU stolen by "
+              f"the hypervisor after {steal_wait}s wait (quiet "
+              "windows measure ~0.1%) — loadavg cannot see this mode "
+              "and a headline recorded now would inflate every query "
+              "(BASELINE.md r16). Set SPARK_GRAFT_BENCH_FORCE=1 to "
+              "override.", file=sys.stderr)
+        sys.exit(3)
+    run_steal0 = _steal_counters()
     spark = get_spark("bench")
     allq = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
 
@@ -1025,12 +1110,27 @@ def main():
             out["incomparable"] = True
     if unstable:
         out["noisy"] = len(unstable)
+    # run-long steal: fraction of the CPU this whole run DEMANDED
+    # that the hypervisor gave away. The start probe clears the
+    # window's entry; this records whether a tenant arrived mid-run —
+    # the adjudicator reads it instead of inferring theft from
+    # control-query inflation after the fact.
+    run_steal_pct = None
+    run_steal1 = _steal_counters()
+    if run_steal0 is not None and run_steal1 is not None:
+        d_steal = run_steal1[0] - run_steal0[0]
+        d_demand = run_steal1[1] - run_steal0[1]
+        if d_demand > 0:
+            run_steal_pct = round(100.0 * d_steal / d_demand, 2)
     detail = dict(out, errors=errors, repstats=repstats,
                   unstable=unstable, stabilized=stabilized,
                   carried_prev_times=carried,
                   loadavg={"start": [round(x, 2) for x in load_start],
                            "end": [round(x, 2) for x in os.getloadavg()],
-                           "quiet_wait_sec": quiet_wait})
+                           "quiet_wait_sec": quiet_wait,
+                           "steal": {"probe_pct_start": steal_pct,
+                                     "probe_wait_sec": steal_wait,
+                                     "run_pct_of_demand": run_steal_pct}})
     try:
         detail["skew_soak"] = _skew_soak(spark, sf_dir)
         print("# skew_soak: " + json.dumps(detail["skew_soak"]),

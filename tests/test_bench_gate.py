@@ -13,16 +13,27 @@ import pytest
 
 
 def _run_gate(monkeypatch, capsys, loadavg, force=False,
-              sleep_fn=None):
+              sleep_fn=None, steal=0.0, probe_calls=None):
     """Drive bench.main() with a fake host load; returns (exit_code,
     parsed last stdout JSON line) when it refuses, or (None, None)
     when the gate passes (we stop at get_spark — the test must never
-    launch a real session)."""
+    launch a real session). ``steal`` fakes the _steal_probe result:
+    a scalar (every probe), a list (consumed per probe, last value
+    repeats), or None (non-Linux — the steal gate must skip). The
+    real probe spins every vCPU for 2 s, so it is ALWAYS patched."""
     import bench
 
     class _Started(Exception):
         pass
 
+    seq = list(steal) if isinstance(steal, list) else [steal]
+
+    def fake_probe(seconds=2.0):
+        if probe_calls is not None:
+            probe_calls.append(1)
+        return seq.pop(0) if len(seq) > 1 else seq[0]
+
+    monkeypatch.setattr(bench, "_steal_probe", fake_probe)
     monkeypatch.setattr(bench.os, "getloadavg", lambda: loadavg)
     monkeypatch.setattr(bench.time, "sleep",
                         sleep_fn or (lambda s: None))
@@ -83,3 +94,47 @@ def test_gate_borderline_host_waits_then_starts(monkeypatch, capsys):
                         sleep_fn=lambda s: slept.append(s))
     assert code is None  # reached get_spark: borderline still runs
     assert sum(slept) == 600  # tier-1 budget only; tier 2 passes
+
+
+def test_gate_refuses_on_stolen_host(monkeypatch, capsys):
+    """A loadavg-quiet window where the hypervisor is giving the CPU
+    to other tenants must refuse: twice in r16 such a window inflated
+    every untouched query 1.2-1.9x (BASELINE.md), which loadavg
+    cannot see before the fact."""
+    code, artifact = _run_gate(monkeypatch, capsys, (0.4, 0.4, 0.4),
+                               steal=37.5)
+    assert code == 3
+    assert artifact["refused_stolen_host"] is True
+    assert artifact["steal_pct"] == 37.5
+    assert artifact["value"] is None and artifact["queries"] == {}
+    assert artifact["steal_wait_sec"] >= 600  # budget exhausted
+
+
+def test_gate_stolen_window_that_clears_proceeds(monkeypatch, capsys):
+    """Theft that ends inside the wait budget must record, not
+    refuse — the probe re-checks until the tenant leaves."""
+    slept = []
+    code, _ = _run_gate(monkeypatch, capsys, (0.4, 0.4, 0.4),
+                        steal=[42.0, 18.0, 0.2],
+                        sleep_fn=lambda s: slept.append(s))
+    assert code is None  # reached get_spark
+    assert sum(slept) == 60  # two 30s waits, then the clean probe
+
+
+def test_gate_skips_steal_where_unmeasurable(monkeypatch, capsys):
+    """No /proc/stat steal (non-Linux) = the steal gate must skip,
+    not block: the loadavg gate still applies and the artifact
+    records the probe as null."""
+    code, _ = _run_gate(monkeypatch, capsys, (0.4, 0.4, 0.4),
+                        steal=None)
+    assert code is None  # reached get_spark
+
+
+def test_gate_force_override_skips_steal_probe(monkeypatch, capsys):
+    """A forced capture must not burn 2s x ncpu on the probe either —
+    the load is there by premise."""
+    calls = []
+    code, _ = _run_gate(monkeypatch, capsys, (9.0, 9.0, 9.0),
+                        force=True, steal=99.0, probe_calls=calls)
+    assert code is None  # reached get_spark
+    assert calls == []  # probe never ran
