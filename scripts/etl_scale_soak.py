@@ -416,6 +416,7 @@ def main() -> None:
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    import bench
     from linz_bde_uploader_spark.session import get_spark
 
     spark = get_spark("etl_scale_soak")
@@ -430,6 +431,9 @@ def main() -> None:
                         "(conf/linz_bde_uploader.conf:349-1245)",
         "cleanse_path": cleanse_path_taken(spark, cleanse),
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        # hypervisor-steal provenance (bench.py r16): loadavg is
+        # blind to a tenant holding the physical CPU; quiet ~0.1%
+        "steal_probe_pct": bench._steal_probe(),
         "scales": {},
     }
     gz_factors = set(args.gz_factors if args.gz_factors is not None

@@ -182,7 +182,10 @@ def run_pruned_soak() -> None:
 
     out = {"rows_total": 15_000_000, "rows_changed": n_upd,
            "months_total": 80, "months_touched": 1,
-           "loadavg_start": [round(x, 2) for x in os.getloadavg()]}
+           "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+           # hypervisor-steal provenance (bench.py r16): loadavg is
+           # blind to a tenant holding the physical CPU; quiet ~0.1%
+           "steal_probe_pct": bench._steal_probe()}
 
     def inc_mm(inline=0):
         return M.maintain_extrema(cur, upd, actions, key, [grp], val,
@@ -260,6 +263,7 @@ def run_density_soak(reps_small: int, reps_big: int) -> None:
         "recorded_utc": datetime.datetime.now(
             datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "steal_probe_pct": bench._steal_probe(),
         "queries": {},
     }
     for name in ("emb_near_dedup_capped", "emb_near_dedup"):
@@ -350,6 +354,7 @@ def main() -> None:
             datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
         "small_dir": SMALL, "big_dir": BIG, "data_ratio": data_ratio,
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "steal_probe_pct": bench._steal_probe(),
         "queries": {},
     }
     if partial:
@@ -359,7 +364,8 @@ def main() -> None:
         except FileNotFoundError:
             prior = {}
         out = {**prior, **{k: out[k] for k in
-                           ("recorded_utc", "loadavg_start")}}
+                           ("recorded_utc", "loadavg_start",
+                            "steal_probe_pct")}}
         out.setdefault("queries", {})
     names = args.queries or QUERIES
     for name in names:
