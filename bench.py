@@ -887,6 +887,26 @@ def _steal_probe(seconds: float = 2.0) -> float | None:
     return round(100.0 * d_steal / d_demand, 2) if d_demand > 0 else 0.0
 
 
+def _steal_probe_median(n: int = 3, gap: float = 2.0) -> float | None:
+    """Median of ``n`` spaced steal probes. Theft on this host is
+    BURSTY — measured 0.25% -> 20.4% -> 0.38% across three one-minute
+    spot probes at idle loadavg — so a single 2 s sample can open the
+    gate on a lucky window (or hold it shut on an unlucky one); the
+    median of three spaced samples is robust against one burst in
+    either direction. The run-long steal fraction recorded in the
+    artifact stays the ground truth for what the capture actually
+    experienced."""
+    vals = []
+    for i in range(n):
+        v = _steal_probe()
+        if v is None:
+            return None
+        vals.append(v)
+        if i < n - 1:
+            time.sleep(gap)
+    return sorted(vals)[len(vals) // 2]
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -951,13 +971,13 @@ def main():
     # measures ~0.1%) the window is stolen: wait bounded for the
     # tenant to leave, refuse if it never does — the same economics
     # as the loadavg refusal, a stolen headline costs a round of A/B.
-    steal_pct = None if forced else _steal_probe()
+    steal_pct = None if forced else _steal_probe_median()
     steal_wait = 0
     while (not forced and steal_pct is not None and steal_pct > 5.0
            and steal_wait < 600):
         time.sleep(30)
         steal_wait += 30
-        steal_pct = _steal_probe()
+        steal_pct = _steal_probe_median()
     if steal_pct is not None and steal_pct > 5.0 and not forced:
         print(json.dumps({
             "metric": "headline_queries_total_runtime",

@@ -17,10 +17,12 @@ def _run_gate(monkeypatch, capsys, loadavg, force=False,
     """Drive bench.main() with a fake host load; returns (exit_code,
     parsed last stdout JSON line) when it refuses, or (None, None)
     when the gate passes (we stop at get_spark — the test must never
-    launch a real session). ``steal`` fakes the _steal_probe result:
-    a scalar (every probe), a list (consumed per probe, last value
-    repeats), or None (non-Linux — the steal gate must skip). The
-    real probe spins every vCPU for 2 s, so it is ALWAYS patched."""
+    launch a real session). ``steal`` fakes the _steal_probe_median
+    result (the gate's probe — median-of-3 because theft here is
+    bursty): a scalar (every check), a list (consumed per gate
+    check, last value repeats), or None (non-Linux — the steal gate
+    must skip). The real probe spins every vCPU, so it is ALWAYS
+    patched."""
     import bench
 
     class _Started(Exception):
@@ -28,12 +30,12 @@ def _run_gate(monkeypatch, capsys, loadavg, force=False,
 
     seq = list(steal) if isinstance(steal, list) else [steal]
 
-    def fake_probe(seconds=2.0):
+    def fake_probe(*a, **k):
         if probe_calls is not None:
             probe_calls.append(1)
         return seq.pop(0) if len(seq) > 1 else seq[0]
 
-    monkeypatch.setattr(bench, "_steal_probe", fake_probe)
+    monkeypatch.setattr(bench, "_steal_probe_median", fake_probe)
     monkeypatch.setattr(bench.os, "getloadavg", lambda: loadavg)
     monkeypatch.setattr(bench.time, "sleep",
                         sleep_fn or (lambda s: None))
@@ -128,6 +130,23 @@ def test_gate_skips_steal_where_unmeasurable(monkeypatch, capsys):
     code, _ = _run_gate(monkeypatch, capsys, (0.4, 0.4, 0.4),
                         steal=None)
     assert code is None  # reached get_spark
+
+
+def test_steal_median_rides_out_one_burst(monkeypatch):
+    """Theft here is bursty (0.25% -> 20.4% -> 0.38% across spot
+    probes at idle loadavg): one burst in a 3-sample window must not
+    decide the gate either way, and an unmeasurable sample (None)
+    must short-circuit to None."""
+    import bench
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    for seq, want in ([[0.3, 22.0, 0.5], 0.5],     # one burst: pass
+                      [[18.0, 0.4, 31.0], 18.0],   # two bursts: hold
+                      [[None, 9.9, 9.9], None]):   # unmeasurable
+        vals = list(seq)
+        monkeypatch.setattr(bench, "_steal_probe",
+                            lambda *a, **k: vals.pop(0))
+        assert bench._steal_probe_median() == want
 
 
 def test_gate_force_override_skips_steal_probe(monkeypatch, capsys):
