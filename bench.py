@@ -882,6 +882,8 @@ def _steal_probe(seconds: float = 2.0) -> float | None:
     for p in procs:
         p.join()
     after = _steal_counters()
+    if after is None:  # a read failing BETWEEN samples must also
+        return None    # take the skip-and-record-null path, not crash
     d_steal = after[0] - before[0]
     d_demand = after[1] - before[1]
     return round(100.0 * d_steal / d_demand, 2) if d_demand > 0 else 0.0
@@ -995,6 +997,26 @@ def main():
               "(BASELINE.md r16). Set SPARK_GRAFT_BENCH_FORCE=1 to "
               "override.", file=sys.stderr)
         sys.exit(3)
+    # the steal wait can run ~13 min after the loadavg gate passed —
+    # re-check the local load it may have gone stale against, and
+    # record the POST-wait reading as the artifact's provenance (the
+    # pre-wait one would claim a quiet start the capture never had)
+    if steal_wait:
+        load_start = list(os.getloadavg())
+        if load_start[0] > 2.5 and not forced:
+            print(json.dumps({
+                "metric": "headline_queries_total_runtime",
+                "value": None, "unit": "sec", "queries": {}, "sf": sf,
+                "refused_noisy_host": True,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "quiet_wait_sec": quiet_wait,
+                "steal_wait_sec": steal_wait,
+            }))
+            print(f"# REFUSED: loadavg rose to {load_start[0]:.2f} "
+                  f"during the {steal_wait}s steal wait — the quiet "
+                  "start the loadavg gate approved no longer exists.",
+                  file=sys.stderr)
+            sys.exit(3)
     run_steal0 = _steal_counters()
     spark = get_spark("bench")
     allq = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES}
@@ -1130,18 +1152,6 @@ def main():
             out["incomparable"] = True
     if unstable:
         out["noisy"] = len(unstable)
-    # run-long steal: fraction of the CPU this whole run DEMANDED
-    # that the hypervisor gave away. The start probe clears the
-    # window's entry; this records whether a tenant arrived mid-run —
-    # the adjudicator reads it instead of inferring theft from
-    # control-query inflation after the fact.
-    run_steal_pct = None
-    run_steal1 = _steal_counters()
-    if run_steal0 is not None and run_steal1 is not None:
-        d_steal = run_steal1[0] - run_steal0[0]
-        d_demand = run_steal1[1] - run_steal0[1]
-        if d_demand > 0:
-            run_steal_pct = round(100.0 * d_steal / d_demand, 2)
     detail = dict(out, errors=errors, repstats=repstats,
                   unstable=unstable, stabilized=stabilized,
                   carried_prev_times=carried,
@@ -1150,7 +1160,10 @@ def main():
                            "quiet_wait_sec": quiet_wait,
                            "steal": {"probe_pct_start": steal_pct,
                                      "probe_wait_sec": steal_wait,
-                                     "run_pct_of_demand": run_steal_pct}})
+                                     # filled in after the soaks — the
+                                     # whole-artifact window, not just
+                                     # the headline queries
+                                     "run_pct_of_demand": None}})
     try:
         detail["skew_soak"] = _skew_soak(spark, sf_dir)
         print("# skew_soak: " + json.dumps(detail["skew_soak"]),
@@ -1241,6 +1254,20 @@ def main():
             "new_queries": {n: times[n] for n in times if n not in shared},
         }
         print("# vs_prev: " + json.dumps(detail["vs_prev"]), file=sys.stderr)
+    # run-long steal: fraction of the CPU this whole artifact's work
+    # DEMANDED that the hypervisor gave away — sampled HERE, after
+    # the soak blocks, because every timing in the file (headline
+    # AND soaks) shares the window this field defends. The start
+    # probe clears the window's entry; this records whether a tenant
+    # arrived mid-run — the adjudicator reads it instead of
+    # inferring theft from control-query inflation after the fact.
+    run_steal1 = _steal_counters()
+    if run_steal0 is not None and run_steal1 is not None:
+        d_steal = run_steal1[0] - run_steal0[0]
+        d_demand = run_steal1[1] - run_steal0[1]
+        if d_demand > 0:
+            detail["loadavg"]["steal"]["run_pct_of_demand"] = round(
+                100.0 * d_steal / d_demand, 2)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

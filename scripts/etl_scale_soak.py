@@ -433,7 +433,7 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
         # hypervisor-steal provenance (bench.py r16): loadavg is
         # blind to a tenant holding the physical CPU; quiet ~0.1%
-        "steal_probe_pct": bench._steal_probe(),
+        "steal_probe_pct": bench._steal_probe_median(),
         "scales": {},
     }
     gz_factors = set(args.gz_factors if args.gz_factors is not None

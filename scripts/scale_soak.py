@@ -185,7 +185,7 @@ def run_pruned_soak() -> None:
            "loadavg_start": [round(x, 2) for x in os.getloadavg()],
            # hypervisor-steal provenance (bench.py r16): loadavg is
            # blind to a tenant holding the physical CPU; quiet ~0.1%
-           "steal_probe_pct": bench._steal_probe()}
+           "steal_probe_pct": bench._steal_probe_median()}
 
     def inc_mm(inline=0):
         return M.maintain_extrema(cur, upd, actions, key, [grp], val,
@@ -263,7 +263,7 @@ def run_density_soak(reps_small: int, reps_big: int) -> None:
         "recorded_utc": datetime.datetime.now(
             datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
-        "steal_probe_pct": bench._steal_probe(),
+        "steal_probe_pct": bench._steal_probe_median(),
         "queries": {},
     }
     for name in ("emb_near_dedup_capped", "emb_near_dedup"):
@@ -354,7 +354,7 @@ def main() -> None:
             datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
         "small_dir": SMALL, "big_dir": BIG, "data_ratio": data_ratio,
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
-        "steal_probe_pct": bench._steal_probe(),
+        "steal_probe_pct": bench._steal_probe_median(),
         "queries": {},
     }
     if partial:

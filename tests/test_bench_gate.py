@@ -132,6 +132,40 @@ def test_gate_skips_steal_where_unmeasurable(monkeypatch, capsys):
     assert code is None  # reached get_spark
 
 
+def test_gate_rechecks_loadavg_after_steal_wait(monkeypatch, capsys):
+    """The steal wait can run minutes after the loadavg gate passed;
+    if local load rose meanwhile, starting anyway would record the
+    stale pre-wait load_start as quiet provenance for a loaded
+    capture. The gate must re-check and refuse."""
+    import bench
+
+    class _Started(Exception):
+        pass
+
+    # the loadavg gate reads 3 quiet samples (tier-1 check, tier-2
+    # check, load_start); the 4th read is the post-steal-wait recheck
+    loads = iter([(0.4, 0.4, 0.4)] * 3)
+    monkeypatch.setattr(
+        bench.os, "getloadavg",
+        lambda: next(loads, (5.0, 5.0, 5.0)))  # ...then load arrives
+    steals = iter([42.0])  # one stolen probe forces a 30s wait
+    monkeypatch.setattr(bench, "_steal_probe_median",
+                        lambda *a, **k: next(steals, 0.2))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(
+        bench, "get_spark",
+        lambda *a, **k: (_ for _ in ()).throw(_Started()))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
+    with pytest.raises(SystemExit) as e:
+        bench.main()
+    assert e.value.code == 3
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    artifact = json.loads(line)
+    assert artifact["refused_noisy_host"] is True
+    assert artifact["steal_wait_sec"] == 30
+    assert artifact["loadavg_start"][0] == 5.0  # the POST-wait truth
+
+
 def test_steal_median_rides_out_one_burst(monkeypatch):
     """Theft here is bursty (0.25% -> 20.4% -> 0.38% across spot
     probes at idle loadavg): one burst in a 3-sample window must not

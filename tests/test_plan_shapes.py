@@ -194,7 +194,14 @@ def test_q17_part_average_aggregates_brand_filtered_rows(
     plan = _executed_plan(q17_small_quantity(spark, sf_dir))
     assert plan.count("EqualTo(p_brand,Brand#3)") >= 2, (
         "brand predicate did not reach both part scans:\n" + plan)
-    agg_subtree = plan.rsplit("partial_sum(cast(l_quantity", 1)[-1]
+    marker = "partial_sum(cast(l_quantity"
+    # without the marker the subtree split below degenerates to the
+    # whole plan and the Brand#3 check passes vacuously (the first
+    # assertion already guarantees two brand predicates somewhere)
+    assert marker in plan, (
+        "per-part aggregate marker not found — Spark reformatted the "
+        "partial aggregate; re-anchor this pin:\n" + plan)
+    agg_subtree = plan.rsplit(marker, 1)[-1]
     assert "Brand#3" in agg_subtree, (
         "per-part average aggregates the UNFILTERED lineitem — the "
         "aggregate's input lost the brand semi-join:\n" + plan)
