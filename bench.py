@@ -975,8 +975,14 @@ def main():
     # as the loadavg refusal, a stolen headline costs a round of A/B.
     steal_pct = None if forced else _steal_probe_median()
     steal_wait = 0
+    # the steal wait spends whatever the loadavg gate left of the
+    # pre-existing 25-min envelope (capped at 600 s): rounds 13-15
+    # proved the driver tolerates that total; growing the worst case
+    # to 35 min would trade a known-safe refusal for a possible
+    # driver timeout mid-wait (no artifact at all)
+    steal_budget = min(600, max(0, 1500 - quiet_wait))
     while (not forced and steal_pct is not None and steal_pct > 5.0
-           and steal_wait < 600):
+           and steal_wait < steal_budget):
         time.sleep(30)
         steal_wait += 30
         steal_pct = _steal_probe_median()

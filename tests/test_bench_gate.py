@@ -166,6 +166,38 @@ def test_gate_rechecks_loadavg_after_steal_wait(monkeypatch, capsys):
     assert artifact["loadavg_start"][0] == 5.0  # the POST-wait truth
 
 
+def test_steal_wait_spends_only_the_envelope_remainder(monkeypatch,
+                                                       capsys):
+    """The total gate wait must stay inside the pre-existing 25-min
+    envelope the driver is known to tolerate: a loadavg wait that
+    burned 1470 s leaves the steal gate only 30 s before it must
+    decide, not its full 600 s budget."""
+    import bench
+
+    slept = []
+    monkeypatch.setattr(
+        bench.os, "getloadavg",
+        lambda: (2.6, 2.6, 2.6) if sum(slept) < 1470
+        else (0.4, 0.4, 0.4))
+    monkeypatch.setattr(bench, "_steal_probe_median",
+                        lambda *a, **k: 42.0)
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda s: slept.append(s))
+    monkeypatch.setattr(
+        bench, "get_spark",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError(
+            "gate must refuse, not start")))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
+    with pytest.raises(SystemExit) as e:
+        bench.main()
+    assert e.value.code == 3
+    artifact = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert artifact["refused_stolen_host"] is True
+    assert artifact["quiet_wait_sec"] == 1470
+    assert artifact["steal_wait_sec"] == 30  # 1500 - 1470, not 600
+
+
 def test_steal_median_rides_out_one_burst(monkeypatch):
     """Theft here is bursty (0.25% -> 20.4% -> 0.38% across spot
     probes at idle loadavg): one burst in a 3-sample window must not
