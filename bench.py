@@ -1046,9 +1046,24 @@ def main():
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     repstats: dict[str, dict] = {}
+    # per-query steal attribution: two /proc/stat reads bracketing
+    # each query's reps, so an inflated row can be attributed to a
+    # mid-run tenant (steal_pct high on exactly the inflated rows)
+    # without a whole A/B round — the r16 stolen-window captures
+    # showed the run-level fraction alone can't say WHICH rows a
+    # burst landed on
+    def _steal_delta(before, after):
+        if before is None or after is None:
+            return None
+        d_demand = after[1] - before[1]
+        if d_demand <= 0:
+            return None
+        return round(100.0 * (after[0] - before[0]) / d_demand, 2)
+
     for name in HEADLINE:
         fn = allq[name][0]
         best, n, reps = None, 0, []
+        q_steal0 = _steal_counters()
         try:
             for rep in range(6):
                 t0 = time.perf_counter()
@@ -1073,6 +1088,9 @@ def main():
               / len(warm)) ** 0.5 / mu if mu else 0.0
         times[name] = round(best, 3)
         repstats[name] = {"reps": len(reps), "cv": round(cv, 3)}
+        q_steal = _steal_delta(q_steal0, _steal_counters())
+        if q_steal is not None:
+            repstats[name]["steal_pct"] = q_steal
         print(f"# {name}: {times[name]:.3f}s ({n} rows, "
               f"{len(reps)} reps, cv {cv:.2f})", file=sys.stderr)
         release_caches()  # per-query persists must not pile up across reps
@@ -1099,6 +1117,7 @@ def main():
         for name in retry:
             fn = allq[name][0]
             reps2 = []
+            r_steal0 = _steal_counters()
             try:
                 for _ in range(5):
                     t0 = time.perf_counter()
@@ -1124,6 +1143,9 @@ def main():
             times[name] = round(min(times[name], best2), 3)
             repstats[name]["retry_reps"] = len(reps2)
             repstats[name]["retry_cv"] = round(cv2, 3)
+            r_steal = _steal_delta(r_steal0, _steal_counters())
+            if r_steal is not None:
+                repstats[name]["retry_steal_pct"] = r_steal
             if cv2 <= 0.25:
                 repstats[name]["cv"] = round(cv2, 3)
                 stabilized.append(name)
