@@ -860,6 +860,21 @@ def _spin_until(deadline: float) -> None:
         pass
 
 
+def _steal_delta(before: tuple[int, int] | None,
+                 after: tuple[int, int] | None) -> float | None:
+    """Steal as a percentage of demanded CPU between two
+    _steal_counters samples; None when either sample is unreadable
+    or no CPU was demanded. The ONE implementation of this
+    arithmetic — the probe, the per-query brackets, and the
+    run-long artifact field all call it."""
+    if before is None or after is None:
+        return None
+    d_demand = after[1] - before[1]
+    if d_demand <= 0:
+        return None
+    return round(100.0 * (after[0] - before[0]) / d_demand, 2)
+
+
 def _steal_probe(seconds: float = 2.0) -> float | None:
     """CPU-steal percentage while this guest is fully busy: spin every
     vCPU for ``seconds`` and measure how much of the demanded CPU the
@@ -881,12 +896,7 @@ def _steal_probe(seconds: float = 2.0) -> float | None:
         p.start()
     for p in procs:
         p.join()
-    after = _steal_counters()
-    if after is None:  # a read failing BETWEEN samples must also
-        return None    # take the skip-and-record-null path, not crash
-    d_steal = after[0] - before[0]
-    d_demand = after[1] - before[1]
-    return round(100.0 * d_steal / d_demand, 2) if d_demand > 0 else 0.0
+    return _steal_delta(before, _steal_counters())
 
 
 def _steal_probe_median(n: int = 3, gap: float = 2.0) -> float | None:
@@ -981,11 +991,17 @@ def main():
     # to 35 min would trade a known-safe refusal for a possible
     # driver timeout mid-wait (no artifact at all)
     steal_budget = min(600, max(0, 1500 - quiet_wait))
+    # each iteration charges its sleep AND the measured probe wall
+    # (~10 s of full-vCPU spinning per median probe) against the
+    # budget, and never starts a sleep the budget can't cover —
+    # otherwise the "25-min envelope" claim under-counts by up to
+    # ~3.5 min of probe time plus a 30 s granularity overshoot
     while (not forced and steal_pct is not None and steal_pct > 5.0
-           and steal_wait < steal_budget):
+           and steal_wait + 30 <= steal_budget):
         time.sleep(30)
-        steal_wait += 30
+        _t0p = time.monotonic()
         steal_pct = _steal_probe_median()
+        steal_wait += 30 + int(time.monotonic() - _t0p)
     if steal_pct is not None and steal_pct > 5.0 and not forced:
         print(json.dumps({
             "metric": "headline_queries_total_runtime",
@@ -1052,14 +1068,6 @@ def main():
     # without a whole A/B round — the r16 stolen-window captures
     # showed the run-level fraction alone can't say WHICH rows a
     # burst landed on
-    def _steal_delta(before, after):
-        if before is None or after is None:
-            return None
-        d_demand = after[1] - before[1]
-        if d_demand <= 0:
-            return None
-        return round(100.0 * (after[0] - before[0]) / d_demand, 2)
-
     for name in HEADLINE:
         fn = allq[name][0]
         best, n, reps = None, 0, []
@@ -1081,7 +1089,8 @@ def main():
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = str(e).splitlines()[0][:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
-            continue
+            release_caches()  # a failed query must not leak its
+            continue          # persists into every later query's reps
         warm = reps[1:]
         mu = sum(warm) / len(warm)
         cv = (sum((x - mu) ** 2 for x in warm)
@@ -1289,13 +1298,8 @@ def main():
     # probe clears the window's entry; this records whether a tenant
     # arrived mid-run — the adjudicator reads it instead of
     # inferring theft from control-query inflation after the fact.
-    run_steal1 = _steal_counters()
-    if run_steal0 is not None and run_steal1 is not None:
-        d_steal = run_steal1[0] - run_steal0[0]
-        d_demand = run_steal1[1] - run_steal0[1]
-        if d_demand > 0:
-            detail["loadavg"]["steal"]["run_pct_of_demand"] = round(
-                100.0 * d_steal / d_demand, 2)
+    detail["loadavg"]["steal"]["run_pct_of_demand"] = _steal_delta(
+        run_steal0, _steal_counters())
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
