@@ -10,9 +10,10 @@ for the 100 TB path:
              cross-product. Boilerplate buckets (many near-identical
              docs on one band key) blow up quadratically in the join
              OUTPUT, which AQE's skew splitting cannot see (it reads
-             input bytes; proven in tests/test_skew_soak.py) — cap
-             them with lsh_candidate_pairs(max_bucket_size=...),
-             which emits linear star edges for over-sized buckets.
+             input bytes; proven in tests/test_skew_soak.py) — capped
+             BY DEFAULT at DEFAULT_MAX_BUCKET_SIZE (over-sized
+             buckets emit linear star edges); exact all-pairs output
+             is explicit opt-in via max_bucket_size=None.
 - simhash:   bit-vote aggregation, one shuffle on (doc, bit) then one
              on doc; hamming-near pairs via banded prefix buckets.
 - jaccard:   exact n-gram overlap via shingle inverted index
@@ -29,6 +30,18 @@ from pyspark.sql import functions as F
 from linz_bde_uploader_spark.functions.hashing import (
     MINHASH_PRIME, hash32, hash64s, minhash_perm,
 )
+
+# Default densification guard for the LSH-bucket self-join family
+# (lsh_candidate_pairs here, similarity.embedding_near_pairs).
+# Three rounds of scale soaks (SCALE_SOAK.json r14 uncapped rows,
+# density_cap_soak 16.8x/89.9x output blow-up at 10x data, the
+# 20.5x near-pairs wall) proved the uncapped all-pairs form is a
+# quadratic scale-killer on densifying corpora, while the capped
+# twins hold ~1x wall with identical connected-components output
+# (a star spans a clique's component exactly). 40 is the proven
+# value from the oracle-green capped headline entries; uncapped
+# exact all-pairs is opt-in with an explicit max_bucket_size=None.
+DEFAULT_MAX_BUCKET_SIZE = 40
 
 # relations persisted by the cache_shingles/cache_sets fast paths; a
 # long-lived session (bench reps, check_determinism double-runs, the
@@ -206,7 +219,7 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_perm: int = 16,
                         bands: int = 4, shingle_words: int = 3,
                         portable: bool = True,
-                        max_bucket_size: int | None = None,
+                        max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
                         cache_index: bool = False) -> DataFrame:
     """MinHash-LSH near-dup candidates: (id_a, id_b) with id_a < id_b.
 
@@ -228,7 +241,12 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     component exactly, so cluster output is unchanged; pairwise
     verification sees each member against the bucket's canonical doc
     rather than every sibling (the trade documented for capped
-    near-dedup). ``None`` keeps the exact all-pairs semantics.
+    near-dedup). The guard is ON BY DEFAULT
+    (``DEFAULT_MAX_BUCKET_SIZE``): the uncapped form is a measured
+    quadratic scale-killer on boilerplate corpora (r14/r16 soaks,
+    16.8-22x wall at 10x data) and a default-path caller at 100 TB
+    must not inherit it. Exact all-pairs semantics are explicit
+    opt-in with ``max_bucket_size=None``.
 
     ``cache_index`` persists the (id, band, band_hash) relation: the
     capped plan consumes it in three branches (both self-join sides +

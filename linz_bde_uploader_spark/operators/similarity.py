@@ -17,13 +17,22 @@
   above a cosine threshold, bucketed the same way, with
   ``collapse_identical`` guarding the exact-copy blow-up and
   ``max_bucket_size`` bounding output under DENSIFICATION (near- but
-  not-identical dense regions — star edges per over-cap bucket).
+  not-identical dense regions — star edges per over-cap bucket;
+  capped by default, exact all-pairs is opt-in via ``None``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+# sentinel distinguishing "caller didn't choose a cap" (resolved to
+# DEFAULT_MAX_BUCKET_SIZE, or to uncapped under n_probes > 1 where
+# the cap cannot compose) from an explicit max_bucket_size=None
+# opt-out into exact all-pairs semantics
+_CAP_DEFAULT = object()
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -423,7 +432,7 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
                          n_planes: int = 4, dim: int = 64,
                          collapse_identical: bool = False,
                          n_probes: int = 1,
-                         max_bucket_size: int | None = None,
+                         max_bucket_size: int | None = _CAP_DEFAULT,
                          cache_buckets: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine_sim >=
     threshold), pruned by shared hyperplane bucket.
@@ -453,7 +462,12 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
     id, member, cosine(hub, member)) — linear in bucket size, same
     pattern as ``dedup.lsh_candidate_pairs(max_bucket_size=)``. The
     threshold still applies to star edges, so no pair below threshold
-    is ever emitted. Downstream trade: connected-components clustering
+    is ever emitted. The guard is ON BY DEFAULT
+    (``DEFAULT_MAX_BUCKET_SIZE``) — the uncapped all-pairs form is
+    the measured quadratic scale-killer above and exact semantics are
+    explicit opt-in via ``max_bucket_size=None``; under
+    ``n_probes > 1`` (where the cap cannot compose) the default
+    resolves to uncapped. Downstream trade: connected-components clustering
     of a dense region (members mutually near, which is what made the
     bucket dense) is unchanged — the star spans the region's
     component through the hub; pairwise consumers see each member
@@ -471,7 +485,15 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
     One row per vector; callers in long-lived sessions release via
     ``dedup.release_caches()``. Same knob, same reason, as
     ``lsh_candidate_pairs(cache_index=)``."""
-    if max_bucket_size is not None and n_probes > 1:
+    if max_bucket_size is _CAP_DEFAULT:
+        # default-on guard (r16 verdict): an un-opinionated caller at
+        # corpus scale must get the bounded form. Multi-probe is the
+        # one mode the cap cannot compose with (per-bucket output
+        # accounting is ambiguous under probe replication), so the
+        # DEFAULT resolves to uncapped there — only an EXPLICIT cap
+        # plus n_probes > 1 is a contradiction worth raising on.
+        max_bucket_size = None if n_probes > 1 else DEFAULT_MAX_BUCKET_SIZE
+    elif max_bucket_size is not None and n_probes > 1:
         raise ValueError(
             "max_bucket_size composes with the single-probe bucket "
             "join only (n_probes must be 1)")

@@ -188,9 +188,12 @@ FROM base GROUP BY md5(text)
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (16 perms, 4 bands,
-    3-word shingles)."""
+    3-word shingles). Explicitly UNCAPPED (the oracle reproduces the
+    exact all-pairs bucket join; the operator default is now the
+    star-edge cap — DEFAULT_MAX_BUCKET_SIZE)."""
     return D.lsh_candidate_pairs(_dup_corpus(spark, sf_dir),
-                                 num_perm=16, bands=4, shingle_words=3)
+                                 num_perm=16, bands=4, shingle_words=3,
+                                 max_bucket_size=None)
 
 
 SQL_DEDUP_MINHASH = f"""WITH {_SQL_BASE}, {_SQL_TOKS}, {_SQL_SH3},
@@ -273,9 +276,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH candidate graph:
     each near-duplicate group labeled by its minimum doc_id. The
     iterative min-label propagation is NOT one SQL query in Spark —
-    the oracle uses DuckDB's recursive CTE for the same fixpoint."""
+    the oracle uses DuckDB's recursive CTE for the same fixpoint.
+    Explicitly uncapped: the oracle's pair CTE is exact all-pairs
+    (components are cap-invariant, but the plan stays pinned to the
+    SQL it is hashed against)."""
     pairs = D.lsh_candidate_pairs(_dup_corpus(spark, sf_dir),
-                                  num_perm=16, bands=4, shingle_words=3)
+                                  num_perm=16, bands=4, shingle_words=3,
+                                  max_bucket_size=None)
     return D.duplicate_clusters(pairs)
 
 
@@ -310,10 +317,11 @@ def q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives by design) -> connected components over the verified
     graph -> the docs to DROP: (doc_id, cluster_id) for every member
     that is not its cluster's canonical (minimum) id. Anti-joining
-    this output against the corpus IS the deduplicated training set."""
+    this output against the corpus IS the deduplicated training set.
+    Explicitly uncapped to match the oracle's exact all-pairs CTE."""
     corpus = _dup_corpus(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
-                                  shingle_words=3)
+                                  shingle_words=3, max_bucket_size=None)
     verified = D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
                                       threshold=0.5)
     clusters = D.duplicate_clusters(verified.select("id_a", "id_b"))
@@ -375,10 +383,11 @@ def q_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped buckets); the per-cluster argmax is an AGGREGATE of
     (quality, -id) structs — map-side combinable, no window, and the
     only columns that move after shingling are (id, cluster, int
-    length), never text. All-BIGINT output (ORACLE.md portable)."""
+    length), never text. All-BIGINT output (ORACLE.md portable).
+    Explicitly uncapped to match the oracle's exact all-pairs CTE."""
     corpus = _dup_corpus(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
-                                  shingle_words=3)
+                                  shingle_words=3, max_bucket_size=None)
     verified = D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
                                       threshold=0.5)
     clusters = D.duplicate_clusters(verified.select("id_a", "id_b"))
@@ -1271,7 +1280,8 @@ def q_sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     must pass ``max_bucket_size=`` (see ``sim_near_pairs_capped``,
     measured ~1x wall at 10x data with linear rows)."""
     emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    return S.embedding_near_pairs(emb, threshold=0.4, n_planes=4, dim=64)
+    return S.embedding_near_pairs(emb, threshold=0.4, n_planes=4, dim=64,
+                                  max_bucket_size=None)
 
 
 SQL_SIM_NEAR_PAIRS = f"""
@@ -1379,7 +1389,7 @@ def q_emb_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine knob (AQE, skew split) can bound an output-side blow-up."""
     emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     pairs = S.embedding_near_pairs(emb, threshold=0.4, n_planes=4,
-                                   dim=64) \
+                                   dim=64, max_bucket_size=None) \
         .select("id_a", "id_b")
     clusters = D.duplicate_clusters(pairs)
     return (
@@ -3015,8 +3025,9 @@ def q_docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds nothing beyond the dedup pass a pipeline already runs."""
     corpus = _dup_corpus(spark, sf_dir)
     from linz_bde_uploader_spark.functions.hashing import hash32
+    # uncapped by argument: the oracle's pair CTE is exact all-pairs
     pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
-                                  shingle_words=3)
+                                  shingle_words=3, max_bucket_size=None)
     clusters = D.duplicate_clusters(pairs) \
         .withColumnRenamed("id", "doc_id")
     rep = (
@@ -3135,7 +3146,7 @@ def q_docs_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate (which verify_pairs_jaccard persists internally) — an
     # A/B at sf0.1 measured no win from persisting pairs here.
     pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
-                                  shingle_words=3)
+                                  shingle_words=3, max_bucket_size=None)
     pos = D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
                                  threshold=0.5).select("id_a", "id_b")
     clusters = D.duplicate_clusters(pairs)

@@ -86,7 +86,8 @@ def test_split_leakage_safe_no_cluster_straddles(spark):
     corpus = _dup_corpus(spark, SF_DIR)
     assert len(split) == corpus.count()
     pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
-                                  shingle_words=3).collect()
+                                  shingle_words=3,
+                                  max_bucket_size=None).collect()
     assert pairs
     for r in pairs:
         assert split[r["id_a"]][1] == split[r["id_b"]][1]

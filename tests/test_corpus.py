@@ -306,7 +306,7 @@ def test_contrastive_pairs_leak_free_and_verified(spark):
     assert trip
     corpus = _dup_corpus(spark, SF_DIR)
     pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
-                                  shingle_words=3)
+                                  shingle_words=3, max_bucket_size=None)
     verified = {(r["id_a"], r["id_b"]) for r in
                 D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
                                        threshold=0.5).collect()}
@@ -366,7 +366,7 @@ def test_contrastive_pool_knob_graceful_yield(spark):
 
     corpus = _dup_corpus(spark, SF_DIR)
     pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
-                                  shingle_words=3)
+                                  shingle_words=3, max_bucket_size=None)
     pos = D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
                                  threshold=0.5).select("id_a", "id_b")
     clusters = D.duplicate_clusters(pairs)

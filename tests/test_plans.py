@@ -343,7 +343,7 @@ def test_sim_near_pairs_capped_query_composes_both_guards(spark, allq):
          .otherwise(F.col("embedding")).alias("embedding"))
     collapse_only = embedding_near_pairs(
         corpus, threshold=0.4, n_planes=4, dim=64,
-        collapse_identical=True)
+        collapse_identical=True, max_bucket_size=None)
     c_rows = capped.collect()
     f_rows = collapse_only.collect()
     ident_c = {(r.id_a, r.id_b) for r in c_rows if r.cosine_sim == 1.0}

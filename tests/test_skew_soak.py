@@ -141,7 +141,8 @@ def test_lsh_boilerplate_candidates_bounded(spark):
     """The candidate blow-up on a boilerplate bucket is bounded by the
     real duplicate group — C(n_boiler, 2) pairs, never corpus^2."""
     docs, n_b = _soak_docs(spark)
-    pairs = lsh_candidate_pairs(docs, num_perm=16, bands=4)
+    pairs = lsh_candidate_pairs(docs, num_perm=16, bands=4,
+                                max_bucket_size=None)
     n = pairs.count()
     exact = n_b * (n_b - 1) // 2
     assert exact <= n <= int(exact * 1.05), (n, exact)
@@ -197,7 +198,8 @@ def test_lsh_bucket_cap_linearizes_boilerplate(spark):
     assert n_capped == n_b - 1, (n_capped, n_b - 1)  # linear, not C(n,2)
     # no task carries more than the star's row count
     assert max(_partition_rows(capped)) <= n_b
-    uncapped = lsh_candidate_pairs(docs, num_perm=16, bands=4)
+    uncapped = lsh_candidate_pairs(docs, num_perm=16, bands=4,
+                                   max_bucket_size=None)
     c_capped = {(r["id"], r["cluster_id"])
                 for r in duplicate_clusters(capped).collect()}
     c_uncapped = {(r["id"], r["cluster_id"])
@@ -224,8 +226,9 @@ def test_embedding_collapse_linearizes_identical_vectors(spark):
     emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
     n_b = 50
     collapsed = embedding_near_pairs(emb, threshold=0.4,
-                                     collapse_identical=True)
-    full = embedding_near_pairs(emb, threshold=0.4)
+                                     collapse_identical=True,
+                                     max_bucket_size=None)
+    full = embedding_near_pairs(emb, threshold=0.4, max_bucket_size=None)
     n_c, n_f = collapsed.count(), full.count()
     quad = n_b * (n_b - 1) // 2
     assert n_f >= quad
@@ -262,7 +265,8 @@ def test_capped_candidates_through_survivorship_pipeline(spark):
 
     capped = drop_list(lsh_candidate_pairs(docs, num_perm=16, bands=4,
                                            max_bucket_size=16))
-    full = drop_list(lsh_candidate_pairs(docs, num_perm=16, bands=4))
+    full = drop_list(lsh_candidate_pairs(docs, num_perm=16, bands=4,
+                                         max_bucket_size=None))
     assert capped == full and capped
 
 
@@ -347,7 +351,7 @@ def test_embedding_cap_bounds_densified_bucket(spark):
     n_dense = 50
     capped = embedding_near_pairs(emb, threshold=0.4,
                                   max_bucket_size=30)
-    full = embedding_near_pairs(emb, threshold=0.4)
+    full = embedding_near_pairs(emb, threshold=0.4, max_bucket_size=None)
     n_c, n_f = capped.count(), full.count()
     quad = n_dense * (n_dense - 1) // 2
     assert n_f >= quad  # the uncapped join really is quadratic here
@@ -389,3 +393,59 @@ def test_embedding_cap_bounds_densified_bucket(spark):
     with pytest.raises(ValueError, match="n_probes"):
         embedding_near_pairs(emb, threshold=0.4, n_probes=2,
                              max_bucket_size=8)
+
+
+def test_densification_cap_is_default_on(spark):
+    """r16 verdict: the operator DEFAULT must be the bounded form —
+    a default-path caller at 100 TB must not inherit the measured
+    quadratic blow-up (density_cap_soak 16.8-22x wall at 10x data).
+    Exact all-pairs is explicit opt-in (max_bucket_size=None); the
+    two queries() A/B controls opt out by argument. Multi-probe —
+    the one mode the cap cannot compose with — resolves the default
+    to uncapped instead of raising; only an EXPLICIT cap plus
+    n_probes > 1 is an error (pinned above)."""
+    from linz_bde_uploader_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE, lsh_candidate_pairs,
+    )
+    from linz_bde_uploader_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    # text LSH: 200-doc boilerplate bucket >> the 40 default
+    docs, n_b = _soak_docs(spark)
+    assert n_b > DEFAULT_MAX_BUCKET_SIZE
+    default_pairs = lsh_candidate_pairs(docs, num_perm=16, bands=4)
+    explicit = lsh_candidate_pairs(
+        docs, num_perm=16, bands=4,
+        max_bucket_size=DEFAULT_MAX_BUCKET_SIZE)
+    assert default_pairs.count() == n_b - 1  # star edges, not C(n,2)
+    assert sorted(map(tuple, default_pairs.collect())) \
+        == sorted(map(tuple, explicit.collect()))
+
+    # embedding buckets: 50 near-identical vectors >> the 40 default
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    hub = rng.randn(64)
+    rows = []
+    for i in range(300):
+        if i % 6 == 0:  # 50 dense members (distinct, mutually near)
+            v = hub + 0.01 * rng.randn(64)
+        else:
+            v = rng.randn(64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    n_default = embedding_near_pairs(emb, threshold=0.4).count()
+    n_full = embedding_near_pairs(emb, threshold=0.4,
+                                  max_bucket_size=None).count()
+    quad = 50 * 49 // 2
+    assert n_full >= quad  # opt-out really is the all-pairs form
+    assert n_default <= n_full - quad + 50  # default removed the blow-up
+    # default + multiprobe: no raise, resolves to the uncapped form
+    probed_default = embedding_near_pairs(emb, threshold=0.9,
+                                          n_probes=2)
+    probed_uncapped = embedding_near_pairs(emb, threshold=0.9,
+                                           n_probes=2,
+                                           max_bucket_size=None)
+    assert sorted(map(tuple, probed_default.collect())) \
+        == sorted(map(tuple, probed_uncapped.collect()))

@@ -116,7 +116,8 @@ def test_dedup_finds_planted_duplicates(spark):
     exact = D.exact_duplicates(base).filter("n_copies > 1")
     assert exact.count() == len(planted)
     lsh = {(r.id_a, r.id_b) for r in
-           D.lsh_candidate_pairs(base, num_perm=16, bands=4).collect()}
+           D.lsh_candidate_pairs(base, num_perm=16, bands=4,
+                                 max_bucket_size=None).collect()}
     assert planted <= lsh
     jac = {(r.id_a, r.id_b) for r in
            D.jaccard_pairs(base, threshold=0.99).collect()}
@@ -338,10 +339,12 @@ def test_fast_hash_path_equivalent(spark):
             D.jaccard_pairs(base, threshold=0.3, portable=False).collect()}
     assert slow == fast
     lsh_slow = {(r.id_a, r.id_b) for r in
-                D.lsh_candidate_pairs(base, num_perm=16, bands=4).collect()}
+                D.lsh_candidate_pairs(base, num_perm=16, bands=4,
+                                      max_bucket_size=None).collect()}
     lsh_fast = {(r.id_a, r.id_b) for r in
                 D.lsh_candidate_pairs(base, num_perm=16, bands=4,
-                                      portable=False).collect()}
+                                      portable=False,
+                                      max_bucket_size=None).collect()}
     # banding hashes differ, but both must recover the planted dups
     planted = {(i, i + 10000) for (i,) in
                base.filter("doc_id < 10000 AND doc_id % 50 = 0")

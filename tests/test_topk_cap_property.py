@@ -67,7 +67,8 @@ def test_capped_lsh_components_equal_property(spark, docs, cap):
     df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
     capped = lsh_candidate_pairs(df, num_perm=8, bands=2, shingle_words=2,
                                  max_bucket_size=cap)
-    full = lsh_candidate_pairs(df, num_perm=8, bands=2, shingle_words=2)
+    full = lsh_candidate_pairs(df, num_perm=8, bands=2, shingle_words=2,
+                               max_bucket_size=None)
     c_a = {(r["id"], r["cluster_id"])
            for r in duplicate_clusters(capped).collect()}
     c_b = {(r["id"], r["cluster_id"])
