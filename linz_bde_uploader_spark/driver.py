@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from linz_bde_uploader_spark.catalog.tables import TableDef, validate_key
 from linz_bde_uploader_spark.control.ledger import Ledger
 from linz_bde_uploader_spark.operators import merge as M
+from linz_bde_uploader_spark.operators.dedup import release_caches
 from linz_bde_uploader_spark.operators.view_refresh import (
     ViewSpec, refresh_views, seed_views,
 )
@@ -637,6 +638,14 @@ class BdeUploader:
                         failed_tables.add(r.table)  # leapfrog hazard
                     self.results.append(r)
                     self.ledger.heartbeat(job.id)
+                # the dataset's staged reads are fully consumed once
+                # its store writes are committed (or rolled back):
+                # release the engine's tracked persists — the gz
+                # single-pass line caches (sources/crs.py) and the
+                # touched-group relations (operators/merge.py) — so a
+                # many-dataset run's cache footprint stays bounded at
+                # one dataset, not the whole history
+                release_caches()
                 if ds_rolled_back:
                     # a rolled-back dataset applied NOTHING: its
                     # post-level0 functions, finish_dataset hooks, and

@@ -256,11 +256,15 @@ def read_crs(spark: SparkSession, path: str, header: CrsHeader | None = None,
 
     Plan shape: ``spark.read.text`` -> filter (data rows end with '|')
     -> split -> per-column cast, all whole-stage-codegen column
-    expressions. With ``enforce_budget`` the malformed-row check is a
-    separate counting pass over the file (at the production budget of
-    0 it short-circuits at the first bad row via limit); the main
-    projection then re-scans — the same two passes the reference makes
-    (bde_copy cleanses to a temp file, COPY re-reads it).
+    expressions. With ``enforce_budget`` the malformed-row check on a
+    SPLITTABLE (plain-text) file is a separate counting pass over the
+    parallel scan (at the production budget of 0 it short-circuits at
+    the first bad row via limit); the main projection then re-scans —
+    the same two passes the reference makes (bde_copy cleanses to a
+    temp file, COPY re-reads it). A ``.gz`` file decompresses ONCE:
+    the repartitioned lines are persisted, the budget count fills the
+    cache, and the projection reads from it (see the inline comment;
+    release via ``dedup.release_caches()`` in long-lived sessions).
     ``valid_columns`` applies P1 column intersection (projection
     happens before casting, so pruned columns cost nothing).
     """
@@ -281,28 +285,8 @@ def read_crs(spark: SparkSession, path: str, header: CrsHeader | None = None,
     def split_rows(df: DataFrame) -> DataFrame:
         return df.select(parts.alias("_p"), ok.alias("_ok"))
 
-    if enforce_budget:
-        # the budget pass runs on the UN-repartitioned scan on
-        # purpose: at the production budget of 0 the limit(1) stops
-        # the (single-task, for gzip) decompress at the first bad
-        # row — a shuffle in this branch would force a full
-        # decompress+shuffle-write before the limit could fire
-        budget = (cleanse.max_errors if cleanse else 0)
-        bad_rows = split_rows(rows).filter(~F.col("_ok"))
-        if budget == 0:
-            # short-circuit: any bad row is fatal, stop at the first
-            bad = bad_rows.limit(1).count()
-        else:
-            bad = bad_rows.count()
-        if bad > budget:
-            sample = [r["_p"] for r in bad_rows.limit(16).collect()]
-            count = "at least one" if budget == 0 else str(bad)
-            raise CrsReadError(
-                f"{path}: {count} malformed row(s) exceed "
-                f"max_errors={budget}; sample={sample[:3]!r}"
-            )
-
-    if path.endswith(".gz"):
+    is_gz = path.endswith(".gz")
+    if is_gz:
         # gzip is not splittable, so the text scan is ONE task no
         # matter how big the file — and without intervention every
         # narrow transformation downstream (split, casts, the
@@ -314,12 +298,48 @@ def read_crs(spark: SparkSession, path: str, header: CrsHeader | None = None,
         # loader's semantics are set-based over keyed rows (the
         # reference COPYes into a keyed table). Measured at 3.6M rows
         # (SCALE_SOAK.json etl_soak f30 l0_gz_sec): serial-parse
-        # 172 s -> ~90 s with this repartition (42 s plain). The
-        # remaining premium is the serial decompress itself, paid
-        # once per pass (the malformed-row budget pass above stays
-        # deliberately unshuffled to keep its fail-fast limit); only
-        # a splittable codec or chunked files can remove that part.
+        # 172 s -> ~90 s with this repartition (42 s plain).
         rows = rows.repartition(spark.sparkContext.defaultParallelism)
+        if enforce_budget:
+            # single-pass gz (r16 verdict): the budget check used to
+            # run a separate pass over the raw scan, so a CLEAN file
+            # — the common case — was serially decompressed TWICE
+            # (check + parse), doubling the serial component the
+            # repartition above just parallelized away. Persist the
+            # repartitioned lines instead: the budget count fills the
+            # cache (one decompress), the projection below reads from
+            # it (zero more). The trade is losing limit(1) fail-fast
+            # on a corrupt file at budget 0 — the rare case, and one
+            # where decompress cost was already sunk on average half
+            # the stream — matching the reference's one streaming
+            # bde_copy pass (lib/LINZ/BdeUpload.pm:1146-1201). The
+            # persist is registered in the engine's tracked-cache
+            # registry; long-lived sessions release it with
+            # ``dedup.release_caches()`` like every other tracked
+            # relation (one string row per data line, spills to disk).
+            from pyspark import StorageLevel
+
+            from linz_bde_uploader_spark.operators.dedup import _track
+
+            rows = _track(rows.persist(StorageLevel.MEMORY_AND_DISK))
+
+    if enforce_budget:
+        budget = (cleanse.max_errors if cleanse else 0)
+        bad_rows = split_rows(rows).filter(~F.col("_ok"))
+        if budget == 0 and not is_gz:
+            # splittable scan: any bad row is fatal, stop at the
+            # first — the limit costs nothing here because the plain
+            # text scan re-reads in parallel, unlike gz above
+            bad = bad_rows.limit(1).count()
+        else:
+            bad = bad_rows.count()
+        if bad > budget:
+            sample = [r["_p"] for r in bad_rows.limit(16).collect()]
+            count = "at least one" if budget == 0 and not is_gz else str(bad)
+            raise CrsReadError(
+                f"{path}: {count} malformed row(s) exceed "
+                f"max_errors={budget}; sample={sample[:3]!r}"
+            )
     data = split_rows(rows)
 
     cols = header.columns

@@ -294,3 +294,35 @@ def test_crs_roundtrip_property(spark, tmp_path):
                 assert g[3] == w[3]
 
     run()
+
+
+def test_read_gzip_budget_single_pass(spark, tmp_path):
+    """Single-pass gz ingest (r16 verdict): the budget check used to
+    run a separate pass over the raw gz scan, so a CLEAN file — the
+    common case — was serially decompressed twice. Now the
+    repartitioned lines are persisted, the budget count fills the
+    cache, and the projection must read FROM the cache (one
+    decompress total, like the reference's one streaming bde_copy
+    pass). The budget itself still enforces on gz — the trade is
+    full-file counting instead of limit(1) fail-fast there."""
+    from linz_bde_uploader_spark.operators.dedup import release_caches
+
+    gz = write_crs(str(tmp_path / "ok.crs.gz"), PAB1_L0, gz=True)
+    df = read_crs(spark, gz)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # projection reads the cache
+    assert df.count() == 3
+    # a corrupt gz still enforces the budget...
+    bad = PAB1_L0 + "1|2|3|\n"
+    gz_bad = write_crs(str(tmp_path / "bad.crs.gz"), bad, gz=True)
+    with pytest.raises(CrsReadError, match="max_errors=0"):
+        read_crs(spark, gz_bad)
+    # ...and a budget of 1 tolerates it, same as the plain path
+    ok = read_crs(spark, gz_bad, cleanse=CleanseConfig(max_errors=1))
+    assert ok.count() == 3
+    # the line caches are tracked: the engine-wide release frees them
+    release_caches()
+    assert "InMemoryTableScan" not in \
+        read_crs(spark, write_crs(str(tmp_path / "p.crs"), PAB1_L0)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    release_caches()
