@@ -116,15 +116,29 @@ _DRIVER_FIRST = [
     # star/all-pairs split — a changed plan re-enters the gate per
     # the standing invariant (2 prior greens, r5/r6, pre-reshape)
     "sim_near_pairs_capped",
-    # r16 rotation (the r15 verdict's order #4): the six stalest
-    # greens — dedup_exact/text_token_stats (freshest driver green
-    # r5), sim_cosine_topk/active_jobs/q8_market_share/
-    # events_retention (r6) — re-enter for a freshness green; all
-    # six were locally exact+pandas green in the r15 judge's own
-    # 12-query spot-check, but driver evidence should not be 10
-    # rounds old
-    "dedup_exact", "text_token_stats", "sim_cosine_topk",
-    "active_jobs", "q8_market_share", "events_retention",
+    # r17 rotation (the r16 verdict's order #6): after r16 the
+    # stalest driver greens were the r8 block — string_agg_owners
+    # (J8/A5), tolerance_check (A7), cdc_stats (A2/A3),
+    # union_lock_candidates (U1), latest_dataset (O2) — and r6
+    # dataset_continuity (§2.8), 8-10 rounds old; all six re-enter
+    # for a freshness green (the r16 judge's own 12-query spot-check
+    # already found them healthy). The six r16 freshness entries
+    # (dedup_exact, text_token_stats, sim_cosine_topk, active_jobs,
+    # q8_market_share, events_retention) got exactly the green they
+    # re-entered for and rotate back out; the three not yet in the
+    # sf0.001 FAST pytest differential (active_jobs, q8_market_share,
+    # events_retention) were ADDED to it as compensating coverage.
+    "string_agg_owners", "tolerance_check", "cdc_stats",
+    "union_lock_candidates", "latest_dataset", "dataset_continuity",
+    # (r17 cap-default flip note: the 8 queries whose code changed in
+    # r17 — dedup_minhash_lsh, dedup_clusters, dedup_near_survivors,
+    # dedup_best_survivors, sim_near_pairs, emb_near_dedup,
+    # docs_split_leakage_safe, docs_contrastive_pairs — pin their
+    # previous semantics by EXPLICIT max_bucket_size argument, so
+    # their plans are bit-identical to the hashed oracles; all 8 were
+    # re-verified exact+pandas green at sf0.01 before the flip
+    # landed. dedup_best_survivors stays in-gate above, giving the
+    # family a driver-level green this round too.)
     # RE-SHAPED in r16: the per-part average now aggregates the
     # Brand#3-semi-joined lineitem instead of the whole table (same
     # result by the inner-join restriction; kills the unbounded

@@ -65,6 +65,10 @@ FAST_QUERIES = [
     "dedup_jaccard_prefix",
     # re-shaped in r16 (brand-filtered per-part average)
     "q17_small_quantity",
+    # rotated out of the driver top-50 in r17 (compensating coverage;
+    # dedup_exact, text_token_stats and sim_cosine_topk, also rotated
+    # out, were already listed above)
+    "active_jobs", "q8_market_share", "events_retention",
 ]
 
 
