@@ -855,11 +855,6 @@ def _steal_counters() -> tuple[int, int] | None:
     return steal, user + nice + system + irq + softirq + steal
 
 
-def _spin_until(deadline: float) -> None:
-    while time.time() < deadline:
-        pass
-
-
 def _steal_delta(before: tuple[int, int] | None,
                  after: tuple[int, int] | None) -> float | None:
     """Steal as a percentage of demanded CPU between two
@@ -875,6 +870,37 @@ def _steal_delta(before: tuple[int, int] | None,
     return round(100.0 * (after[0] - before[0]) / d_demand, 2)
 
 
+# stabilization-retry thresholds: warm-rep noise (CV) and per-query
+# hypervisor steal. 20% steal ~ a 1.25x wall inflation floor at full
+# demand — well past measurement noise (quiet windows bracket ~0.1%)
+# and low enough to have caught every stolen-but-stable row in the
+# r16 artifact (40-85%).
+RETRY_CV = 0.25
+STEAL_RETRY_PCT = 20.0
+
+
+def _retry_candidates(repstats: dict) -> list[str]:
+    """Names owed a stabilization retry, tagged with why
+    (``retry_reason``: "cv", "steal", or "cv+steal"). CV alone is
+    not enough (r16): a mid-run tenant can inflate a row 2-4x with
+    perfectly stable reps (emb_near_dedup_capped: CV 0.123 at 77%
+    steal) — in-run stability cannot clear a stolen window, only
+    quiet re-measurement can, and the retry minima merge adopts the
+    quiet time once the tenant leaves."""
+    retry = sorted(
+        n for n, s in repstats.items()
+        if s["cv"] > RETRY_CV
+        or (s.get("steal_pct") or 0) > STEAL_RETRY_PCT)
+    for name in retry:
+        reasons = []
+        if repstats[name]["cv"] > RETRY_CV:
+            reasons.append("cv")
+        if (repstats[name].get("steal_pct") or 0) > STEAL_RETRY_PCT:
+            reasons.append("steal")
+        repstats[name]["retry_reason"] = "+".join(reasons)
+    return retry
+
+
 def _steal_probe(seconds: float = 2.0) -> float | None:
     """CPU-steal percentage while this guest is fully busy: spin every
     vCPU for ``seconds`` and measure how much of the demanded CPU the
@@ -883,19 +909,26 @@ def _steal_probe(seconds: float = 2.0) -> float | None:
     box is — so the probe must generate the demand itself. A quiet
     window on this host measures ~0.1%; the stolen windows that cost
     the r13/r15/r16 adjudications inflated every untouched query
-    1.2-1.9x, which needs tens of percent stolen."""
+    1.2-1.9x, which needs tens of percent stolen.
+
+    The spinners are SUBPROCESSES (fork+exec), not multiprocessing
+    workers: the soak scripts call this probe beside a LIVE Spark
+    session, and forking a parent with py4j/JVM gateway threads to
+    run more Python in the child is a documented hang risk — exec
+    replaces the child image immediately, which is safe from any
+    parent. The child spins on time.monotonic(), so an NTP step
+    during the window can't stretch or truncate the demanded spin."""
     before = _steal_counters()
     if before is None:
         return None
-    import multiprocessing as mp
+    import subprocess
 
-    deadline = time.time() + seconds
-    procs = [mp.Process(target=_spin_until, args=(deadline,))
+    spin = (f"import time\nd = time.monotonic() + {float(seconds)}\n"
+            "while time.monotonic() < d: pass")
+    procs = [subprocess.Popen([sys.executable, "-c", spin])
              for _ in range(os.cpu_count() or 1)]
     for p in procs:
-        p.start()
-    for p in procs:
-        p.join()
+        p.wait()
     return _steal_delta(before, _steal_counters())
 
 
@@ -1032,6 +1065,10 @@ def main():
                 "refused_noisy_host": True,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "quiet_wait_sec": quiet_wait,
+                # the probe value that had just cleared the steal
+                # gate: without it this refusal artifact would be the
+                # one capture record missing steal provenance
+                "steal_pct": steal_pct,
                 "steal_wait_sec": steal_wait,
             }))
             print(f"# REFUSED: loadavg rose to {load_start[0]:.2f} "
@@ -1116,13 +1153,26 @@ def main():
     # reps (rep 1 re-pays cache/codegen warmup after release_caches)
     # while the main loop flags over up to 5 warm reps — the retry
     # gate is therefore slightly more lenient on a one-off outlier.
-    retry = sorted(n for n, s in repstats.items() if s["cv"] > 0.25)
+    # (r17) STOLEN rows retry too, even at low CV — see
+    # _retry_candidates for the doctrine and thresholds.
+    retry = _retry_candidates(repstats)
     stabilized = []
     if retry:
         rewait = 0
         while os.getloadavg()[0] > 2.0 and rewait < 180:
             time.sleep(10)
             rewait += 10
+        # the retry window must itself be unstolen or the re-reps
+        # just re-record the same theft; bounded like the loadavg
+        # re-gate (the run-long steal field still records the truth
+        # if the tenant never leaves). A forced capture skips this
+        # like every other wait — the load is there by premise.
+        if not forced:
+            _rs = _steal_probe_median()
+            while _rs is not None and _rs > 5.0 and rewait < 480:
+                time.sleep(30)
+                rewait += 30
+                _rs = _steal_probe_median()
         for name in retry:
             fn = allq[name][0]
             reps2 = []

@@ -142,16 +142,21 @@ def test_gate_rechecks_loadavg_after_steal_wait(monkeypatch, capsys):
     class _Started(Exception):
         pass
 
-    # the loadavg gate reads 3 quiet samples (tier-1 check, tier-2
-    # check, load_start); the 4th read is the post-steal-wait recheck
-    loads = iter([(0.4, 0.4, 0.4)] * 3)
+    # key the load arrival on the steal wait's sleep, not on a
+    # hardcoded count of getloadavg() reads: the loadavg gate is
+    # quiet until the steal wait actually sleeps (the only sleep on
+    # this path — the loadavg tiers pass immediately), then load
+    # arrives — so adding/removing a read in the gate can't silently
+    # shift which read flips
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda s: slept.append(s))
     monkeypatch.setattr(
         bench.os, "getloadavg",
-        lambda: next(loads, (5.0, 5.0, 5.0)))  # ...then load arrives
+        lambda: (5.0, 5.0, 5.0) if slept else (0.4, 0.4, 0.4))
     steals = iter([42.0])  # one stolen probe forces a 30s wait
     monkeypatch.setattr(bench, "_steal_probe_median",
                         lambda *a, **k: next(steals, 0.2))
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setattr(
         bench, "get_spark",
         lambda *a, **k: (_ for _ in ()).throw(_Started()))
@@ -223,3 +228,28 @@ def test_gate_force_override_skips_steal_probe(monkeypatch, capsys):
                         force=True, steal=99.0, probe_calls=calls)
     assert code is None  # reached get_spark
     assert calls == []  # probe never ran
+
+
+def test_retry_candidates_include_stolen_stable_rows():
+    """r17: the stabilization pass must retry rows whose per-query
+    steal exceeds the ceiling even when their warm-rep CV is stable —
+    the r16 artifact's three unstable rows AND its stolen-but-stable
+    inflations (emb_near_dedup_capped, CV 0.123 at 77% steal) all
+    carried high steal_pct; CV alone caught only the former."""
+    import bench
+
+    repstats = {
+        "quiet_stable": {"reps": 3, "cv": 0.02, "steal_pct": 0.4},
+        "noisy": {"reps": 6, "cv": 0.41, "steal_pct": 1.0},
+        "stolen_stable": {"reps": 3, "cv": 0.12, "steal_pct": 77.0},
+        "stolen_noisy": {"reps": 6, "cv": 0.55, "steal_pct": 61.0},
+        "unmeasurable": {"reps": 3, "cv": 0.05, "steal_pct": None},
+        "no_steal_field": {"reps": 3, "cv": 0.05},
+    }
+    got = bench._retry_candidates(repstats)
+    assert got == ["noisy", "stolen_noisy", "stolen_stable"]
+    assert repstats["noisy"]["retry_reason"] == "cv"
+    assert repstats["stolen_stable"]["retry_reason"] == "steal"
+    assert repstats["stolen_noisy"]["retry_reason"] == "cv+steal"
+    assert "retry_reason" not in repstats["quiet_stable"]
+    assert "retry_reason" not in repstats["unmeasurable"]
