@@ -1276,9 +1276,10 @@ def q_sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNCAPPED — kept as the A/B contrast for the guard family, not
     the corpus-scale form. A densifying embedding space grows the
     bucket join's OUTPUT quadratically (measured: 10x vectors ->
-    ~90x pairs, ~20x wall, SCALE_SOAK.json); corpus-scale callers
-    must pass ``max_bucket_size=`` (see ``sim_near_pairs_capped``,
-    measured ~1x wall at 10x data with linear rows)."""
+    ~90x pairs, ~20x wall, SCALE_SOAK.json). Since r17 the operator
+    DEFAULT is the bounded form; this control opts out with an
+    explicit ``max_bucket_size=None`` (see ``sim_near_pairs_capped``
+    for the capped headline, ~1x wall at 10x data)."""
     emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     return S.embedding_near_pairs(emb, threshold=0.4, n_planes=4, dim=64,
                                   max_bucket_size=None)
@@ -1383,10 +1384,12 @@ def q_emb_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNCAPPED — kept deliberately as the measured A/B control for the
     densification guard (SCALE_SOAK.json density_cap_soak: this form
     15x wall / 89.9x rows at 10x data vs the capped twin's 0.90x /
-    linear). Corpus-scale callers must use ``emb_near_dedup_capped``
-    / ``embedding_near_pairs(max_bucket_size=)`` — bucket
-    densification grows this plan's join output quadratically and no
-    engine knob (AQE, skew split) can bound an output-side blow-up."""
+    linear). Since r17 the operator DEFAULT is the bounded form;
+    this control opts out with an explicit ``max_bucket_size=None``.
+    Corpus-scale callers use ``emb_near_dedup_capped`` / the default
+    — bucket densification grows this plan's join output
+    quadratically and no engine knob (AQE, skew split) can bound an
+    output-side blow-up."""
     emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     pairs = S.embedding_near_pairs(emb, threshold=0.4, n_planes=4,
                                    dim=64, max_bucket_size=None) \
