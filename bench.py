@@ -1348,8 +1348,14 @@ def main():
     # probe clears the window's entry; this records whether a tenant
     # arrived mid-run — the adjudicator reads it instead of
     # inferring theft from control-query inflation after the fact.
-    detail["loadavg"]["steal"]["run_pct_of_demand"] = _steal_delta(
-        run_steal0, _steal_counters())
+    run_steal = _steal_delta(run_steal0, _steal_counters())
+    detail["loadavg"]["steal"]["run_pct_of_demand"] = run_steal
+    # ...and on the CONTRACT LINE too: the driver's per-round record
+    # keeps only this line, which is exactly where the r16 stolen
+    # headline (35.8% run-long) was invisible — a recorded round's
+    # theft provenance must survive without BENCH_DETAIL.json
+    if run_steal is not None:
+        out["run_steal_pct"] = run_steal
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
