@@ -239,8 +239,13 @@ def _skew_soak(spark, sf_dir: str) -> dict:
     )
     near = {}
     for label, collapse in (("collapsed", True), ("uncapped", False)):
+        # max_bucket_size=None: this A/B's whole claim is the
+        # quadratic uncapped form vs collapse — the r17 default cap
+        # would silently star-edge both branches (~300-vector
+        # buckets >> 40) and flatten the ratio to ~1
         pairs = embedding_near_pairs(hot_emb, threshold=0.4,
-                                     collapse_identical=collapse)
+                                     collapse_identical=collapse,
+                                     max_bucket_size=None)
         t0 = _time.perf_counter()
         n = pairs.count()
         near[label] = {"sec": round(_time.perf_counter() - t0, 3),
@@ -1055,8 +1060,18 @@ def main():
     # the steal wait can run ~13 min after the loadavg gate passed —
     # re-check the local load it may have gone stale against, and
     # record the POST-wait reading as the artifact's provenance (the
-    # pre-wait one would claim a quiet start the capture never had)
+    # pre-wait one would claim a quiet start the capture never had).
+    # The wait's own probes spin every vCPU ~10 s per median sample,
+    # which inflates the very 1-min loadavg this recheck reads (a
+    # 205 s wait self-refused at loadavg 7.3 on an otherwise idle
+    # host) — so give the self-inflicted load a bounded decay window
+    # before judging the host by it; only load that PERSISTS past
+    # the decay is foreign.
     if steal_wait:
+        while (not forced and os.getloadavg()[0] > 2.5
+               and quiet_wait + steal_wait < 1680):
+            time.sleep(10)
+            quiet_wait += 10
         load_start = list(os.getloadavg())
         if load_start[0] > 2.5 and not forced:
             print(json.dumps({
@@ -1168,11 +1183,17 @@ def main():
         # if the tenant never leaves). A forced capture skips this
         # like every other wait — the load is there by premise.
         if not forced:
+            # charge the probe wall too (each median probe spins the
+            # vCPUs ~10 s) — same envelope accounting as the start
+            # gate, or the stated 480 s bound under-counts by ~25%
+            _t0r = time.monotonic()
             _rs = _steal_probe_median()
-            while _rs is not None and _rs > 5.0 and rewait < 480:
+            rewait += int(time.monotonic() - _t0r)
+            while _rs is not None and _rs > 5.0 and rewait + 30 <= 480:
                 time.sleep(30)
-                rewait += 30
+                _t0r = time.monotonic()
                 _rs = _steal_probe_median()
+                rewait += 30 + int(time.monotonic() - _t0r)
         for name in retry:
             fn = allq[name][0]
             reps2 = []
@@ -1205,13 +1226,29 @@ def main():
             r_steal = _steal_delta(r_steal0, _steal_counters())
             if r_steal is not None:
                 repstats[name]["retry_steal_pct"] = r_steal
-            if cv2 <= 0.25:
+            # a retry that ran in a window ITSELF still stolen has
+            # re-measured the theft, not the query: adopting its CV
+            # as "stabilized" would launder the exact blindspot the
+            # steal retry exists to close. Keep the row flagged (it
+            # lands in the stolen list below) and leave its cv alone.
+            still_stolen = (r_steal is not None
+                            and r_steal > STEAL_RETRY_PCT)
+            if cv2 <= 0.25 and not still_stolen:
                 repstats[name]["cv"] = round(cv2, 3)
                 stabilized.append(name)
             print(f"# retry {name}: {times[name]:.3f}s "
                   f"(retry cv {cv2:.2f})", file=sys.stderr)
 
     unstable = sorted(n for n, s in repstats.items() if s["cv"] > 0.25)
+    # rows whose FINAL evidence window (the retry if one ran, else the
+    # main reps) exceeded the steal ceiling: their times are theft-
+    # inflated no matter how stable the reps looked, and the contract
+    # line must say so (the r16 lesson: provenance that lives only in
+    # the detail sidecar is invisible in the per-round record)
+    stolen_rows = sorted(
+        n for n, s in repstats.items()
+        if (s.get("retry_steal_pct",
+                  s.get("steal_pct") or 0) or 0) > STEAL_RETRY_PCT)
     prev_round, prev = _prev_bench()
     pq = prev["queries"] if (prev and isinstance(prev.get("queries"), dict)) \
         else {}
@@ -1239,8 +1276,11 @@ def main():
             out["incomparable"] = True
     if unstable:
         out["noisy"] = len(unstable)
+    if stolen_rows:
+        out["stolen"] = len(stolen_rows)
     detail = dict(out, errors=errors, repstats=repstats,
                   unstable=unstable, stabilized=stabilized,
+                  stolen_rows=stolen_rows,
                   carried_prev_times=carried,
                   loadavg={"start": [round(x, 2) for x in load_start],
                            "end": [round(x, 2) for x in os.getloadavg()],

@@ -68,6 +68,22 @@ def release_caches() -> None:
             pass  # session already stopped; nothing to release
 
 
+def untrack(df: DataFrame) -> None:
+    """Unpersist ONE tracked relation immediately. For failure paths
+    that persisted something they will never consume (e.g. a gz read
+    whose error budget failed): raising with the cache live would
+    leak a full cached copy per failure into a long-lived session
+    until the next engine-wide ``release_caches()``."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    try:
+        _PERSISTED.remove(df)
+    except ValueError:
+        pass  # already released engine-wide
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: one row per distinct content with

@@ -336,6 +336,14 @@ def read_crs(spark: SparkSession, path: str, header: CrsHeader | None = None,
         if bad > budget:
             sample = [r["_p"] for r in bad_rows.limit(16).collect()]
             count = "at least one" if budget == 0 and not is_gz else str(bad)
+            if is_gz:
+                # the raise abandons the gz line cache unconsumed —
+                # free it NOW, or a session that validates many files
+                # and catches CrsReadError leaks one full cached copy
+                # per rejected file until the next release_caches()
+                from linz_bde_uploader_spark.operators.dedup import untrack
+
+                untrack(rows)
             raise CrsReadError(
                 f"{path}: {count} malformed row(s) exceed "
                 f"max_errors={budget}; sample={sample[:3]!r}"

@@ -253,3 +253,40 @@ def test_retry_candidates_include_stolen_stable_rows():
     assert repstats["stolen_noisy"]["retry_reason"] == "cv+steal"
     assert "retry_reason" not in repstats["quiet_stable"]
     assert "retry_reason" not in repstats["unmeasurable"]
+
+
+def test_gate_survives_probe_inflated_loadavg_after_steal_wait(
+        monkeypatch, capsys):
+    """The steal wait's own probes spin every vCPU ~10 s per median
+    sample, inflating the 1-min loadavg the post-wait recheck reads
+    (a real 205 s wait self-refused at loadavg 7.3 on an otherwise
+    idle host). Self-inflicted load that DECAYS inside the bounded
+    window must not refuse; only load that persists is foreign (the
+    persisting case is pinned by
+    test_gate_rechecks_loadavg_after_steal_wait)."""
+    import bench
+
+    class _Started(Exception):
+        pass
+
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda s: slept.append(s))
+    post = iter([7.3, 5.0, 3.1])  # the probes' wake, then decay
+
+    def load():
+        if not slept:  # quiet until the steal wait's first sleep
+            return (0.4, 0.4, 0.4)
+        v = next(post, 0.5)
+        return (v, v, v)
+
+    monkeypatch.setattr(bench.os, "getloadavg", load)
+    steals = iter([42.0])  # one stolen probe forces a 30s wait
+    monkeypatch.setattr(bench, "_steal_probe_median",
+                        lambda *a, **k: next(steals, 0.2))
+    monkeypatch.setattr(
+        bench, "get_spark",
+        lambda *a, **k: (_ for _ in ()).throw(_Started()))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
+    with pytest.raises(_Started):
+        bench.main()  # reached get_spark: the decayed load recorded

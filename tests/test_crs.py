@@ -312,17 +312,30 @@ def test_read_gzip_budget_single_pass(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan  # projection reads the cache
     assert df.count() == 3
-    # a corrupt gz still enforces the budget...
+    # a corrupt gz still enforces the budget, and the failure path
+    # must NOT leak its just-persisted line cache into the registry
+    # (a validating session catching CrsReadError would otherwise
+    # accumulate one full cached file copy per rejected file)
+    from linz_bde_uploader_spark.operators.dedup import _PERSISTED
+
+    n_before_fail = len(_PERSISTED)
     bad = PAB1_L0 + "1|2|3|\n"
     gz_bad = write_crs(str(tmp_path / "bad.crs.gz"), bad, gz=True)
     with pytest.raises(CrsReadError, match="max_errors=0"):
         read_crs(spark, gz_bad)
+    assert len(_PERSISTED) == n_before_fail  # failure untracked itself
     # ...and a budget of 1 tolerates it, same as the plain path
     ok = read_crs(spark, gz_bad, cleanse=CleanseConfig(max_errors=1))
     assert ok.count() == 3
-    # the line caches are tracked: the engine-wide release frees them
+    # successful gz reads ARE tracked; the engine-wide release
+    # actually frees them — the registry empties AND the tracked
+    # relation itself drops to StorageLevel NONE (a registry that
+    # emptied without unpersisting would leave useMemory/useDisk set)
+    assert len(_PERSISTED) > n_before_fail
+    cached_lines = _PERSISTED[-1]
+    assert cached_lines.storageLevel.useMemory \
+        or cached_lines.storageLevel.useDisk
     release_caches()
-    assert "InMemoryTableScan" not in \
-        read_crs(spark, write_crs(str(tmp_path / "p.crs"), PAB1_L0)) \
-        ._jdf.queryExecution().executedPlan().toString()
-    release_caches()
+    assert not _PERSISTED
+    assert not cached_lines.storageLevel.useMemory
+    assert not cached_lines.storageLevel.useDisk
