@@ -368,6 +368,22 @@ class BdeUploader:
         if table.key:
             validate_key(table, {c.name: c.type_name for c in header.columns})
 
+        # the staged FULL snapshot feeds several executions below —
+        # the row count / diff action counts, the applied-result
+        # materialization, every view-group seed, and the store
+        # write — and its parse plus ~300-rule cleanse is the L0
+        # path's dominant per-pass cost (each pass re-read and
+        # re-cleansed the file: measured 4 passes inside the f30
+        # l0_sec before this persist). Persist it once (tracked;
+        # the apply_updates loop releases per dataset). The spill
+        # trade at 100 TB is one transient table-sized copy on
+        # executor disk vs re-parsing the table per consumer.
+        from pyspark import StorageLevel
+
+        from linz_bde_uploader_spark.operators.dedup import _track
+
+        stg = _track(stg.persist(StorageLevel.MEMORY_AND_DISK))
+
         prev_count = (self.store.read(self.spark, table.name).count()
                       if self.store.exists(table.name) else 0)
         if incremental and self.store.exists(table.name):
@@ -378,11 +394,15 @@ class BdeUploader:
             stats = M.MergeStats(ninsert=counts.get("I", 0),
                                  nupdate=counts.get("U", 0),
                                  ndelete=counts.get("D", 0))
-            new = M.apply_actions(cur, stg, diff, table.key)
+            # the applied result is itself consumed three times
+            # (tolerance count, view seeds, store write): persist it
+            # too, or each consumer re-runs the full-outer diff join
+            new = _track(M.apply_actions(cur, stg, diff, table.key)
+                         .persist(StorageLevel.MEMORY_AND_DISK))
         else:
             n = stg.count()
             stats = M.MergeStats(ninsert=n, ndelete=prev_count if incremental else 0)
-            new = M.level0_replace(stg)
+            new = M.level0_replace(stg)  # identity: reads stg's cache
 
         new_count = new.count()
         tol = M.check_tolerance(new_count, prev_count,
