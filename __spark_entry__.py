@@ -116,20 +116,25 @@ _DRIVER_FIRST = [
     # star/all-pairs split — a changed plan re-enters the gate per
     # the standing invariant (2 prior greens, r5/r6, pre-reshape)
     "sim_near_pairs_capped",
-    # r17 rotation (the r16 verdict's order #6): after r16 the
-    # stalest driver greens were the r8 block — string_agg_owners
-    # (J8/A5), tolerance_check (A7), cdc_stats (A2/A3),
-    # union_lock_candidates (U1), latest_dataset (O2) — and r6
-    # dataset_continuity (§2.8), 8-10 rounds old; all six re-enter
-    # for a freshness green (the r16 judge's own 12-query spot-check
-    # already found them healthy). The six r16 freshness entries
-    # (dedup_exact, text_token_stats, sim_cosine_topk, active_jobs,
-    # q8_market_share, events_retention) got exactly the green they
-    # re-entered for and rotate back out; the three not yet in the
-    # sf0.001 FAST pytest differential (active_jobs, q8_market_share,
-    # events_retention) were ADDED to it as compensating coverage.
-    "string_agg_owners", "tolerance_check", "cdc_stats",
-    "union_lock_candidates", "latest_dataset", "dataset_continuity",
+    # r18 rotation (the r17 verdict's order #5): the six r17
+    # freshness entries (string_agg_owners, tolerance_check,
+    # cdc_stats, union_lock_candidates, latest_dataset,
+    # dataset_continuity) got exactly the green they re-entered for
+    # and rotate back out; the four not yet in the sf0.001 FAST
+    # pytest differential (string_agg_owners, union_lock_candidates,
+    # latest_dataset, dataset_continuity) were ADDED to it as
+    # compensating coverage. In their slots, the stalest standing
+    # driver greens re-enter: the multimodal/sampling block the
+    # verdict named — multimodal_ahash_groups (freshest green r7),
+    # multimodal_audio_bands (r8, the verdict's "audio_fft_bands"),
+    # docs_hash_sample (r8), docs_budget_sample (r6) — plus
+    # events_rollup (r6). The verdict's sixth name, events_cube, is
+    # actually FRESH (8 consecutive greens r8-r15, rotated out only
+    # in r16), so its slot goes to the stalest UNCOMPENSATED entry
+    # instead: sim_lsh_topk (freshest green r6, not in FAST).
+    "multimodal_ahash_groups", "multimodal_audio_bands",
+    "docs_hash_sample", "docs_budget_sample", "events_rollup",
+    "sim_lsh_topk",
     # (r17 cap-default flip note: the 8 queries whose code changed in
     # r17 — dedup_minhash_lsh, dedup_clusters, dedup_near_survivors,
     # dedup_best_survivors, sim_near_pairs, emb_near_dedup,

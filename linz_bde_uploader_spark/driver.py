@@ -566,106 +566,114 @@ class BdeUploader:
                 self._run_hooks("start_dataset", ds.name, lvl, job.id)
                 self._run_sql_hooks("dataset_start", job.id,
                                     level0_ran=level0_ran)
-                changes = None
-                if lvl == "5":
-                    chg_def = self._change_table_def()
-                    if chg_def is None:
-                        raise RuntimeError("no l5_change_table configured")
-                    _, changes = self._load_file(ds.files()[chg_def.files[0]], chg_def)
-                runnable = []
-                for t in tabs:
-                    if t.name in failed_tables:
-                        # a failed increment must not be skipped over:
-                        # later datasets would merge onto a base missing
-                        # it and the watermark would advance past it
-                        # forever (reference bypasses the table for the
-                        # rest of the run, lib/LINZ/BdeUpload.pm:762-770)
-                        self.results.append(TableResult(
-                            t.name, ds.name, lvl, "skipped",
-                            message="earlier dataset failed for this table"))
-                        continue
-                    runnable.append(t)
-
-                def run_one(t, _ds=ds, _lvl=lvl, _chg=changes):
-                    if not self.ledger.acquire_lock(
-                            t.name, job.id,
-                            steal=self.config.override_locks):
-                        return TableResult(
-                            t.name, _ds.name, _lvl, "skipped",
-                            message="locked")
-                    try:
-                        if _lvl == "0":
-                            return self.upload_table_level0(
-                                job, _ds, t, incremental=full_incremental)
-                        return self.upload_table_level5(job, _ds, t, _chg)
-                    finally:
-                        self.ledger.release_lock(t.name, job.id)
-
-                nthreads = max(1, int(self.config.parallel_tables))
-                use_tx = self.config.use_dataset_transaction
-                if use_tx:
-                    # C4 dataset transaction: stage every store write
-                    # (bases + views) and defer ledger records; see
-                    # UploadConfig.use_dataset_transaction
-                    self.store.begin_dataset_commit()
-                    self._pending_records = []
                 try:
-                    if nthreads > 1 and len(runnable) > 1:
-                        # tables are independent (separate store dirs;
-                        # ledger mutations serialized by flock); Spark
-                        # accepts concurrent actions from driver threads
-                        from concurrent.futures import ThreadPoolExecutor
-                        with ThreadPoolExecutor(max_workers=nthreads) as ex:
-                            batch = list(ex.map(run_one, runnable))
-                    else:
-                        batch = [run_one(t) for t in runnable]
-                except BaseException:
+                    changes = None
+                    if lvl == "5":
+                        chg_def = self._change_table_def()
+                        if chg_def is None:
+                            raise RuntimeError("no l5_change_table configured")
+                        _, changes = self._load_file(ds.files()[chg_def.files[0]], chg_def)
+                    runnable = []
+                    for t in tabs:
+                        if t.name in failed_tables:
+                            # a failed increment must not be skipped over:
+                            # later datasets would merge onto a base missing
+                            # it and the watermark would advance past it
+                            # forever (reference bypasses the table for the
+                            # rest of the run, lib/LINZ/BdeUpload.pm:762-770)
+                            self.results.append(TableResult(
+                                t.name, ds.name, lvl, "skipped",
+                                message="earlier dataset failed for this table"))
+                            continue
+                        runnable.append(t)
+
+                    def run_one(t, _ds=ds, _lvl=lvl, _chg=changes):
+                        if not self.ledger.acquire_lock(
+                                t.name, job.id,
+                                steal=self.config.override_locks):
+                            return TableResult(
+                                t.name, _ds.name, _lvl, "skipped",
+                                message="locked")
+                        try:
+                            if _lvl == "0":
+                                return self.upload_table_level0(
+                                    job, _ds, t, incremental=full_incremental)
+                            return self.upload_table_level5(job, _ds, t, _chg)
+                        finally:
+                            self.ledger.release_lock(t.name, job.id)
+
+                    nthreads = max(1, int(self.config.parallel_tables))
+                    use_tx = self.config.use_dataset_transaction
                     if use_tx:
-                        self.store.abort_dataset()
-                        self._pending_records = None
-                    raise
-                ds_rolled_back = False
-                if use_tx:
-                    pending, self._pending_records = \
-                        self._pending_records, None
-                    if any(r.status == "error" for r in batch):
-                        ds_rolled_back = True
-                        # dataset ROLLBACK: no table of this dataset
-                        # becomes visible, no watermark advances, and
-                        # every table is bypassed for the rest of the
-                        # run (its state did not move — later datasets
-                        # must not merge over the gap)
-                        self.store.abort_dataset()
-                        batch = [
-                            r if r.status in ("error", "skipped")
-                            else TableResult(r.table, r.dataset, r.level,
-                                             "rolled_back", r.stats,
-                                             "dataset rolled back: a "
-                                             "sibling table errored")
-                            for r in batch]
-                        for r in batch:
-                            failed_tables.add(r.table)
-                    else:
-                        self.store.commit_dataset()
-                        for rec in pending:
-                            self.ledger.record_dataset_loaded(
-                                rec[0], rec[1], rec[2], rec[3], rec[4],
-                                duration=rec[5], details=rec[6])
-                for r in batch:
-                    if (r.status == "error"
-                            or (r.status == "skipped"
-                                and r.message == "locked")):
-                        failed_tables.add(r.table)  # leapfrog hazard
-                    self.results.append(r)
-                    self.ledger.heartbeat(job.id)
-                # the dataset's staged reads are fully consumed once
-                # its store writes are committed (or rolled back):
-                # release the engine's tracked persists — the gz
-                # single-pass line caches (sources/crs.py) and the
-                # touched-group relations (operators/merge.py) — so a
-                # many-dataset run's cache footprint stays bounded at
-                # one dataset, not the whole history
-                release_caches()
+                        # C4 dataset transaction: stage every store write
+                        # (bases + views) and defer ledger records; see
+                        # UploadConfig.use_dataset_transaction
+                        self.store.begin_dataset_commit()
+                        self._pending_records = []
+                    try:
+                        if nthreads > 1 and len(runnable) > 1:
+                            # tables are independent (separate store dirs;
+                            # ledger mutations serialized by flock); Spark
+                            # accepts concurrent actions from driver threads
+                            from concurrent.futures import ThreadPoolExecutor
+                            with ThreadPoolExecutor(max_workers=nthreads) as ex:
+                                batch = list(ex.map(run_one, runnable))
+                        else:
+                            batch = [run_one(t) for t in runnable]
+                    except BaseException:
+                        if use_tx:
+                            self.store.abort_dataset()
+                            self._pending_records = None
+                        raise
+                    ds_rolled_back = False
+                    if use_tx:
+                        pending, self._pending_records = \
+                            self._pending_records, None
+                        if any(r.status == "error" for r in batch):
+                            ds_rolled_back = True
+                            # dataset ROLLBACK: no table of this dataset
+                            # becomes visible, no watermark advances, and
+                            # every table is bypassed for the rest of the
+                            # run (its state did not move — later datasets
+                            # must not merge over the gap)
+                            self.store.abort_dataset()
+                            batch = [
+                                r if r.status in ("error", "skipped")
+                                else TableResult(r.table, r.dataset, r.level,
+                                                 "rolled_back", r.stats,
+                                                 "dataset rolled back: a "
+                                                 "sibling table errored")
+                                for r in batch]
+                            for r in batch:
+                                failed_tables.add(r.table)
+                        else:
+                            self.store.commit_dataset()
+                            for rec in pending:
+                                self.ledger.record_dataset_loaded(
+                                    rec[0], rec[1], rec[2], rec[3], rec[4],
+                                    duration=rec[5], details=rec[6])
+                    for r in batch:
+                        if (r.status == "error"
+                                or (r.status == "skipped"
+                                    and r.message == "locked")):
+                            failed_tables.add(r.table)  # leapfrog hazard
+                        self.results.append(r)
+                        self.ledger.heartbeat(job.id)
+                finally:
+                    # the dataset's staged reads are fully consumed once
+                    # its store writes are committed (or rolled back):
+                    # release the engine's tracked persists — the L0
+                    # staged-snapshot persist and the gz single-pass line
+                    # caches (sources/crs.py), plus the touched-group
+                    # relations (operators/merge.py) — so a many-dataset
+                    # run's cache footprint stays bounded at one dataset,
+                    # not the whole history. finally: the abort/exception
+                    # path must release too — a long-lived session that
+                    # catches the error and continues would otherwise
+                    # accumulate one leaked table-sized cache per failed
+                    # dataset (same leak class untrack() closes for the
+                    # gz error-budget raise in read_crs).
+                    release_caches()
                 if ds_rolled_back:
                     # a rolled-back dataset applied NOTHING: its
                     # post-level0 functions, finish_dataset hooks, and

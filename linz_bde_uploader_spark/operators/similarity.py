@@ -28,11 +28,22 @@ from pyspark.sql import functions as F
 
 from linz_bde_uploader_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
 
-# sentinel distinguishing "caller didn't choose a cap" (resolved to
-# DEFAULT_MAX_BUCKET_SIZE, or to uncapped under n_probes > 1 where
-# the cap cannot compose) from an explicit max_bucket_size=None
-# opt-out into exact all-pairs semantics
-_CAP_DEFAULT = object()
+class _CapDefault:
+    """Sentinel type distinguishing "caller didn't choose a cap"
+    (resolved to DEFAULT_MAX_BUCKET_SIZE, or to uncapped under
+    n_probes > 1 where the cap cannot compose) from an explicit
+    max_bucket_size=None opt-out into exact all-pairs semantics.
+    A real class (not a bare ``object()``) so the parameter can be
+    HONESTLY annotated ``int | None | _CapDefault`` and
+    help()/inspect show a named singleton instead of an opaque
+    object — the r17 signature said ``int | None`` while defaulting
+    to the sentinel, a type fib flagged in round-17 review."""
+
+    def __repr__(self) -> str:  # shown by help()/inspect.signature
+        return f"<cap default: {DEFAULT_MAX_BUCKET_SIZE}>"
+
+
+_CAP_DEFAULT = _CapDefault()
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -432,7 +443,8 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
                          n_planes: int = 4, dim: int = 64,
                          collapse_identical: bool = False,
                          n_probes: int = 1,
-                         max_bucket_size: int | None = _CAP_DEFAULT,
+                         max_bucket_size: int | None | _CapDefault
+                         = _CAP_DEFAULT,
                          cache_buckets: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine_sim >=
     threshold), pruned by shared hyperplane bucket.
@@ -467,7 +479,8 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
     the measured quadratic scale-killer above and exact semantics are
     explicit opt-in via ``max_bucket_size=None``; under
     ``n_probes > 1`` (where the cap cannot compose) the default
-    resolves to uncapped. Downstream trade: connected-components clustering
+    resolves to uncapped WITH a ``RuntimeWarning`` — the recall knob
+    must not silently drop the guard. Downstream trade: connected-components clustering
     of a dense region (members mutually near, which is what made the
     bucket dense) is unchanged — the star spans the region's
     component through the hub; pairwise consumers see each member
@@ -485,14 +498,34 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
     One row per vector; callers in long-lived sessions release via
     ``dedup.release_caches()``. Same knob, same reason, as
     ``lsh_candidate_pairs(cache_index=)``."""
-    if max_bucket_size is _CAP_DEFAULT:
+    if isinstance(max_bucket_size, _CapDefault):
         # default-on guard (r16 verdict): an un-opinionated caller at
         # corpus scale must get the bounded form. Multi-probe is the
         # one mode the cap cannot compose with (per-bucket output
         # accounting is ambiguous under probe replication), so the
         # DEFAULT resolves to uncapped there — only an EXPLICIT cap
-        # plus n_probes > 1 is a contradiction worth raising on.
-        max_bucket_size = None if n_probes > 1 else DEFAULT_MAX_BUCKET_SIZE
+        # plus n_probes > 1 is a contradiction worth raising on. The
+        # silent part of that resolution is a trap (r17 advice): a
+        # default-path caller who merely turned up the recall knob
+        # would lose the densification guard without ever seeing the
+        # word "uncapped" — so the resolution WARNS, loudly, that
+        # exact all-pairs semantics are now in play and how to opt
+        # back into a bound (n_probes=1 + max_bucket_size=N).
+        if n_probes > 1:
+            import warnings
+            warnings.warn(
+                "embedding_near_pairs: n_probes > 1 cannot compose "
+                "with the densification bucket cap, so the default "
+                "max_bucket_size resolves to UNCAPPED exact all-pairs "
+                "— a dense bucket emits O(B^2) pairs (measured "
+                "16.8-89.9x wall at 10x data, SCALE_SOAK "
+                "density_cap_soak). Pass max_bucket_size=None to "
+                "acknowledge, or use n_probes=1 with a cap for the "
+                "bounded first-pass form.",
+                RuntimeWarning, stacklevel=2)
+            max_bucket_size = None
+        else:
+            max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     elif max_bucket_size is not None and n_probes > 1:
         raise ValueError(
             "max_bucket_size composes with the single-probe bucket "

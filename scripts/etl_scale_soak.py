@@ -381,6 +381,15 @@ def _graft(dst: dict, src: dict) -> None:
             for a in auxes:
                 if src.get(a) is not None:
                     dst[a] = src[a]
+                else:
+                    # the aux travels WITH its phase value or not at
+                    # all: a pre-r17 record (no same-window plain
+                    # pairing) grafting its better l0_gz_sec must not
+                    # leave the destination's own
+                    # l0_plain_same_window_sec behind it — that pair
+                    # would present a cross-run gz/plain ratio as the
+                    # "recomputable same-window" one
+                    dst.pop(a, None)
 
 
 def merge_scales(prev_scales: dict, new_scales: dict) -> dict:

@@ -956,3 +956,27 @@ def test_viewspec_topk_distinct_validation():
     with pytest.raises(ValueError):
         parse_tables_conf(
             "TABLE t key=id view=g:v:distinct= files f")
+
+
+def test_exception_path_releases_tracked_caches(spark, env):
+    """r17 advice: release_caches() must run on the exception/abort
+    path too, not only after a committed dataset. The L0 staged
+    snapshot is persisted (tracked) BEFORE the store write; a write
+    that raises mid-dataset used to leak that table-sized cache into
+    a long-lived session that catches the error and continues — the
+    same leak class untrack() closes for the gz error-budget raise
+    in read_crs."""
+    from linz_bde_uploader_spark.operators.dedup import _PERSISTED
+
+    up, store, ledger = env
+    n_before = len(_PERSISTED)
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    store.write = boom
+    with pytest.raises(RuntimeError, match="disk full"):
+        up.apply_updates(level0=True)
+    # the staged-snapshot persist was tracked and then released by
+    # the per-dataset finally — nothing outlives the failed dataset
+    assert len(_PERSISTED) == n_before

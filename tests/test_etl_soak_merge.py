@@ -92,3 +92,30 @@ def test_inputs_not_mutated():
     merge_scales(prev, new)
     assert "l0_gz_sec" not in new["f1"]
     assert prev["f1"]["total_sec"] == 12.0
+
+
+def test_grafted_phase_clears_stale_aux_pairing():
+    """The r17 advice finding: when a record WITHOUT the same-window
+    plain pairing grafts its better l0_gz_sec into a record that HAS
+    one, the destination's l0_plain_same_window_sec must be cleared —
+    otherwise the artifact presents a cross-run gz/plain pair as the
+    'recomputable same-window' ratio."""
+    prev = {"f1": _rec(10.0, gz=5.0,
+                       l0_plain_same_window_sec=4.5)}
+    # pre-r17-shaped record: better gz time, no same-window pairing
+    new = {"f1": _rec(12.0, gz=3.0)}
+    m = merge_scales(prev, new)
+    assert m["f1"]["l0_gz_sec"] == 3.0
+    assert "l0_plain_same_window_sec" not in m["f1"]
+    # and when the better gz time DOES carry its pairing, it travels
+    m2 = merge_scales(
+        {"f1": _rec(10.0, gz=5.0, l0_plain_same_window_sec=4.5)},
+        {"f1": _rec(12.0, gz=3.0, l0_plain_same_window_sec=2.9)})
+    assert m2["f1"]["l0_gz_sec"] == 3.0
+    assert m2["f1"]["l0_plain_same_window_sec"] == 2.9
+    # losing graft direction: prev keeps its own coherent pair
+    m3 = merge_scales(
+        {"f1": _rec(10.0, gz=3.0, l0_plain_same_window_sec=2.9)},
+        {"f1": _rec(12.0, gz=5.0)})
+    assert m3["f1"]["l0_gz_sec"] == 3.0
+    assert m3["f1"]["l0_plain_same_window_sec"] == 2.9

@@ -441,11 +441,26 @@ def test_densification_cap_is_default_on(spark):
     quad = 50 * 49 // 2
     assert n_full >= quad  # opt-out really is the all-pairs form
     assert n_default <= n_full - quad + 50  # default removed the blow-up
-    # default + multiprobe: no raise, resolves to the uncapped form
-    probed_default = embedding_near_pairs(emb, threshold=0.9,
-                                          n_probes=2)
+    # default + multiprobe: no raise, resolves to the uncapped form —
+    # but NOT silently (r17 advice): the recall knob dropping the
+    # densification guard warns, so a default-path caller sees the
+    # word "uncapped" before the quadratic join runs
+    import warnings
+
+    import pytest
+    with pytest.warns(RuntimeWarning, match="UNCAPPED"):
+        probed_default = embedding_near_pairs(emb, threshold=0.9,
+                                              n_probes=2)
     probed_uncapped = embedding_near_pairs(emb, threshold=0.9,
                                            n_probes=2,
                                            max_bucket_size=None)
     assert sorted(map(tuple, probed_default.collect())) \
         == sorted(map(tuple, probed_uncapped.collect()))
+    # the warning belongs to the DEFAULT resolution only: explicit
+    # opt-out (the acknowledged form) and the capped default path
+    # stay warning-free
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        embedding_near_pairs(emb, threshold=0.9, n_probes=2,
+                             max_bucket_size=None)
+        embedding_near_pairs(emb, threshold=0.4)

@@ -69,6 +69,11 @@ FAST_QUERIES = [
     # dedup_exact, text_token_stats and sim_cosine_topk, also rotated
     # out, were already listed above)
     "active_jobs", "q8_market_share", "events_retention",
+    # rotated out of the driver top-50 in r18 (compensating coverage;
+    # tolerance_check and cdc_stats, also rotated out, were already
+    # listed above)
+    "string_agg_owners", "union_lock_candidates", "latest_dataset",
+    "dataset_continuity",
 ]
 
 
