@@ -721,8 +721,14 @@ def test_embedding_near_pairs_multiprobe_recall(spark):
     emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
 
     def planted_recall(n_probes):
+        # explicit uncapped on BOTH sides: the recall-monotonicity
+        # claim is about probing over the exact all-pairs form (the
+        # docstring's "recall knobs belong to the uncapped verifier");
+        # leaving the default would compare capped (n_probes=1) vs
+        # uncapped (n_probes>1) and trip the r18 RuntimeWarning
         pairs = S.embedding_near_pairs(emb, threshold=0.9, n_planes=4,
-                                       dim=dim, n_probes=n_probes)
+                                       dim=dim, n_probes=n_probes,
+                                       max_bucket_size=None)
         got = [(r.id_a, r.id_b) for r in pairs.collect()]
         assert len(got) == len(set(got))  # no duplicate pairs
         hits = sum(1 for a, b in got if b == a + 1 and a % 2 == 0)
