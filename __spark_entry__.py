@@ -27,156 +27,65 @@ _ALL = {**ENGINE_QUERIES, **PIPELINE_QUERIES, **ANALYTICS_QUERIES,
         **PROBE_QUERIES}
 
 # The driver's correctness gate snapshots ~50 queries per round in
-# dict order. Round-9 rotation (per the r8 verdict's ranked orders):
-# the probe battery shrinks to its TWO load-bearing canaries, renamed
-# with an xfail_ prefix so their intentional reds are self-documenting
-# in CORRECTNESS_r09.json (the five answered probes — floor-div,
-# mod-sign, nullable-int, weekday-locale, double-div — all came back
-# GREEN at the r8 driver; their answers are ORACLE.md doctrine now and
-# they keep running only in the local check_oracle gate). The freed
-# slots go to (a) the §2 CDC core, whose freshest greens were r7 and
-# which must not go two rounds unchecked, (b) second greens for the
-# 10 rows with exactly one green under their current (r8 re-shaped or
-# r8-new) shapes, and (c) the stalest rotation-complete entries
-# (freshest green r5-r6).
+# dict order; _DRIVER_FIRST pins which 50. Cohort doctrine: entries
+# rotate out once the driver has hashed them green under their
+# current shape (gaining compensating coverage in tests/test_suite.py
+# FAST_QUERIES at sf0.001), and the stalest standing greens rotate
+# back in. Rotation HISTORY lives in BASELINE.md ("Driver top-50
+# rotation history"); only the CURRENT cohort's rationale is here.
 _DRIVER_FIRST = [
     # standing canaries: EXPECTED RED by design (driver pandas fetch
     # degrades HUGEINT/DECIMAL — proven r8; see plans/probe_suite.py).
     # If either goes GREEN, the fetch path changed and the bans lift.
     "xfail_probe_hugeint_sum", "xfail_probe_decimal_trailing",
-    # §2 CDC core + freshness-owed rows (freshest greens r7/r5) —
-    # these implement the reference's heart
-    # (sql/02-bde_control_functions.sql.in:1576-1818,2146-2373)
+    # §2 CDC core — the reference's heart
+    # (sql/02-bde_control_functions.sql.in:1576-1818,2146-2373) —
+    # plus its freshness companions; stays in-gate every round
     "cdc_classify", "cdc_apply", "full_diff", "keyswap_repair",
     "changeset_prepare", "dataset_watermark", "event_duration",
     "docs_length_percentiles", "text_repetition",
-    # single-green rows: the 8 re-shaped to portable types in r8 and
-    # the 2 r8-new queries — each owed a second green under its
-    # current shape
+    # standing members building multi-green records under their
+    # current (r8+) shapes: the portable-type re-shapes, the
+    # eight-member IVM family, the sketch battery, and the corpus
+    # sampling/ledger queries
     "events_json_props", "q11_important_parts", "cdc_minmax_refresh",
     "docs_quality_deciles", "docs_epoch_plan",
     "cdc_incremental_agg", "orders_salted_join",
     "cdc_topk_refresh", "docs_shard_manifest",
-    # NEW in r9 (zero-green rows take slots ahead of rotation-complete
-    # ones): distinct-count IVM (fourth member), the cross-source
-    # contamination matrix, the delta-join view IVM (fifth member),
-    # and the first-fail filter-funnel ledger
     "cdc_distinct_refresh", "docs_cross_source_overlap",
     "cdc_join_refresh", "docs_filter_funnel",
-    # (r13: text_unigram_logprob — 4 greens, FAST-covered, and its
-    # held-out bigram sibling is in-gate below — yielded its slot to
-    # cdc_hll_refresh; emb_outliers, multimodal_features and
-    # text_char_entropy — 4 greens each, FAST-covered — yielded
-    # their slots to docs_weighted_sample, events_hll_overlap and
-    # docs_sampled_percentiles)
-    # NEW for r12 (the r11 verdict's top order, three times running):
-    # the three r9-new queries with ZERO driver greens in eleven
-    # rounds — docs_dedup_ingest (semantics changed in r10 empty-index
-    # bootstrap AND r11 frozen banding), the manifest IVM, and the
-    # per-user Markov transition matrix. Until the driver's own DuckDB
-    # has hashed these, their green rests on the local gate alone.
     "docs_dedup_ingest", "cdc_manifest_refresh",
     "events_transition_matrix",
-    # NEW in r13 (zero-green rows take slots ahead of
-    # rotation-complete ones): the r12-new quality survivorship and
-    # the three r13 queries — deterministic distinct sketches
-    # (HLL + KMV, operators/sketches.py) and the held-out bigram-LM
-    # scorer with live backoff
     "dedup_best_survivors", "events_hll_distinct",
     "events_kmv_distinct", "text_bigram_logprob",
-    # ...and the seventh IVM member: HLL register-view maintenance
-    # through the CDC merge (max-merge inserts / recompute on loss),
-    # published as the pure-integer register table; plus the
-    # deterministic Efraimidis-Spirakis token-weighted sampler and
-    # the sketch set-algebra overlap (inclusion-exclusion over
-    # register unions)
     "cdc_hll_refresh", "docs_weighted_sample", "events_hll_overlap",
-    # ...and deterministic hash-sampled percentiles (the quantile
-    # scale path with a hash-verifiable oracle)
     "docs_sampled_percentiles",
-    # NEW for r14 (the r13 verdict's top order): the six r13-born
-    # sketch queries with ZERO driver greens — the count-min triad
-    # (point estimates, exact heavy hitters via the lossless CMS
-    # prefilter, and the 8th IVM member's linear-sketch refresh),
-    # the windowed HLL, the zero-float KMV Jaccard, and the
-    # sketch-cube rollup. All six were local exact+pandas green in
-    # r13 AND independently re-verified by the r13 judge; the
-    # driver's DuckDB is still the contract.
     "text_cms_freq", "text_cms_heavy_hitters", "cdc_cms_refresh",
     "events_window_hll", "events_kmv_jaccard", "events_hll_rollup",
-    # NEW in r15 (zero-green rows take slots ahead of
-    # rotation-complete ones): the densification-bounded embedding
-    # near-dedup — the r14 verdict's top order (star-edge bucket cap
-    # extended from text LSH to the embedding bucket join; the oracle
-    # reproduces the cap deterministically)
-    "emb_near_dedup_capped",
-    # RE-SHAPED in r16 (the r15 verdict's top order): the headline
-    # capped near-pairs query now composes max_bucket_size=40 with
-    # the identical collapse, and its oracle reproduces the
-    # star/all-pairs split — a changed plan re-enters the gate per
-    # the standing invariant (2 prior greens, r5/r6, pre-reshape)
-    "sim_near_pairs_capped",
-    # r18 rotation (the r17 verdict's order #5): the six r17
-    # freshness entries (string_agg_owners, tolerance_check,
-    # cdc_stats, union_lock_candidates, latest_dataset,
-    # dataset_continuity) got exactly the green they re-entered for
-    # and rotate back out; the four not yet in the sf0.001 FAST
-    # pytest differential (string_agg_owners, union_lock_candidates,
-    # latest_dataset, dataset_continuity) were ADDED to it as
-    # compensating coverage. In their slots, the stalest standing
-    # driver greens re-enter: the multimodal/sampling block the
-    # verdict named — multimodal_ahash_groups (freshest green r7),
-    # multimodal_audio_bands (r8, the verdict's "audio_fft_bands"),
-    # docs_hash_sample (r8), docs_budget_sample (r6) — plus
-    # events_rollup (r6). The verdict's sixth name, events_cube, is
-    # actually FRESH (8 consecutive greens r8-r15, rotated out only
-    # in r16), so its slot goes to the stalest UNCOMPENSATED entry
-    # instead: sim_lsh_topk (freshest green r6, not in FAST).
-    "multimodal_ahash_groups", "multimodal_audio_bands",
-    "docs_hash_sample", "docs_budget_sample", "events_rollup",
-    "sim_lsh_topk",
-    # (r17 cap-default flip note: the 8 queries whose code changed in
-    # r17 — dedup_minhash_lsh, dedup_clusters, dedup_near_survivors,
-    # dedup_best_survivors, sim_near_pairs, emb_near_dedup,
-    # docs_split_leakage_safe, docs_contrastive_pairs — pin their
-    # previous semantics by EXPLICIT max_bucket_size argument, so
-    # their plans are bit-identical to the hashed oracles; all 8 were
-    # re-verified exact+pandas green at sf0.01 before the flip
-    # landed. dedup_best_survivors stays in-gate above, giving the
-    # family a driver-level green this round too.)
-    # RE-SHAPED in r16: the per-part average now aggregates the
-    # Brand#3-semi-joined lineitem instead of the whole table (same
-    # result by the inner-join restriction; kills the unbounded
-    # full-part-average broadcast that was the artifact's one
-    # persistent warm-rep instability). A changed plan re-enters the
-    # gate (2 prior greens, r4/r6, pre-reshape); events_cube — 8
-    # consecutive greens r8-r15, shape unchanged since r8, already
-    # FAST-covered — yields its slot.
+    # densification-cap family headliners (re-shaped r15/r16; their
+    # oracles reproduce the cap deterministically)
+    "emb_near_dedup_capped", "sim_near_pairs_capped",
+    # r19 rotation (the r18 verdict's order #2): the six r18
+    # freshness entries (multimodal_ahash_groups,
+    # multimodal_audio_bands, docs_hash_sample, docs_budget_sample,
+    # events_rollup, sim_lsh_topk) got the green they re-entered for
+    # and rotate back out (the four not yet in the sf0.001 FAST
+    # differential were added to it). In their slots the stalest
+    # standing cohort re-enters: the r6 analytics/events block with
+    # no driver green in 12 rounds — the hardest shape of each
+    # family: q2 (min-cost correlated join), q9 (multi-join profit
+    # rollup), q21 (exists/not-exists), events_asof (as-of join),
+    # events_interval_join (range join), events_anomaly (windowed
+    # z-score). The other eight stale entries (q7, q10, q12, q14,
+    # q20, events_running_total, events_funnel, events_pivot) were
+    # added to FAST_QUERIES as compensating coverage. All fourteen
+    # re-verified exact+pandas green at sf0.01 this round.
+    "q2_min_cost_supplier", "q9_profit_nation_year",
+    "q21_waiting_supplier", "events_asof", "events_interval_join",
+    "events_anomaly",
+    # re-shaped in r16 (brand-filtered per-part average); building
+    # greens under the new shape
     "q17_small_quantity",
-    # (r16 rotation out: dedup_minhash_lsh, dedup_simhash_pairs,
-    # dedup_survivors, docs_stratified_sample, docs_topk_quality —
-    # 11 driver greens each — and dedup_jaccard_prefix — 10 greens —
-    # ADDED to FAST_QUERIES this round as compensating coverage;
-    # text_redact_pii — 10 greens — was already FAST-covered.)
-    # (r15 rotation: emb_norm_stats — 7 driver greens, shape
-    # unchanged since r8, ADDED to FAST_QUERIES this round — yielded
-    # its slot to emb_near_dedup_capped above.)
-    # (r12 rotation: text_term_freq, text_tfidf, emb_quantize — 4
-    # driver greens each, freshest r5 — yielded their slots to the
-    # three zero-green rows above and joined the FAST_QUERIES sf0.001
-    # pytest differential as compensating coverage, alongside
-    # text_token_stats and dedup_exact which rotated out in r9.)
-    # (r13 rotation: dedup_simhash and q1_pricing_summary — 5 driver
-    # greens, already FAST-covered; q1 is additionally the entry()
-    # flagship the driver smokes every round — plus dedup_clusters
-    # and dedup_jaccard — 5 greens, ADDED to FAST_QUERIES this round
-    # — yielded their slots to the four r13-new rows above.)
-    # (r14 rotation: events_sliding_agg, events_value_winsorize,
-    # q18_large_orders, q3_shipping_priority, q5_local_supplier and
-    # q6_forecast_revenue — 6 driver greens each, shapes unchanged
-    # since r8 or earlier, ADDED to FAST_QUERIES this round —
-    # yielded their slots to the six zero-green r13 sketch rows
-    # above, per the r13 verdict's top order.)
     # --- 50-slot cutoff lands here. Deferred entries hold >=2
     # driver greens, stay covered by the sf0.001 FAST_QUERIES pytest
     # differential, and are green under the local check_oracle

@@ -74,6 +74,17 @@ FAST_QUERIES = [
     # listed above)
     "string_agg_owners", "union_lock_candidates", "latest_dataset",
     "dataset_continuity",
+    # rotated out of the driver top-50 in r19 (compensating coverage;
+    # multimodal_audio_bands and events_rollup, also rotated out,
+    # were already listed above)
+    "multimodal_ahash_groups", "docs_hash_sample",
+    "docs_budget_sample", "sim_lsh_topk",
+    # stale r6 analytics/events cohort NOT rotated into the r19
+    # driver gate (r18 verdict order #2: compensating coverage for
+    # the eight that stayed below the 50-slot cutoff)
+    "q7_volume_shipping", "q10_returned_items", "q12_ship_latency",
+    "q14_promo_revenue", "q20_dominant_supplier",
+    "events_running_total", "events_funnel", "events_pivot",
 ]
 
 
