@@ -28,22 +28,26 @@ from pyspark.sql import functions as F
 
 from linz_bde_uploader_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
 
-class _CapDefault:
+class CapDefault:
     """Sentinel type distinguishing "caller didn't choose a cap"
     (resolved to DEFAULT_MAX_BUCKET_SIZE, or to uncapped under
     n_probes > 1 where the cap cannot compose) from an explicit
     max_bucket_size=None opt-out into exact all-pairs semantics.
     A real class (not a bare ``object()``) so the parameter can be
-    HONESTLY annotated ``int | None | _CapDefault`` and
+    HONESTLY annotated ``int | None | CapDefault`` and
     help()/inspect show a named singleton instead of an opaque
     object — the r17 signature said ``int | None`` while defaulting
-    to the sentinel, a type fib flagged in round-17 review."""
+    to the sentinel, a type fib flagged in round-17 review. PUBLIC
+    (r18 advice): callers who forward the default — wrappers that
+    thread max_bucket_size through their own signature — need a
+    legal spelling for both the type and the ``CAP_DEFAULT`` value;
+    a leading-underscore name gave type-checking callers neither."""
 
     def __repr__(self) -> str:  # shown by help()/inspect.signature
         return f"<cap default: {DEFAULT_MAX_BUCKET_SIZE}>"
 
 
-_CAP_DEFAULT = _CapDefault()
+CAP_DEFAULT = CapDefault()
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -443,8 +447,8 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
                          n_planes: int = 4, dim: int = 64,
                          collapse_identical: bool = False,
                          n_probes: int = 1,
-                         max_bucket_size: int | None | _CapDefault
-                         = _CAP_DEFAULT,
+                         max_bucket_size: int | None | CapDefault
+                         = CAP_DEFAULT,
                          cache_buckets: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine_sim >=
     threshold), pruned by shared hyperplane bucket.
@@ -498,7 +502,7 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
     One row per vector; callers in long-lived sessions release via
     ``dedup.release_caches()``. Same knob, same reason, as
     ``lsh_candidate_pairs(cache_index=)``."""
-    if isinstance(max_bucket_size, _CapDefault):
+    if isinstance(max_bucket_size, CapDefault):
         # default-on guard (r16 verdict): an un-opinionated caller at
         # corpus scale must get the bounded form. Multi-probe is the
         # one mode the cap cannot compose with (per-bucket output

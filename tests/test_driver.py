@@ -966,10 +966,18 @@ def test_exception_path_releases_tracked_caches(spark, env):
     a long-lived session that catches the error and continues — the
     same leak class untrack() closes for the gz error-budget raise
     in read_crs."""
-    from linz_bde_uploader_spark.operators.dedup import _PERSISTED
+    from linz_bde_uploader_spark.operators.dedup import (
+        _PERSISTED,
+        release_caches,
+    )
 
     up, store, ledger = env
-    n_before = len(_PERSISTED)
+    # start from a clean tracker (r18 advice): a persist leaked by an
+    # earlier test would otherwise fail this test spuriously, and a
+    # before/after length equality could not tell "released this
+    # dataset's caches" from "released everything including theirs"
+    release_caches()
+    assert len(_PERSISTED) == 0
 
     def boom(*a, **k):
         raise RuntimeError("disk full")
@@ -979,4 +987,4 @@ def test_exception_path_releases_tracked_caches(spark, env):
         up.apply_updates(level0=True)
     # the staged-snapshot persist was tracked and then released by
     # the per-dataset finally — nothing outlives the failed dataset
-    assert len(_PERSISTED) == n_before
+    assert len(_PERSISTED) == 0
