@@ -957,6 +957,44 @@ def _steal_probe_median(n: int = 3, gap: float = 2.0) -> float | None:
     return sorted(vals)[len(vals) // 2]
 
 
+def _standing_detail() -> dict | None:
+    """The STANDING committed capture (BENCH_DETAIL.json at git HEAD)
+    — the artifact the same-regime adoption rule compares against.
+    HEAD, not the working tree: the adopted artifact is the committed
+    one; the on-disk file is whatever the last local attempt wrote.
+    Falls back to the on-disk file outside a git checkout."""
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    raw = None
+    try:
+        raw = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=30).stdout or None
+    except Exception:
+        raw = None
+    if raw is None:
+        try:
+            with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+                raw = f.read()
+        except OSError:
+            return None
+    try:
+        d = json.loads(raw)
+        return d if isinstance(d, dict) else None
+    except ValueError:
+        return None
+
+
+def _standing_run_steal() -> float | None:
+    """Run-long steal percentage of the standing committed capture."""
+    d = _standing_detail()
+    try:
+        v = d["loadavg"]["steal"]["run_pct_of_demand"]
+        return float(v) if v is not None else None
+    except (KeyError, TypeError):
+        return None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -1040,7 +1078,34 @@ def main():
         _t0p = time.monotonic()
         steal_pct = _steal_probe_median()
         steal_wait += 30 + int(time.monotonic() - _t0p)
+    # same-regime fallback (r19 — BASELINE.md "Bench adoption rule"):
+    # two full rounds of attempts (r17: 4, r18: 4) never met the <=5%
+    # line; the host's sustained regime is ~9-28% and the standing
+    # adopted capture itself rode 9.16%. A window NO WORSE than the
+    # standing capture's regime (probe <= standing run-long steal
+    # + 2.0 points) therefore proceeds as a LIKE-FOR-LIKE candidate
+    # with explicit paired provenance, instead of refusing and
+    # leaving the round artifact-less; adjudication then requires the
+    # capture's own run-long steal to stay in-band and the
+    # shared-query total vs the standing capture to stay <= 1.05x
+    # (both recorded in the artifact as same_regime_adoption).
+    # Windows worse than the standing regime still refuse — the rule
+    # replaces "no artifact" with "honestly-paired artifact", never
+    # "quiet" with "stolen".
+    same_regime = None
     if steal_pct is not None and steal_pct > 5.0 and not forced:
+        _standing = _standing_run_steal()
+        if _standing is not None and steal_pct <= _standing + 2.0:
+            same_regime = {"standing_run_pct": _standing,
+                           "probe_pct": steal_pct}
+            print(f"# SAME-REGIME window accepted: probe "
+                  f"{steal_pct:.2f}% vs standing capture "
+                  f"{_standing:.2f}% run-long steal (band +2.0) — "
+                  "proceeding as like-for-like candidate "
+                  "(BASELINE.md r19 adoption rule b).",
+                  file=sys.stderr)
+    if (steal_pct is not None and steal_pct > 5.0 and not forced
+            and same_regime is None):
         print(json.dumps({
             "metric": "headline_queries_total_runtime",
             "value": None, "unit": "sec", "queries": {}, "sf": sf,
@@ -1052,10 +1117,13 @@ def main():
         }))
         print(f"# REFUSED: {steal_pct:.1f}% of demanded CPU stolen by "
               f"the hypervisor after {steal_wait}s wait (quiet "
-              "windows measure ~0.1%) — loadavg cannot see this mode "
-              "and a headline recorded now would inflate every query "
-              "(BASELINE.md r16). Set SPARK_GRAFT_BENCH_FORCE=1 to "
-              "override.", file=sys.stderr)
+              "windows measure ~0.1%, and the window is worse than "
+              "the standing capture's regime so the same-regime "
+              "adoption rule cannot fire either) — loadavg cannot "
+              "see this mode and a headline recorded now would "
+              "inflate every query (BASELINE.md r16/r19). Set "
+              "SPARK_GRAFT_BENCH_FORCE=1 to override.",
+              file=sys.stderr)
         sys.exit(3)
     # the steal wait can run ~13 min after the loadavg gate passed —
     # re-check the local load it may have gone stale against, and
@@ -1396,6 +1464,43 @@ def main():
     # theft provenance must survive without BENCH_DETAIL.json
     if run_steal is not None:
         out["run_steal_pct"] = run_steal
+    if same_regime is not None:
+        # rule-b adjudication record: the capture is ADOPTABLE as a
+        # like-for-like replacement of the standing artifact iff its
+        # own run-long steal stayed in the standing regime's band
+        # (the probe only cleared the ENTRY; a tenant arriving
+        # mid-run voids the likeness) and the shared-query total is
+        # <= 1.05x the standing capture's. Both halves land here so
+        # adoption is a read, not a re-derivation.
+        adj = dict(same_regime)
+        adj["run_steal_pct"] = run_steal
+        adj["in_band"] = bool(
+            run_steal is not None
+            and run_steal <= adj["standing_run_pct"] + 2.0)
+        _sd = _standing_detail()
+        standing_q = _sd.get("queries") if isinstance(_sd, dict) else None
+        if isinstance(standing_q, dict):
+            sh = [n for n in times
+                  if isinstance(standing_q.get(n), (int, float))
+                  and standing_q[n]]
+            now_t = sum(times[n] for n in sh)
+            std_t = sum(standing_q[n] for n in sh)
+            adj["shared_queries_vs_standing"] = len(sh)
+            adj["shared_total"] = round(now_t, 3)
+            adj["standing_total"] = round(std_t, 3)
+            adj["shared_ratio_vs_standing"] = (
+                round(now_t / std_t, 3) if std_t else None)
+            adj["ratio_ok"] = bool(std_t and now_t / std_t <= 1.05)
+        else:
+            adj["ratio_ok"] = False
+        adj["adoptable"] = bool(adj["in_band"] and adj.get("ratio_ok"))
+        detail["same_regime_adoption"] = adj
+        out["same_regime"] = {
+            k: adj.get(k) for k in
+            ("standing_run_pct", "probe_pct", "run_steal_pct",
+             "shared_ratio_vs_standing", "adoptable")}
+        print("# same_regime_adoption: " + json.dumps(adj),
+              file=sys.stderr)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

@@ -290,3 +290,47 @@ def test_gate_survives_probe_inflated_loadavg_after_steal_wait(
     monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
     with pytest.raises(_Started):
         bench.main()  # reached get_spark: the decayed load recorded
+
+
+def test_gate_same_regime_window_proceeds(monkeypatch, capsys):
+    """r19 adoption rule (b): after the wait budget fails to find a
+    <=5% window, a probe no worse than the standing committed
+    capture's run-long steal + 2.0 proceeds as a like-for-like
+    candidate instead of refusing (BASELINE.md "Bench adoption
+    rule")."""
+    import bench
+
+    monkeypatch.setattr(bench, "_standing_run_steal", lambda: 9.16)
+    code, _ = _run_gate(monkeypatch, capsys, (0.4, 0.4, 0.4),
+                        steal=9.5)
+    assert code is None  # reached get_spark
+    err = capsys.readouterr().err
+    assert "SAME-REGIME window accepted" in err
+
+
+def test_gate_worse_than_regime_still_refuses(monkeypatch, capsys):
+    """Rule (b) replaces "no artifact" with "honestly-paired
+    artifact", never "quiet" with "stolen": a window worse than the
+    standing regime's band must refuse exactly as before."""
+    import bench
+
+    monkeypatch.setattr(bench, "_standing_run_steal", lambda: 9.16)
+    code, artifact = _run_gate(monkeypatch, capsys, (0.4, 0.4, 0.4),
+                               steal=12.0)
+    assert code == 3
+    assert artifact["refused_stolen_host"] is True
+    assert artifact["steal_pct"] == 12.0
+
+
+def test_gate_same_regime_needs_a_standing_capture(monkeypatch,
+                                                   capsys):
+    """No committed standing capture (or one without run-long steal
+    provenance) = no regime to match: the gate must refuse a >5%
+    window rather than invent a band."""
+    import bench
+
+    monkeypatch.setattr(bench, "_standing_run_steal", lambda: None)
+    code, artifact = _run_gate(monkeypatch, capsys, (0.4, 0.4, 0.4),
+                               steal=9.5)
+    assert code == 3
+    assert artifact["refused_stolen_host"] is True
