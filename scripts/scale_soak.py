@@ -297,6 +297,84 @@ def run_density_soak(reps_small: int, reps_big: int) -> None:
     print(json.dumps({"density_cap_soak": out}))
 
 
+def run_density_f100(reps_small: int, reps_big: int) -> None:
+    """r18 verdict order #5: ONE 100x-shaped point for the CAPPED
+    pair-generation family — the operators the r17 cap-default flip
+    protects (``lsh_candidate_pairs(max_bucket_size=)`` and
+    ``embedding_near_pairs(max_bucket_size=)``). The standing
+    density_cap_soak tops out at 10x; this builds documents +
+    embeddings at factor=100 (500k docs / 200k vectors, fresh draws
+    from the sf0.1 empirical distributions — same generator as the
+    10x soak data) and times the two capped queries at sf0.1 and at
+    f100. Done-bar: capped wall ratio <= data ratio (100).
+
+    The UNCAPPED branches are DELIBERATELY OMITTED at this scale —
+    not a silent cap: the 10x point already measured their quadratic
+    blow-up (emb 16.8x wall / 89.9x output pairs, SCALE_SOAK
+    density_cap_soak), and at 100x the uncapped all-pairs form IS
+    the scale-killer the guard exists to prevent (projected
+    ~10^4x output growth); running it would measure the bug, not the
+    bound. The omission and its reason are recorded in the block
+    itself (``uncapped_omitted``). Merges into SCALE_SOAK.json under
+    ``density_cap_soak["f100"]``."""
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    import bench
+    from make_scale_data import build
+    from linz_bde_uploader_spark.plans.pipeline_suite import (
+        PIPELINE_QUERIES,
+    )
+    from linz_bde_uploader_spark.session import get_spark
+
+    f100_dir = os.path.join(REPO, ".scale_data", "cap_f100")
+    build(f100_dir, factor=100, tables=("documents", "embeddings"))
+
+    spark = get_spark("scale_soak_density_f100")
+    out = {
+        "recorded_utc": datetime.datetime.now(
+            datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "data_ratio": 100.0,
+        "f100_dir": f100_dir,
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "steal_probe_pct": bench._steal_probe_median(),
+        "uncapped_omitted": (
+            "uncapped all-pairs at 100x is the measured quadratic "
+            "scale-killer the cap prevents (10x point: emb 16.8x "
+            "wall / 89.9x pairs) — running it measures the bug, not "
+            "the bound; the 10x A/B above stays the blow-up record"),
+        "queries": {},
+    }
+    for name in ("emb_near_dedup_capped", "dedup_lsh_capped"):
+        fn = PIPELINE_QUERIES[name][0]
+        try:
+            t_small, n_small = _time_query(fn, spark, SMALL, reps_small)
+            t_big, n_big = _time_query(fn, spark, f100_dir, reps_big)
+            out["queries"][name] = {
+                "sf0.1_sec": round(t_small, 3),
+                "f100_sec": round(t_big, 3),
+                "time_ratio": round(t_big / t_small, 2),
+                "rows_small": n_small, "rows_big": n_big,
+                "at_or_under_data_ratio": bool(
+                    t_big / t_small <= 100.0),
+            }
+        except Exception as e:  # noqa: BLE001
+            out["queries"][name] = {
+                "error": str(e).splitlines()[0][:300]}
+        print(f"# {name}: {json.dumps(out['queries'][name])}",
+              file=sys.stderr, flush=True)
+        bench.release_caches()
+    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    path = os.path.join(REPO, "SCALE_SOAK.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        doc = {}
+    doc.setdefault("density_cap_soak", {})["f100"] = out
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"density_cap_soak.f100": out}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps-small", type=int, default=3)
@@ -314,7 +392,15 @@ def main() -> None:
                          "(capped vs uncapped embedding near-dedup "
                          "at sf0.1 vs sf1) and merge into "
                          "SCALE_SOAK.json")
+    ap.add_argument("--density-f100", action="store_true",
+                    help="run only the 100x capped-pair-generation "
+                         "point (builds documents+embeddings at "
+                         "factor=100) and merge into SCALE_SOAK.json "
+                         "under density_cap_soak.f100")
     args = ap.parse_args()
+    if args.density_f100:
+        run_density_f100(args.reps_small, args.reps_big)
+        return
     if args.density:
         run_density_soak(args.reps_small, args.reps_big)
         return
