@@ -958,20 +958,40 @@ def _steal_probe_median(n: int = 3, gap: float = 2.0) -> float | None:
 
 
 def _standing_detail() -> dict | None:
-    """The STANDING committed capture (BENCH_DETAIL.json at git HEAD)
-    — the artifact the same-regime adoption rule compares against.
-    HEAD, not the working tree: the adopted artifact is the committed
-    one; the on-disk file is whatever the last local attempt wrote.
-    Falls back to the on-disk file outside a git checkout."""
+    """The STANDING ADOPTED capture — the artifact the same-regime
+    adoption rule compares against. Resolved through the committed
+    pointer ``BENCH_STANDING.json`` (``git show
+    <pointer.commit>:BENCH_DETAIL.json``), NOT through HEAD: the
+    driver's round-end commit overwrites BENCH_DETAIL.json with
+    whatever its own run produced — including refused/noisy captures
+    (r18 committed a 27.84%-steal one) — so HEAD is the *latest*
+    capture, not the *adopted* one. Banding rule (b) against a noisy
+    HEAD would admit equally-noisy windows, the exact "quiet →
+    stolen" substitution the rule forbids. Falls back to
+    HEAD:BENCH_DETAIL.json (pre-pointer checkouts), then to the
+    on-disk file (outside a git checkout)."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def _git_show(ref: str) -> str | None:
+        try:
+            return subprocess.run(
+                ["git", "-C", here, "show", ref],
+                capture_output=True, text=True, timeout=30
+            ).stdout or None
+        except Exception:
+            return None
+
     raw = None
     try:
-        raw = subprocess.run(
-            ["git", "-C", here, "show", "HEAD:BENCH_DETAIL.json"],
-            capture_output=True, text=True, timeout=30).stdout or None
-    except Exception:
-        raw = None
+        with open(os.path.join(here, "BENCH_STANDING.json")) as f:
+            ptr = json.load(f)
+        if isinstance(ptr, dict) and ptr.get("commit"):
+            raw = _git_show(f"{ptr['commit']}:BENCH_DETAIL.json")
+    except (OSError, ValueError):
+        pass
+    if raw is None:
+        raw = _git_show("HEAD:BENCH_DETAIL.json")
     if raw is None:
         try:
             with open(os.path.join(here, "BENCH_DETAIL.json")) as f:

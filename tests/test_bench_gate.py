@@ -334,3 +334,29 @@ def test_gate_same_regime_needs_a_standing_capture(monkeypatch,
                                steal=9.5)
     assert code == 3
     assert artifact["refused_stolen_host"] is True
+
+
+def test_standing_capture_resolves_through_pointer():
+    """The standing capture rule (b) bands against is the ADOPTED
+    one named by BENCH_STANDING.json, not HEAD:BENCH_DETAIL.json —
+    the driver's round-end commit overwrites the latter with its own
+    run's capture even when that capture was noisy (r18 committed a
+    27.84%-steal one; banding against it would admit equally-noisy
+    windows)."""
+    import os
+    import subprocess
+
+    import bench
+
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    with open(os.path.join(repo, "BENCH_STANDING.json")) as f:
+        ptr = json.load(f)
+    pointed = json.loads(subprocess.run(
+        ["git", "-C", repo, "show",
+         f"{ptr['commit']}:BENCH_DETAIL.json"],
+        capture_output=True, text=True, check=True).stdout)
+    want = pointed["loadavg"]["steal"]["run_pct_of_demand"]
+    assert bench._standing_run_steal() == want
+    # the pointer's summary fields must agree with the capture they
+    # point at — a stale pointer edit would silently move the band
+    assert ptr["run_steal_pct"] == want
