@@ -517,36 +517,48 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Iterative min-label propagation: each round every node takes the
     minimum label among itself and its neighbors; converges in
     O(graph diameter) rounds (dup clusters are tiny — diameter is
-    single digits). Each round is one shuffle join + aggregate;
-    ``localCheckpoint`` truncates the growing lineage so round N's
-    plan doesn't replay rounds 1..N-1. The driver loop only checks a
-    scalar per round — the data never leaves the cluster.
+    single digits). ``localCheckpoint`` truncates the growing lineage
+    so round N's plan doesn't replay rounds 1..N-1. The driver loop
+    only checks a scalar per round — the data never leaves the
+    cluster.
+
+    Two r19 shuffle cuts, exact at any scale:
+    - ROUND 1 IS AN AGGREGATE, not a join: with identity labels,
+      a neighbor's label IS its id, so min(self, neighbors) is one
+      groupBy over the symmetric edge list — the edges-with-labels
+      join (and the separate distinct-nodes init shuffle it fed)
+      only becomes necessary from round 2 on. Pair-shaped dup
+      clusters (the overwhelming case) therefore converge with ONE
+      joined round instead of two.
+    - Each remaining round is union + ONE aggregate (own labels
+      unioned with neighbor labels, min per node) instead of
+      join -> aggregate -> join-back: one exchange fewer per round,
+      and the convergence flag falls out of the same aggregate
+      (old label = the own-branch min) rather than a join back to
+      the previous labels.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.distinct().localCheckpoint()
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_nmin"))
+        .select("id", F.least(F.col("id"), F.col("_nmin")).alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        neighbor_min = (
+    for _ in range(max_iter - 1):
+        nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src").agg(F.min("label").alias("nmin"))
+            .select(edges["src"].alias("id"), F.col("label"),
+                    F.lit(False).alias("own"))
         )
-        # convergence flag computed IN the update pass: a separate
-        # old-vs-new join per round would re-shuffle both label sets
-        # just to answer a boolean (measured ~30% of round cost)
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(labels["id"].alias("id"),
-                    F.least(labels["label"],
-                            F.coalesce(F.col("nmin"), labels["label"]))
-                    .alias("label"),
-                    (F.coalesce(F.col("nmin"), labels["label"])
-                     < labels["label"]).alias("chg"))
+            labels.withColumn("own", F.lit(True)).unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"),
+                 F.min(F.when(F.col("own"), F.col("label"))).alias("_old"))
+            .select("id", "label",
+                    (F.col("label") < F.col("_old")).alias("chg"))
             .localCheckpoint()
         )
         changed = new_labels.filter("chg").limit(1).count()
