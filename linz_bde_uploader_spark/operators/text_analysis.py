@@ -43,12 +43,11 @@ def quality(docs: DataFrame, text_col: str = "text",
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Stopword-profile language ID: score each language by its
-    stopword hit count; predict the arg-max (ties broken by language
-    code order), 'und' (undetermined) when no list scores > 0."""
-    t = F.col(text_col)
+def language_pred(t: F.Column) -> F.Column:
+    """The language-ID prediction as a pure column expression (see
+    ``language_id``) — exposed so pipelines that also project other
+    per-doc columns can compute it in the SAME scan instead of
+    joining the ``language_id`` relation back by doc id."""
     scores = [(lang, stopword_count(t, words))
               for lang, words in sorted(LANG_STOPWORDS.items())]
     best = F.greatest(*[s for _, s in scores])
@@ -57,8 +56,16 @@ def language_id(docs: DataFrame, text_col: str = "text",
     for lang, s in scores:
         cond = (s == best) & (best > 0)
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    pred = expr.otherwise(F.lit("und"))
-    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+    return expr.otherwise(F.lit("und"))
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID: score each language by its
+    stopword hit count; predict the arg-max (ties broken by language
+    code order), 'und' (undetermined) when no list scores > 0."""
+    return docs.select(F.col(id_col),
+                       language_pred(F.col(text_col)).alias("pred_lang"))
 
 
 def term_frequencies(docs: DataFrame, text_col: str = "text",

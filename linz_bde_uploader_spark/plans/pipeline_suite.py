@@ -1661,15 +1661,22 @@ def q_pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep english docs with quality >= 0.5 -> exact dedup -> one row
     per surviving canonical document (doc_id, quality, n_copies).
 
-    Scale shape: the two per-doc scoring passes are pure projections
-    (one scan, codegen); the dedup groupBy shuffles 16-byte hashes of
-    only the filtered survivors; the final join broadcasts the small
-    canonical set. This is the pipeline a 100 TB corpus prep would
-    run, with filters BEFORE the dedup shuffle."""
+    Scale shape: BOTH per-doc scores are computed as column
+    expressions in ONE scan projection (r19: the earlier form joined
+    the quality and language relations back onto the corpus by
+    doc_id — two corpus-grain shuffle joins and three scans for what
+    a single select expresses; plan went 2 joins -> 0 before the
+    dedup stage). The dedup groupBy then shuffles 16-byte hashes of
+    only the filtered survivors, and the final join broadcasts the
+    small canonical set. This is the pipeline a 100 TB corpus prep
+    would run, with filters BEFORE the dedup shuffle."""
+    from linz_bde_uploader_spark.functions.text import quality_score
+
     corpus = _dup_corpus(spark, sf_dir)
-    q = TA.quality(corpus)
-    lang = TA.language_id(corpus)
-    meta = corpus.join(q, "doc_id").join(lang, "doc_id")
+    meta = corpus.select(
+        "doc_id", "text",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        TA.language_pred(F.col("text")).alias("pred_lang"))
     good = meta.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
     dedup = D.exact_duplicates(good)
     kept = good.join(
