@@ -406,11 +406,16 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
                 .otherwise(F.lit("new")).alias("verdict"),
                 F.coalesce("exact_of", "near_of").alias("dup_of"))
             .persist())
-        verdicts.count()
+        # one aggregate both MATERIALIZES the persisted verdicts and
+        # yields n_new — the former count() + filtered-count() pair
+        # scanned the verdict relation twice for the same information
+        # (two actions, two passes over every batch at scale)
+        n_new = {r["verdict"]: r["n"] for r in
+                 verdicts.groupBy("verdict").agg(F.count("*").alias("n"))
+                 .collect()}.get("new", 0)
 
         new_ids = verdicts.filter(F.col("verdict") == "new") \
             .select("id")
-        n_new = new_ids.count()
         if n_new:
             # BANDS delta commits FIRST, then SIGS, then CONTENT —
             # the crash-window ordering that fails CONSERVATIVE. A

@@ -4153,7 +4153,16 @@ def q_docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = F.size(F.filter(
         F.split(F.trim(F.lower("text")), r"\s+"),
         lambda w: w.isin("the", "a", "of", "and", "to")))
-    ff = (docs.select(
+    # persisted: the flag projection is the plan's expensive stage
+    # (five higher-order-function rules over every doc — interpreted,
+    # not codegen) and BOTH the canonical-hash aggregate and the
+    # attribution join consume it; unpersisted, Catalyst executed the
+    # rule scan twice (r19; one 3-column row per doc, released by the
+    # harnesses via release_caches)
+    from pyspark import StorageLevel
+
+    from linz_bde_uploader_spark.operators.dedup import _track
+    ff = _track((docs.select(
         "doc_id", F.md5("text").alias("h"),
         F.when(~((n >= 20) & (n <= 10000)), F.lit(1))
         .when(~((sumlen >= 3 * n) & (sumlen <= 10 * n)), F.lit(2))
@@ -4162,6 +4171,7 @@ def q_docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~(sw >= 2), F.lit(5))
         .when(~F.col("lang").eqNullSafe(F.lit("en")), F.lit(6))
         .otherwise(F.lit(0)).alias("stage_fail")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     canon = (ff.filter(F.col("stage_fail") == 0)
              .groupBy("h").agg(F.min("doc_id").alias("cid")))
     attr = (ff.join(canon, "h", "left")
