@@ -663,6 +663,13 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     if cache_shingles:
         sh = _track(sh.cache())
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    if cache_shingles:
+        # both denominator joins (sa/sb) broadcast this aggregate and
+        # Catalyst builds it per branch; one row per doc, so the
+        # persist is bounded and saves a full pass over the (cached)
+        # shingle stream (r19 A/B)
+        from pyspark import StorageLevel
+        sizes = _track(sizes.persist(StorageLevel.MEMORY_AND_DISK))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))

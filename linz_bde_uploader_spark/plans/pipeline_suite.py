@@ -191,6 +191,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-word shingles). Explicitly UNCAPPED (the oracle reproduces the
     exact all-pairs bucket join; the operator default is now the
     star-edge cap — DEFAULT_MAX_BUCKET_SIZE)."""
+    # NO cache_index here (r19 A/B): within one plan ReuseExchange
+    # already dedups the identical self-join subtrees, so the persist
+    # measured as pure overhead (1.08x min) — the knob only pays when
+    # the pair subtree feeds MULTIPLE actions (docs_contrastive_pairs)
     return D.lsh_candidate_pairs(_dup_corpus(spark, sf_dir),
                                  num_perm=16, bands=4, shingle_words=3,
                                  max_bucket_size=None)
@@ -1321,9 +1325,13 @@ def q_sim_near_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.when(F.col("vec_id") % 29 == 0, F.col("_v0"))
          .otherwise(F.col("embedding")).alias("embedding"))
+    # cache_buckets: the capped plan reads the (id, v, bucket, stats)
+    # relation in four branches (both small-bucket join sides, hubs,
+    # members) — without the persist the scan + bucket aggregate
+    # re-executes per branch (r19 A/B; released per rep)
     return S.embedding_near_pairs(corpus, threshold=0.4, n_planes=4,
                                   dim=64, collapse_identical=True,
-                                  max_bucket_size=40)
+                                  max_bucket_size=40, cache_buckets=True)
 
 
 SQL_SIM_NEAR_PAIRS_CAPPED = f"""
@@ -1447,7 +1455,8 @@ def q_emb_near_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.col("embedding").cast("array<double>"))
          .alias("embedding"))
     pairs = S.embedding_near_pairs(corpus, threshold=0.4, n_planes=4,
-                                   dim=64, max_bucket_size=40) \
+                                   dim=64, max_bucket_size=40,
+                                   cache_buckets=True) \
         .select("id_a", "id_b")
     clusters = D.duplicate_clusters(pairs)
     return (
@@ -1801,8 +1810,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify). 64-bit fingerprints, 4 bands -> 16-bit segments: 2^16
     bucket values per band, so the bucket self-join stays sparse at
     corpus scale (8-bit segments cap at 256 buckets -> ~O(n²/256))."""
+    # cache_fp: the banded self-join consumes the (id, simhash)
+    # relation on both sides, and the 64-column vote aggregate behind
+    # it is the plan's most expensive stage — without the persist it
+    # executes once per side (r19 A/B)
     pairs = D.simhash_near_pairs(_dup_corpus(spark, sf_dir),
-                                 bits=64, bands=4, max_hamming=3)
+                                 bits=64, bands=4, max_hamming=3,
+                                 cache_fp=True)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
@@ -3156,7 +3170,8 @@ def q_docs_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate (which verify_pairs_jaccard persists internally) — an
     # A/B at sf0.1 measured no win from persisting pairs here.
     pairs = D.lsh_candidate_pairs(corpus, num_perm=16, bands=4,
-                                  shingle_words=3, max_bucket_size=None)
+                                  shingle_words=3, max_bucket_size=None,
+                                  cache_index=True)
     pos = D.verify_pairs_jaccard(corpus, pairs, shingle_words=3,
                                  threshold=0.5).select("id_a", "id_b")
     clusters = D.duplicate_clusters(pairs)
