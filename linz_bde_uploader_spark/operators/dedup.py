@@ -483,13 +483,19 @@ def verify_pairs_jaccard(docs: DataFrame, pairs: DataFrame,
 
     Cost shape at scale: the shingle-set aggregate is one shuffle of
     the corpus, the pair join touches only |candidates| rows — never
-    the all-pairs blow-up the candidate stage exists to avoid."""
+    the all-pairs blow-up the candidate stage exists to avoid.
+
+    The shingle stream arrives NON-distinct (r19): ``collect_set``
+    dedups inside the one aggregate anyway, and the distinct size is
+    ``size(hs)`` — the former ``distinct=True`` + ``count(*)`` form
+    paid a second full exchange of the corpus-sized shingle stream
+    for information the set already carries."""
     from pyspark import StorageLevel
 
     sh = _shingle_hashes(docs, text_col, id_col, shingle_words,
-                         portable=portable)
-    sets = sh.groupBy("id").agg(F.collect_set("h").alias("hs"),
-                                F.count("*").alias("n"))
+                         distinct=False, portable=portable)
+    sets = (sh.groupBy("id").agg(F.collect_set("h").alias("hs"))
+            .select("id", "hs", F.size("hs").alias("n")))
     if cache_sets:
         # both join sides consume the aggregate and Catalyst does not
         # reuse the exchange between them (the prefix-Jaccard lesson);

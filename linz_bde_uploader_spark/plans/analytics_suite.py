@@ -1797,7 +1797,9 @@ def q_events_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("type_a") < F.col("type_b"))
              .groupBy("type_a", "type_b")
              .agg(F.count("*").alias("n_inter")))
-    sizes = ev.distinct().groupBy("event_type").agg(
+    # sizes reuses the ex_users subtree (same canonical distinct ->
+    # one exchange via ReuseExchange) instead of a third ev.distinct()
+    sizes = ex_users.groupBy("event_type").agg(
         F.count("*").alias("n"))
     sa = sizes.select(F.col("event_type").alias("type_a"),
                       F.col("n").alias("n_a"))

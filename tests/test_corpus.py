@@ -195,6 +195,47 @@ def test_verify_pairs_matches_ground_truth_jaccard(spark):
     assert got == truth and truth  # same pairs, same scores, non-empty
 
 
+def test_verify_sets_n_is_distinct_count_under_repeats(spark):
+    """The r19 verify rewrite feeds collect_set a NON-distinct shingle
+    stream and derives n = size(hs): on docs whose text REPEATS
+    shingles (the case the old distinct shuffle existed for), the
+    jaccard denominator must still use the DISTINCT shingle counts —
+    pinned against an inline set-based reference."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import dedup as D
+
+    rows = [
+        # doc 1: 'a b c' repeated -> distinct shingle set is tiny
+        (1, "a b c a b c a b c a b c"),
+        (2, "a b c a b c x y z"),
+        (3, "p q r s t u"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    ids = docs.select(F.col("doc_id").alias("id"))
+    all_pairs = (
+        ids.alias("a").join(ids.alias("b"),
+                            F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           D.verify_pairs_jaccard(docs, all_pairs, shingle_words=3,
+                                  threshold=0.0).collect()}
+
+    def shingles(text):
+        w = text.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    ref = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            sa, sb = shingles(ta), shingles(tb)
+            ref[(ia, ib)] = len(sa & sb) / len(sa | sb)
+    assert set(got) == set(ref)
+    for k, v in ref.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+    assert got[(1, 2)] > 0  # repeated-shingle doc still scores right
+
+
 def test_paragraph_dedup_drops_cross_doc_repeats(spark):
     """Synthetic exact-dup docs reassemble EMPTY (all their segments
     occurred first in the source doc); originals keep all segments."""
