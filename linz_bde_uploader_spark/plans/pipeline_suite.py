@@ -3264,13 +3264,21 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     approx = S.lsh_bucketed_topk(emb, queries, k=3, n_planes=4, dim=64) \
         .select("query_id", "neighbor_id")
-    hits = (exact.join(approx, ["query_id", "neighbor_id"])
-            .groupBy("query_id").agg(F.count("*").alias("n_hit")))
-    den = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    # One pass over the exact ranking: LEFT-join the approx set (both
+    # relations are rank-deduped, so the join matches 0/1 rows) and
+    # fold numerator and denominator into a single aggregate. The
+    # former hits-join + separate den-aggregate shape instantiated the
+    # brute-force cosine subtree TWICE (no exchange reuse across the
+    # join/aggregate split — plans/r19/sim_recall_report_before.txt
+    # shows two BroadcastNestedLoopJoin scans); n_hit = count of the
+    # match marker is exactly the old inner-join count with its
+    # coalesce-to-0 for queries with no approx overlap.
+    marked = approx.withColumn("_m", F.lit(1))
     return (
-        den.join(hits, "query_id", "left")
-        .select("query_id", "n_exact",
-                F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"))
+        exact.join(marked, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"),
+             F.count("_m").alias("n_hit"))
         .withColumn("recall_permille", F.expr("n_hit * 1000 DIV n_exact"))
     )
 
