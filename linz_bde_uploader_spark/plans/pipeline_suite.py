@@ -2247,11 +2247,18 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(bucket >= 50)
     bsh = D._shingle_hashes(bench, "text", "doc_id", 8) \
         .select("h").distinct()
-    csh = D._shingle_hashes(corpus, "text", "doc_id", 8)
+    # corpus side arrives NON-distinct: the broadcast join filters
+    # map-side to the contaminated shingles first, and countDistinct
+    # collapses repeats per (doc, h) afterwards — identical to
+    # count(*) over the distinct-(id, h) stream, but the shuffle
+    # carries only the matched slice instead of every corpus shingle
+    # (the former distinct was a corpus-wide exchange ahead of a
+    # broadcast join that needed no co-partitioning at all).
+    csh = D._shingle_hashes(corpus, "text", "doc_id", 8, distinct=False)
     return (
         csh.join(F.broadcast(bsh), "h")
         .groupBy(F.col("id").alias("doc_id"))
-        .agg(F.count("*").alias("n_contaminated_ngrams"))
+        .agg(F.countDistinct("h").alias("n_contaminated_ngrams"))
     )
 
 
@@ -2877,13 +2884,23 @@ def q_docs_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.col("doc_id") % 1000000007) * 2654435761 % 1000
     bench = docs.filter(bucket < 50)
     corpus = docs.filter(bucket >= 50)
-    bsh = D._shingle_hashes(bench, "text", "doc_id", 8).select("h").distinct()
+    # bench side skips the distinct: bit_or is idempotent, so the
+    # bitmap over the raw shingle stream is bit-identical and the
+    # dedup exchange ahead of the aggregate bought nothing (the
+    # bit_or partial combine already collapses each partition to
+    # <= n_bits/32 rows before the shuffle).
+    bsh = D._shingle_hashes(bench, "text", "doc_id", 8,
+                            distinct=False).select("h")
     bloom = D.bloom_bitmap(bsh, "h", n_bits=1 << 16, n_hashes=3)
-    csh = D._shingle_hashes(corpus, "text", "doc_id", 8)
+    # corpus side NON-distinct for the same reason as
+    # dedup_decontaminate: the probe is a map-side broadcast-bitmap
+    # scan, so dedup AFTER it (countDistinct per doc over the flagged
+    # slice) shuffles only the hits, not every corpus shingle.
+    csh = D._shingle_hashes(corpus, "text", "doc_id", 8, distinct=False)
     flagged = D.bloom_probe(csh, bloom, "h", n_bits=1 << 16, n_hashes=3)
     return (
         flagged.groupBy(F.col("id").alias("doc_id"))
-        .agg(F.count("*").alias("n_flagged_ngrams"))
+        .agg(F.countDistinct("h").alias("n_flagged_ngrams"))
     )
 
 
