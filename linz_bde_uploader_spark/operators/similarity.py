@@ -216,24 +216,38 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     last-ulp cosine difference between engines would otherwise flip a
     cell membership (and, in k-means, every downstream mean).
 
-    The single window here is cardinality-safe (unlike the per-query
-    ranks, which use the salted two-phase form): it partitions by the
-    VECTOR id — every corpus row its own group — and each group holds
-    exactly n_centroids candidate rows, so no task ever aggregates
-    more than the (tiny, broadcast) centroid count."""
-    cents = F.broadcast(centroids.select(
-        F.col("cent_id"), F.col("cv").alias("_cent_v")))
-    sim = cosine(F.col(vec_col), F.col("_cent_v"))
-    if sim_round is not None:
-        sim = F.round(sim, sim_round)
-    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cent_id"))
+    The argmax is a per-row ARRAY expression, not a window: the
+    centroid table collapses to a one-row broadcast array, each
+    vector scores it in place, and sort_array(desc)+slice keeps the
+    nprobe best. The earlier per-id window formulation was NOT
+    shuffle-free — Window.partitionBy(id) re-exchanged n_centroids
+    exploded copies of every vector (8x the corpus, each row carrying
+    the full embedding) just to rank 8 candidate rows that were
+    already co-located on the row that generated them. Ordering
+    semantics are bit-identical: struct(csim, -cent_id) descending =
+    (csim DESC, cent_id ASC) with the same NaN-first / NULL-last
+    placement as the window's DESC order."""
+    cent_arr = F.broadcast(centroids.agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("cent_id"), F.col("cv")))).alias("_cents")))
+
+    def scored(c):
+        sim = cosine(F.col(vec_col), c["cv"])
+        if sim_round is not None:
+            sim = F.round(sim, sim_round)
+        return F.struct(sim.alias("csim"),
+                        (-c["cent_id"]).alias("_nck"),
+                        c["cent_id"].alias("cent_id"))
+
+    top = F.slice(F.sort_array(F.transform(F.col("_cents"), scored),
+                               asc=False), 1, nprobe)
     return (
-        vectors.crossJoin(cents)
-        .withColumn("csim", sim)
-        .withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= nprobe)
+        vectors.crossJoin(cent_arr)
         .select(F.col(id_col), F.col(vec_col),
-                F.col("cent_id").alias("cell"), F.col("cell_rank"))
+                F.posexplode(top).alias("_pos", "_s"))
+        .select(F.col(id_col), F.col(vec_col),
+                F.col("_s.cent_id").alias("cell"),
+                (F.col("_pos") + 1).alias("cell_rank"))
     )
 
 
@@ -645,7 +659,8 @@ def _sq_l2(a: Column, b: Column) -> Column:
 
 def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int = 4,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              dim: int = 64) -> DataFrame:
+              dim: int = 64,
+              carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Encode each vector as (id, sub, code): per subspace, the
     codeword minimizing squared L2 (quantized to 9 dp before the
     argmin, code_id tiebreak — the repo's cross-engine argmin
@@ -654,22 +669,32 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int = 4,
     100 TB the stored index is m single-byte codes per vector, a
     ~256x compression of a 64-dim float corpus."""
     d = dim // m
-    cb = F.broadcast(codebooks.select(
-        "sub", "code_id", F.col("cw").alias("_cw")))
+    # One broadcast row per subspace holding its whole codebook as an
+    # array: the argmin is then a per-row expression (sort_array asc
+    # on struct(d2, code_id) = min(struct(d2, code_id)) — identical
+    # tie-break and NaN/NULL order), so the former groupBy(id, sub)
+    # exchange over the scored (id, sub, code) relation disappears —
+    # encoding is purely map-side, as the docstring always claimed.
+    cb = F.broadcast(codebooks.groupBy("sub").agg(
+        F.collect_list(F.struct(F.col("code_id"),
+                                F.col("cw").alias("_cw"))).alias("_cbs")))
+    carries = [F.col(cc) for cc in carry_cols]
     sliced = corpus.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("id"), *carries,
         F.explode(F.array(*[
             F.struct(F.lit(s).alias("sub"),
                      F.slice(_as_double(F.col(vec_col)),
                              s * d + 1, d).alias("sv"))
             for s in range(m)])).alias("e")
-    ).select("id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
-    scored = sliced.join(cb, "sub").select(
-        "id", "sub", "code_id",
-        F.round(_sq_l2(F.col("sv"), F.col("_cw")), 9).alias("d2"))
-    best = scored.groupBy("id", "sub").agg(
-        F.min(F.struct("d2", "code_id")).alias("b"))
-    return best.select("id", "sub", F.col("b.code_id").alias("code"))
+    ).select("id", *carries, F.col("e.sub").alias("sub"),
+             F.col("e.sv").alias("sv"))
+    best = F.element_at(F.sort_array(F.transform(
+        F.col("_cbs"),
+        lambda c: F.struct(
+            F.round(_sq_l2(F.col("sv"), c["_cw"]), 9).alias("d2"),
+            c["code_id"].alias("code_id")))), 1)
+    return (sliced.join(cb, "sub")
+            .select("id", *carries, "sub", best["code_id"].alias("code")))
 
 
 def pq_adc_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
@@ -826,10 +851,15 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     d = dim // m
     c = corpus.select(F.col(id_col).alias("id"),
                       _as_double(F.col(vec_col)).alias("v"))
-    inv = ivf_assign(c, cents, "id", "v", nprobe=1) \
-        .select("id", "cell")
-    codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim) \
-        .join(inv, "id")
+    # cell assignment and PQ encoding fused into ONE corpus pass:
+    # ivf_assign is map-side (broadcast centroid array), so its
+    # output carries (id, v, cell) straight into the encoder and the
+    # former codes-join-inv corpus self-join (two scans plus an
+    # id-keyed shuffle of both derived relations) disappears.
+    assigned = ivf_assign(c, cents, "id", "v", nprobe=1) \
+        .select("id", "v", "cell")
+    codes = pq_encode(assigned, codebooks, m, id_col="id",
+                      vec_col="v", dim=dim, carry_cols=("cell",))
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
     probes = F.broadcast(
