@@ -4702,20 +4702,49 @@ def q_text_cms_heavy_hitters(spark: SparkSession, sf_dir: str
     the point: sketch-accelerated Spark plan, sketch-free SQL truth.
     Threshold: tokens appearing in >= 1/200 of all token positions."""
     from linz_bde_uploader_spark.operators.sketches import (
-        cms_build, cms_lookup)
+        CMS_D, CMS_W, cms_build, cms_counter_expr)
     docs = parallelize_small(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
-    total = toks.agg(F.count("*").alias("n_total"))
-    cms = cms_build(toks)
-    # pass 2 candidates: distinct tokens whose CMS clears N/200
-    cand = (cms_lookup(cms, toks.select("tok").distinct())
-            .join(F.broadcast(total))
+    # The 4x1024 sketch collapses to ONE broadcast row holding CMS_D
+    # dense counter arrays (bounded by construction) — the former
+    # shape broadcast the UNBOUNDED distinct-token relation into the
+    # sketch join, the wrong side at corpus scale, and then paid a
+    # second vocabulary-grain exchange for the groupBy(tok) min. The
+    # probe is now a per-row element_at against the broadcast arrays:
+    # one partial-aggregated distinct over the stream, zero unbounded
+    # broadcasts. N = sum of row 0's counters (each occurrence lands
+    # in exactly one cell per row) — exact, saves a corpus pass.
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(CMS_W - 1)),
+        lambda x: F.coalesce(F.element_at(F.col("m"), x.cast("long")),
+                             F.lit(0).cast("long")))
+    sk = (cms_build(toks)
+          .groupBy("row")
+          .agg(F.map_from_entries(
+              F.collect_list(F.struct("idx", "c"))).alias("m"))
+          .groupBy()
+          .agg(F.array_sort(F.collect_list(
+              F.struct("row", dense.alias("arr")))).alias("_rows"))
+          .select(F.transform("_rows", lambda s: s["arr"]).alias("_cms"))
+          .select(F.col("_cms"),
+                  F.aggregate(F.element_at(F.col("_cms"), 1),
+                              F.lit(0).cast("long"),
+                              lambda a, x: a + x).alias("n_total")))
+    # pass 2 candidates: distinct tokens whose CMS clears N/200; the
+    # candidate relation keeps n_total so the exact pass needs no
+    # second sketch subtree.
+    cms_count = F.least(*[
+        F.element_at(F.element_at(F.col("_cms"), i + 1),
+                     F.expr(cms_counter_expr(i, "tok")).cast("int") + 1)
+        for i in range(CMS_D)])
+    cand = (toks.distinct()
+            .crossJoin(F.broadcast(sk))
+            .withColumn("cms_count", cms_count)
             .filter(F.col("cms_count") * 200 >= F.col("n_total"))
-            .select("tok"))
+            .select("tok", "n_total"))
     exact = (toks.join(F.broadcast(cand), "tok")
-             .groupBy("tok").agg(F.count("*").alias("n"))
-             .join(F.broadcast(total))
+             .groupBy("tok", "n_total").agg(F.count("*").alias("n"))
              .filter(F.col("n") * 200 >= F.col("n_total"))
              .select("tok", "n"))
     return exact
