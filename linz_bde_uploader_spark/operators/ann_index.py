@@ -44,7 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from linz_bde_uploader_spark.operators.similarity import (
-    _as_double, _rank_topk, cosine, ivf_assign, seed_centroids,
+    _as_double, _cosine_pre, _norm, _rank_topk, ivf_assign,
+    seed_centroids,
 )
 
 
@@ -231,10 +232,12 @@ def ivf_index_query(spark: SparkSession, store, name: str,
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     inv = inv.filter(F.col("cell").isin(cells))
     scored = (
-        F.broadcast(probes).join(inv, "cell")
+        F.broadcast(probes.withColumn("_qn", _norm(F.col("qv"))))
+        .join(inv.withColumn("_cn", _norm(F.col("v"))), "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                cosine(F.col("qv"), F.col("v")).alias("sim")))
+                _cosine_pre(F.col("qv"), F.col("v"),
+                            F.col("_qn"), F.col("_cn")).alias("sim")))
     return _rank_topk(scored, k)
 
 

@@ -64,6 +64,16 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_pre(a: Column, b: Column, an: Column, bn: Column) -> Column:
+    """``cosine`` with the operand norms precomputed as columns —
+    bit-identical to :func:`cosine` (same fold order, same division;
+    the norms are merely materialized earlier). In a bucket/cell join
+    the norms are per-ROW while the similarity is per-PAIR, so hoisting
+    them out of the pair expression cuts the per-pair array work from
+    three O(dim) folds to one."""
+    return _dot(a, b) / (an * bn)
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -101,14 +111,17 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     query's candidate set. Self-matches excluded.
     """
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   _as_double(F.col(vec_col)).alias("qv")))
+                                   _as_double(F.col(vec_col)).alias("qv"))
+                    .withColumn("_qn", _norm(F.col("qv"))))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(F.col(vec_col)).alias("cv"))
+                      _as_double(F.col(vec_col)).alias("cv")) \
+              .withColumn("_cn", _norm(F.col("cv")))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+                _cosine_pre(F.col("qv"), F.col("cv"),
+                            F.col("_qn"), F.col("_cn")).alias("sim"))
     )
     return _rank_topk(scored, k)
 
@@ -188,16 +201,20 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     the corpus is still indexed into exactly one bucket per vector."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("cv")) \
-              .withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes, dim))
+              .withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes, dim)) \
+              .withColumn("_cn", _norm(F.col("cv")))
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("_qn", _norm(F.col("qv")))
         .withColumn("bucket", F.explode(multiprobe_buckets(
             F.col("qv"), n_planes, dim, n_probes))))
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id",
+                _cosine_pre(F.col("qv"), F.col("cv"),
+                            F.col("_qn"), F.col("_cn")).alias("sim"))
         # a (query, neighbor) pair can only repeat if two probes hit
         # the same bucket, which the distinct probe list precludes
     )
@@ -227,12 +244,18 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     semantics are bit-identical: struct(csim, -cent_id) descending =
     (csim DESC, cent_id ASC) with the same NaN-first / NULL-last
     placement as the window's DESC order."""
+    # centroid norms ride in the broadcast array (struct field order
+    # keeps cent_id first, so the sort is unchanged) and the vector's
+    # own norm is hoisted to a per-row column — the argmax transform
+    # then folds ONE dot per centroid instead of three (cosine's two
+    # norm folds were per-(vector, centroid) work).
     cent_arr = F.broadcast(centroids.agg(
         F.array_sort(F.collect_list(
-            F.struct(F.col("cent_id"), F.col("cv")))).alias("_cents")))
+            F.struct(F.col("cent_id"), F.col("cv"),
+                     _norm(F.col("cv")).alias("cn")))).alias("_cents")))
 
     def scored(c):
-        sim = cosine(F.col(vec_col), c["cv"])
+        sim = _cosine_pre(F.col(vec_col), c["cv"], F.col("_vn"), c["cn"])
         if sim_round is not None:
             sim = F.round(sim, sim_round)
         return F.struct(sim.alias("csim"),
@@ -242,7 +265,8 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     top = F.slice(F.sort_array(F.transform(F.col("_cents"), scored),
                                asc=False), 1, nprobe)
     return (
-        vectors.crossJoin(cent_arr)
+        vectors.withColumn("_vn", _norm(F.col(vec_col)))
+        .crossJoin(cent_arr)
         .select(F.col(id_col), F.col(vec_col),
                 F.posexplode(top).alias("_pos", "_s"))
         .select(F.col(id_col), F.col(vec_col),
@@ -440,16 +464,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
     inv = ivf_assign(c, centroids, "neighbor_id", "cv", nprobe=1) \
-        .select("neighbor_id", F.col("cv"), "cell")
+        .select("neighbor_id", F.col("cv"), "cell") \
+        .withColumn("_cn", _norm(F.col("cv")))
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
     probes = F.broadcast(ivf_assign(q, centroids, "query_id", "qv", nprobe=nprobe)
-                         .select("query_id", F.col("qv"), "cell"))
+                         .select("query_id", F.col("qv"), "cell")
+                         .withColumn("_qn", _norm(F.col("qv"))))
     scored = (
         probes.join(inv, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+                _cosine_pre(F.col("qv"), F.col("cv"),
+                            F.col("_qn"), F.col("_cn")).alias("sim"))
         # each corpus vector lives in exactly one cell (nprobe=1 on the
         # inverted lists) so (query, neighbor) pairs are already unique
     )
@@ -560,7 +587,8 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
                     F.lit(1.0).alias("cosine_sim"))
         )
         c = groups.select(F.col("rep").alias("id"), "v")
-    c = c.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, dim))
+    c = c.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, dim)) \
+         .withColumn("_nrm", _norm(F.col("v")))
     # n_probes > 1: one-sided multi-probe — the LEFT side also probes
     # its smallest-margin perturbed buckets, recovering near-pairs
     # that straddle a hyperplane (a recall knob, not exhaustive: the
@@ -587,19 +615,22 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    F.round(cosine(F.col("a.v"), F.col("b.v")),
+                    F.round(_cosine_pre(F.col("a.v"), F.col("b.v"),
+                                        F.col("a._nrm"), F.col("b._nrm")),
                             6).alias("cosine_sim"))
             .filter(F.col("cosine_sim") >= threshold))
         hubs = (cb.filter((F.col("_n") > max_bucket_size)
                           & (F.col("id") == F.col("_hub")))
-                .select("bucket", F.col("v").alias("_hv")))
+                .select("bucket", F.col("v").alias("_hv"),
+                        F.col("_nrm").alias("_hn")))
         over = (  # hub = bucket-min id, so id_a < id_b by construction
             cb.filter((F.col("_n") > max_bucket_size)
                       & (F.col("id") != F.col("_hub")))
             .join(hubs, "bucket")
             .select(F.col("_hub").alias("id_a"),
                     F.col("id").alias("id_b"),
-                    F.round(cosine(F.col("_hv"), F.col("v")),
+                    F.round(_cosine_pre(F.col("_hv"), F.col("v"),
+                                        F.col("_hn"), F.col("_nrm")),
                             6).alias("cosine_sim"))
             .filter(F.col("cosine_sim") >= threshold))
         near = all_pairs.unionByName(over)
@@ -617,7 +648,9 @@ def embedding_near_pairs(corpus: DataFrame, threshold: float = 0.4,
     near = (
         a.join(b, join_on)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"))
+                F.round(_cosine_pre(F.col("a.v"), F.col("b.v"),
+                                    F.col("a._nrm"), F.col("b._nrm")),
+                        6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
     return near if star is None else near.unionByName(star)
@@ -808,12 +841,14 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.92,
         ivf_assign(groups.select(F.col("rep").alias("id"), "v"),
                    centroids, "id", "v", nprobe=1)
         .select(F.col("id").alias("rep"), F.col("v"), F.col("cell"))
+        .withColumn("_nrm", _norm(F.col("v")))
         .persist(StorageLevel.MEMORY_AND_DISK))
     a, b = asgn.alias("a"), asgn.alias("b")
     near = (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
                & (F.col("a.rep") != F.col("b.rep")))
-        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+        .filter(F.round(_cosine_pre(F.col("a.v"), F.col("b.v"),
+                                    F.col("a._nrm"), F.col("b._nrm")), 6)
                 >= threshold)
         .groupBy(F.col("b.rep").alias("rep"))
         .agg(F.min(F.col("a.rep")).alias("nmin"))
@@ -1069,16 +1104,19 @@ def knn_graph(corpus: DataFrame, k: int = 3, id_col: str = "vec_id",
     c = base.select(F.col("id").alias("neighbor_id"),
                     F.col("v").alias("cv")) \
             .withColumn("bucket",
-                        hyperplane_bucket(F.col("cv"), n_planes, dim))
+                        hyperplane_bucket(F.col("cv"), n_planes, dim)) \
+            .withColumn("_cn", _norm(F.col("cv")))
     q = base.select(F.col("id").alias("vec_id"),
                     F.col("v").alias("qv")) \
+            .withColumn("_qn", _norm(F.col("qv"))) \
             .withColumn("bucket", F.explode(multiprobe_buckets(
                 F.col("qv"), n_planes, dim, n_probes)))
     scored = (
         q.join(c, "bucket")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("sim")))
+                _cosine_pre(F.col("qv"), F.col("cv"),
+                            F.col("_qn"), F.col("_cn")).alias("sim")))
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(),
                                              "neighbor_id")
     ranked = (scored.withColumn("rank", F.row_number().over(w))

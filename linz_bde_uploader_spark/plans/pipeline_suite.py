@@ -2699,6 +2699,12 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, one scan for distances."""
     emb = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     v = F.col("embedding").cast("array<double>")
+    # r19 A/B note: two rewrites were measured here and REJECTED —
+    # (a) the 64-column unrolled decimal aggregate (no posexplode)
+    # timed 2.7 vs 1.06 s min interleaved (128 wide agg states lose
+    # to the 64-group hash aggregate), and (b) persisting the
+    # distance relation for its two consumers timed 1.13 vs 1.06 s
+    # (the recompute is cheaper than the materialization).
     dims = emb.select(F.posexplode(v).alias("i", "x"))
     centroid = (
         dims.groupBy("i")
@@ -2971,16 +2977,30 @@ def q_docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " ", *[F.col("z")[str(j)] for j in range(K)])
                 ).alias("h"))
     )
-    dup_h = (sh.select("doc_id", "h").distinct()
-             .groupBy("h").agg(F.count("*").alias("nd"))
-             .filter(F.col("nd") > 1).select("h"))
+    # "hash in more than one document" is min(doc_id) < max(doc_id) —
+    # one partial-aggregated exchange with two 8-byte states, instead
+    # of a stream-wide (doc,hash) distinct feeding a second count
+    # aggregate (two exchanges of the full shingle stream).
+    dup_h = (sh.groupBy("h")
+             .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+             .filter(F.col("_lo") < F.col("_hi")).select("h"))
+    # covered-token count = union length of the K-wide spans: sort the
+    # duplicated span starts per doc and sweep (consecutive starts
+    # overlap iff they are < K apart) — the per-row array expression
+    # replaces the former K-wide position explode + COUNT(DISTINCT idx)
+    # double exchange; positions are distinct per doc by construction,
+    # so the sweep equals the distinct-index count exactly.
+    starts = F.array_sort(F.collect_list("pos"))
+    gaps = F.zip_with(F.slice(starts, 2, F.size(starts) - 1),
+                      F.slice(starts, 1, F.size(starts) - 1),
+                      lambda nxt, cur: F.least(nxt - cur, F.lit(K)))
+    covered = (F.aggregate(gaps, F.lit(0), lambda a, x: a + x)
+               + F.lit(K)).cast("long")
     cov = (
         sh.join(dup_h, "h")
-        .select("doc_id", "n_tokens",
-                F.explode(F.sequence(F.col("pos"),
-                                     F.col("pos") + F.lit(K - 1))).alias("idx"))
         .groupBy("doc_id", "n_tokens")
-        .agg(F.count_distinct("idx").alias("dup_tokens"))
+        .agg(F.when(F.size(starts) > 0, covered)
+             .otherwise(F.lit(0).cast("long")).alias("dup_tokens"))
     )
     return cov.select(
         "doc_id", "n_tokens", "dup_tokens",
@@ -3353,11 +3373,18 @@ def q_multimodal_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = MM.synthetic_images(spark, n=24)
     ah = MM.image_ahash(media)
-    groups = ah.groupBy("ahash").agg(
-        F.min("media_id").alias("canonical_id"),
-        F.count("*").alias("n_members"))
-    return ah.join(groups, "ahash") \
-        .select("media_id", "ahash", "canonical_id", "n_members")
+    # group stats through one window over the fingerprint instead of
+    # groupBy + join-back: the join form executed the Arrow-batched
+    # image decode (the plan's expensive stage) once per branch and
+    # then paid a sort-merge join to reunite them; the window computes
+    # min/count per ahash partition in the single pass. Partition
+    # cardinality = distinct fingerprints (corpus-scale safe, same
+    # grain the groupBy shuffled).
+    wg = Window.partitionBy("ahash")
+    return ah.select(
+        "media_id", "ahash",
+        F.min("media_id").over(wg).alias("canonical_id"),
+        F.count("*").over(wg).alias("n_members"))
 
 
 # closed forms (operators/multimodal.py synthetic_images): luminance
@@ -3629,25 +3656,38 @@ def q_docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-deterministic with no ordering dependency — pure integer
     arithmetic end to end."""
     from linz_bde_uploader_spark.functions.hashing import hash32
-    from linz_bde_uploader_spark.operators import classifier as C
+    from linz_bde_uploader_spark.operators.dedup import _track
 
     docs = parallelize_small(load_table(spark, sf_dir, "documents"))
-    feats = C.hashed_features(docs, n_features=1024)
-    wm = (F.pmod(hash32(F.concat(F.lit("w:"), F.col("feat").cast("string"))),
+    # margin = sum over (doc, feat) of cnt * w(feat) = sum over token
+    # OCCURRENCES of w(feat(token)) — integer-exact, so the margin
+    # folds into ONE token-grain aggregate keyed by doc, skipping the
+    # (doc, feat) count aggregate's extra corpus exchange entirely.
+    word = F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    feat = F.pmod(hash32(F.concat(F.lit("f:"), F.col("word"))),
+                  F.lit(1024))
+    wm = (F.pmod(hash32(F.concat(F.lit("w:"), feat.cast("string"))),
                  F.lit(2001)) - 1000)
-    margins = (
-        feats.withColumn("w", wm)
-        .groupBy("id")
-        .agg(F.sum(F.col("cnt") * F.col("w")).alias("margin_milli"))
-        .select(F.col("id").alias("doc_id"), "margin_milli"))
+    # margins feeds the histogram AND the final join: persist the
+    # doc-grain relation (two 8-byte columns per doc) so the corpus
+    # tokenize+hash pass runs once, not twice (released via
+    # release_caches); n comes from the histogram's own counts, not a
+    # third corpus pass.
+    margins = _track(
+        docs.select(F.col("doc_id"), word)
+        .select("doc_id", wm.alias("_w"))
+        .groupBy("doc_id")
+        .agg(F.sum("_w").alias("margin_milli"))
+        .persist())
     hist = margins.groupBy("margin_milli").agg(F.count("*").alias("c"))
     wcum = Window.orderBy("margin_milli") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = hist.withColumn("cum", F.sum("c").over(wcum))
-    total = margins.agg(F.count("*").alias("n"))
-    dec = (cum.join(F.broadcast(total))
-           .select("margin_milli",
-                   F.expr("(cum - 1) * 10 DIV n").alias("decile")))
+    cum = (hist.withColumn("cum", F.sum("c").over(wcum))
+           .withColumn("n", F.sum("c").over(
+               Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))))
+    dec = cum.select("margin_milli",
+                     F.expr("(cum - 1) * 10 DIV n").alias("decile"))
     return margins.join(F.broadcast(dec), "margin_milli") \
         .select("doc_id", "margin_milli", "decile")
 
@@ -3816,10 +3856,14 @@ def q_docs_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     h = F.md5(F.col("text"))
-    canon = (corpus.select(h.alias("_h"), F.col("doc_id"))
-             .groupBy("_h").agg(F.min("doc_id").alias("_keep")))
+    # canonical id through one window over the content hash instead of
+    # a separate hash aggregate joined back: the join form md5-hashed
+    # the full corpus text TWICE (once per branch) and shuffled both;
+    # the window shuffles the (hash, id) projection once. Partition
+    # cardinality = distinct texts (the same grain the groupBy keyed).
     flagged = (
-        corpus.withColumn("_h", h).join(canon, "_h")
+        corpus.select("doc_id", h.alias("_h"))
+        .withColumn("_keep", F.min("doc_id").over(Window.partitionBy("_h")))
         .withColumn("is_dup",
                     (F.col("doc_id") != F.col("_keep")).cast("long"))
         .withColumn("base_id",
