@@ -280,7 +280,8 @@ def sql_cms_counter_expr(row: int, key: str = "tok") -> str:
     return f"({h} % {CMS_W})"
 
 
-def cms_build(toks: DataFrame, token_col: str = "tok") -> DataFrame:
+def cms_build(toks: DataFrame, token_col: str = "tok",
+              count_col: str | None = None) -> DataFrame:
     """Count-min sketch of a token stream: ``(row, idx, c)`` counter
     table, d x w = 4096 integer cells regardless of input size — the
     frequency-estimation sibling of the HLL registers (cardinality)
@@ -288,17 +289,28 @@ def cms_build(toks: DataFrame, token_col: str = "tok") -> DataFrame:
     merge by union + groupBy-sum (fully mergeable, partial
     aggregation map-side); the whole build is one explode(d) + one
     combinable groupBy, no UDF/window/collect. NULL tokens are
-    ignored (COUNT-of-occurrences semantics)."""
+    ignored (COUNT-of-occurrences semantics).
+
+    ``count_col``: build from a PRE-AGGREGATED (token, count)
+    relation instead of the raw stream — each token contributes
+    ``count_col`` to its cells (sum instead of count), yielding the
+    bit-identical counter table since counters are linear. Lets a
+    caller that already has the vocabulary feed the sketch without a
+    second pass over the corpus (r19, guide §1.2)."""
     rows = F.array(*[
         F.struct(F.lit(i).alias("row"),
                  F.expr(cms_counter_expr(i, token_col)).alias("idx"))
         for i in range(CMS_D)])
-    return (toks.filter(F.col(token_col).isNotNull())
-            .select(F.col(token_col).alias("tok"),
-                    F.explode(rows).alias("cell"))
-            .groupBy(F.col("cell.row").alias("row"),
-                     F.col("cell.idx").alias("idx"))
-            .agg(F.count("*").alias("c")))
+    cells = (toks.filter(F.col(token_col).isNotNull())
+             .select(F.col(token_col).alias("tok"),
+                     *([F.col(count_col).alias("_n")]
+                       if count_col else []),
+                     F.explode(rows).alias("cell")))
+    agg = (F.sum("_n").cast("long") if count_col
+           else F.count("*")).alias("c")
+    return (cells.groupBy(F.col("cell.row").alias("row"),
+                          F.col("cell.idx").alias("idx"))
+            .agg(agg))
 
 
 def cms_lookup(cms: DataFrame, probes: DataFrame,

@@ -2418,8 +2418,14 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize_small(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id",
                        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
-    total = toks.agg(F.count("*").alias("n_total"))
+    # r19 (guide §1.2): the corpus total is the vocabulary's own sum —
+    # the former toks.agg(count) re-exploded the whole corpus for a
+    # number the vocabulary aggregate already holds. (A further
+    # (doc, tok) pre-aggregation of the scoring side was measured and
+    # REJECTED: it trades two cheap embarrassingly-parallel tokenize
+    # passes for a corpus-grain exchange — 1.06x min interleaved.)
     vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
     lp = (vocab.join(F.broadcast(total))
           .select("tok", F.round(
               F.log(F.col("n_tok").cast("double")
@@ -2642,6 +2648,10 @@ def q_docs_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linz_bde_uploader_spark.functions.hashing import hash32
 
     docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    # r19 A/B note: persisting this (source, doc_id, nt) projection
+    # for its two consumers was measured and REJECTED (1.14x min over
+    # 8 interleaved reps) — the two branch scans are cheaper than the
+    # materialization, same verdict as the emb_outliers persist.
     toks = docs.select(
         "source", "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("nt"))
@@ -3740,15 +3750,25 @@ def q_docs_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linz_bde_uploader_spark.functions.hashing import hash60
 
     docs = parallelize_small(load_table(spark, sf_dir, "documents"))
-    d = docs.withColumn("th", hash60(F.col("text")))
-    per_text = d.groupBy("th").agg(F.count("*").alias("n_copies"))
+    # r19 (guide §2.3/§2.4): ONE corpus scan and a NARROW shuffle. The
+    # former groupBy(th)+join-back hashed/tokenized the text twice and
+    # shuffled full rows (text included) by th for the join; now the
+    # token count and the 60-bit hash are projected FIRST (the text
+    # never enters the exchange — 8 bytes/row instead of multi-KB
+    # strings) and n_copies is a count window at the same th grain the
+    # groupBy shuffled, so the join disappears.
+    d = docs.select(
+        "source", "lang", "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("_nt"),
+        hash60(F.col("text")).alias("th"))
+    flagged = d.withColumn(
+        "n_copies", F.count("*").over(Window.partitionBy("th")))
     return (
-        d.join(per_text, "th")
+        flagged
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"),
              F.countDistinct("lang").alias("n_langs"),
-             F.sum(F.size(F.split(F.trim("text"), r"\s+")))
-             .cast("long").alias("total_tokens"),
+             F.sum("_nt").cast("long").alias("total_tokens"),
              F.sum("n_chars").alias("total_chars"),
              F.min("n_chars").alias("min_chars"),
              F.max("n_chars").alias("max_chars"),
@@ -4483,7 +4503,10 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     utoks = train.select(F.explode("toks").alias("tok"))
     uni = utoks.groupBy("tok").agg(F.count("*").alias("c_uni"))
-    total = utoks.agg(F.count("*").alias("n_train"))
+    # r19: the train-token total is the unigram table's own sum — the
+    # former utoks.agg(count) re-exploded the whole train corpus for a
+    # number the vocabulary aggregate already holds (guide §1.2).
+    total = uni.agg(F.sum("c_uni").alias("n_train"))
 
     bigrams = F.expr(
         "zip_with(slice(toks, 1, size(toks) - 1), "
@@ -4692,9 +4715,16 @@ def q_text_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize_small(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
-    cms = cms_build(toks)
-    probes = (toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
-              .orderBy(F.col("exact_count").desc(), F.col("tok"))
+    # r19 (guide §1.2): the CMS builds from the exact (token, count)
+    # vocabulary via the weighted cms_build instead of the raw stream
+    # — counters are linear sums, so the sketch is bit-identical, but
+    # the x4-cell explode and the sketch aggregate now run over the
+    # vocabulary instead of every token occurrence. The vocabulary
+    # exchange is shared with the probe branch at runtime
+    # (ReuseExchange — identical subtree).
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    cms = cms_build(vocab, count_col="exact_count")
+    probes = (vocab.orderBy(F.col("exact_count").desc(), F.col("tok"))
               .limit(10))
     est = cms_lookup(cms, probes)
     return probes.join(est, "tok").select(

@@ -265,6 +265,25 @@ def test_cms_one_sided_error(spark):
         assert cm - ex <= bound, (tok, ex, cm)  # w.h.p. overcount cap
 
 
+def test_cms_weighted_build_equals_stream_build(spark):
+    """The r19 weighted form — cms_build from a pre-aggregated
+    (token, count) vocabulary — must produce the bit-identical
+    counter table to the raw-stream build: counters are linear sums,
+    so summing per-token counts into cells == counting occurrences.
+    This is the identity text_cms_freq's one-pass rewrite rests on."""
+    from linz_bde_uploader_spark.operators.sketches import cms_build
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    toks = (load_table(spark, SF_DIR, "documents")
+            .select(F.explode(F.split(F.trim("text"), r"\s+"))
+                    .alias("tok")))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    direct = {(r.row, r.idx): r.c for r in cms_build(toks).collect()}
+    weighted = {(r.row, r.idx): r.c
+                for r in cms_build(vocab, count_col="n").collect()}
+    assert direct == weighted and direct
+
+
 def test_hll_rollup_equals_direct(spark):
     """Register max-rollup is algebraically EXACT, not approximate:
     rolling the (type, day) registers up to type by per-register max
