@@ -875,6 +875,93 @@ def _steal_delta(before: tuple[int, int] | None,
     return round(100.0 * (after[0] - before[0]) / d_demand, 2)
 
 
+def _time_query(spark, fn, sf_dir: str, name: str,
+                release=None, metrics=None, max_reps: int = 6):
+    """Steady-state timing for one query: warm-min over up to
+    ``max_reps`` reps with early exit once the best time converges
+    (>0.85x of the previous best) and the warm reps are stable
+    (CV <= 0.25). Returns (reps, best, n_rows, task_metrics).
+
+    (r20) ``release`` — cache release — runs BETWEEN reps, outside
+    the timed region, not only after a query's reps: Spark's
+    CacheManager matches canonicalized plans, so rep 2+ of a query
+    with an in-query persist was reading rep 1's materialized cache
+    and warm-min understated the persist's real cost (the r19
+    verdict issue #1). scripts/ab_time.py — the protocol every
+    kept/reverted persist decision was adjudicated under — always
+    released between reps; the bench now matches it. Pinned by
+    tests/test_bench_gate.py::test_release_caches_runs_between_reps.
+
+    ``task_metrics`` carries the executor task-time totals of the
+    best (adopted) rep — steal-resistant core-scaling evidence (the
+    r19 c8/c32 wall comparison was steal-confounded)."""
+    release = release_caches if release is None else release
+    metrics = _group_task_metrics if metrics is None else metrics
+    best, n, reps, task_metrics = None, 0, [], None
+    for rep in range(max_reps):
+        group = f"bench_{name}_{rep}"
+        spark.sparkContext.setJobGroup(group, name)
+        try:
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+        finally:  # a failed rep must not leak its group onto the
+            spark.sparkContext.setJobGroup(None, None)  # next query
+        release()
+        reps.append(dt)
+        prev_best, best = best, dt if best is None else min(best, dt)
+        if best == dt:
+            task_metrics = metrics(spark, group)
+        if rep >= 2:
+            warm = reps[1:]
+            mu = sum(warm) / len(warm)
+            cv = (sum((x - mu) ** 2 for x in warm)
+                  / len(warm)) ** 0.5 / mu if mu else 0.0
+            if best > 0.85 * prev_best and cv <= 0.25:
+                break  # converged and stable
+    return reps, best, n, task_metrics
+
+
+def _group_task_metrics(spark, group: str) -> dict | None:
+    """Executor task-time totals for one job group's stages, read
+    from the driver's AppStatusStore (works with the UI disabled):
+    ``task_time_sec`` sums executorRunTime (task wall — inflated by
+    hypervisor steal like the headline wall) and ``task_cpu_sec``
+    sums executorCpuTime (steal-resistant: stolen cycles are not
+    charged to the process). The CPU total is the number a core-count
+    scaling comparison should ratio (r19 verdict: the c8/c32 WALL
+    pair was steal-confounded and diagnosed nothing) — task CPU is
+    invariant to how many cores run the same stages. Best-effort:
+    any failure returns None and the bench proceeds without it."""
+    try:
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        run_ms = 0
+        cpu_ns = 0
+        seen: set[int] = set()
+        store = sc._jsc.sc().statusStore()
+        for j in tracker.getJobIdsForGroup(group):
+            ji = tracker.getJobInfo(j)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                if sid in seen:
+                    continue
+                seen.add(sid)
+                try:
+                    data = store.lastStageAttempt(sid)
+                except Exception:  # noqa: BLE001 — skipped stage:
+                    continue       # no attempt was ever run
+                run_ms += data.executorRunTime()
+                cpu_ns += data.executorCpuTime()
+        if not seen:
+            return None
+        return {"task_time_sec": round(run_ms / 1e3, 3),
+                "task_cpu_sec": round(cpu_ns / 1e9, 3)}
+    except Exception:  # noqa: BLE001 — metrics are a sidecar,
+        return None    # never sink the headline run
+
+
 # stabilization-retry thresholds: warm-rep noise (CV) and per-query
 # hypervisor steal. 20% steal ~ a 1.25x wall inflation floor at full
 # demand — well past measurement noise (quiet windows bracket ~0.1%)
@@ -1210,22 +1297,10 @@ def main():
     # burst landed on
     for name in HEADLINE:
         fn = allq[name][0]
-        best, n, reps = None, 0, []
         q_steal0 = _steal_counters()
         try:
-            for rep in range(6):
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                reps.append(dt)
-                prev_best, best = best, dt if best is None else min(best, dt)
-                if rep >= 2:
-                    warm = reps[1:]
-                    mu = sum(warm) / len(warm)
-                    cv = (sum((x - mu) ** 2 for x in warm)
-                          / len(warm)) ** 0.5 / mu if mu else 0.0
-                    if best > 0.85 * prev_best and cv <= 0.25:
-                        break  # converged and stable
+            reps, best, n, task_metrics = _time_query(
+                spark, fn, sf_dir, name)
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = str(e).splitlines()[0][:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
@@ -1236,13 +1311,17 @@ def main():
         cv = (sum((x - mu) ** 2 for x in warm)
               / len(warm)) ** 0.5 / mu if mu else 0.0
         times[name] = round(best, 3)
-        repstats[name] = {"reps": len(reps), "cv": round(cv, 3)}
+        repstats[name] = {"reps": len(reps), "cv": round(cv, 3),
+                          # rep 1 wall (codegen JIT + cold caches) so
+                          # cold-vs-warm stays adjudicable per round
+                          "cold_sec": round(reps[0], 3)}
+        if task_metrics:
+            repstats[name].update(task_metrics)
         q_steal = _steal_delta(q_steal0, _steal_counters())
         if q_steal is not None:
             repstats[name]["steal_pct"] = q_steal
         print(f"# {name}: {times[name]:.3f}s ({n} rows, "
               f"{len(reps)} reps, cv {cv:.2f})", file=sys.stderr)
-        release_caches()  # per-query persists must not pile up across reps
 
     # stabilization pass (r15): a query still noisy after 6 reps was
     # almost always hit by a mid-run foreign-tenant spike, not by its
@@ -1291,6 +1370,9 @@ def main():
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).count()
                     reps2.append(time.perf_counter() - t0)
+                    release_caches()  # between reps — same protocol
+                    # as the main loop (r20): a rep must not read the
+                    # previous rep's materialized persists
             except Exception as e:  # noqa: BLE001
                 # record the retry failure — without this the query
                 # is silently left flagged with its original cv and
@@ -1299,7 +1381,6 @@ def main():
                 repstats[name]["retry_error"] = str(e)[:200]
                 release_caches()  # a failed retry must not leak its
                 continue          # persists into the next query's reps
-            release_caches()
             best2 = min(reps2)
             # CV over the WARM retry reps only, like the main loop:
             # the first retry rep re-pays cache/codegen warmup after

@@ -360,3 +360,63 @@ def test_standing_capture_resolves_through_pointer():
     # the pointer's summary fields must agree with the capture they
     # point at — a stale pointer edit would silently move the band
     assert ptr["run_steal_pct"] == want
+
+
+class _FakeSC:
+    def setJobGroup(self, *a):
+        pass
+
+
+class _FakeSpark:
+    sparkContext = _FakeSC()
+
+
+def test_release_caches_runs_between_reps():
+    """(r20, verdict r19 issue #1) The timed loop must release caches
+    BETWEEN reps, not only after a query's reps: Spark's CacheManager
+    matches canonicalized plans, so without the per-rep release every
+    rep after the first of a query with an in-query persist reads the
+    previous rep's materialized cache and warm-min understates the
+    persist's real cost. The release must also run OUTSIDE the timed
+    region (after the rep's clock stops)."""
+    import bench
+
+    calls = []
+
+    class _DF:
+        def count(self):
+            calls.append("run")
+            return 1
+
+    reps, best, n, _ = bench._time_query(
+        _FakeSpark(), lambda s, d: _DF(), "/nowhere", "q",
+        release=lambda: calls.append("release"),
+        metrics=lambda s, g: None, max_reps=4)
+    assert len(reps) >= 3 and n == 1 and best == min(reps)
+    # strict alternation: every timed run is followed by a release
+    # before the next run starts
+    assert calls == ["run", "release"] * (len(calls) // 2)
+
+
+def test_time_query_records_cold_and_task_metrics():
+    """The adopted rep's task metrics ride along (steal-resistant
+    scaling evidence) and the rep list keeps rep 1 (cold) so
+    BENCH_DETAIL can record cold_sec next to warm-min."""
+    import bench
+
+    class _DF:
+        def count(self):
+            return 7
+
+    grabbed = []
+    reps, best, n, tm = bench._time_query(
+        _FakeSpark(), lambda s, d: _DF(), "/nowhere", "q",
+        release=lambda: None,
+        metrics=lambda s, g: grabbed.append(g) or {"task_time_sec": 1.0},
+        max_reps=3)
+    assert n == 7
+    assert tm == {"task_time_sec": 1.0}
+    # metrics were (re)captured whenever a rep became the new best,
+    # under that rep's job group
+    assert all(g.startswith("bench_q_") for g in grabbed)
+    assert len(reps) == 3
