@@ -328,23 +328,55 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sh = _shingle_hashes(docs, text_col, id_col, shingle_words,
                          portable=portable,
                          hash_bits=64 if bits > 32 else 32)
-    # one vote-sum aggregate column per bit -> single shuffle with
+    # one vote-sum aggregate per PAIR of bits -> single shuffle with
     # map-side partial sums (the naive bit-explode multiplies the
-    # token stream by `bits` through the exchange). Each bit sums the
-    # MASKED BIT directly (branch-free (h>>j)&1) plus one shared
-    # count(*): the ±1 vote sum equals 2*ones - n, so "votes >= 0"
-    # is "2*ones >= n" — bit-identical to the CASE-WHEN ±1 form but
-    # ~20% faster end-to-end at sf0.1 (measured r9 low-load A/B;
-    # 64 branchless sums beat 64 conditional ones in codegen).
-    aggs = [F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"v{j}")
-            for j in range(bits)]
+    # token stream by `bits` through the exchange). Bits j and
+    # j+bits/2 share one packed 64-bit counter — (h>>j) masked to
+    # positions 0 and bits/2 adds both votes with one branch-free
+    # shift+mask+add — so the per-row aggregate does bits/2 update
+    # ops and carries bits/2+1 aggregation-buffer longs instead of
+    # bits (r20, guide §1.2 per-task work / §2.3 narrower partial-agg
+    # rows through the exchange; quiet A/B: dedup_simhash vote stage
+    # ~0.8x). Carry-free by construction: the low (bit-j) field
+    # accumulates at most n = count(*) < 2^32 — a doc would need
+    # >= 4.3e9 DISTINCT shingles (tens of GB of text) to overflow
+    # into the high field, beyond any real document. The unpacked
+    # per-bit counts (low = s & (2^32-1), high = s >> 32) are
+    # bit-identical to the old one-column-per-bit sums, pinned by
+    # tests/test_suite.py::test_simhash_packed_votes_bit_identical.
+    # The shared count(*) completes the threshold: the ±1 vote sum
+    # equals 2*ones - n, so "votes >= 0" is "2*ones >= n" —
+    # bit-identical to the CASE-WHEN ±1 form (r9 A/B note retained:
+    # branchless sums beat 64 conditional ones in codegen ~20%).
+    # pairing requires an even split with a >=32-bit low field (a
+    # 16-bit field would overflow at 65536 shingles — a perfectly
+    # ordinary document); bits != 64 callers keep per-bit sums
+    if bits == 64:
+        half = bits // 2
+        pair_mask = (1 << half) | 1
+        aggs = [F.sum(F.expr(f"(h >> {j}) & {pair_mask}")).alias(f"p{j}")
+                for j in range(half)]
+        low_mask = (1 << half) - 1
+
+        def _ones(j: int) -> F.Column:
+            if j < half:
+                return F.expr(f"p{j} & {low_mask}")
+            return F.expr(f"p{j - half} >> {half}")
+    else:
+        aggs = [F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"v{j}")
+                for j in range(bits)]
+
+        def _ones(j: int) -> F.Column:
+            return F.col(f"v{j}")
+
     votes = sh.groupBy("id").agg(F.count("*").alias("_n"), *aggs)
+
     fp = None
     for j in range(bits):
         # bit 63 of a signed bigint is -2^63, not 1<<63 (overflow);
         # OR-ing distinct bit values never overflows
         bitval = -(1 << 63) if j == 63 else (1 << j)
-        term = F.when(2 * F.col(f"v{j}") >= F.col("_n"),
+        term = F.when(2 * _ones(j) >= F.col("_n"),
                       F.lit(bitval).cast("bigint")) \
                 .otherwise(F.lit(0).cast("bigint"))
         fp = term if fp is None else fp.bitwiseOR(term)

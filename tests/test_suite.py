@@ -170,6 +170,36 @@ def test_simhash64_near_pairs_match_brute_force(spark):
     assert brute and got == brute  # planted exact dups are hamming-0
 
 
+def test_simhash_packed_votes_bit_identical(spark):
+    """(r20) The paired-bit packed vote aggregate (bits j and j+32
+    share one 64-bit counter, low/high fields unpacked post-agg) must
+    produce fingerprints bit-identical to the one-sum-per-bit form it
+    replaced — same vote counts, same >= threshold, same OR-fold.
+    Recomputed here inline the old way over the same shingle stream."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import dedup as D
+    from linz_bde_uploader_spark.plans.pipeline_suite import _dup_corpus
+    base = _dup_corpus(spark, SF_DIR)
+    got = {r.id: r.simhash for r in D.simhash(base, bits=64).collect()}
+    sh = D._shingle_hashes(base, "text", "doc_id", 1, portable=True,
+                           hash_bits=64)
+    aggs = [F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"v{j}")
+            for j in range(64)]
+    votes = sh.groupBy("id").agg(F.count("*").alias("_n"), *aggs)
+    fp = None
+    for j in range(64):
+        bitval = -(1 << 63) if j == 63 else (1 << j)
+        term = F.when(2 * F.col(f"v{j}") >= F.col("_n"),
+                      F.lit(bitval).cast("bigint")) \
+                .otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    want = {r.id: r.simhash for r in
+            votes.select("id", fp.cast("bigint").alias("simhash"))
+            .collect()}
+    assert got == want and len(got) > 0
+
+
 def test_jaccard_prefix_filter_is_exact(spark):
     """The PPJoin-style prefix-filtered Jaccard must return EXACTLY
     the inverted-index results — prefix filtering prunes candidates,
