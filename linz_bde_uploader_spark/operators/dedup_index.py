@@ -111,25 +111,50 @@ def _tomb_table(name: str) -> str:
     return f"{name}__tombstones"
 
 
-def _bkey() -> F.Column:
+def _bkey(layout: int = 1) -> F.Column:
     # one join column folding (band, band_hash): a single-key
-    # equi-join matches the store's single-column hash clustering
+    # equi-join matches the store's single-column hash clustering.
+    # layout 2 (r20, guide §1.2): drop the outer md5 — band_hash is
+    # ALREADY an md5 digest of the band's minhash values, so hashing
+    # it again bought nothing but a second md5 per (doc x band) row
+    # on every build/ingest/compact. "band:digest" is injective on
+    # (band, band_hash) (band is an integer, no ':' inside), so
+    # bucket grouping — and therefore every verdict — is unchanged.
+    # layout 1 (the pre-r20 double-md5 key) remains the READ/WRITE
+    # path for indexes built before key_layout stamping: the key
+    # function must match the stored rows or membership joins go
+    # silently empty, which is why the layout is frozen at build
+    # (meta "key_layout") exactly like the banding parameters.
+    if layout >= 2:
+        return F.concat_ws(":", F.col("band"), F.col("band_hash"))
     return F.md5(F.concat_ws(":", F.col("band"), F.col("band_hash")))
 
 
 def _band_rows_from_wide(wide: DataFrame, num_perm: int,
-                         bands: int) -> DataFrame:
+                         bands: int, layout: int = 1) -> DataFrame:
     return (lsh_bands_from_wide(wide, num_perm, bands)
-            .select("id", _bkey().alias("bkey")))
+            .select("id", _bkey(layout).alias("bkey")))
 
 
 def _band_rows_from_sigs(sigs: DataFrame, num_perm: int,
-                         bands: int) -> DataFrame:
+                         bands: int, layout: int = 1) -> DataFrame:
     # the purge path's rebuild primitive: band keys recomputed from
     # stored signatures, bit-for-bit the build-path keys (same
-    # concat/md5 pipeline over the same minhash values)
+    # pipeline over the same minhash values, same frozen layout)
     return (lsh_bands_from_wide(sigs, num_perm, bands, sig_col="sig")
-            .select("id", _bkey().alias("bkey")))
+            .select("id", _bkey(layout).alias("bkey")))
+
+
+def _key_layout(store, name: str) -> int:
+    """The frozen bkey layout of an existing index: stamped in the
+    content pointer's meta at build time (2 for r20+ builds); 1 —
+    the historical double-md5 key — for any index that predates the
+    stamp. Never migrated in place: compact's bands-then-sigs-then-
+    content write order means a mid-migration crash would leave new-
+    layout band rows under an old-layout meta stamp, and every later
+    ingest would compute keys that match nothing."""
+    meta = _index_params(store, name) or {}
+    return meta.get("key_layout", 1)
 
 
 def _base_stamp(store, base_table: str) -> str:
@@ -235,7 +260,11 @@ def dedup_index_build(spark: SparkSession, store, docs: DataFrame,
         store.write(content_t, content, key="content_hash",
                     rows=n_content,
                     meta={"num_perm": num_perm, "bands": bands,
-                          "shingle_words": shingle_words})
+                          "shingle_words": shingle_words,
+                          # frozen at build like the banding trio;
+                          # pre-r20 indexes (no stamp) read/write
+                          # layout-1 keys forever — see _key_layout
+                          "key_layout": 2})
     finally:
         content.unpersist()
     # one minhash aggregate feeds both band minima and signatures
@@ -243,7 +272,8 @@ def dedup_index_build(spark: SparkSession, store, docs: DataFrame,
             .persist(StorageLevel.MEMORY_AND_DISK))
     try:
         store.write(bands_t,
-                    _band_rows_from_wide(wide, num_perm, bands)
+                    _band_rows_from_wide(wide, num_perm, bands,
+                                         layout=2)
                     .groupBy("bkey").agg(F.min("id").alias("min_id")),
                     key="bkey")
         store.write(sigs_t, sig_array_from_wide(wide, num_perm),
@@ -311,6 +341,7 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
     shingle_words = (shingle_words if shingle_words is not None
                      else meta.get("shingle_words", 3))
     _check_params(store, name, num_perm, bands, shingle_words)
+    layout = _key_layout(store, name)  # frozen at build
     min_matches = int(math.ceil(near_threshold * num_perm))
     b = batch.select(F.col(id_col).alias("id"),
                      F.col(text_col).alias("text"))
@@ -326,7 +357,7 @@ def dedup_index_ingest(spark: SparkSession, store, batch: DataFrame,
         # both derive map-side from the persisted wide matrix
         wide = (_minhash_wide(b, "text", "id", num_perm, shingle_words)
                 .persist(StorageLevel.MEMORY_AND_DISK))
-        bh = _band_rows_from_wide(wide, num_perm, bands)
+        bh = _band_rows_from_wide(wide, num_perm, bands, layout)
         bsigs = sig_array_from_wide(wide, num_perm)
 
         stored_content = _with_delta(spark, store, content_t, cd_t)
@@ -681,7 +712,8 @@ def dedup_index_compact(spark: SparkSession, store, name: str,
             .persist(StorageLevel.MEMORY_AND_DISK))
     try:
         store.write(bands_t,
-                    _band_rows_from_sigs(sigs, num_perm, bands)
+                    _band_rows_from_sigs(sigs, num_perm, bands,
+                                         _key_layout(store, name))
                     .groupBy("bkey").agg(F.min("id").alias("min_id")),
                     key="bkey")
         store.write(sigs_t, sigs, key="id")

@@ -399,7 +399,8 @@ def test_frozen_banding_ingest_mismatch_raises(spark, store):
     DI.dedup_index_build(spark, store, corpus(spark), "fidx",
                          num_perm=32, bands=8)
     assert store.table_meta("fidx__content") == {
-        "num_perm": 32, "bands": 8, "shingle_words": 3}
+        "num_perm": 32, "bands": 8, "shingle_words": 3,
+        "key_layout": 2}
     batch = _docs(spark, [(70, BASE)])
     with pytest.raises(ValueError, match="frozen at build"):
         DI.dedup_index_ingest(spark, store, batch, "fidx",
@@ -447,8 +448,11 @@ def test_purge_compact_recovers_banding_matches_fresh_build(
         spark, store, spark.createDataFrame([(2,)], "doc_id long"),
         "ridx")
     DI.dedup_index_compact(spark, store, "ridx")  # NO args: recovered
+    # key_layout rides along: frozen at build (r20), preserved by the
+    # purge-compact's meta re-stamp
     assert store.table_meta("ridx__content") == {
-        "num_perm": 8, "bands": 4, "shingle_words": 3}
+        "num_perm": 8, "bands": 4, "shingle_words": 3,
+        "key_layout": 2}
 
     fresh = TableStore(str(tmp_path / "freshstore"), n_buckets=4)
     survivors = docs.filter("doc_id != 2").unionByName(

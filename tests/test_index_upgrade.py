@@ -123,3 +123,87 @@ def test_r7_layout_upgrades_in_place_via_delete(spark, tmp_path, emb):
     assert store.read(spark, "ann__vectors") \
         .filter(F.col("vec_id") == 0).count() == 0
     assert store.read(spark, "ann__tombstones").count() == 0
+
+
+def _write_v1_dedup_layout(spark, store, corpus, name="dd",
+                           num_perm=16, bands=4, shingle_words=3):
+    """Materialize exactly what a pre-r20 dedup_index_build wrote:
+    content/bands/sigs tables whose band keys are the DOUBLE-md5
+    layout-1 form, and a meta stamp WITHOUT key_layout. Pinned by
+    hand (the r7-ANN-fixture discipline) so a refactor of the live
+    write path cannot silently re-pin the fixture to itself."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators.dedup import (
+        _minhash_wide, lsh_bands_from_wide, sig_array_from_wide)
+
+    d = corpus.select(F.col("doc_id").alias("id"), "text")
+    content = (d.groupBy(F.md5("text").alias("content_hash"))
+               .agg(F.min("id").alias("canonical_id")))
+    store.write(f"{name}__content", content, key="content_hash",
+                rows=content.count(),
+                meta={"num_perm": num_perm, "bands": bands,
+                      "shingle_words": shingle_words})
+    wide = _minhash_wide(d, "text", "id", num_perm, shingle_words)
+    v1_bkey = F.md5(F.concat_ws(":", F.col("band"),
+                                F.col("band_hash")))
+    bands_df = (lsh_bands_from_wide(wide, num_perm, bands)
+                .select("id", v1_bkey.alias("bkey"))
+                .groupBy("bkey").agg(F.min("id").alias("min_id")))
+    store.write(f"{name}__bands", bands_df, key="bkey")
+    store.write(f"{name}__sigs", sig_array_from_wide(wide, num_perm),
+                key="id")
+
+
+def test_v1_dedup_index_layout_ingests_and_compacts(spark, tmp_path):
+    """(r20) A dedup index built before key_layout stamping stores
+    double-md5 band keys; the current ingest/compact must keep
+    computing THAT key form against it (meta absent => layout 1), or
+    every membership join goes silently empty and near-dups are
+    admitted. A fresh r20 build of the same corpus must classify the
+    same batch identically under its layout-2 keys."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.operators import dedup_index as DI
+    from linz_bde_uploader_spark.plans.tables import load_table
+
+    docs = (load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "text").limit(80).cache())
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    old = TableStore(str(tmp_path / "v1"), n_buckets=4)
+    _write_v1_dedup_layout(spark, old, corpus)
+    assert DI._key_layout(old, "dd") == 1
+    v_old = DI.dedup_index_ingest(spark, old, batch, "dd")
+    got_old = {(r["id"], r["verdict"], r["dup_of"])
+               for r in v_old.collect()}
+    v_old.unpersist()
+    # the delta the ingest appended must carry layout-1 keys (md5
+    # hex, no ':') — mixed-layout tables would corrupt the index
+    if old.exists("dd__bands_delta"):
+        for r in old.read(spark, "dd__bands_delta").collect():
+            assert ":" not in r["bkey"] and len(r["bkey"]) == 32
+
+    new = TableStore(str(tmp_path / "v2"), n_buckets=4)
+    DI.dedup_index_build(spark, new, corpus, "dd")
+    assert DI._key_layout(new, "dd") == 2
+    for r in new.read(spark, "dd__bands").limit(20).collect():
+        assert ":" in r["bkey"]  # layout-2 keys: "band:digest"
+    v_new = DI.dedup_index_ingest(spark, new, batch, "dd")
+    got_new = {(r["id"], r["verdict"], r["dup_of"])
+               for r in v_new.collect()}
+    v_new.unpersist()
+    assert got_old == got_new and got_old
+
+    # v1 compact (with a tombstone, exercising the band-minima
+    # rebuild) must rebuild layout-1 keys and stay layout 1
+    victim = spark.createDataFrame(
+        [(int(corpus.agg(F.min("doc_id")).first()[0]),)],
+        "doc_id bigint")
+    DI.dedup_index_delete(spark, old, victim, "dd")
+    DI.dedup_index_compact(spark, old, "dd")
+    assert DI._key_layout(old, "dd") == 1
+    for r in old.read(spark, "dd__bands").limit(20).collect():
+        assert ":" not in r["bkey"] and len(r["bkey"]) == 32
+    docs.unpersist()
